@@ -1,13 +1,82 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.dedup.DedupQueries
+import graft.ml.MLQueries
+import graft.ops.RelationalQueries
+import graft.sim.SimilarityQueries
+import graft.text.TextQueries
+
+/** Driver contract — one named query per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
+  * DuckDB oracle where ANSI-SQL-expressible.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's full rule-tag composition (P8/P9/P10 +
+    * A1/A4/W2) on sf0.001 orders. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    RelationalQueries.ruleTags(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1-2.5: scans, aggregates, windows, joins
+    "q01_scan_filter_project" -> (RelationalQueries.scanFilterProject _),
+    "q02_group_agg"           -> (RelationalQueries.groupAgg _),
+    "q03_having_filter"       -> (RelationalQueries.havingFilter _),
+    "q04_window_flag"         -> (RelationalQueries.windowFlag _),
+    "q05_quantile_p99"        -> (RelationalQueries.quantileP99 _),
+    "q06_lag_datediff"        -> (RelationalQueries.lagDatediff _),
+    "q07_anomaly_threshold"   -> (RelationalQueries.anomalyThreshold _),
+    "q08_rule_tags"           -> (RelationalQueries.ruleTags _),
+    "q09_value_counts_top"    -> (RelationalQueries.valueCountsTop _),
+    "q12_date_format"         -> (RelationalQueries.dateFormat _),
+    "q13_join_revenue"        -> (RelationalQueries.joinRevenue _),
+    "q14_window_topn"         -> (RelationalQueries.windowTopN _),
+    "q15_anti_join"           -> (RelationalQueries.antiJoin _),
+    "q27_sessionize"          -> (RelationalQueries.sessionize _),
+    // §2.6: feature encoding + autoencoder
+    "q10_feature_encode"      -> (MLQueries.featureEncode _),
+    "q11_autoencoder_score"   -> (MLQueries.autoencoderScore _),
+    // training-data pipeline: dedup
+    "q16_dedup_exact"         -> (DedupQueries.exactDedup _),
+    "q17_minhash_bands"       -> (DedupQueries.minHashBands _),
+    "q18_simhash"             -> (DedupQueries.simHash _),
+    "q19_ngram_jaccard"       -> ((s: SparkSession, d: String) => DedupQueries.ngramJaccard(s, d)),
+    // training-data pipeline: similarity search
+    "q20_cosine_topk"         -> ((s: SparkSession, d: String) => SimilarityQueries.cosineTopK(s, d)),
+    "q21_cosine_lsh"          -> ((s: SparkSession, d: String) => SimilarityQueries.cosineLshPairs(s, d)),
+    // training-data pipeline: text analysis + multimodal plumbing
+    "q22_langid"              -> (TextQueries.langId _),
+    "q23_text_quality"        -> (TextQueries.quality _),
+    "q24_token_count"         -> (TextQueries.tokenCount _),
+    "q25_fingerprint"         -> (TextQueries.fingerprint _),
+    "q26_multimodal_meta"     -> (TextQueries.multimodalMeta _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_filter_project" -> RelationalQueries.scanFilterProjectSql,
+    "q02_group_agg"           -> RelationalQueries.groupAggSql,
+    "q03_having_filter"       -> RelationalQueries.havingFilterSql,
+    "q04_window_flag"         -> RelationalQueries.windowFlagSql,
+    "q05_quantile_p99"        -> RelationalQueries.quantileP99Sql,
+    "q06_lag_datediff"        -> RelationalQueries.lagDatediffSql,
+    "q07_anomaly_threshold"   -> RelationalQueries.anomalyThresholdSql,
+    "q08_rule_tags"           -> RelationalQueries.ruleTagsSql,
+    "q09_value_counts_top"    -> RelationalQueries.valueCountsTopSql,
+    "q12_date_format"         -> RelationalQueries.dateFormatSql,
+    "q13_join_revenue"        -> RelationalQueries.joinRevenueSql,
+    "q14_window_topn"         -> RelationalQueries.windowTopNSql,
+    "q15_anti_join"           -> RelationalQueries.antiJoinSql,
+    "q27_sessionize"          -> RelationalQueries.sessionizeSql,
+    "q10_feature_encode"      -> MLQueries.featureEncodeSql,
+    "q16_dedup_exact"         -> DedupQueries.exactDedupSql,
+    "q19_ngram_jaccard"       -> DedupQueries.ngramJaccardSql,
+    "q20_cosine_topk"         -> SimilarityQueries.cosineTopKSql,
+    "q22_langid"              -> TextQueries.langIdSql,
+    "q23_text_quality"        -> TextQueries.qualitySql,
+    "q24_token_count"         -> TextQueries.tokenCountSql,
+    "q25_fingerprint"         -> TextQueries.fingerprintSql,
+    "q26_multimodal_meta"     -> TextQueries.multimodalMetaSql,
+  )
 }

@@ -1,0 +1,226 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's relational operator inventory (SURVEY.md §2.1-§2.5)
+  * re-expressed as Spark-first declarative plans over the driver corpus.
+  *
+  * Scale notes (100 TB):
+  *  - Scalar thresholds (p99, mean+2σ) are computed by a separate tiny
+  *    one-row action and injected as literals. That keeps the main plan a
+  *    single pass and lets Catalyst fold the literal into the pushed filter.
+  *  - Per-key flags use window aggregates over a single hash-partitioning
+  *    of the fact table instead of collecting key lists to the driver and
+  *    shipping an `isin` (the reference's approach, run_pipeline.py:24-31,
+  *    which is O(keys) on the driver and un-distributable).
+  *  - Small dimensions (nation/region) are broadcast; the big fact joins
+  *    shuffle on their join keys once and reuse the exchange.
+  */
+object RelationalQueries {
+  import Tables._
+
+  /** S1+P1: parquet scan with predicate pushdown + column pruning.
+    * `.explain` must show PushedFilters + a 3-column ReadSchema. */
+  def scanFilterProject(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 1000.0)
+      .select("c_custkey", "c_name", "c_acctbal")
+
+  val scanFilterProjectSql: String =
+    "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0"
+
+  /** A1/A2: hash aggregate with a distinct sub-aggregate (map-side partial
+    * agg, then one shuffle on the group key). */
+  def groupAgg(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .groupBy("c_nationkey")
+      .agg(
+        countDistinct("c_mktsegment").as("n_seg"),
+        count(lit(1)).as("n_cust"),
+        round(sum("c_acctbal"), 2).as("sum_bal"))
+
+  val groupAggSql: String =
+    "SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_seg, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal FROM customer GROUP BY c_nationkey"
+
+  /** A3: HAVING against a scale-free scalar (avg customers per nation) —
+    * the scalar is a one-row action, not a per-row subquery. */
+  def havingFilter(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val thr = c.agg((count(lit(1)) / countDistinct("c_nationkey")).as("t"))
+      .head().getDouble(0)
+    c.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"))
+      .filter(col("n_cust") > lit(thr))
+  }
+
+  val havingFilterSql: String =
+    "SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey HAVING count(*) > (SELECT CAST(count(*) AS DOUBLE) / count(DISTINCT c_nationkey) FROM customer)"
+
+  /** A1+J1 fused: the reference's `nunique→isin` flag pattern
+    * (run_pipeline.py:24-26) as ONE window aggregate — no driver collect,
+    * no broadcast list, one shuffle on the partition key. */
+  def windowFlag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+    customer(s, d)
+      .withColumn("n_seg", size(collect_set(col("c_mktsegment")).over(w)))
+      .select(
+        col("c_custkey"),
+        when(col("n_seg") > 1, "MultiSegment").otherwise("Normal").as("flag"))
+  }
+
+  val windowFlagSql: String =
+    "SELECT c.c_custkey, CASE WHEN n.n_seg > 1 THEN 'MultiSegment' ELSE 'Normal' END AS flag FROM customer c JOIN (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_seg FROM customer GROUP BY c_nationkey) n ON c.c_nationkey = n.c_nationkey"
+
+  /** A4: exact p99 (linear interpolation — pandas `quantile` semantics,
+    * run_pipeline.py:34) + strict `>` filter. At 100 TB swap the scalar for
+    * `approx_percentile(l_extendedprice, 0.99, 10000)`; the filter plan is
+    * unchanged. */
+  def quantileP99(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val p99 = li.agg(expr("percentile(l_extendedprice, 0.99)")).head().getDouble(0)
+    li.filter(col("l_extendedprice") > lit(p99))
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+  }
+
+  val quantileP99Sql: String =
+    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_extendedprice > (SELECT quantile_cont(l_extendedprice, 0.99) FROM lineitem)"
+
+  /** W1+W2+P6: sort-free lag — the reference's global sort_values
+    * (run_pipeline.py:38) is subsumed by the window's per-partition sort.
+    * Tie-break on o_orderkey for determinism (pandas relies on stable
+    * sort + file order; SURVEY §2.5 W2). */
+  def lagDatediff(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders(s, d)
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .select(
+        col("o_orderkey"),
+        datediff(col("o_orderdate"), col("prev")).as("days_since_prev"),
+        when(datediff(col("o_orderdate"), col("prev")) <= 7, 1).otherwise(0).as("frequent"))
+  }
+
+  val lagDatediffSql: String =
+    "SELECT o_orderkey, date_diff('day', CAST(prev AS DATE), CAST(o_orderdate AS DATE)) AS days_since_prev, CASE WHEN date_diff('day', CAST(prev AS DATE), CAST(o_orderdate AS DATE)) <= 7 THEN 1 ELSE 0 END AS frequent FROM (SELECT o_orderkey, o_orderdate, lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev FROM orders) t"
+
+  /** A5+P11: mean + k·stddev_pop threshold (ddof=0, matching NumPy —
+    * run_pipeline.py:66; k=1 here so the filter is non-vacuous on the
+    * near-uniform corpus — the fraud pipeline itself uses k=2).
+    * Scalar action, then a pushable filter. */
+  def anomalyThreshold(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val r: Row = o.agg(avg("o_totalprice"), stddev_pop("o_totalprice")).head()
+    val thr = r.getDouble(0) + 1.0 * r.getDouble(1)
+    o.filter(col("o_totalprice") > lit(thr)).select("o_orderkey", "o_totalprice")
+  }
+
+  val anomalyThresholdSql: String =
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) + 1 * stddev_pop(o_totalprice) FROM orders)"
+
+  /** P8+P9+P10: the reference's full rule-tag composition
+    * (run_pipeline.py:22-43) on the orders table: fixed-order `;`-suffixed
+    * tag concat, empty→'Normal'. Both windows share the o_custkey hash
+    * partitioning, so the exchange is reused (one shuffle total). */
+  def ruleTags(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val p99 = o.agg(expr("percentile(o_totalprice, 0.99)")).head().getDouble(0)
+    val wKey  = Window.partitionBy("o_custkey")
+    val wLag  = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val days  = datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(wLag))
+    val tags = concat(
+      when(size(collect_set(col("o_orderstatus")).over(wKey)) > 1, "MultiStatus;").otherwise(""),
+      when(col("o_totalprice") > lit(p99), "HighValue;").otherwise(""),
+      when(days <= 7, "FrequentBuyer;").otherwise(""))
+    o.withColumn("tag_raw", tags)
+      .select(
+        col("o_orderkey"),
+        when(col("tag_raw") === "", "Normal").otherwise(col("tag_raw")).as("tag"))
+  }
+
+  val ruleTagsSql: String =
+    "WITH ms AS (SELECT o_custkey, count(DISTINCT o_orderstatus) AS n_st FROM orders GROUP BY o_custkey), lagd AS (SELECT o_orderkey, o_custkey, o_totalprice, date_diff('day', CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE), CAST(o_orderdate AS DATE)) AS days FROM orders), tagged AS (SELECT l.o_orderkey, concat(CASE WHEN m.n_st > 1 THEN 'MultiStatus;' ELSE '' END, CASE WHEN l.o_totalprice > (SELECT quantile_cont(o_totalprice, 0.99) FROM orders) THEN 'HighValue;' ELSE '' END, CASE WHEN l.days <= 7 THEN 'FrequentBuyer;' ELSE '' END) AS tag_raw FROM lagd l JOIN ms m ON l.o_custkey = m.o_custkey) SELECT o_orderkey, CASE WHEN tag_raw = '' THEN 'Normal' ELSE tag_raw END AS tag FROM tagged"
+
+  /** A7+W3+W4: value_counts → count-desc with deterministic tie-break +
+    * limit (app.py:41, app.py:20). */
+  def valueCountsTop(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type"))
+      .limit(10)
+
+  val valueCountsTopSql: String =
+    "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 10"
+
+  /** P4+P7: string formatting / casting of dates (run_pipeline.py:18,85). */
+  def dateFormat(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("d_str"),
+      to_date(col("o_orderdate")).as("d_date"))
+
+  val dateFormatSql: String =
+    "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d_str, CAST(o_orderdate AS DATE) AS d_date FROM orders"
+
+  /** Beyond-reference: star join. lineitem⋈orders shuffles on the join
+    * key (sort-merge at 100 TB, AQE may pick broadcast at small SF);
+    * customer⋈nation are broadcast — no shuffle for the dimensions. */
+  def joinRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val joinRevenueSql: String =
+    "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+
+  /** Beyond-reference: top-1-per-group via ranking window (deterministic
+    * tie-break), the scalable replacement for per-group sort+head. */
+  def windowTopN(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("top_orderkey"), col("o_totalprice"))
+  }
+
+  val windowTopNSql: String =
+    "SELECT o_custkey, o_orderkey AS top_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t WHERE rn = 1"
+
+  /** Beyond-reference: anti join (left_anti broadcasts the build side when
+    * small; shuffled-hash otherwise). Customers with no 'P'-status order. */
+  def antiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(
+        orders(s, d).filter(col("o_orderstatus") === "P").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select("c_custkey")
+
+  val antiJoinSql: String =
+    "SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')"
+
+  /** Beyond-reference: sessionization — gap>30min starts a new session.
+    * Two stacked windows on the same (user_id) partitioning (exchange
+    * reused), then one hash aggregate. The streaming twin lives in
+    * graft.streaming. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wCum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapMs = unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w))
+    events(s, d)
+      .withColumn("is_new", when(gapMs.isNull || gapMs > 1800000L, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("is_new")).over(wCum))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+  }
+
+  val sessionizeSql: String =
+    "WITH g AS (SELECT user_id, event_id, value, ts, CASE WHEN lag(ts) OVER w IS NULL OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS is_new FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), se AS (SELECT user_id, value, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM g) SELECT user_id, session_idx, count(*) AS n_events, round(sum(value), 2) AS total_value FROM se GROUP BY user_id, session_idx"
+}

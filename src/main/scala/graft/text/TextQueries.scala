@@ -1,0 +1,141 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tables
+
+/** Text-analysis operators for the large-scale training-data pipeline:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * All are pure per-row `Column` expressions (whole-stage codegen, no UDFs,
+  * no shuffle) — they scale linearly with input and keep the parquet scan
+  * pruned to (doc_id, text).
+  */
+object TextQueries {
+
+  // ---------------------------------------------------------------- lang id
+
+  /** Marker words per language for the n-gram-ish heuristic. Checked as
+    * ` word `-padded substring hits so partial words don't fire. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " is "),
+    "de" -> Seq(" der ", " und ", " die ", " das "),
+    "es" -> Seq(" el ", " la ", " que ", " los "),
+    "fr" -> Seq(" le ", " les ", " des ", " est "))
+
+  private def score(padded: Column, words: Seq[String]): Column =
+    words.map(w => when(instr(padded, w) > 0, 1).otherwise(0)).reduce(_ + _)
+
+  /** Heuristic language ID: count marker-word hits per language, argmax
+    * with fixed precedence (en, de, es, fr, zh), CJK presence for zh,
+    * 'und' when nothing fires. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val scores = markers.map { case (l, ws) => l -> score(padded, ws) }.toMap
+    val zh = when(col("text").rlike("[\\u4e00-\\u9fff]"), 4).otherwise(0)
+    val all = scores.values.toSeq :+ zh
+    def isMax(c: Column) = all.map(o => c >= o).reduce(_ && _) && c > 0
+    val pred = when(isMax(scores("en")), "en")
+      .when(isMax(scores("de")), "de")
+      .when(isMax(scores("es")), "es")
+      .when(isMax(scores("fr")), "fr")
+      .when(zh > 0, "zh")
+      .otherwise("und")
+    Tables.documents(s, d).select(col("doc_id"), pred.as("pred_lang"))
+  }
+
+  val langIdSql: String = {
+    def sc(ws: Seq[String]) = ws
+      .map(w => s"CASE WHEN instr(' ' || lower(text) || ' ', '$w') > 0 THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    val en = sc(markers(0)._2); val de = sc(markers(1)._2)
+    val es = sc(markers(2)._2); val fr = sc(markers(3)._2)
+    val zh = "(CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 4 ELSE 0 END)"
+    s"WITH sc AS (SELECT doc_id, $en AS s_en, $de AS s_de, $es AS s_es, $fr AS s_fr, $zh AS s_zh FROM documents) " +
+      "SELECT doc_id, CASE " +
+      "WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh AND s_en > 0 THEN 'en' " +
+      "WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh AND s_de > 0 THEN 'de' " +
+      "WHEN s_es >= s_fr AND s_es >= s_zh AND s_es > 0 THEN 'es' " +
+      "WHEN s_fr >= s_zh AND s_fr > 0 THEN 'fr' " +
+      "WHEN s_zh > 0 THEN 'zh' ELSE 'und' END AS pred_lang FROM sc"
+  }
+
+  // ---------------------------------------------------------------- quality
+
+  private val stopwords = Seq("the", "a", "of", "and", "is", "to")
+
+  /** Quality scoring: token count, stopword ratio, mean word length,
+    * good/low flag — the usual cheap pre-training filters. */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    val stopPred = stopwords.map(w => s"t = '$w'").mkString(" OR ")
+    val nStop = size(expr(s"filter(split(text, ' '), t -> $stopPred)"))
+    val alnum = length(regexp_replace(col("text"), "[^a-z0-9]", ""))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nTok.as("n_tok"),
+      nStop.as("n_stop"),
+      round(nStop.cast("double") / greatest(nTok, lit(1)), 4).as("stop_ratio"),
+      round(alnum.cast("double") / greatest(nTok, lit(1)), 4).as("avg_wlen"),
+      when(nTok >= 20 && (nStop.cast("double") / greatest(nTok, lit(1))) < 0.6, "good")
+        .otherwise("low").as("quality"))
+  }
+
+  val qualitySql: String = {
+    val stopPred = stopwords.map(w => s"t = '$w'").mkString(" OR ")
+    "SELECT doc_id, " +
+      "len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tok, " +
+      s"len(list_filter(string_split(text, ' '), t -> $stopPred)) AS n_stop, " +
+      s"round(CAST(len(list_filter(string_split(text, ' '), t -> $stopPred)) AS DOUBLE) / greatest(len(regexp_extract_all(text, '[a-z0-9]+')), 1), 4) AS stop_ratio, " +
+      "round(CAST(length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS DOUBLE) / greatest(len(regexp_extract_all(text, '[a-z0-9]+')), 1), 4) AS avg_wlen, " +
+      s"CASE WHEN len(regexp_extract_all(text, '[a-z0-9]+')) >= 20 AND CAST(len(list_filter(string_split(text, ' '), t -> $stopPred)) AS DOUBLE) / greatest(len(regexp_extract_all(text, '[a-z0-9]+')), 1) < 0.6 THEN 'good' ELSE 'low' END AS quality " +
+      "FROM documents"
+  }
+
+  // ------------------------------------------------------------ token count
+
+  /** Whitespace tokens + a BPE-ish regex segmentation (letters / digits /
+    * single punctuation), both codegen'd per-row. */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")).as("bpe_tokens"),
+      col("n_chars"))
+
+  val tokenCountSql: String =
+    "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS ws_tokens, len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens, n_chars FROM documents"
+
+  // ----------------------------------------------------------- fingerprint
+
+  /** Canonical-form fingerprint: md5 over the lowercased, alnum-only
+    * text — the exact-dedup key that survives whitespace/punct edits. */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fp"))
+
+  val fingerprintSql: String =
+    "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents"
+
+  // ------------------------------------------------------------ multimodal
+
+  /** Multimodal plumbing: treat payloads as opaque binary + typed
+    * metadata. The testdata has no media files, so the binary column is
+    * the utf-8 encoding of `text` and the decode step is a deterministic
+    * stub (graft.multimodal.Multimodal has the mapPartitions path); the
+    * schema / batching / chunk-count plumbing is real. */
+  def multimodalMeta(s: SparkSession, d: String): DataFrame = {
+    val bytes = encode(col("text"), "UTF-8")
+    val byteLen = length(bytes).cast("long")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      byteLen.as("byte_len"),
+      ceil(byteLen.cast("double") / 256.0).cast("long").as("n_chunks"),
+      ((byteLen * 2654435761L) % 2147483647L).as("stub_sig"))
+  }
+
+  val multimodalMetaSql: String =
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 256.0) AS BIGINT) AS n_chunks, (CAST(octet_length(encode(text)) AS BIGINT) * 2654435761) % 2147483647 AS stub_sig FROM documents"
+}

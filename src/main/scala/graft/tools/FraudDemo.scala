@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.fraud.{Claims, FraudPipeline}
+
+/** End-to-end demo of the fraud library on a claims CSV: train on the
+  * file, score it, write the golden-shaped result CSV, print a summary.
+  *
+  * Usage: runMain graft.tools.FraudDemo <claims.csv> <outDir>
+  */
+object FraudDemo {
+  def main(args: Array[String]): Unit = {
+    val Array(csv, outDir) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val claims = Claims.readCsv(spark, csv)
+    val result = FraudPipeline.run(spark, claims)
+    Claims.writeCsv(result, outDir)
+    result.groupBy("FraudType").count().orderBy("FraudType").show(50, false)
+    result.show(40, false)
+    spark.stop()
+  }
+}
