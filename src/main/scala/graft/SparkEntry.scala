@@ -42,7 +42,7 @@ object SparkEntry {
     "q16_dedup_exact"         -> (DedupQueries.exactDedup _),
     "q17_minhash_bands"       -> (DedupQueries.minHashBands _),
     "q18_simhash"             -> (DedupQueries.simHash _),
-    "q19_ngram_jaccard"       -> ((s: SparkSession, d: String) => DedupQueries.ngramJaccard(s, d)),
+    "q19_minhash_jaccard"     -> ((s: SparkSession, d: String) => DedupQueries.minHashJaccardPairs(s, d)),
     // training-data pipeline: similarity search
     "q20_cosine_topk"         -> ((s: SparkSession, d: String) => SimilarityQueries.cosineTopK(s, d)),
     "q21_cosine_lsh"          -> ((s: SparkSession, d: String) => SimilarityQueries.cosineLshPairs(s, d)),
@@ -70,9 +70,13 @@ object SparkEntry {
     "q15_anti_join"           -> RelationalQueries.antiJoinSql,
     "q27_sessionize"          -> RelationalQueries.sessionizeSql,
     "q10_feature_encode"      -> MLQueries.featureEncodeSql,
+    "q11_autoencoder_score"   -> MLQueries.autoencoderScoreSql,
     "q16_dedup_exact"         -> DedupQueries.exactDedupSql,
-    "q19_ngram_jaccard"       -> DedupQueries.ngramJaccardSql,
+    "q17_minhash_bands"       -> DedupQueries.minHashBandsSql,
+    "q18_simhash"             -> DedupQueries.simHashSql,
+    "q19_minhash_jaccard"     -> DedupQueries.minHashJaccardPairsSql,
     "q20_cosine_topk"         -> SimilarityQueries.cosineTopKSql,
+    "q21_cosine_lsh"          -> SimilarityQueries.cosineLshPairsSql,
     "q22_langid"              -> TextQueries.langIdSql,
     "q23_text_quality"        -> TextQueries.qualitySql,
     "q24_token_count"         -> TextQueries.tokenCountSql,

@@ -6,20 +6,35 @@ import org.apache.spark.sql.functions._
 import graft.ops.Tables
 
 /** Deduplication operators for the training-data pipeline: exact
-  * (hash-groupBy), MinHash+LSH banding, SimHash blocking, and exact
-  * n-gram Jaccard over blocked candidate pairs.
+  * (hash-groupBy), MinHash+LSH banding, SimHash blocking, and
+  * banded-candidate exact-Jaccard near-dup pairs.
   *
   * Scale design: every near-dup variant is
   *   per-row signature (no shuffle) → explode bands/blocks →
   *   shuffle ONCE on the small band key → within-bucket pairs →
   *   exact verification on the candidates only.
-  * Nothing ever does the O(n²) cross join; driver holds no per-doc state.
+  * The candidate generator is always a signature-derived key whose
+  * bucket count GROWS with the data (band values are 122-bit-ish
+  * strings, SimHash blocks are 2^16 per index), so no fixed-cardinality
+  * blocking key (e.g. language × source) can degenerate to O(n²) within
+  * a hot block. Driver holds no per-doc state.
+  *
+  * Oracle story: all hash math bottoms out in md5 (identical in DuckDB
+  * via `md5_number_lower`) plus universal-hash constants generated here
+  * and injected into the oracle SQL as literals — so the DuckDB twin
+  * recomputes the exact same signatures, bands, candidates and Jaccard
+  * scores, LSH misses included.
   */
 object DedupQueries {
   val MinHashPerms = 64
-  val MinHashBands = 16        // 16 bands × 4 rows → catches j ≳ 0.5
+  val BandRows     = 2   // 32 bands × 2 rows: P[miss | J] = (1-J²)^32 — ≈1e-4 at J=0.5
+  val MinHashBands: Int = MinHashPerms / BandRows
   val MinHashSeed  = 42L
   val ShingleN     = 3
+  val MinJaccard   = 0.5
+
+  private val Perms: Array[(Long, Long)] =
+    Hashing.permConstants(MinHashPerms, MinHashSeed)
 
   /** Exact dedup via content-hash groupBy: one shuffle on md5(text).
     * At 100 TB, group on the hash (fixed 32 bytes), never on raw text. */
@@ -31,34 +46,74 @@ object DedupQueries {
   val exactDedupSql: String =
     "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY md5(text)"
 
-  private val signatureUdf = udf { (text: String) =>
-    val shingles = Hashing.wordShingles(text, ShingleN).map(Hashing.fnv1a64)
-    Hashing.minHashSignature(shingles, MinHashPerms, MinHashSeed)
+  /** text → the 32 LSH band values ("v0:v1" strings of consecutive
+    * signature slots). One UDF call computes base hashes + the full
+    * signature + band formatting — a single pass per row, no shuffle. */
+  private val bandValsUdf = udf { (text: String) =>
+    val base = Hashing.wordShingles(text, ShingleN).map(Hashing.shingleBaseHash)
+    val sig = Hashing.minHashSignature(base, Perms)
+    Array.tabulate(MinHashBands) { b =>
+      val sb = new StringBuilder
+      var r = 0
+      while (r < BandRows) {
+        if (r > 0) sb.append(':')
+        sb.append(sig(b * BandRows + r))
+        r += 1
+      }
+      sb.toString
+    }
   }
 
-  /** Per-doc MinHash signatures exploded to LSH band keys. Input to the
-    * band-bucket shuffle; also a useful persisted artifact (signatures are
-    * computed once, reused across dedup runs). */
-  def minHashBands(s: SparkSession, d: String): DataFrame = {
-    val rows = MinHashPerms / MinHashBands
+  /** Per-doc MinHash signatures exploded to LSH band values. Input to
+    * the band-bucket shuffle; also a useful persisted artifact
+    * (signatures are computed once, reused across dedup runs). */
+  def minHashBands(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), signatureUdf(col("text")).as("sig"))
-      .select(
-        col("doc_id"),
-        explode(expr(
-          s"transform(sequence(0, ${MinHashBands - 1}), b -> struct(b AS band_idx, xxhash64(CAST(slice(sig, b * $rows + 1, $rows) AS STRING)) AS band_hash))")).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
-  }
+      .select(col("doc_id"), posexplode(bandValsUdf(col("text"))).as(Seq("band", "band_val")))
 
-  /** MinHash+LSH near-dup candidate pairs with exact-Jaccard verification.
-    * Pairs sharing ≥1 band bucket, verified with exact shingle Jaccard;
-    * emits pairs with j ≥ minJaccard (doc_a < doc_b, deduplicated). */
-  def minHashPairs(s: SparkSession, d: String, minJaccard: Double = 0.5): DataFrame = {
+  // ---- shared DuckDB CTE fragments (must mirror Hashing exactly) ----
+
+  /** words → 3-word shingles, <3 tokens → the whole text as 1 shingle
+    * (Hashing.wordShingles). */
+  private val shinglesCte: String =
+    """ws AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w FROM documents),
+      |sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |  ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] END AS shingles FROM ws)""".stripMargin
+
+  private def permValues: String =
+    Perms.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }
+      .mkString("perms(perm, a, b) AS (SELECT * FROM (VALUES ", ", ", "))")
+
+  /** doc_id, band, band_val — the exact twin of [[minHashBands]]. */
+  private def bandsCtes: String =
+    s"""$shinglesCte,
+       |$permValues,
+       |base AS (SELECT doc_id, CAST(md5_number_lower(s) >> 3 AS BIGINT) AS x
+       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+       |sig AS (SELECT doc_id, perm,
+       |  min(CAST((CAST(a AS HUGEINT) * x + b) % ${Hashing.MersennePrime} AS BIGINT)) AS v
+       |  FROM base, perms GROUP BY doc_id, perm),
+       |bands AS (SELECT doc_id, CAST(perm // $BandRows AS INT) AS band,
+       |  string_agg(CAST(v AS VARCHAR), ':' ORDER BY perm) AS band_val
+       |  FROM sig GROUP BY doc_id, perm // $BandRows)""".stripMargin
+
+  val minHashBandsSql: String =
+    s"WITH ${bandsCtes.replace("\n", " ")} SELECT doc_id, band, band_val FROM bands"
+
+  /** MinHash+LSH near-dup pairs: candidates share ≥ 1 band bucket
+    * (ONE shuffle on the band value), then exact shingle-set Jaccard is
+    * recomputed on the candidates only and filtered to ≥ minJaccard.
+    * This is the scale-correct replacement for (lang, source)-blocked
+    * all-pairs Jaccard: the pair space is bounded by signature
+    * similarity, not by a handful of metadata blocks. */
+  def minHashJaccardPairs(s: SparkSession, d: String,
+                          minJaccard: Double = MinJaccard): DataFrame = {
     val bands = minHashBands(s, d)
     val cand = bands.as("a")
       .join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -75,30 +130,62 @@ object DedupQueries {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  private val simHashUdf = udf { (text: String) =>
-    Hashing.simHash64(text.split("\\s+").filter(_.nonEmpty))
+  val minHashJaccardPairsSql: String = {
+    val jac = "CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE) / " +
+      "(len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss)))"
+    (s"""WITH $bandsCtes,
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+        |shs AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh)
+        |SELECT doc_a, doc_b, round($jac, 4) AS jaccard
+        |FROM cand JOIN shs x ON x.doc_id = cand.doc_a JOIN shs y ON y.doc_id = cand.doc_b
+        |WHERE round($jac, 4) >= $MinJaccard""").stripMargin.replace("\n", " ")
   }
 
-  /** SimHash fingerprints with 4×16-bit pigeonhole block keys: two docs
-    * within Hamming distance 3 share at least one block verbatim, so a
-    * groupBy on (block_idx, block_value) finds all near-dup candidates in
-    * one shuffle. */
+  /** text → [simhash blocks 0..3] (md5-token-hash SimHash, 16-bit
+    * pigeonhole blocks — Hamming ≤ 3 ⇒ ≥ 1 identical block). */
+  private val simBlocksUdf = udf { (text: String) =>
+    Hashing.simHashBlocks(Hashing.simHash64(Hashing.tokens(text)))
+  }
+
+  /** SimHash fingerprints as their 4 × 16-bit pigeonhole blocks: a
+    * groupBy on any (block index, block value) finds all Hamming ≤ 3
+    * candidates in one shuffle; block space is 2^16 per index so bucket
+    * sizes shrink as the corpus grows. */
   def simHash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), simHashUdf(col("text")).as("simhash"))
-      .select(col("doc_id"), col("simhash"),
-        expr("transform(sequence(0, 3), b -> CAST(shiftright(simhash, b * 16) & 65535 AS INT))").as("blocks"))
-      .select(col("doc_id"), col("simhash"),
-        col("blocks")(0).as("block0"), col("blocks")(1).as("block1"),
-        col("blocks")(2).as("block2"), col("blocks")(3).as("block3"))
+      .select(col("doc_id"), simBlocksUdf(col("text")).as("blk"))
+      .select(col("doc_id"),
+        col("blk")(0).as("block0"), col("blk")(1).as("block1"),
+        col("blk")(2).as("block2"), col("blk")(3).as("block3"))
+
+  /** DuckDB twin of [[simHash]]: identical md5 token hashes, identical
+    * strict `> 0` bit rule; empty-token docs produce all-zero blocks. */
+  val simHashSql: String = {
+    val blocks = (0 to 3).map { k =>
+      s"COALESCE(CAST(sum(CASE WHEN b >= ${k * 16} AND b < ${(k + 1) * 16} AND bit = 1 THEN 1 << (b - ${k * 16}) ELSE 0 END) AS INT), 0) AS block$k"
+    }.mkString(", ")
+    ("""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS tok FROM documents),
+       |th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+       |bits AS (SELECT doc_id, b,
+       |  CASE WHEN sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM th, range(64) r(b) GROUP BY doc_id, b)
+       |SELECT d.doc_id, """ + blocks +
+      " FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id GROUP BY d.doc_id").stripMargin.replace("\n", " ")
+  }
 
   /** SimHash near-dup pairs: pigeonhole block join, then exact Hamming
-    * verification ≤ maxHamming. */
+    * verification ≤ maxHamming (not registered as a query — the block
+    * fingerprints are the oracle-checked artifact; this is the
+    * downstream consumer). */
   def simHashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
-    val fp = simHash(s, d)
+    val simUdf = udf { (text: String) => Hashing.simHash64(Hashing.tokens(text)) }
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"), simUdf(col("text")).as("simhash"))
+      .withColumn("blk",
+        expr("transform(sequence(0, 3), k -> CAST(shiftright(simhash, k * 16) & 65535 AS INT))"))
     val blocks = fp.select(col("doc_id"), col("simhash"),
-        explode(array((0 to 3).map(i => struct(lit(i).as("bi"), col(s"block$i").as("bv"))): _*)).as("blk"))
-      .select(col("doc_id"), col("simhash"), col("blk.bi"), col("blk.bv"))
+        posexplode(col("blk")).as(Seq("bi", "bv")))
     val hamming = udf { (a: Long, b: Long) => Hashing.hammingDistance64(a, b) }
     blocks.as("a")
       .join(blocks.as("b"),
@@ -109,32 +196,4 @@ object DedupQueries {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
-
-  /** Exact word-set Jaccard over blocked candidate pairs — blocking key is
-    * (lang, source) so the pair space stays bounded per block. Fully
-    * SQL-expressible (set intersection via array ops), hence oracle-backed. */
-  def ngramJaccard(s: SparkSession, d: String, minJaccard: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(split(col("text"), " ")).as("toks"))
-    docs.as("a")
-      .join(docs.as("b"),
-        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(
-          size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
-            (size(col("a.toks")) + size(col("b.toks")) -
-              size(array_intersect(col("a.toks"), col("b.toks")))),
-          4).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
-  }
-
-  val ngramJaccardSql: String =
-    "WITH t AS (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) " +
-      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-      "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) AS jaccard " +
-      "FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
-      "WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4) >= 0.5"
 }

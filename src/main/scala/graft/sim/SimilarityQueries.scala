@@ -5,21 +5,30 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Hashing
-
 import graft.ops.Tables
 
-/** Similarity search over the embedding column (`array<float>`).
+/** Similarity search over the embedding column (`array<float>`, 64-dim).
   *
   * Baseline: brute-force cosine top-k — broadcast the (small) query set
   * against the full table; one pass, no shuffle except the final per-query
   * top-k window on the tiny candidate output.
   *
-  * Scale path: sign-random-projection LSH — per-row bucket id (no
-  * shuffle), then candidate generation only within buckets. At 100 TB the
-  * bucket table is bucketed/partitioned by `bucket` so probes touch one
-  * partition.
+  * Scale path: multi-table sign-random-projection LSH. Each table hashes
+  * a vector to a `numPlanes`-bit bucket; candidates are same-bucket pairs
+  * in ANY table (OR-banding boosts recall the same way MinHash bands do).
+  * Bucket count is 2^numPlanes PER TABLE, so parallelism and bucket
+  * occupancy are tuned independently of table count: at 100 TB raise
+  * `numPlanes` with log2(N) to keep buckets ~constant-sized, and raise
+  * `numTables` to recover recall. Plane matrices are derived from the
+  * seed (~(numTables·numPlanes·dim) doubles, broadcast-free: generated
+  * on each executor), and the SAME doubles are injected into the DuckDB
+  * oracle as literals, so bucketing is exactly reproducible.
   */
 object SimilarityQueries {
+  val Dim = 64
+  val NumPlanes  = 16   // 65,536 buckets per table
+  val NumTables  = 4
+  val LshSeed    = 42L
 
   /** Cosine similarity between two double arrays as a single codegen'd
     * higher-order-function expression (no UDF in the hot path). */
@@ -54,47 +63,89 @@ object SimilarityQueries {
       "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, vec_id) AS rank FROM scored) " +
       "SELECT qid, vec_id AS neighbor_id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5"
 
-  /** Deterministic random hyperplane component for (seed, plane, dim),
-    * uniform in [-1, 1). */
-  private def planeComponent(seed: Long, plane: Int, dim: Int): Double = {
-    val h = Hashing.splitmix64(seed ^ (plane.toLong << 32) ^ dim.toLong)
-    (h.toDouble / Long.MaxValue.toDouble)
+  /** Deterministic hyperplane component for (table, plane, dim),
+    * uniform in [-1, 1). Derived from the seed — never shipped. */
+  def planeComponent(seed: Long, table: Int, plane: Int, dim: Int): Double = {
+    val h = Hashing.splitmix64(
+      seed ^ (table.toLong << 48) ^ (plane.toLong << 32) ^ dim.toLong)
+    h.toDouble / Long.MaxValue.toDouble
   }
 
-  /** Sign-random-projection LSH: `numPlanes`-bit bucket id per vector.
-    * Hyperplanes are derived from the seed on the fly (nothing shipped). */
-  def lshBucketUdf(numPlanes: Int, seed: Long) = udf { (v: Seq[Double]) =>
-    var bucket = 0
-    var p = 0
-    while (p < numPlanes) {
-      var dot = 0.0
-      var i = 0
-      while (i < v.length) { dot += v(i) * planeComponent(seed, p, i); i += 1 }
-      if (dot >= 0) bucket |= (1 << p)
-      p += 1
+  /** The full plane tensor [table][plane][dim] for injection/broadcast. */
+  def planes(numTables: Int, numPlanes: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] =
+    Array.tabulate(numTables, numPlanes, dim)(planeComponent(seed, _, _, _))
+
+  /** vec → bucket id per table (numPlanes sign bits). The plane tensor
+    * (~32 KB at the defaults) is generated once and captured in the UDF
+    * closure — per-executor, not per-row. */
+  private def bucketsUdf(numTables: Int, numPlanes: Int, seed: Long) = {
+    val ps = planes(numTables, numPlanes, Dim, seed)
+    udf { (v: Seq[Double]) =>
+    Array.tabulate(numTables) { t =>
+      var bucket = 0
+      var p = 0
+      while (p < numPlanes) {
+        val comps = ps(t)(p)
+        var dot = 0.0
+        var i = 0
+        while (i < v.length) { dot += v(i) * comps(i); i += 1 }
+        if (dot >= 0) bucket |= (1 << p)
+        p += 1
+      }
+      bucket
     }
-    bucket
+    }
   }
 
-  /** LSH-bucketed ANN: bucket every vector (8 planes → 256 buckets), then
-    * exact cosine only for same-bucket pairs. Output is all candidate
-    * pairs with their exact cosine — the verification stage of an ANN
-    * dedup (`cos ≥ τ` is a trailing filter the caller picks). */
+  /** Multi-table LSH ANN candidate pairs with exact cosine verification:
+    * pairs sharing a bucket in ≥ 1 table, deduplicated, with their exact
+    * cosine — the verification stage of an ANN dedup (`cos ≥ τ` is a
+    * trailing filter the caller picks). */
   def cosineLshPairs(s: SparkSession, d: String,
-                     numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    val bucketed = Tables.embeddings(s, d)
+                     numPlanes: Int = NumPlanes, numTables: Int = NumTables,
+                     seed: Long = LshSeed): DataFrame = {
+    val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("bucket", lshBucketUdf(numPlanes, seed)(col("e")))
-    bucketed.as("a")
+    val bucketed = emb
+      .select(col("vec_id"),
+        posexplode(bucketsUdf(numTables, numPlanes, seed)(col("e"))).as(Seq("tbl", "bucket")))
+    val cand = bucketed.as("a")
       .join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(cosineExpr("a.e", "b.e"), 4))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.bucket").as("bucket"), col("cos"))
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("e").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("e").as("eb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosineExpr("ea", "eb"), 4).as("cos"))
+  }
+
+  /** DuckDB twin of [[cosineLshPairs]] at the default parameters: the
+    * plane doubles are injected as literals (shortest round-trip repr →
+    * bit-exact parse), so bucket ids match Spark's exactly. */
+  val cosineLshPairsSql: String = {
+    val ps = planes(NumTables, NumPlanes, Dim, LshSeed)
+    val rows = for (t <- 0 until NumTables; p <- 0 until NumPlanes) yield {
+      val lits = ps(t)(p).map(x => java.lang.Double.toString(x)).mkString("[", ", ", "]")
+      s"($t, $p, $lits)"
+    }
+    val planesCte = rows.mkString(
+      "planes(tbl, plane, comps) AS (SELECT * FROM (VALUES ", ", ", "))")
+    // dot sums ascending-index like the Spark UDF loop
+    val dot = "list_sum([v.e[i] * p.comps[i] for i in generate_series(1, " + Dim + ")])"
+    ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+      planesCte + ", " +
+      s"dots AS (SELECT v.vec_id, p.tbl, p.plane, $dot AS dot FROM v, planes p), " +
+      "bk AS (SELECT vec_id, tbl, CAST(sum(CASE WHEN dot >= 0 THEN 1 << plane ELSE 0 END) AS INT) AS bucket FROM dots GROUP BY vec_id, tbl), " +
+      "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+      "SELECT cand.vec_a, cand.vec_b, round(list_cosine_similarity(x.e, y.e), 4) AS cos " +
+      "FROM cand JOIN v x ON x.vec_id = cand.vec_a JOIN v y ON y.vec_id = cand.vec_b")
   }
 
   /** Embedding-cosine near-dup pairs (the dedup flavor): LSH candidates
     * with cosine above the threshold. */
-  def embeddingNearDup(s: SparkSession, d: String, minCos: Double = 0.3): DataFrame =
+  def embeddingNearDup(s: SparkSession, d: String, minCos: Double = 0.8): DataFrame =
     cosineLshPairs(s, d).filter(col("cos") >= minCos).select("vec_a", "vec_b", "cos")
 }
