@@ -49,27 +49,43 @@ object FraudPipeline {
     * Name, Aadhaar, ClaimAmount, SubsidyType, Date(yyyy-MM-dd),
     * ReconstructionError, FraudType. */
   def score(spark: SparkSession, claims: DataFrame, model: FraudModel,
-            exactQuantile: Boolean = true): DataFrame = {
+            exactQuantile: Boolean = true,
+            preserveInputOrder: Boolean = true): DataFrame =
+    scoreWithColumns(spark, claims, model, Seq.empty, exactQuantile, preserveInputOrder)
+
+  /** [[score]] with extra input columns carried through to the output —
+    * e.g. the eval corpus's FraudLabel (never a reference feature, so it
+    * must bypass the feature/rule path untouched). */
+  def scoreWithColumns(spark: SparkSession, claims: DataFrame, model: FraudModel,
+            passthrough: Seq[String],
+            exactQuantile: Boolean = true,
+            preserveInputOrder: Boolean = true): DataFrame = {
     val ruled = RuleEngine.withRuleTags(claims, exactQuantile)
     val feat = FeaturePipeline.transform(ruled, model.params)
+    // The threshold pass (M7) recomputes the linear scoring plan rather
+    // than caching it: the score path is shuffle-free per row, so one
+    // extra pass costs a scan, while caching a 100 TB scored table
+    // spills and leaks executor storage across invocations (r1 advice).
     val scored = withReconstructionError(spark, feat, model.net)
-      .cache() // threshold pass + output pass share the scored plan
     val r: Row = scored.agg(
       avg("ReconstructionError"), stddev_pop("ReconstructionError")).head()
     val thr = r.getDouble(0) + 2.0 * r.getDouble(1) // M7: mean + 2σ (ddof=0)
     val mlFraud = when(col("ReconstructionError") > lit(thr), "Suspicious")
       .otherwise("Normal")
-    scored
+    val combined = scored
       .withColumn("MLFraud", mlFraud)
       .withColumn("FraudType",
         when(col("RuleFraud") =!= "Normal", col("RuleFraud"))
           .when(col("MLFraud") =!= "Normal", col("MLFraud"))
           .otherwise("Normal"))
-      .orderBy("_row_id") // reproduce input order (pandas index semantics)
-      .select(
-        col("Name"), col("Aadhaar"), col("ClaimAmount"), col("SubsidyType"),
-        date_format(col("Date"), "yyyy-MM-dd").as("Date"),
-        col("ReconstructionError"), col("FraudType"))
+    // pandas-index order parity is a global sort — golden/parity mode
+    // only; at scale pass preserveInputOrder = false
+    val ordered = if (preserveInputOrder) combined.orderBy("_row_id") else combined
+    val outCols = Seq(
+      col("Name"), col("Aadhaar"), col("ClaimAmount"), col("SubsidyType"),
+      date_format(col("Date"), "yyyy-MM-dd").as("Date"),
+      col("ReconstructionError"), col("FraudType")) ++ passthrough.map(col)
+    ordered.select(outCols: _*)
   }
 
   /** train-then-score on the same table — the reference's self-scoring

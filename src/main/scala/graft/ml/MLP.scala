@@ -4,11 +4,14 @@ import java.util.Random
 
 /** Dense MLP autoencoder — the Spark-native replacement for the
   * reference's PyTorch net (reference: scripts/model_def.py:15-33,
-  * train.py:44-81). Architecture 6→64→32→64→6 with ReLU between layers
-  * and NO output activation: the reference trains without Sigmoid
-  * (train.py:53-57) but scores with it (model_def.py:27) — a documented
-  * train/infer mismatch (SURVEY §2.7-1); we standardize on the trained
-  * architecture.
+  * train.py:44-81). Architecture 6→64→32→64→6 with ReLU between layers.
+  *
+  * The reference trains WITHOUT an output activation (train.py:53-57)
+  * but scores with a trailing Sigmoid (model_def.py:27) — a documented
+  * train/infer mismatch (SURVEY §2.7-1). We default to the trained
+  * architecture (no output activation) and expose `outputSigmoid` so the
+  * reference's inference behavior can be reproduced exactly when parity
+  * against its published scores is wanted.
   *
   * Plain primitive arrays + while loops: the net is ~9K params, so
   * scoring cost is dominated by memory traffic; this stays allocation-free
@@ -20,7 +23,8 @@ final case class Layer(w: Array[Array[Double]], b: Array[Double], relu: Boolean)
   def inDim: Int = if (w.length == 0) 0 else w(0).length
 }
 
-final case class MLP(layers: Array[Layer]) extends Serializable {
+final case class MLP(layers: Array[Layer], outputSigmoid: Boolean = false)
+    extends Serializable {
   def forward(x: Array[Double]): Array[Double] = {
     var cur = x
     var l = 0
@@ -39,6 +43,10 @@ final case class MLP(layers: Array[Layer]) extends Serializable {
       cur = out
       l += 1
     }
+    if (outputSigmoid) {
+      var i = 0
+      while (i < cur.length) { cur(i) = 1.0 / (1.0 + math.exp(-cur(i))); i += 1 }
+    }
     cur
   }
 
@@ -53,6 +61,9 @@ final case class MLP(layers: Array[Layer]) extends Serializable {
   }
 
   def numParams: Int = layers.map(l => l.outDim * l.inDim + l.outDim).sum
+
+  def dims: Array[Int] =
+    if (layers.isEmpty) Array.empty else layers(0).inDim +: layers.map(_.outDim)
 }
 
 object MLP {
@@ -71,5 +82,34 @@ object MLP {
       Layer(w, b, relu = l < dims.length - 2)  // no output activation
     }.toArray
     MLP(layers)
+  }
+
+  /** Build an MLP from per-layer flattened (row-major weight, bias)
+    * buffers — the persistence/import layout. relu on all but the last
+    * layer. */
+  def fromFlat(dims: Array[Int], flat: Array[Double], outputSigmoid: Boolean = false): MLP = {
+    var k = 0
+    val layers = (0 until dims.length - 1).map { l =>
+      val (nIn, nOut) = (dims(l), dims(l + 1))
+      val w = Array.tabulate(nOut) { j =>
+        val row = java.util.Arrays.copyOfRange(flat, k, k + nIn); k += nIn; row
+      }
+      val b = java.util.Arrays.copyOfRange(flat, k, k + nOut); k += nOut
+      Layer(w, b, relu = l < dims.length - 2)
+    }.toArray
+    require(k == flat.length, s"weight buffer length ${flat.length} != expected $k")
+    MLP(layers, outputSigmoid)
+  }
+
+  /** Per-layer flattened (row-major weight, bias) buffer — inverse of
+    * [[fromFlat]]. */
+  def toFlat(mlp: MLP): Array[Double] = {
+    val out = new Array[Double](mlp.numParams)
+    var k = 0
+    mlp.layers.foreach { l =>
+      l.w.foreach { row => System.arraycopy(row, 0, out, k, row.length); k += row.length }
+      System.arraycopy(l.b, 0, out, k, l.b.length); k += l.b.length
+    }
+    out
   }
 }

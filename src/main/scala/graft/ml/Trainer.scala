@@ -48,32 +48,15 @@ object Trainer {
     }
   }
 
-  private def flatten(mlp: MLP): Array[Double] = {
-    val out = new Array[Double](mlp.numParams)
-    var k = 0
-    mlp.layers.foreach { l =>
-      l.w.foreach { row => System.arraycopy(row, 0, out, k, row.length); k += row.length }
-      System.arraycopy(l.b, 0, out, k, l.b.length); k += l.b.length
-    }
-    out
-  }
-
-  private def unflatten(flat: Array[Double], template: MLP): MLP = {
-    var k = 0
-    val layers = template.layers.map { l =>
-      val w = l.w.map { row =>
-        val r = java.util.Arrays.copyOfRange(flat, k, k + row.length); k += row.length; r
-      }
-      val b = java.util.Arrays.copyOfRange(flat, k, k + l.b.length); k += l.b.length
-      Layer(w, b, l.relu)
-    }
-    MLP(layers)
-  }
+  // flat layout = MLP.toFlat/fromFlat (per-layer row-major weight, bias)
+  private def flatten(mlp: MLP): Array[Double] = MLP.toFlat(mlp)
+  private def unflatten(flat: Array[Double], template: MLP): MLP =
+    MLP.fromFlat(template.dims, flat, template.outputSigmoid)
 
   /** Backprop for MSE loss: accumulates d(MSE)/d(params) for one sample
     * into `grad` (flattened layout must match [[flatten]]). Returns the
     * sample's MSE. */
-  private def backprop(mlp: MLP, x: Array[Double], grad: Array[Double]): Double = {
+  private[ml] def backprop(mlp: MLP, x: Array[Double], grad: Array[Double]): Double = {
     val L = mlp.layers.length
     // forward, keeping pre/post activations
     val acts = new Array[Array[Double]](L + 1)

@@ -1,0 +1,79 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dedup.Hashing
+
+/** Multimodal-column plumbing: media payloads as opaque `binary`
+  * columns with typed metadata, processed per-partition in batches —
+  * the Spark-side shape of an image/audio feature-extraction stage.
+  *
+  * The decode step itself is a DELIBERATE STUB (this container has no
+  * image/audio codecs): [[decodeStub]] produces deterministic fake
+  * features from the payload bytes. Everything around it is real and
+  * load-bearing at scale — schema, per-partition batching (one decoder
+  * init per partition, not per row), chunking, and the pruned scan:
+  * swap [[decodeStub]] for a JNI/codec call and nothing else changes.
+  */
+object Multimodal {
+
+  val ChunkBytes = 256
+
+  /** Feature dim of the stubbed decoder output. */
+  val FeatureDim = 8
+
+  /** STUB decoder: payload bytes → fixed-size feature vector. Real
+    * implementations decode/resample here; this derives deterministic
+    * values from a rolling hash of the bytes so tests have stable
+    * oracles. */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    var h = 1469598103934665603L // FNV offset basis
+    val out = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < payload.length) {
+      h = (h ^ (payload(i) & 0xffL)) * 1099511628211L
+      i += 1
+    }
+    var k = 0
+    while (k < FeatureDim) {
+      val hk = Hashing.splitmix64(h + k)
+      out(k) = (hk.toDouble / Long.MaxValue.toDouble).toFloat
+      k += 1
+    }
+    out
+  }
+
+  private val featureSchema = ArrayType(FloatType, containsNull = false)
+
+  /** Appends `media_features: array<float>` by running the decoder over
+    * `payloadCol` per partition. mapPartitions (not a per-row UDF) so a
+    * real decoder initializes once per partition — the standard shape
+    * for codec/model handles that are expensive to construct. */
+  def withMediaFeatures(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("media_features", featureSchema))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      // per-partition decoder init would go here
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val feats = if (payload == null) Array.empty[Float] else decodeStub(payload)
+        Row.fromSeq(r.toSeq :+ feats.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Metadata projection for a binary column: byte length, 256-byte
+    * chunk count, stub signature — pure codegen'd expressions, no UDF
+    * (mirrors TextQueries.multimodalMeta, which phrases the same thing
+    * over the utf-8 bytes of `text` for the oracle harness). */
+  def mediaMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val byteLen = length(col(payloadCol)).cast("long")
+    df.select(
+      col("*"),
+      byteLen.as("byte_len"),
+      ceil(byteLen.cast("double") / ChunkBytes.toDouble).cast("long").as("n_chunks"))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.fraud.Claims
+
+/** Structured-Streaming twin of the reference's only interactive entry
+  * point — the upload→score loop (reference app.py:13-28, where each
+  * browser upload lands a CSV and triggers a batch run). Here the
+  * landing directory IS the stream: a file source watches it and every
+  * new CSV becomes a micro-batch (SURVEY §2.1 S3, §3 E1).
+  *
+  * Semantics vs the batch pipeline (documented divergence — SURVEY
+  * §7.4-4): batch rules are retrospective over the whole file, a stream
+  * can only know its prefix. So DuplicateAadhaar/FrequentClaims fire
+  * from per-Aadhaar state accumulated so far, and the dataset-relative
+  * thresholds (p99 amount) must be supplied as fitted constants — the
+  * explicit "fitted-threshold mode" the survey called for.
+  *
+  * Scale: state lives per Aadhaar key (a set of names + last claim
+  * date, bytes per key), partitioned by the stream's groupBy key —
+  * no driver state, no global shuffle beyond the keyed exchange every
+  * stateful op needs. A watermark + event-time timeout expires keys
+  * idle past the lateness horizon, bounding the state store.
+  */
+object StreamingFraud {
+
+  /** One claim on the wire (Date widened to epochDay; timestamp carries
+    * the event-time watermark). */
+  final case class ClaimEvent(
+      Name: String, Aadhaar: Long, ClaimAmount: Double,
+      SubsidyType: String, Date: java.sql.Timestamp)
+
+  final case class TaggedClaim(
+      Name: String, Aadhaar: Long, ClaimAmount: Double,
+      SubsidyType: String, Date: java.sql.Timestamp, RuleFraud: String)
+
+  /** Per-Aadhaar state: distinct claimant names seen + last claim date
+    * (epoch day). */
+  final case class AadhaarState(names: Set[String], lastEpochDay: Long)
+
+  val StateRetention = "30 days"
+
+  private def tagBatch(
+      aadhaar: Long,
+      rows: Iterator[ClaimEvent],
+      state: GroupState[AadhaarState],
+      highClaimThreshold: Double): Iterator[TaggedClaim] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var st = state.getOption.getOrElse(AadhaarState(Set.empty, Long.MinValue))
+      // event-time order within the batch (files may interleave keys)
+      val out = rows.toArray.sortBy(_.Date.getTime).map { c =>
+        val epochDay = c.Date.getTime / 86400000L
+        val names = st.names + c.Name
+        val dup  = names.size > 1
+        val freq = st.lastEpochDay != Long.MinValue && epochDay - st.lastEpochDay <= 7
+        val high = c.ClaimAmount > highClaimThreshold
+        st = AadhaarState(names, math.max(st.lastEpochDay, epochDay))
+        val tags = (if (dup) "DuplicateAadhaar;" else "") +
+          (if (high) "HighClaimAmount;" else "") +
+          (if (freq) "FrequentClaims;" else "")
+        TaggedClaim(c.Name, aadhaar, c.ClaimAmount, c.SubsidyType, c.Date,
+          if (tags.isEmpty) "Normal" else tags)
+      }
+      state.update(st)
+      // expire once the watermark passes lastDate + retention; the
+      // event-time base (not the current watermark, which is 0 on the
+      // first batch) keeps fresh state from timing out immediately
+      state.setTimeoutTimestamp(math.max(
+        state.getCurrentWatermarkMs() + 1,
+        st.lastEpochDay * 86400000L + 30L * 86400000L))
+      out.iterator
+    }
+  }
+
+  /** Core transform: a (streaming or batch) claims Dataset → per-claim
+    * rule tags from keyed state. Pure function of the input stream, so
+    * MemoryStream tests and the file-source entry share it. */
+  def withRuleTags(claims: Dataset[ClaimEvent],
+                   highClaimThreshold: Double): Dataset[TaggedClaim] = {
+    import claims.sparkSession.implicits._
+    claims
+      .withWatermark("Date", StateRetention)
+      .groupByKey(_.Aadhaar)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (k: Long, rows: Iterator[ClaimEvent], st: GroupState[AadhaarState]) =>
+          tagBatch(k, rows, st, highClaimThreshold))
+  }
+
+  /** File-source entry: watch a landing directory of claim CSVs (the
+    * app.py upload loop), tag, and write per-micro-batch result CSVs. */
+  def fileStream(spark: SparkSession, landingDir: String, outDir: String,
+                 checkpointDir: String, highClaimThreshold: Double): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val raw = spark.readStream
+      .option("header", "true")
+      .option("dateFormat", "yyyy-MM-dd")
+      .schema(Claims.schema)
+      .csv(landingDir)
+      .withColumn("Date", col("Date").cast("timestamp"))
+      .as[ClaimEvent]
+    withRuleTags(raw, highClaimThreshold)
+      .withColumn("Date", date_format(col("Date"), "yyyy-MM-dd"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .option("header", "true")
+      .format("csv")
+      .option("path", outDir)
+      .start()
+  }
+}

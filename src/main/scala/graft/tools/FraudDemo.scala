@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-import graft.fraud.{Claims, FraudPipeline}
+import graft.fraud.{Claims, FraudPipeline, StatusProtocol}
 
 /** End-to-end demo of the fraud library on a claims CSV: train on the
   * file, score it, write the golden-shaped result CSV, print a summary.
@@ -22,11 +22,14 @@ object FraudDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val claims = Claims.readCsv(spark, csv)
-    val result = FraudPipeline.run(spark, claims)
-    Claims.writeCsv(result, outDir)
-    result.groupBy("FraudType").count().orderBy("FraudType").show(50, false)
-    result.show(40, false)
+    // S5: the reference's status-file contract (run_pipeline.py:91-101)
+    StatusProtocol.withStatus(s"$outDir-status.txt") {
+      val claims = Claims.readCsv(spark, csv)
+      val result = FraudPipeline.run(spark, claims)
+      Claims.writeCsv(result, outDir)
+      result.groupBy("FraudType").count().orderBy("FraudType").show(50, false)
+      result.show(40, false)
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,71 @@
+package graft.dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** End-to-end checks of the banded near-dup pipeline against brute-force
+  * ground truth on the small driver corpus. */
+class DedupSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("minHashJaccardPairs finds exactly the brute-force J>=0.5 pairs (sf0.001)") {
+    val spark = SparkSpec.spark
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // brute force on the driver (tiny corpus)
+    val shingles: Seq[(Long, Array[String])] = docs.toSeq.map { case (id, t) =>
+      id -> Hashing.wordShingles(t, DedupQueries.ShingleN)
+    }
+    // same round-to-4 as the query's emitted jaccard (0.49997 → 0.5)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val truth = (for {
+      (a, sa) <- shingles; (b, sb) <- shingles if a < b
+      j = r4(Hashing.exactJaccard(sa, sb)) if j >= DedupQueries.MinJaccard
+    } yield (a, b)).toSet
+    val found = DedupQueries.minHashJaccardPairs(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found === truth,
+      s"missed=${(truth -- found).take(5)} extra=${(found -- truth).take(5)}")
+  }
+
+  test("identical texts share every MinHash band") {
+    val spark = SparkSpec.spark
+    val bands = DedupQueries.minHashBands(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1)).map(_.getString(2)).toSeq
+      }
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b && ta == tb
+    } assert(bands(a) == bands(b), s"dup docs $a/$b disagree on bands")
+    // every doc has the full band fan-out
+    assert(bands.values.forall(_.length == DedupQueries.MinHashBands))
+  }
+
+  test("simHash query blocks agree with the driver-side fingerprint") {
+    val spark = SparkSpec.spark
+    val fromQuery = DedupQueries.simHash(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(i => r.getInt(i)).toSeq).toMap
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+    docs.foreach { r =>
+      val expect = Hashing.simHashBlocks(
+        Hashing.simHash64(Hashing.tokens(r.getString(1)))).toSeq
+      assert(fromQuery(r.getLong(0)) == expect)
+    }
+  }
+
+  test("exact dedup groups equal texts") {
+    val spark = SparkSpec.spark
+    val docs = graft.ops.Tables.documents(spark, sfDir).count()
+    val agg = DedupQueries.exactDedup(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n_copies")).head().getLong(0)
+    assert(agg === docs) // every doc lands in exactly one group
+  }
+}

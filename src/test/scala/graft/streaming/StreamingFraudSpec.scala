@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.streaming.StreamingFraud.ClaimEvent
+
+/** Smoke test for the Structured-Streaming twin of the upload loop:
+  * two micro-batches through the per-Aadhaar state, asserting the
+  * prefix-semantics rule tags. */
+class StreamingFraudSpec extends AnyFunSuite {
+
+  private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+
+  test("two micro-batches tag DuplicateAadhaar/FrequentClaims/HighClaimAmount from state") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[ClaimEvent]
+    val query = StreamingFraud.withRuleTags(input.toDS(), highClaimThreshold = 50000.0)
+      .writeStream.format("memory").queryName("tagged")
+      .outputMode("append").start()
+    try {
+      // batch 1: first sighting of each key — no history, no tags except high amount
+      input.addData(
+        ClaimEvent("Asha", 1L, 1000.0, "LPG", ts("2025-07-01")),
+        ClaimEvent("Ravi", 2L, 99999.0, "Housing", ts("2025-07-01")))
+      query.processAllAvailable()
+      val b1 = spark.sql("select * from tagged").as[StreamingFraud.TaggedClaim]
+        .collect().map(t => (t.Aadhaar, t.RuleFraud)).toMap
+      assert(b1(1L) === "Normal")
+      assert(b1(2L) === "HighClaimAmount;")
+
+      // batch 2: same Aadhaar, different name, 3 days later → Duplicate + Frequent
+      input.addData(
+        ClaimEvent("Asha Devi", 1L, 2000.0, "LPG", ts("2025-07-04")),
+        ClaimEvent("Ravi", 2L, 100.0, "Housing", ts("2025-08-30")))
+      query.processAllAvailable()
+      val all = spark.sql("select * from tagged").as[StreamingFraud.TaggedClaim]
+        .collect()
+      val batch2ByKey = all.filter(t => t.Date.after(ts("2025-07-02")))
+        .map(t => (t.Aadhaar, t.RuleFraud)).toMap
+      assert(batch2ByKey(1L) === "DuplicateAadhaar;FrequentClaims;")
+      assert(batch2ByKey(2L) === "Normal") // 60 days later, same name, small amount
+      assert(all.length === 4)
+    } finally query.stop()
+  }
+
+  test("within-batch ordering: same key twice in one batch still fires FrequentClaims") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[ClaimEvent]
+    val query = StreamingFraud.withRuleTags(input.toDS(), highClaimThreshold = 1e12)
+      .writeStream.format("memory").queryName("tagged2")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ClaimEvent("X", 7L, 10.0, "LPG", ts("2025-07-10")),
+        ClaimEvent("X", 7L, 10.0, "LPG", ts("2025-07-12")))
+      query.processAllAvailable()
+      val tags = spark.sql("select * from tagged2").as[StreamingFraud.TaggedClaim]
+        .collect().sortBy(_.Date.getTime).map(_.RuleFraud).toSeq
+      assert(tags === Seq("Normal", "FrequentClaims;"))
+    } finally query.stop()
+  }
+}
