@@ -1,0 +1,46 @@
+package graft.sim
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Recall validation of the multi-table SRP-LSH candidate generator on
+  * planted near-duplicates (the corpus itself has no high-cosine pairs —
+  * see PERF_NOTES.md §LSH for the measured sweep behind the defaults). */
+class SimilaritySpec extends AnyFunSuite {
+
+  test("LSH defaults: recall >= 0.9 on planted cos≈0.9 near-dups, far fewer comparisons") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val rng = new Random(7)
+    val dim = SimilarityQueries.Dim
+    val n = 400
+    val base = Array.fill(n)(Array.fill(dim)(rng.nextGaussian()))
+    // plant 80 jittered copies at cos ≈ 0.9 (noise norm ≈ 0.484 · |v|)
+    val planted = (0 until 80).map { k =>
+      val src = k * 5
+      val v = base(src)
+      val noise = Array.fill(dim)(rng.nextGaussian())
+      val vn = math.sqrt(v.map(x => x * x).sum)
+      val nn = math.sqrt(noise.map(x => x * x).sum)
+      val jit = v.zip(noise).map { case (a, b) => a + b * (vn * 0.484 / nn) }
+      (n + k, src, jit)
+    }
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      planted.map { case (id, _, v) => (id.toLong, v.toSeq) }
+    val emb = rows.toSeq.toDF("vec_id", "e")
+    val cand = SimilarityQueries.lshCandidatePairs(emb)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = planted.count { case (id, src, _) =>
+      cand.contains((src.toLong, id.toLong))
+    }
+    val recall = hits.toDouble / planted.size
+    val allPairs = (n + 80).toLong * (n + 79) / 2
+    assert(recall >= 0.9, s"recall=$recall (${hits}/${planted.size})")
+    assert(cand.size < allPairs / 10,
+      s"candidates ${cand.size} not <10% of all-pairs $allPairs")
+  }
+}
