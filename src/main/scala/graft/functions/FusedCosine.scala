@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.GraftSqlShim
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** Native Catalyst expression for cosine similarity over two
+  * `array<double>` columns: dot product and both norms in ONE pass over
+  * the arrays, with full whole-stage codegen.
+  *
+  * Replaces the 3-pass higher-order-function formulation
+  * (`aggregate(zip_with(a,b,*)) / (sqrt(aggregate(..)) * sqrt(..))`) in
+  * the similarity hot path — same ascending-index summation order, so
+  * results are bit-identical (the DuckDB oracles keep matching), at a
+  * third of the array traffic and no lambda-function call overhead.
+  *
+  * Null semantics: null array → null; null element → null; zero-norm
+  * input → null (the HOF's divide-by-zero null).
+  */
+case class FusedCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"fused_cosine expects (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fused_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |boolean anyNull = false;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if ($a.isNullAt($i) || $b.isNullAt($i)) { anyNull = true; break; }
+        |  double $xv = $a.getDouble($i);
+        |  double $yv = $b.getDouble($i);
+        |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+        |}
+        |double denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+        |if (anyNull || denom == 0.0) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  ${ev.value} = $dot / denom;
+        |}
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FusedCosine =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  /** Column-API entry — no registration needed. */
+  def fusedCosine(a: Column, b: Column): Column =
+    GraftSqlShim.column(
+      FusedCosine(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
+  private val fusedCosineInfo = new ExpressionInfo(
+    classOf[FusedCosine].getCanonicalName, "fused_cosine")
+
+  private def fusedCosineBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, s"fused_cosine expects 2 arguments, got ${exprs.length}")
+    FusedCosine(exprs(0), exprs(1))
+  }
+
+  /** Register `fused_cosine` in an existing session (SQL/`expr` use). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fused_cosine", fusedCosineBuilder, "built-in")
+}
+
+/** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.
+  * GraftExtensions` makes `fused_cosine` available in every session of
+  * the cluster — the idiomatic deployment on shared infrastructure. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("fused_cosine"),
+      new ExpressionInfo(classOf[FusedCosine].getCanonicalName, "fused_cosine"),
+      (exprs: Seq[Expression]) => FusedCosine(exprs(0), exprs(1))))
+}

@@ -32,12 +32,12 @@ object SimilarityQueries {
                         // on sf0.1 (PERF_NOTES.md §LSH)
   val LshSeed    = 42L
 
-  /** Cosine similarity between two double arrays as a single codegen'd
-    * higher-order-function expression (no UDF in the hot path). */
+  /** Cosine similarity between two double arrays: the native one-pass
+    * codegen'd [[graft.functions.FusedCosine]] expression — same
+    * ascending summation order as the 3-pass HOF formulation it
+    * replaced, so values (and the DuckDB oracles) are unchanged. */
   def cosineExpr(a: String, b: String): Column =
-    expr(s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
-             / (sqrt(aggregate($a, 0D, (acc, v) -> acc + v * v))
-                * sqrt(aggregate($b, 0D, (acc, v) -> acc + v * v)))""")
+    graft.functions.GraftFunctions.fusedCosine(expr(a), expr(b))
 
   /** Brute-force exact cosine top-k for a deterministic query subset
     * (vec_id % 100 = 0). Ranking ties broken on round(cos,6) then
@@ -83,6 +83,8 @@ object SimilarityQueries {
   private def bucketsUdf(numTables: Int, numPlanes: Int, seed: Long) = {
     val ps = planes(numTables, numPlanes, Dim, seed)
     udf { (v: Seq[Double]) =>
+    val x = v.toArray // unbox ONCE; indexing the boxed Seq inside the
+                      // plane loops cost ~90 µs/row (12k unboxings)
     Array.tabulate(numTables) { t =>
       var bucket = 0
       var p = 0
@@ -90,7 +92,7 @@ object SimilarityQueries {
         val comps = ps(t)(p)
         var dot = 0.0
         var i = 0
-        while (i < v.length) { dot += v(i) * comps(i); i += 1 }
+        while (i < x.length) { dot += x(i) * comps(i); i += 1 }
         if (dot >= 0) bucket |= (1 << p)
         p += 1
       }

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge to the `private[sql]` Column↔Expression converters —
+  * the established pattern for libraries that ship native Catalyst
+  * expressions with a Column API (cf. Sedona's `org.apache.spark.sql.
+  * sedona_sql`, Glow's shims). Everything else in graft uses only the
+  * public API; keep this file to these two forwarders. */
+object GraftSqlShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
