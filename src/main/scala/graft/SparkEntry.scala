@@ -52,6 +52,11 @@ object SparkEntry {
     "q24_token_count"         -> (TextQueries.tokenCount _),
     "q25_fingerprint"         -> (TextQueries.fingerprint _),
     "q26_multimodal_meta"     -> (TextQueries.multimodalMeta _),
+    // training-data pipeline: keep-lists, stats, sampling, ANN dedup
+    "q28_neardup_keep"        -> ((s: SparkSession, d: String) => DedupQueries.nearDupKeep(s, d)),
+    "q29_corpus_stats"        -> (TextQueries.corpusStats _),
+    "q30_stratified_sample"   -> (TextQueries.stratifiedSample _),
+    "q31_embedding_neardup"   -> ((s: SparkSession, d: String) => SimilarityQueries.embeddingNearDup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -82,5 +87,9 @@ object SparkEntry {
     "q24_token_count"         -> TextQueries.tokenCountSql,
     "q25_fingerprint"         -> TextQueries.fingerprintSql,
     "q26_multimodal_meta"     -> TextQueries.multimodalMetaSql,
+    "q28_neardup_keep"        -> DedupQueries.nearDupKeepSql,
+    "q29_corpus_stats"        -> TextQueries.corpusStatsSql,
+    "q30_stratified_sample"   -> TextQueries.stratifiedSampleSql,
+    "q31_embedding_neardup"   -> SimilarityQueries.embeddingNearDupSql,
   )
 }

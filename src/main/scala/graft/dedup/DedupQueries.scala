@@ -174,6 +174,23 @@ object DedupQueries {
       " FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id GROUP BY d.doc_id").stripMargin.replace("\n", " ")
   }
 
+  /** The dedup KEEP-LIST: drop every doc that appears as the higher id
+    * of a verified near-dup pair (greedy keep-lowest-id — the standard
+    * "drop later duplicates" policy; like all pair-greedy dedup it is
+    * not transitive-closure clustering, documented). One anti-join
+    * against the banded pair set — no extra shuffle beyond q19's. */
+  def nearDupKeep(s: SparkSession, d: String,
+                  minJaccard: Double = MinJaccard): DataFrame = {
+    val drop = minHashJaccardPairs(s, d, minJaccard).select("doc_b").distinct()
+    Tables.documents(s, d)
+      .join(drop, col("doc_id") === col("doc_b"), "left_anti")
+      .select("doc_id", "lang", "source")
+  }
+
+  val nearDupKeepSql: String =
+    s"SELECT doc_id, lang, source FROM documents WHERE doc_id NOT IN " +
+      s"(SELECT doc_b FROM ($minHashJaccardPairsSql))"
+
   /** SimHash near-dup pairs: pigeonhole block join, then exact Hamming
     * verification ≤ maxHamming (not registered as a query — the block
     * fingerprints are the oracle-checked artifact; this is the

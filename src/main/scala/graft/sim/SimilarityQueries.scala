@@ -156,8 +156,18 @@ object SimilarityQueries {
       "FROM cand JOIN v x ON x.vec_id = cand.vec_a JOIN v y ON y.vec_id = cand.vec_b")
   }
 
+  /** Near-dup threshold: the corpus has no cos ≥ 0.8 pairs (max
+    * candidate cos ≈ 0.43 at sf0.01 — see PERF_NOTES.md), so the
+    * registered query uses 0.4 — the highest-affinity bucket-mates — to
+    * keep the oracle check non-vacuous; a real near-dup sweep would
+    * pass 0.9+. */
+  val NearDupMinCos = 0.4
+
   /** Embedding-cosine near-dup pairs (the dedup flavor): LSH candidates
     * with cosine above the threshold. */
-  def embeddingNearDup(s: SparkSession, d: String, minCos: Double = 0.8): DataFrame =
+  def embeddingNearDup(s: SparkSession, d: String, minCos: Double = NearDupMinCos): DataFrame =
     cosineLshPairs(s, d).filter(col("cos") >= minCos).select("vec_a", "vec_b", "cos")
+
+  val embeddingNearDupSql: String =
+    s"SELECT vec_a, vec_b, cos FROM ($cosineLshPairsSql) WHERE cos >= $NearDupMinCos"
 }

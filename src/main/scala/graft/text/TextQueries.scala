@@ -119,6 +119,62 @@ object TextQueries {
   val fingerprintSql: String =
     "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents"
 
+  // ---------------------------------------------------------- corpus stats
+
+  /** Per-language corpus statistics: doc count, mean whitespace-token
+    * count, exact p50/p95 of n_chars — the profiling pass every corpus
+    * build starts with. One hash aggregate; exact percentiles become
+    * `approx_percentile` at 100 TB (same switch as q05). */
+  def corpusStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(size(split(trim(col("text")), "\\s+"))), 4).as("avg_tokens"),
+        expr("percentile(n_chars, 0.5D)").as("p50_chars"),
+        expr("percentile(n_chars, 0.95D)").as("p95_chars"))
+
+  val corpusStatsSql: String =
+    "SELECT lang, count(*) AS n_docs, " +
+      "round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens, " +
+      "quantile_cont(n_chars, 0.5) AS p50_chars, " +
+      "quantile_cont(n_chars, 0.95) AS p95_chars " +
+      "FROM documents GROUP BY lang"
+
+  // ------------------------------------------------------------- sampling
+
+  /** Per-language sampling percentage: downsample the dominant language,
+    * keep more of the rest — corpus rebalancing. */
+  val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 10, "de" -> 25, "es" -> 25, "fr" -> 25, "zh" -> 50)
+  val DefaultRate = 50
+
+  /** Deterministic stratified sampling: keep a doc iff a 61-bit md5
+    * hash of its text mod 100 falls under the language's rate. Hash-
+    * based (not rand()) so the sample is reproducible across runs,
+    * engines and retries — a requirement for auditable training sets.
+    * Pure filter: no shuffle, pushes nothing but compute per row. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val hashUdf = udf { (text: String) =>
+      ((graft.dedup.Hashing.md5Lower64(text) >>> 3) % 100L).toInt
+    }
+    val rate = SampleRates.foldRight(lit(DefaultRate): Column) {
+      case ((l, r), acc) => when(col("lang") === l, r).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .withColumn("bucket", hashUdf(col("text")))
+      .filter(col("bucket") < rate)
+      .select("doc_id", "lang", "bucket")
+  }
+
+  val stratifiedSampleSql: String = {
+    val rate = SampleRates.foldRight(DefaultRate.toString) {
+      case ((l, r), acc) => s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
+    }
+    "SELECT doc_id, lang, CAST((md5_number_lower(text) >> 3) % 100 AS INT) AS bucket " +
+      s"FROM documents WHERE CAST((md5_number_lower(text) >> 3) % 100 AS INT) < $rate"
+  }
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal plumbing: treat payloads as opaque binary + typed
