@@ -35,6 +35,8 @@ object SparkEntry {
     "q14_window_topn"         -> (RelationalQueries.windowTopN _),
     "q15_anti_join"           -> (RelationalQueries.antiJoin _),
     "q27_sessionize"          -> (RelationalQueries.sessionize _),
+    "q32_asof_join"           -> (RelationalQueries.asofJoin _),
+    "q33_tumbling_window"     -> (RelationalQueries.tumblingWindow _),
     // §2.6: feature encoding + autoencoder
     "q10_feature_encode"      -> (MLQueries.featureEncode _),
     "q11_autoencoder_score"   -> (MLQueries.autoencoderScore _),
@@ -74,6 +76,8 @@ object SparkEntry {
     "q14_window_topn"         -> RelationalQueries.windowTopNSql,
     "q15_anti_join"           -> RelationalQueries.antiJoinSql,
     "q27_sessionize"          -> RelationalQueries.sessionizeSql,
+    "q32_asof_join"           -> RelationalQueries.asofJoinSql,
+    "q33_tumbling_window"     -> RelationalQueries.tumblingWindowSql,
     "q10_feature_encode"      -> MLQueries.featureEncodeSql,
     "q11_autoencoder_score"   -> MLQueries.autoencoderScoreSql,
     "q16_dedup_exact"         -> DedupQueries.exactDedupSql,

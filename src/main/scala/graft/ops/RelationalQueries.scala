@@ -223,4 +223,46 @@ object RelationalQueries {
 
   val sessionizeSql: String =
     "WITH g AS (SELECT user_id, event_id, value, ts, CASE WHEN lag(ts) OVER w IS NULL OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS is_new FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), se AS (SELECT user_id, value, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM g) SELECT user_id, session_idx, count(*) AS n_events, round(sum(value), 2) AS total_value FROM se GROUP BY user_id, session_idx"
+
+  /** Beyond-reference: AS-OF join — for every event, the user's most
+    * recent STRICTLY-EARLIER purchase event. Spark has no asof operator;
+    * the scale-correct formulation is a single range-frame window over
+    * one (user_id) exchange — `last(purchase, ignoreNulls)` over
+    * range (-∞, -1 µs] — never a per-row range probe or a time-key
+    * explosion. (DuckDB's native ASOF JOIN is the oracle twin; strict
+    * `>` matches the -1 µs range bound, and the corpus has no equal
+    * (user, ts) pairs so both tiebreaks agree.) */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val purchase = when(col("event_type") === "purchase",
+      struct(col("event_id"), col("value")))
+    events(s, d)
+      .withColumn("prev_purchase", last(purchase, ignoreNulls = true).over(w))
+      .select(
+        col("event_id"), col("user_id"),
+        col("prev_purchase")("event_id").as("purchase_id"),
+        round(col("prev_purchase")("value"), 2).as("purchase_value"))
+  }
+
+  val asofJoinSql: String =
+    "WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') " +
+      "SELECT e.event_id, e.user_id, p.event_id AS purchase_id, round(p.value, 2) AS purchase_value " +
+      "FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts > p.ts"
+
+  /** Beyond-reference: tumbling event-time window — the batch twin of a
+    * streaming windowed aggregation (same `window()` expression runs
+    * under readStream + watermark). One hash aggregate on the derived
+    * window key. */
+  def tumblingWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  val tumblingWindowSql: String =
+    "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, " +
+      "count(*) AS n_events, round(sum(value), 2) AS total_value " +
+      "FROM events GROUP BY 1, 2"
 }
