@@ -25,6 +25,21 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup at the smallest SF: runs every query shape once so
+    // JIT + codegen + file-index costs don't land on the first timed
+    // queries (q01 carried ~3.5 s of session warmup in r1/r2 numbers).
+    // Timed results below still include each query's own full execution.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+      new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001").getPath)
+    if (new java.io.File(warmDir).isDirectory) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try {
+          val df = fn(spark, warmDir)
+          df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+            .agg(bit_xor(col("h"))).head()
+        } catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {

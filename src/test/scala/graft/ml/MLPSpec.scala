@@ -77,6 +77,22 @@ class MLPSpec extends AnyFunSuite {
     assert(after < before / 4, s"before=$before after=$after")
   }
 
+  test("distributed treeAggregate training reduces loss like the driver loop") {
+    val spark = SparkSpec.spark
+    val rng = new Random(6)
+    val data = Array.fill(64) {
+      val t = rng.nextDouble()
+      Array(t, 2 * t, 3 * t, 4 * t)
+    }
+    val dims = Array(4, 8, 2, 8, 4)
+    def meanLoss(m: MLP): Double = data.map(m.reconstructionError).sum / data.length
+    val before = meanLoss(MLP.init(dims, seed = 42L))
+    val rdd = spark.sparkContext.parallelize(data.toSeq, 4)
+    val after = meanLoss(Trainer.fitDistributed(rdd, dims,
+      Trainer.Config(epochs = 300, lr = 5e-3, seed = 42L)))
+    assert(after < before / 2, s"before=$before after=$after")
+  }
+
   test("toFlat/fromFlat round-trip") {
     val net = MLP.init(Array(6, 64, 32, 64, 6), seed = 3L)
     val back = MLP.fromFlat(net.dims, MLP.toFlat(net))
