@@ -117,16 +117,22 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val jaccardUdf = udf { (ta: String, tb: String) =>
-      Hashing.exactJaccard(
-        Hashing.wordShingles(ta, ShingleN), Hashing.wordShingles(tb, ShingleN))
+    // shingle ONCE per doc (a dup-heavy doc appears in many pairs); the
+    // join ships distinct-shingle arrays, and the pair UDF only
+    // intersects sets — mirrors the oracle's shs CTE
+    val shingleUdf = udf { (text: String) =>
+      Hashing.wordShingles(text, ShingleN).distinct
     }
-    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val jaccardUdf = udf { (sa: Seq[String], sb: Seq[String]) =>
+      Hashing.exactJaccard(sa.toArray, sb.toArray)
+    }
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), shingleUdf(col("text")).as("ss"))
     cand
-      .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
-      .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), "doc_b")
+      .join(docs.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(jaccardUdf(col("text_a"), col("text_b")), 4).as("jaccard"))
+        round(jaccardUdf(col("ss_a"), col("ss_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

@@ -21,8 +21,9 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * results are bit-identical (the DuckDB oracles keep matching), at a
   * third of the array traffic and no lambda-function call overhead.
   *
-  * Null semantics: null array → null; null element → null; zero-norm
-  * input → null (the HOF's divide-by-zero null).
+  * Null semantics: null array → null; null element → null; length
+  * mismatch → null (the HOF's zip_with null-padding); zero-norm input
+  * → null (the HOF's divide-by-zero null).
   */
 case class FusedCosine(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,7 +45,8 @@ case class FusedCosine(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null // HOF zip_with null-pad semantics
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -66,21 +68,23 @@ case class FusedCosine(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val anyNull = ctx.freshName("anyNull")
+      val denom = ctx.freshName("denom")
       s"""
-        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-        |boolean anyNull = false;
+        |boolean $anyNull = $a.numElements() != $b.numElements();
+        |int $n = $anyNull ? 0 : $a.numElements();
         |for (int $i = 0; $i < $n; $i++) {
-        |  if ($a.isNullAt($i) || $b.isNullAt($i)) { anyNull = true; break; }
+        |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
         |  double $xv = $a.getDouble($i);
         |  double $yv = $b.getDouble($i);
         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
         |}
-        |double denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-        |if (anyNull || denom == 0.0) {
+        |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+        |if ($anyNull || $denom == 0.0) {
         |  ${ev.isNull} = true;
         |} else {
-        |  ${ev.value} = $dot / denom;
+        |  ${ev.value} = $dot / $denom;
         |}
       """.stripMargin
     })
@@ -99,7 +103,7 @@ object GraftFunctions {
   private val fusedCosineInfo = new ExpressionInfo(
     classOf[FusedCosine].getCanonicalName, "fused_cosine")
 
-  private def fusedCosineBuilder(exprs: Seq[Expression]): Expression = {
+  private[functions] def fusedCosineBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, s"fused_cosine expects 2 arguments, got ${exprs.length}")
     FusedCosine(exprs(0), exprs(1))
   }
@@ -118,5 +122,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("fused_cosine"),
       new ExpressionInfo(classOf[FusedCosine].getCanonicalName, "fused_cosine"),
-      (exprs: Seq[Expression]) => FusedCosine(exprs(0), exprs(1))))
+      GraftFunctions.fusedCosineBuilder _))
 }

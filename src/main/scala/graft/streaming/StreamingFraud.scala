@@ -14,12 +14,17 @@ import graft.fraud.Claims
   * landing directory IS the stream: a file source watches it and every
   * new CSV becomes a micro-batch (SURVEY §2.1 S3, §3 E1).
   *
-  * Semantics vs the batch pipeline (documented divergence — SURVEY
+  * Semantics vs the batch pipeline (documented divergences — SURVEY
   * §7.4-4): batch rules are retrospective over the whole file, a stream
   * can only know its prefix. So DuplicateAadhaar/FrequentClaims fire
   * from per-Aadhaar state accumulated so far, and the dataset-relative
   * thresholds (p99 amount) must be supplied as fitted constants — the
-  * explicit "fitted-threshold mode" the survey called for.
+  * explicit "fitted-threshold mode" the survey called for. MultiAadhaar
+  * (>1 Aadhaar per NAME) is keyed by Name, and one streaming query
+  * cannot chain a second flatMapGroupsWithState after this one — run
+  * the mirror-keyed variant as a parallel query over the same landing
+  * dir and union the tag columns downstream; this twin implements the
+  * Aadhaar-keyed rules only.
   *
   * Scale: state lives per Aadhaar key (a set of names + last claim
   * date, bytes per key), partitioned by the stream's groupBy key —
@@ -105,6 +110,11 @@ object StreamingFraud {
       .schema(Claims.schema)
       .csv(landingDir)
       .withColumn("Date", col("Date").cast("timestamp"))
+      // PERMISSIVE parsing nulls malformed cells; a null in a primitive
+      // ClaimEvent field would kill the query (and the checkpoint would
+      // replay the poisoned file forever) — drop such rows instead
+      .filter(col("Aadhaar").isNotNull && col("ClaimAmount").isNotNull &&
+        col("Date").isNotNull)
       .as[ClaimEvent]
     withRuleTags(raw, highClaimThreshold)
       .withColumn("Date", date_format(col("Date"), "yyyy-MM-dd"))

@@ -22,8 +22,9 @@ object FraudDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // S5: the reference's status-file contract (run_pipeline.py:91-101)
-    StatusProtocol.withStatus(s"$outDir-status.txt") {
+    // S5: the reference's status-file contract — fixed name in the
+    // working directory, as app.py polls it (run_pipeline.py:91-101)
+    StatusProtocol.withStatus("pipeline_status.txt") {
       val claims = Claims.readCsv(spark, csv)
       val result = FraudPipeline.run(spark, claims)
       Claims.writeCsv(result, outDir)
