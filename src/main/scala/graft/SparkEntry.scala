@@ -37,6 +37,9 @@ object SparkEntry {
     "q27_sessionize"          -> (RelationalQueries.sessionize _),
     "q32_asof_join"           -> (RelationalQueries.asofJoin _),
     "q33_tumbling_window"     -> (RelationalQueries.tumblingWindow _),
+    "q34_rollup"              -> (RelationalQueries.rollupStats _),
+    "q35_pivot"               -> (RelationalQueries.pivotLangCounts _),
+    "q36_json_extract"        -> (RelationalQueries.jsonExtract _),
     // §2.6: feature encoding + autoencoder
     "q10_feature_encode"      -> (MLQueries.featureEncode _),
     "q11_autoencoder_score"   -> (MLQueries.autoencoderScore _),
@@ -78,6 +81,9 @@ object SparkEntry {
     "q27_sessionize"          -> RelationalQueries.sessionizeSql,
     "q32_asof_join"           -> RelationalQueries.asofJoinSql,
     "q33_tumbling_window"     -> RelationalQueries.tumblingWindowSql,
+    "q34_rollup"              -> RelationalQueries.rollupStatsSql,
+    "q35_pivot"               -> RelationalQueries.pivotLangCountsSql,
+    "q36_json_extract"        -> RelationalQueries.jsonExtractSql,
     "q10_feature_encode"      -> MLQueries.featureEncodeSql,
     "q11_autoencoder_score"   -> MLQueries.autoencoderScoreSql,
     "q16_dedup_exact"         -> DedupQueries.exactDedupSql,

@@ -265,4 +265,53 @@ object RelationalQueries {
     "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, " +
       "count(*) AS n_events, round(sum(value), 2) AS total_value " +
       "FROM events GROUP BY 1, 2"
+
+  /** Beyond-reference: ROLLUP over (lang, source) — hierarchical
+    * subtotals in one pass (Expand + single hash aggregate; no
+    * re-reads per grouping level). */
+  def rollupStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .rollup("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 4).as("avg_chars"))
+
+  val rollupStatsSql: String =
+    "SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars " +
+      "FROM documents GROUP BY ROLLUP (lang, source)"
+
+  /** Beyond-reference: PIVOT — language counts per source as columns.
+    * The pivot value list is EXPLICIT (en/de/es/fr/zh), so the schema
+    * is static and Catalyst plans one aggregate — never the
+    * collect-distinct-then-replan implicit form, which is a driver
+    * round-trip at 100 TB. */
+  def pivotLangCounts(s: SparkSession, d: String): DataFrame = {
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    documents(s, d)
+      .groupBy("source")
+      .pivot("lang", langs)
+      .count()
+      .na.fill(0L, langs)
+  }
+
+  val pivotLangCountsSql: String = {
+    val cols = Seq("en", "de", "es", "fr", "zh")
+      .map(l => s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS $l")
+      .mkString(", ")
+    s"SELECT source, $cols FROM documents GROUP BY source"
+  }
+
+  /** Beyond-reference: JSON field extraction from the event props
+    * payload — per-row get_json_object (codegen'd Jackson path eval,
+    * no UDF), the standard semi-structured access pattern. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      // integer division on BOTH sides: Spark's double→int cast
+      // truncates while DuckDB's rounds, so `/ 10` would diverge
+      .withColumn("k_bucket", expr("CAST(k div 10 AS INT)"))
+
+  val jsonExtractSql: String =
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k, " +
+      "CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10 AS INT) AS k_bucket FROM events"
 }

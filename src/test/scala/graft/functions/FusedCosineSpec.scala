@@ -51,6 +51,29 @@ class FusedCosineSpec extends AnyFunSuite {
     assert(math.abs(out(1).getDouble(0) - 1.0) < 1e-15)
   }
 
+  test("two instances in one projection compile (freshName'd codegen locals)") {
+    val spark = SparkSpec.spark
+    // non-nullable children skip nullSafeExec's braces, so fixed local
+    // names would collide in the shared codegen scope (r2 review fix)
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT fused_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c1,
+        |       fused_cosine(array(0.0D, 1.0D), array(0.0D, 1.0D)) AS c2""".stripMargin).head()
+    assert(row.getDouble(0) === 1.0 && row.getDouble(1) === 1.0)
+  }
+
+  test("length mismatch yields null (HOF zip_with null-pad semantics)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0)))
+      .toDF("a", "b")
+      .select(GraftFunctions.fusedCosine(col("a"), col("b")).as("c"),
+        hofCosine("a", "b").as("h"))
+    val out = df.head()
+    assert(out.isNullAt(0), "fused must be null on length mismatch")
+    assert(out.isNullAt(1), "HOF reference is null on length mismatch")
+  }
+
   test("interpreted eval path agrees with codegen") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData

@@ -69,4 +69,32 @@ class StreamingFraudSpec extends AnyFunSuite {
       assert(tags === Seq("Normal", "FrequentClaims;"))
     } finally query.stop()
   }
+
+  test("file-source landing dir end-to-end: two CSV drops, malformed row dropped") {
+    val spark = SparkSpec.spark
+    val base = java.nio.file.Files.createTempDirectory("landing")
+    val landing = base.resolve("in"); val out = base.resolve("out")
+    val ckpt = base.resolve("ckpt")
+    java.nio.file.Files.createDirectories(landing)
+    def drop(name: String, rows: String): Unit =
+      java.nio.file.Files.writeString(landing.resolve(name),
+        "Name,Aadhaar,ClaimAmount,SubsidyType,Date\n" + rows)
+    drop("b1.csv", "Asha,1,1000,LPG,2025-07-01\n")
+    val q = StreamingFraud.fileStream(
+      spark, landing.toString, out.toString, ckpt.toString, 50000.0)
+    try {
+      q.processAllAvailable()
+      // second drop: same Aadhaar 3 days later + a malformed row
+      drop("b2.csv", "Asha Devi,1,2000,LPG,2025-07-04\nBad,notanumber,1,LPG,2025-07-05\n")
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.collection.JavaConverters._
+    val lines = java.nio.file.Files.walk(out).iterator().asScala
+      .filter(_.toString.endsWith(".csv"))
+      .flatMap(p => java.nio.file.Files.readAllLines(p).asScala.drop(1))
+      .toSeq
+    assert(lines.length === 2, s"malformed row must be dropped: $lines")
+    val tagged = lines.find(_.startsWith("Asha Devi")).get
+    assert(tagged.endsWith("DuplicateAadhaar;FrequentClaims;"), tagged)
+  }
 }
