@@ -40,6 +40,7 @@ object SparkEntry {
     "q34_rollup"              -> (RelationalQueries.rollupStats _),
     "q35_pivot"               -> (RelationalQueries.pivotLangCounts _),
     "q36_json_extract"        -> (RelationalQueries.jsonExtract _),
+    "q37_topk_agg"            -> ((s: SparkSession, d: String) => graft.ops.TopKAggregator.topBalancePerNation(s, d)),
     // §2.6: feature encoding + autoencoder
     "q10_feature_encode"      -> (MLQueries.featureEncode _),
     "q11_autoencoder_score"   -> (MLQueries.autoencoderScore _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "q34_rollup"              -> RelationalQueries.rollupStatsSql,
     "q35_pivot"               -> RelationalQueries.pivotLangCountsSql,
     "q36_json_extract"        -> RelationalQueries.jsonExtractSql,
+    "q37_topk_agg"            -> graft.ops.TopKAggregator.topBalancePerNationSql,
     "q10_feature_encode"      -> MLQueries.featureEncodeSql,
     "q11_autoencoder_score"   -> MLQueries.autoencoderScoreSql,
     "q16_dedup_exact"         -> DedupQueries.exactDedupSql,

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded top-k per group as a typed Aggregator (SURVEY §4 "where
+  * customs are warranted").
+  *
+  * The window formulation (`row_number().over(partitionBy(key)
+  * .orderBy(score desc)) <= k`) shuffles EVERY row and sorts every
+  * partition before discarding all but k — at 100 TB that's a full
+  * sort of the fact table for a k-row-per-key answer. This Aggregator
+  * keeps a k-bounded buffer, so Spark's partial aggregation does the
+  * heavy lifting MAP-SIDE: each task reduces its input to ≤ k rows per
+  * key before the exchange, and the shuffle moves only pre-reduced
+  * buffers. Memory is O(k) per key per task; no sort anywhere (a final
+  * ascending insertion per buffer entry — k is small by contract).
+  *
+  * Ties break on ascending id so results are deterministic and
+  * engine-reproducible (matches the ORDER BY score DESC, id ASC oracle).
+  */
+object TopKAggregator {
+
+  type Entry = (Double, Long) // (score, id)
+
+  /** Insert `e` into `buf` (desc by score, asc by id), keep ≤ k. */
+  private def insert(buf: List[Entry], e: Entry, k: Int): List[Entry] = {
+    def lt(a: Entry, b: Entry): Boolean = // a ranks before b
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    val (head, tail) = buf.span(x => lt(x, e))
+    val merged = head ::: e :: tail
+    if (merged.length > k) merged.take(k) else merged
+  }
+
+  final class TopK(k: Int) extends Aggregator[Entry, List[Entry], Seq[Entry]] {
+    override def zero: List[Entry] = Nil
+    override def reduce(b: List[Entry], a: Entry): List[Entry] = insert(b, a, k)
+    override def merge(b1: List[Entry], b2: List[Entry]): List[Entry] =
+      b2.foldLeft(b1)((acc, e) => insert(acc, e, k))
+    override def finish(r: List[Entry]): Seq[Entry] = r
+    override def bufferEncoder: Encoder[List[Entry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Entry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Untyped column form, usable in any `groupBy(...).agg(...)`. */
+  def topK(k: Int) = udaf(new TopK(k),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Entry]())
+
+  /** Top-3 customers by account balance per nation — the Aggregator in
+    * a registered query. Output exploded to flat rows; rank recovered
+    * from the (already sorted) buffer position. */
+  def topBalancePerNation(s: SparkSession, d: String, k: Int = 3): DataFrame =
+    Tables.customer(s, d)
+      .groupBy("c_nationkey")
+      .agg(topK(k)(col("c_acctbal"), col("c_custkey")).as("top"))
+      .select(col("c_nationkey"), posexplode(col("top")).as(Seq("rk", "e")))
+      .select(
+        col("c_nationkey"),
+        (col("rk") + 1).as("rank"),
+        col("e._2").as("c_custkey"),
+        col("e._1").as("c_acctbal"))
+
+  val topBalancePerNationSql: String =
+    "WITH r AS (SELECT c_nationkey, c_custkey, c_acctbal, " +
+      "row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rank " +
+      "FROM customer) " +
+      "SELECT c_nationkey, CAST(rank AS INT) AS rank, c_custkey, c_acctbal FROM r WHERE rank <= 3"
+}

@@ -99,6 +99,37 @@ object StreamingFraud {
           tagBatch(k, rows, st, highClaimThreshold))
   }
 
+  final case class NameState(aadhaars: Set[Long])
+
+  /** The MIRROR rule stream: keyed by Name, tagging MultiAadhaar (> 1
+    * distinct Aadhaar seen so far for the claimant name). Run as a
+    * parallel query over the same landing dir (one streaming query
+    * cannot chain two flatMapGroupsWithState); union/join the tag
+    * columns downstream on (Name, Aadhaar, Date). */
+  def withNameRuleTags(claims: Dataset[ClaimEvent]): Dataset[TaggedClaim] = {
+    import claims.sparkSession.implicits._
+    claims
+      .withWatermark("Date", StateRetention)
+      .groupByKey(_.Name)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (name: String, rows: Iterator[ClaimEvent], state: GroupState[NameState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(NameState(Set.empty))
+            var maxMs = Long.MinValue
+            val out = rows.toArray.sortBy(_.Date.getTime).map { c =>
+              st = NameState(st.aadhaars + c.Aadhaar)
+              maxMs = math.max(maxMs, c.Date.getTime)
+              TaggedClaim(name, c.Aadhaar, c.ClaimAmount, c.SubsidyType, c.Date,
+                if (st.aadhaars.size > 1) "MultiAadhaar;" else "Normal")
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1, maxMs + 30L * 86400000L))
+            out.iterator
+          })
+  }
+
   /** File-source entry: watch a landing directory of claim CSVs (the
     * app.py upload loop), tag, and write per-micro-batch result CSVs. */
   def fileStream(spark: SparkSession, landingDir: String, outDir: String,

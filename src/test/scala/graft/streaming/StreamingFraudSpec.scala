@@ -97,4 +97,23 @@ class StreamingFraudSpec extends AnyFunSuite {
     val tagged = lines.find(_.startsWith("Asha Devi")).get
     assert(tagged.endsWith("DuplicateAadhaar;FrequentClaims;"), tagged)
   }
+
+  test("name-keyed mirror stream tags MultiAadhaar across batches") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ClaimEvent]
+    val query = StreamingFraud.withNameRuleTags(input.toDS())
+      .writeStream.format("memory").queryName("tagged3")
+      .outputMode("append").start()
+    try {
+      input.addData(ClaimEvent("Ravi", 1L, 10.0, "LPG", ts("2025-07-01")))
+      query.processAllAvailable()
+      input.addData(ClaimEvent("Ravi", 2L, 10.0, "LPG", ts("2025-07-05")))
+      query.processAllAvailable()
+      val tags = spark.sql("select * from tagged3").as[StreamingFraud.TaggedClaim]
+        .collect().sortBy(_.Date.getTime).map(_.RuleFraud).toSeq
+      assert(tags === Seq("Normal", "MultiAadhaar;"))
+    } finally query.stop()
+  }
 }
