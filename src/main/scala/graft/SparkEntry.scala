@@ -41,6 +41,7 @@ object SparkEntry {
     "q35_pivot"               -> (RelationalQueries.pivotLangCounts _),
     "q36_json_extract"        -> (RelationalQueries.jsonExtract _),
     "q37_topk_agg"            -> ((s: SparkSession, d: String) => graft.ops.TopKAggregator.topBalancePerNation(s, d)),
+    "q38_set_ops"             -> (RelationalQueries.setOps _),
     // §2.6: feature encoding + autoencoder
     "q10_feature_encode"      -> (MLQueries.featureEncode _),
     "q11_autoencoder_score"   -> (MLQueries.autoencoderScore _),
@@ -86,6 +87,7 @@ object SparkEntry {
     "q35_pivot"               -> RelationalQueries.pivotLangCountsSql,
     "q36_json_extract"        -> RelationalQueries.jsonExtractSql,
     "q37_topk_agg"            -> graft.ops.TopKAggregator.topBalancePerNationSql,
+    "q38_set_ops"             -> RelationalQueries.setOpsSql,
     "q10_feature_encode"      -> MLQueries.featureEncodeSql,
     "q11_autoencoder_score"   -> MLQueries.autoencoderScoreSql,
     "q16_dedup_exact"         -> DedupQueries.exactDedupSql,

@@ -314,4 +314,26 @@ object RelationalQueries {
   val jsonExtractSql: String =
     "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k, " +
       "CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10 AS INT) AS k_bucket FROM events"
+
+  /** Beyond-reference: set operations — customers with open-status
+    * orders EXCEPT those with fulfilled orders, UNION customers with
+    * no orders at all (an "at-risk" cohort). Exercises except/union
+    * distinct semantics; each leg is a semi/anti join on the same
+    * (o_custkey) shuffle key so AQE can reuse exchange layouts. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select("c_custkey")
+    val o = orders(s, d)
+    def withStatus(st: String) =
+      c.join(o.filter(col("o_orderstatus") === st).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+    val never = c.except(c.join(o.select("o_custkey"),
+      col("c_custkey") === col("o_custkey"), "left_semi"))
+    withStatus("O").except(withStatus("F")).union(never).distinct()
+  }
+
+  val setOpsSql: String =
+    "WITH open_c AS (SELECT DISTINCT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')), " +
+      "full_c AS (SELECT DISTINCT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')), " +
+      "never_c AS (SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) " +
+      "SELECT DISTINCT c_custkey FROM ((SELECT c_custkey FROM open_c EXCEPT SELECT c_custkey FROM full_c) UNION SELECT c_custkey FROM never_c)"
 }
