@@ -130,6 +130,22 @@ object StreamingFraud {
           })
   }
 
+  /** Streaming twin of the batch sessionizer (q27): Structured
+    * Streaming's native `session_window` with a 30-minute gap —
+    * watermark-bounded state, sessions emitted once the watermark
+    * passes their close (Append mode). Input schema matches the events
+    * table (user_id, ts, value). */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   /** File-source entry: watch a landing directory of claim CSVs (the
     * app.py upload loop), tag, and write per-micro-batch result CSVs. */
   def fileStream(spark: SparkSession, landingDir: String, outDir: String,

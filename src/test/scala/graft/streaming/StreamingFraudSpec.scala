@@ -116,4 +116,31 @@ class StreamingFraudSpec extends AnyFunSuite {
       assert(tags === Seq("Normal", "MultiAadhaar;"))
     } finally query.stop()
   }
+
+  test("streaming session windows close after the watermark passes the gap") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val query = StreamingFraud.sessionize(events)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    try {
+      // user 1: two events 10 min apart (one session), then silence
+      input.addData(
+        (t("2025-07-01 10:00:00"), 1L, 5.0),
+        (t("2025-07-01 10:10:00"), 1L, 7.0))
+      query.processAllAvailable()
+      // advance the watermark far past the session close
+      input.addData((t("2025-07-01 14:00:00"), 2L, 1.0))
+      query.processAllAvailable()
+      input.addData((t("2025-07-01 18:00:00"), 2L, 1.0))
+      query.processAllAvailable()
+      val rows = spark.sql("select user_id, n_events, total_value from sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains((1L, 2L, 12.0)), s"expected user 1 session in $rows")
+    } finally query.stop()
+  }
 }
