@@ -75,7 +75,9 @@ object FeaturePipeline {
 
   def load(spark: SparkSession, path: String): FeatureParams = {
     val r = spark.read.parquet(path).head()
-    FeatureParams(r.getAs[Seq[String]]("categories"),
+    // parquet arrays come back as mutable ArraySeq; the case-class field
+    // is immutable Seq — convert, don't cast (CCE otherwise)
+    FeatureParams(r.getAs[scala.collection.Seq[String]]("categories").toSeq,
       r.getAs[Double]("amountMean"), r.getAs[Double]("amountStd"),
       r.getAs[Double]("daysMean"), r.getAs[Double]("daysStd"),
       Date.valueOf(r.getAs[String]("origin")))

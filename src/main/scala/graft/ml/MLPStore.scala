@@ -20,8 +20,8 @@ object MLPStore {
   def load(spark: SparkSession, path: String): MLP = {
     val r = spark.read.parquet(path).head()
     MLP.fromFlat(
-      r.getAs[Seq[Int]]("dims").toArray,
-      r.getAs[Seq[Double]]("weights").toArray,
+      r.getAs[scala.collection.Seq[Int]]("dims").toArray,
+      r.getAs[scala.collection.Seq[Double]]("weights").toArray,
       r.getAs[Boolean]("outputSigmoid"))
   }
 }
