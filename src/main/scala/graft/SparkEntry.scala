@@ -64,6 +64,7 @@ object SparkEntry {
     "q29_corpus_stats"        -> (TextQueries.corpusStats _),
     "q30_stratified_sample"   -> (TextQueries.stratifiedSample _),
     "q31_embedding_neardup"   -> ((s: SparkSession, d: String) => SimilarityQueries.embeddingNearDup(s, d)),
+    "q39_chunking"            -> (TextQueries.chunkDocs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -105,5 +106,6 @@ object SparkEntry {
     "q29_corpus_stats"        -> TextQueries.corpusStatsSql,
     "q30_stratified_sample"   -> TextQueries.stratifiedSampleSql,
     "q31_embedding_neardup"   -> SimilarityQueries.embeddingNearDupSql,
+    "q39_chunking"            -> TextQueries.chunkDocsSql,
   )
 }

@@ -130,6 +130,36 @@ object StreamingFraud {
           })
   }
 
+  /** Completes the E1 twin: ML-score the rule-tagged stream with a
+    * FITTED model — features pinned to the training date origin (a
+    * stream cannot take a dataset-global min, SURVEY §2.7-3) and a
+    * fitted reconstruction-error threshold (a stream cannot compute
+    * mean+2σ over itself, §7.4-4). Stateless after the keyed tagging
+    * op: broadcast ~9 KB net, per-row scoring, rule-wins-else-ML
+    * combine — identical semantics to FraudPipeline.score's combine. */
+  def scoreStream(tagged: Dataset[TaggedClaim],
+                  model: graft.fraud.FraudModel,
+                  mlThreshold: Double): DataFrame = {
+    val spark = tagged.sparkSession
+    val bc = spark.sparkContext.broadcast(model.net)
+    val errUdf = udf { (v: Seq[Double]) => bc.value.reconstructionError(v.toArray) }
+    val withDate = tagged.toDF().withColumn("DateDay", to_date(col("Date")))
+    val feat = graft.fraud.FeaturePipeline.transform(
+      withDate.withColumnRenamed("Date", "EventTs").withColumnRenamed("DateDay", "Date"),
+      model.params, fixedOrigin = Some(model.params.trainDateOrigin))
+    feat
+      .withColumn("ReconstructionError", errUdf(col("features")))
+      .withColumn("MLFraud",
+        when(col("ReconstructionError") > lit(mlThreshold), "Suspicious").otherwise("Normal"))
+      .withColumn("FraudType",
+        when(col("RuleFraud") =!= "Normal", col("RuleFraud"))
+          .when(col("MLFraud") =!= "Normal", col("MLFraud"))
+          .otherwise("Normal"))
+      .select(col("Name"), col("Aadhaar"), col("ClaimAmount"), col("SubsidyType"),
+        date_format(col("Date"), "yyyy-MM-dd").as("Date"),
+        col("ReconstructionError"), col("FraudType"))
+  }
+
   /** Streaming twin of the batch sessionizer (q27): Structured
     * Streaming's native `session_window` with a 30-minute gap —
     * watermark-bounded state, sessions emitted once the watermark

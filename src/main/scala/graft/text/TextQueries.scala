@@ -175,6 +175,30 @@ object TextQueries {
       s"FROM documents WHERE CAST((md5_number_lower(text) >> 3) % 100 AS INT) < $rate"
   }
 
+  // ------------------------------------------------------------- chunking
+
+  val ChunkChars = 256
+
+  /** Context-window chunking: split each document into fixed-size
+    * character chunks with positional index — the RAG/pretraining
+    * segmentation step. Pure generate+substring expressions (codegen,
+    * no UDF); emits the chunk md5 rather than the text so downstream
+    * compares move 16 bytes, not documents. */
+  def chunkDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, CAST(greatest(1, ceil(length(text) / $ChunkChars.0)) AS INT) - 1), i -> substring(text, i * $ChunkChars + 1, $ChunkChars))"))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_hash"))
+
+  val chunkDocsSql: String =
+    s"WITH c AS (SELECT doc_id, unnest(generate_series(0, CAST(greatest(1, ceil(length(text) / $ChunkChars.0)) AS INT) - 1)) AS chunk_idx, text FROM documents) " +
+      s"SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, " +
+      s"CAST(length(substr(text, CAST(chunk_idx * $ChunkChars + 1 AS INT), $ChunkChars)) AS INT) AS chunk_len, " +
+      s"md5(substr(text, CAST(chunk_idx * $ChunkChars + 1 AS INT), $ChunkChars)) AS chunk_hash FROM c"
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal plumbing: treat payloads as opaque binary + typed

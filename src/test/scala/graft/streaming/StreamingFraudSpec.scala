@@ -143,4 +143,32 @@ class StreamingFraudSpec extends AnyFunSuite {
       assert(rows.contains((1L, 2L, 12.0)), s"expected user 1 session in $rows")
     } finally query.stop()
   }
+
+  test("scoreStream applies the fitted model per micro-batch, rules win over ML") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val train = graft.fraud.Claims.readCsv(
+      spark, "/root/reference/data/raw/train.csv")
+    val model = graft.fraud.FraudModel(
+      graft.fraud.FeaturePipeline.fit(train),
+      graft.ml.PtWeights.loadAutoencoder(
+        "/root/reference/models/fraud_autoencoder.pt"))
+    val input = MemoryStream[ClaimEvent]
+    val tagged = StreamingFraud.withRuleTags(input.toDS(), highClaimThreshold = 90000.0)
+    val query = StreamingFraud.scoreStream(tagged, model, mlThreshold = 1e9)
+      .writeStream.format("memory").queryName("scored")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ClaimEvent("Asha", 1L, 99999.0, "LPG", ts("2025-07-01")),
+        ClaimEvent("Ravi", 2L, 100.0, "Education", ts("2025-07-01")))
+      query.processAllAvailable()
+      val rows = spark.sql("select Name, ReconstructionError, FraudType from scored")
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getString(2))).toMap
+      assert(rows("Asha")._2 === "HighClaimAmount;") // rule wins
+      assert(rows("Ravi")._2 === "Normal")           // under the fitted threshold
+      assert(rows.values.forall(v => v._1 > 0 && !v._1.isNaN))
+    } finally query.stop()
+  }
 }
