@@ -2,7 +2,6 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Per-round benchmark: times every registered query at the env-selected
@@ -16,15 +15,12 @@ import org.apache.spark.sql.functions._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local()
+    // one row out, every column computed: xor-fold of per-row hashes
+    // (bit_xor, not sum — ANSI mode makes a sum of hashes overflow)
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+        .agg(bit_xor(col("h"))).head()
     // Untimed warmup at the smallest SF: runs every query shape once so
     // JIT + codegen + file-index costs don't land on the first timed
     // queries (q01 carried ~3.5 s of session warmup in r1/r2 numbers).
@@ -33,22 +29,12 @@ object Bench {
       new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001").getPath)
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.foreach { case (_, fn) =>
-        try {
-          val df = fn(spark, warmDir)
-          df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-            .agg(bit_xor(col("h"))).head()
-        } catch { case _: Throwable => () }
+        try materialize(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
-        val df = fn(spark, sfDir)
-        // one row out, every column computed: xor-fold of per-row hashes
-        // (bit_xor, not sum — ANSI mode makes a sum of hashes overflow)
-        df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-          .agg(bit_xor(col("h"))).head()
-      } catch { case e: Throwable =>
+      try materialize(fn(spark, sfDir)) catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9

@@ -21,6 +21,13 @@ final case class FraudModel(params: FeatureParams, net: MLP)
 
 object FraudPipeline {
 
+  /** P10: rule label wins, else ML label, else Normal (run_pipeline.py:
+    * 70-78) — shared by the batch and streaming score paths. */
+  def combineFraudType: org.apache.spark.sql.Column =
+    when(col("RuleFraud") =!= "Normal", col("RuleFraud"))
+      .when(col("MLFraud") =!= "Normal", col("MLFraud"))
+      .otherwise("Normal")
+
   /** E3 (train.py): fit features, train the autoencoder on the driver
     * over collected features (30-row reference corpus; sample first at
     * scale — or use Trainer.fitDistributed). */
@@ -70,14 +77,10 @@ object FraudPipeline {
     val r: Row = scored.agg(
       avg("ReconstructionError"), stddev_pop("ReconstructionError")).head()
     val thr = r.getDouble(0) + 2.0 * r.getDouble(1) // M7: mean + 2σ (ddof=0)
-    val mlFraud = when(col("ReconstructionError") > lit(thr), "Suspicious")
-      .otherwise("Normal")
     val combined = scored
-      .withColumn("MLFraud", mlFraud)
-      .withColumn("FraudType",
-        when(col("RuleFraud") =!= "Normal", col("RuleFraud"))
-          .when(col("MLFraud") =!= "Normal", col("MLFraud"))
-          .otherwise("Normal"))
+      .withColumn("MLFraud",
+        when(col("ReconstructionError") > lit(thr), "Suspicious").otherwise("Normal"))
+      .withColumn("FraudType", combineFraudType)
     // pandas-index order parity is a global sort — golden/parity mode
     // only; at scale pass preserveInputOrder = false
     val ordered = if (preserveInputOrder) combined.orderBy("_row_id") else combined

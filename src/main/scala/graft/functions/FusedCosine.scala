@@ -100,9 +100,6 @@ object GraftFunctions {
     GraftSqlShim.column(
       FusedCosine(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
 
-  private val fusedCosineInfo = new ExpressionInfo(
-    classOf[FusedCosine].getCanonicalName, "fused_cosine")
-
   private[functions] def fusedCosineBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, s"fused_cosine expects 2 arguments, got ${exprs.length}")
     FusedCosine(exprs(0), exprs(1))

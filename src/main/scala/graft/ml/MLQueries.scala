@@ -52,7 +52,7 @@ object MLQueries {
 
   /** The fixed net as an [[MLP]] (hidden ReLU, linear output — same
     * activation scheme as the fraud autoencoder). */
-  def fixedNet: MLP = MLP(Array(
+  lazy val fixedNet: MLP = MLP(Array(
     Layer(
       Array.tabulate(FixedHidden, FixedDim)((j, k) => fixedW1(j + 1, k + 1)),
       Array.tabulate(FixedHidden)(j => fixedB1(j + 1)), relu = true),

@@ -151,10 +151,7 @@ object StreamingFraud {
       .withColumn("ReconstructionError", errUdf(col("features")))
       .withColumn("MLFraud",
         when(col("ReconstructionError") > lit(mlThreshold), "Suspicious").otherwise("Normal"))
-      .withColumn("FraudType",
-        when(col("RuleFraud") =!= "Normal", col("RuleFraud"))
-          .when(col("MLFraud") =!= "Normal", col("MLFraud"))
-          .otherwise("Normal"))
+      .withColumn("FraudType", graft.fraud.FraudPipeline.combineFraudType)
       .select(col("Name"), col("Aadhaar"), col("ClaimAmount"), col("SubsidyType"),
         date_format(col("Date"), "yyyy-MM-dd").as("Date"),
         col("ReconstructionError"), col("FraudType"))

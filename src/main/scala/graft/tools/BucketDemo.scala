@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Demonstrates the co-located join design for repeated big-big joins
@@ -20,15 +19,9 @@ object BucketDemo {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val wh = if (args.length > 1) args(1)
       else java.nio.file.Files.createTempDirectory("graft-wh").toString
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.warehouse.dir", wh)
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ to expose the exchange
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Sessions.local(extra = Map(
+      "spark.sql.warehouse.dir" -> wh,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")) // force SMJ to expose the exchange
     import graft.ops.Tables
 
     val nBuckets = 8

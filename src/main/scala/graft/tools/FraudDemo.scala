@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 import graft.fraud.{Claims, FraudPipeline, StatusProtocol}
 
@@ -12,15 +11,8 @@ import graft.fraud.{Claims, FraudPipeline, StatusProtocol}
 object FraudDemo {
   def main(args: Array[String]): Unit = {
     val Array(csv, outDir) = args.take(2)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Sessions.local(
+      defaultCpus = Runtime.getRuntime.availableProcessors().toString)
 
     // S5: the reference's status-file contract — fixed name in the
     // working directory, as app.py polls it (run_pipeline.py:91-101)

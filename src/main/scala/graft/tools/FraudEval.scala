@@ -2,7 +2,6 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.fraud.{Claims, FeaturePipeline, FraudModel, FraudPipeline, StatusProtocol}
@@ -22,15 +21,8 @@ object FraudEval {
   def main(args: Array[String]): Unit = {
     val refDir = if (args.length > 0) args(0) else "/root/reference"
     val outJson = if (args.length > 1) args(1) else "EVAL.json"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Sessions.local(
+      defaultCpus = Runtime.getRuntime.availableProcessors().toString)
 
     StatusProtocol.withStatus("pipeline_status.txt") {
       val train = Claims.readCsv(spark, s"$refDir/data/raw/train.csv")

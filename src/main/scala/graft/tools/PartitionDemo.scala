@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Demonstrates partition pruning — the other half of the 100 TB scan
@@ -17,13 +16,7 @@ object PartitionDemo {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val out = if (args.length > 1) args(1)
       else java.nio.file.Files.createTempDirectory("graft-part").toString + "/docs"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Sessions.local()
 
     graft.ops.Tables.documents(spark, sfDir)
       .write.mode("overwrite").partitionBy("lang").parquet(out)
