@@ -65,6 +65,7 @@ object SparkEntry {
     "q30_stratified_sample"   -> (TextQueries.stratifiedSample _),
     "q31_embedding_neardup"   -> ((s: SparkSession, d: String) => SimilarityQueries.embeddingNearDup(s, d)),
     "q39_chunking"            -> (TextQueries.chunkDocs _),
+    "q40_vocab"               -> (TextQueries.vocab _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -107,5 +108,6 @@ object SparkEntry {
     "q30_stratified_sample"   -> TextQueries.stratifiedSampleSql,
     "q31_embedding_neardup"   -> SimilarityQueries.embeddingNearDupSql,
     "q39_chunking"            -> TextQueries.chunkDocsSql,
+    "q40_vocab"               -> TextQueries.vocabSql,
   )
 }

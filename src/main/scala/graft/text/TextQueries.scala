@@ -199,6 +199,27 @@ object TextQueries {
       s"CAST(length(substr(text, CAST(chunk_idx * $ChunkChars + 1 AS INT), $ChunkChars)) AS INT) AS chunk_len, " +
       s"md5(substr(text, CAST(chunk_idx * $ChunkChars + 1 AS INT), $ChunkChars)) AS chunk_hash FROM c"
 
+  // ----------------------------------------------------------- vocabulary
+
+  val VocabTopN = 50
+
+  /** Vocabulary building: corpus-wide token frequencies, top-N — the
+    * precursor to tokenizer training. Explode → one hash aggregate on
+    * the token (map-side partials collapse the per-doc repeats), then a
+    * top-N that AQE executes as a bounded TakeOrdered, never a global
+    * sort of the vocabulary. */
+  def vocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(VocabTopN)
+
+  val vocabSql: String =
+    s"SELECT token, count(*) AS freq FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS token FROM documents) " +
+      s"GROUP BY token ORDER BY freq DESC, token LIMIT $VocabTopN"
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal plumbing: treat payloads as opaque binary + typed
