@@ -108,8 +108,17 @@ object DedupQueries {
     * all-pairs Jaccard: the pair space is bounded by signature
     * similarity, not by a handful of metadata blocks. */
   def minHashJaccardPairs(s: SparkSession, d: String,
-                          minJaccard: Double = MinJaccard): DataFrame = {
-    val bands = minHashBands(s, d)
+                          minJaccard: Double = MinJaccard): DataFrame =
+    minHashJaccardPairsFromBands(
+      minHashBands(s, d),
+      Tables.documents(s, d).select("doc_id", "text"), minJaccard)
+
+  /** Pair generation from a PRECOMPUTED band table — at 100 TB persist
+    * [[minHashBands]] once (parquet, bucketed by band_val) and pass it
+    * here: the self-join then reads the signature table twice instead
+    * of recomputing every signature on both sides of the join. */
+  def minHashJaccardPairsFromBands(bands: DataFrame, docs: DataFrame,
+                                   minJaccard: Double = MinJaccard): DataFrame = {
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&
@@ -126,11 +135,11 @@ object DedupQueries {
     val jaccardUdf = udf { (sa: Seq[String], sb: Seq[String]) =>
       Hashing.exactJaccard(sa.toArray, sb.toArray)
     }
-    val docs = Tables.documents(s, d)
+    val shingled = docs
       .select(col("doc_id"), shingleUdf(col("text")).as("ss"))
     cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")), "doc_b")
+      .join(shingled.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")), "doc_a")
+      .join(shingled.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(jaccardUdf(col("ss_a"), col("ss_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
