@@ -40,6 +40,7 @@ object SparkEntry {
     "q34_rollup"              -> (RelationalQueries.rollupStats _),
     "q35_pivot"               -> (RelationalQueries.pivotLangCounts _),
     "q36_json_extract"        -> (RelationalQueries.jsonExtract _),
+    "q41_window_ranks"        -> (RelationalQueries.windowRanks _),
     "q37_topk_agg"            -> ((s: SparkSession, d: String) => graft.ops.TopKAggregator.topBalancePerNation(s, d)),
     "q38_set_ops"             -> (RelationalQueries.setOps _),
     // §2.6: feature encoding + autoencoder
@@ -88,6 +89,7 @@ object SparkEntry {
     "q34_rollup"              -> RelationalQueries.rollupStatsSql,
     "q35_pivot"               -> RelationalQueries.pivotLangCountsSql,
     "q36_json_extract"        -> RelationalQueries.jsonExtractSql,
+    "q41_window_ranks"        -> RelationalQueries.windowRanksSql,
     "q37_topk_agg"            -> graft.ops.TopKAggregator.topBalancePerNationSql,
     "q38_set_ops"             -> RelationalQueries.setOpsSql,
     "q10_feature_encode"      -> MLQueries.featureEncodeSql,

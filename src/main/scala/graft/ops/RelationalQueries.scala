@@ -266,6 +266,31 @@ object RelationalQueries {
       "count(*) AS n_events, round(sum(value), 2) AS total_value " +
       "FROM events GROUP BY 1, 2"
 
+  /** Beyond-reference: the full ranking-function family — rank,
+    * dense_rank, percent_rank, ntile, lead — over one (o_custkey)
+    * window, so all five share a single exchange + sort. Deterministic
+    * under ties via the (o_orderdate, o_orderkey) ordering. */
+  def windowRanks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders(s, d)
+      .filter(col("o_custkey") % 10 === 0)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        ntile(4).over(w).as("quartile"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"))
+  }
+
+  val windowRanksSql: String =
+    "SELECT o_orderkey, o_custkey, " +
+      "CAST(rank() OVER w AS INT) AS rnk, CAST(dense_rank() OVER w AS INT) AS drnk, " +
+      "round(percent_rank() OVER w, 6) AS prnk, CAST(ntile(4) OVER w AS INT) AS quartile, " +
+      "lead(o_orderkey, 1) OVER w AS next_order " +
+      "FROM orders WHERE o_custkey % 10 = 0 " +
+      "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+
   /** Beyond-reference: ROLLUP over (lang, source) — hierarchical
     * subtotals in one pass (Expand + single hash aggregate; no
     * re-reads per grouping level). */

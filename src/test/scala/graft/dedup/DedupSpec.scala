@@ -68,4 +68,16 @@ class DedupSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum("n_copies")).head().getLong(0)
     assert(agg === docs) // every doc lands in exactly one group
   }
+
+  test("pairs from a PERSISTED band table equal the inline computation") {
+    val spark = SparkSpec.spark
+    val dir = java.nio.file.Files.createTempDirectory("bands").toString + "/bands"
+    DedupQueries.minHashBands(spark, sfDir).write.parquet(dir)
+    val persisted = spark.read.parquet(dir)
+    val docs = graft.ops.Tables.documents(spark, sfDir).select("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      DedupQueries.minHashJaccardPairsFromBands(df, docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(persisted) === pairs(DedupQueries.minHashBands(spark, sfDir)))
+  }
 }
