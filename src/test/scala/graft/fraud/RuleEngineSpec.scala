@@ -92,4 +92,14 @@ class RuleEngineSpec extends AnyFunSuite {
     val rows = Seq.tabulate(20)(i => C(s"n$i", 200L + i, 5000.0, "2025-07-01"))
     assert(run(rows).values.forall(!_.contains("HighClaimAmount")))
   }
+
+  test("the approx-percentile scale switch tracks the exact p99") {
+    val spark = SparkSpec.spark
+    val li = graft.ops.Tables.orders(spark, "/root/testdata/sf0.001")
+      .withColumnRenamed("o_totalprice", "ClaimAmount")
+    val exact = RuleEngine.p99Amount(li, exact = true)
+    val approx = RuleEngine.p99Amount(li, exact = false)
+    assert(math.abs(approx - exact) / exact < 0.01,
+      s"approx=$approx exact=$exact") // 10k-bucket sketch stays within 1%
+  }
 }
