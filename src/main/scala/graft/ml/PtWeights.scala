@@ -18,6 +18,16 @@ import scala.collection.JavaConverters._
   * be bound by (order, byte-size) without a pickle parser. Sizes are
   * cross-checked against the expected shapes and the load fails loudly
   * on any mismatch.
+  *
+  * Binding caveat: storage-number order ≡ state-dict insertion order is
+  * an observed property of this checkpoint, not a .pt format guarantee —
+  * equal-size tensors (encoder.2.weight / decoder.0.weight, both 2048
+  * floats) could not be distinguished by the size check alone if a
+  * different torch version renumbered storages. The golden-parity suite
+  * (`MLPSpec`) pins the loaded net's scores against
+  * `data/results/fraud_results.csv`, so a mis-bind fails CI for the one
+  * checkpoint this loader targets; loading OTHER checkpoints needs a
+  * data.pkl key parser first.
   */
 object PtWeights {
 

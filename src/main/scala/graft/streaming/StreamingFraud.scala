@@ -65,7 +65,15 @@ object StreamingFraud {
         val epochDay = c.Date.getTime / 86400000L
         val names = st.names + c.Name
         val dup  = names.size > 1
-        val freq = st.lastEpochDay != Long.MinValue && epochDay - st.lastEpochDay <= 7
+        // Late-event semantics: state tracks only the max epochDay seen, so
+        // a cross-batch out-of-order claim (still inside the watermark) has
+        // no recorded predecessor — it is tagged against the max-seen day
+        // ONLY when it is not older than it (a negative gap would otherwise
+        // satisfy <= 7 vacuously). Older stragglers get no FrequentClaims
+        // tag; the batch pipeline (retrospective, fully sorted) is the
+        // authority for exact gaps.
+        val freq = st.lastEpochDay != Long.MinValue &&
+          epochDay >= st.lastEpochDay && epochDay - st.lastEpochDay <= 7
         val high = c.ClaimAmount > highClaimThreshold
         st = AadhaarState(names, math.max(st.lastEpochDay, epochDay))
         val tags = (if (dup) "DuplicateAadhaar;" else "") +
