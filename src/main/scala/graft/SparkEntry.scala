@@ -6,7 +6,7 @@ import graft.dedup.DedupQueries
 import graft.ml.MLQueries
 import graft.ops.RelationalQueries
 import graft.sim.SimilarityQueries
-import graft.text.TextQueries
+import graft.text.{Scrub, TextQueries}
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -67,6 +67,9 @@ object SparkEntry {
     "q31_embedding_neardup"   -> ((s: SparkSession, d: String) => SimilarityQueries.embeddingNearDup(s, d)),
     "q39_chunking"            -> (TextQueries.chunkDocs _),
     "q40_vocab"               -> (TextQueries.vocab _),
+    // training-data pipeline: corpus cleaning
+    "q42_pii_redact"          -> (Scrub.piiRedact _),
+    "q43_repetition"          -> (Scrub.repetition _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -111,5 +114,7 @@ object SparkEntry {
     "q31_embedding_neardup"   -> SimilarityQueries.embeddingNearDupSql,
     "q39_chunking"            -> TextQueries.chunkDocsSql,
     "q40_vocab"               -> TextQueries.vocabSql,
+    "q42_pii_redact"          -> Scrub.piiRedactSql,
+    "q43_repetition"          -> Scrub.repetitionSql,
   )
 }

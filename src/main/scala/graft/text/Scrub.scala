@@ -1,0 +1,115 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tables
+
+/** Corpus-cleaning operators for the training-data pipeline: PII
+  * redaction and intra-document repetition metrics (the Gopher-style
+  * repetition filters).
+  *
+  * Both are pure per-row `Column` expressions — whole-stage codegen, no
+  * UDFs, no shuffle; at 100 TB they stream through the scan at parquet
+  * read speed with the projection pruned to the columns used.
+  */
+object Scrub {
+
+  // -------------------------------------------------------- PII redaction
+
+  /** The testdata corpus is deliberately sterile (no emails/phones), so
+    * the PII-bearing column is DERIVED deterministically from real
+    * customer columns — phone present for even keys, email for keys
+    * divisible by 3 — and the operator under test is the redaction
+    * cascade itself: email → [EMAIL], NNN-NNN-NNNN → [PHONE],
+    * 6+-digit runs (the Customer#NNNNNNNNN id) → [ID], with per-row
+    * match counts. Replacement order matters and is pinned: emails
+    * first (so their digits can't be eaten as ids), then phones, then
+    * bare id runs. */
+  private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+  private val IdRe    = "\\d{6,}"
+
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val phonePart = when((col("c_custkey") % 2) === 0,
+      concat(lit(" phone 555-"),
+        lpad((col("c_custkey") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad(((col("c_nationkey") * 37) % 10000).cast("string"), 4, "0")))
+      .otherwise("")
+    val emailPart = when((col("c_custkey") % 3) === 0,
+      concat(lit(" contact user"), col("c_custkey").cast("string"),
+        lit("@example.com")))
+      .otherwise("")
+    val profile = concat(col("c_name"), phonePart, emailPart)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(profile, EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]"),
+        IdRe, "[ID]")
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      redacted.as("redacted"),
+      regexp_count(profile, lit(EmailRe)).as("n_email"),
+      regexp_count(profile, lit(PhoneRe)).as("n_phone"),
+      regexp_count(profile, lit(IdRe)).as("n_id"))
+  }
+
+  val piiRedactSql: String = {
+    val profile =
+      "c_name || " +
+        "(CASE WHEN c_custkey % 2 = 0 THEN ' phone 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST((c_nationkey * 37) % 10000 AS VARCHAR), 4, '0') ELSE '' END) || " +
+        "(CASE WHEN c_custkey % 3 = 0 THEN ' contact user' || CAST(c_custkey AS VARCHAR) || '@example.com' ELSE '' END)"
+    s"WITH p AS (SELECT c_custkey, $profile AS profile FROM customer) " +
+      "SELECT c_custkey, " +
+      s"regexp_replace(regexp_replace(regexp_replace(profile, '$EmailRe', '[EMAIL]', 'g'), '$PhoneRe', '[PHONE]', 'g'), '$IdRe', '[ID]', 'g') AS redacted, " +
+      s"CAST(len(regexp_extract_all(profile, '$EmailRe')) AS INT) AS n_email, " +
+      s"CAST(len(regexp_extract_all(profile, '$PhoneRe')) AS INT) AS n_phone, " +
+      s"CAST(len(regexp_extract_all(profile, '$IdRe')) AS INT) AS n_id " +
+      "FROM p"
+  }
+
+  // ------------------------------------------------- repetition metrics
+
+  /** Gopher-style repetition filters over `documents`: fraction of
+    * whitespace tokens belonging to duplicate token types, fraction in
+    * the single most-frequent token, and distinct-token ratio; verdict
+    * 'repetitive' when dup mass dominates. All computed with array HOFs
+    * (aggregate/map over the token list) — per-row, codegen-planned, no
+    * explode+groupBy shuffle. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    val dist = array_distinct(toks)
+    // per-distinct-token occurrence counts: O(n_tok · n_distinct) per row,
+    // fine for web-page-sized docs; book-length inputs would switch to
+    // explode → groupBy(doc_id, token) (one shuffle) instead
+    val counts  = transform(dist, t => size(filter(toks, x => x === t)))
+    val dupMass = aggregate(counts, lit(0), (acc, n) => acc + when(n > lit(1), n).otherwise(lit(0)))
+    val maxFreq = aggregate(counts, lit(0), (acc, n) => greatest(acc, n))
+    val nTok = size(toks)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nTok.as("n_tok"),
+      round(dupMass.cast("double") / greatest(nTok, lit(1)), 4).as("dup_frac"),
+      round(maxFreq.cast("double") / greatest(nTok, lit(1)), 4).as("top_frac"),
+      round(size(dist).cast("double") / greatest(nTok, lit(1)), 4).as("distinct_ratio"),
+      when(dupMass.cast("double") / greatest(nTok, lit(1)) > 0.5, "repetitive")
+        .otherwise("ok").as("verdict"))
+  }
+
+  val repetitionSql: String = {
+    val toks = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+    val counts =
+      s"list_transform(list_distinct($toks), t -> len(list_filter($toks, x -> x = t)))"
+    s"WITH c AS (SELECT doc_id, len($toks) AS n_tok, " +
+      s"list_sum(list_transform($counts, n -> CASE WHEN n > 1 THEN n ELSE 0 END)) AS dup_mass, " +
+      s"list_max($counts) AS max_freq, " +
+      s"len(list_distinct($toks)) AS n_distinct FROM documents) " +
+      "SELECT doc_id, CAST(n_tok AS INT) AS n_tok, " +
+      "round(CAST(coalesce(dup_mass, 0) AS DOUBLE) / greatest(n_tok, 1), 4) AS dup_frac, " +
+      "round(CAST(coalesce(max_freq, 0) AS DOUBLE) / greatest(n_tok, 1), 4) AS top_frac, " +
+      "round(CAST(n_distinct AS DOUBLE) / greatest(n_tok, 1), 4) AS distinct_ratio, " +
+      "CASE WHEN CAST(coalesce(dup_mass, 0) AS DOUBLE) / greatest(n_tok, 1) > 0.5 THEN 'repetitive' ELSE 'ok' END AS verdict " +
+      "FROM c"
+  }
+}

@@ -1,0 +1,52 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Hand-computed checks of the corpus-cleaning operators (q42/q43). */
+class ScrubSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("piiRedact scrubs every phone/email/id pattern it counted") {
+    val spark = SparkSpec.spark
+    val rows = Scrub.piiRedact(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val red = r.getAs[String]("redacted")
+      // nothing PII-shaped survives redaction
+      assert(!red.matches(".*\\d{3}-\\d{3}-\\d{4}.*"), s"phone left in: $red")
+      assert(!red.contains("@"), s"email left in: $red")
+      assert(!red.matches(".*\\d{6,}.*"), s"id run left in: $red")
+      // every counted match produced a placeholder
+      assert(red.sliding(7).count(_ == "[EMAIL]") == r.getAs[Int]("n_email"))
+      assert(red.sliding(7).count(_ == "[PHONE]") == r.getAs[Int]("n_phone"))
+      assert(red.sliding(4).count(_ == "[ID]") == r.getAs[Int]("n_id"))
+    }
+    // the derived profile makes the counts data-dependent: both 0 and 1 occur
+    assert(rows.map(_.getAs[Int]("n_phone")).distinct.sorted.toSeq == Seq(0, 1))
+    assert(rows.map(_.getAs[Int]("n_email")).distinct.sorted.toSeq == Seq(0, 1))
+  }
+
+  test("repetition metrics equal a driver-side recount (sf0.001)") {
+    val spark = SparkSpec.spark
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Scrub.repetition(spark, sfDir).collect().foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id")).trim.split("\\s+").filter(_.nonEmpty)
+      val counts = toks.groupBy(identity).map(_._2.length)
+      val n = math.max(toks.length, 1)
+      val dupMass = counts.filter(_ > 1).sum
+      val maxC = if (counts.isEmpty) 0 else counts.max
+      assert(r.getAs[Int]("n_tok") == toks.length)
+      assert(r.getAs[Double]("dup_frac") == r4(dupMass.toDouble / n))
+      assert(r.getAs[Double]("top_frac") == r4(maxC.toDouble / n))
+      assert(r.getAs[Double]("distinct_ratio") == r4(counts.size.toDouble / n))
+      assert(r.getAs[String]("verdict") ==
+        (if (dupMass.toDouble / n > 0.5) "repetitive" else "ok"))
+    }
+  }
+}
