@@ -70,6 +70,8 @@ object SparkEntry {
     // training-data pipeline: corpus cleaning
     "q42_pii_redact"          -> (Scrub.piiRedact _),
     "q43_repetition"          -> (Scrub.repetition _),
+    // training-data pipeline: IVF similarity-search scale path
+    "q44_ivf_topk"            -> ((s: SparkSession, d: String) => SimilarityQueries.ivfTopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -116,5 +118,6 @@ object SparkEntry {
     "q40_vocab"               -> TextQueries.vocabSql,
     "q42_pii_redact"          -> Scrub.piiRedactSql,
     "q43_repetition"          -> Scrub.repetitionSql,
+    "q44_ivf_topk"            -> SimilarityQueries.ivfTopKSql,
   )
 }

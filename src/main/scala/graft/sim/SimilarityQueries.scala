@@ -156,6 +156,73 @@ object SimilarityQueries {
       "FROM cand JOIN v x ON x.vec_id = cand.vec_a JOIN v y ON y.vec_id = cand.vec_b")
   }
 
+  // ------------------------------------------------------------- IVF ANN
+
+  /** IVF coarse-quantizer parameters: centroids are the data vectors at a
+    * fixed id stride (a deterministic stand-in for a trained k-means
+    * codebook — the list/probe/search plumbing is identical and exactly
+    * oracle-reproducible). `nlist ≈ N/CentStride` lists; queries probe
+    * the `NProbe` nearest lists. At 100 TB: nlist grows ~√N (keep lists
+    * ~√N wide), the codebook stays broadcast-sized (nlist·dim doubles),
+    * assignment is a broadcast map-side pass, and the search is one
+    * shuffle keyed by cent_id — parallelism = nlist, never all-pairs. */
+  val CentStride = 37
+  val CentOffset = 1
+  val NProbe     = 4
+
+  /** IVF-style ANN top-k: assign every vector to its nearest centroid
+    * (broadcast codebook + per-vector argmax), probe the NProbe nearest
+    * lists per query, exact cosine top-k within the probed lists only.
+    * Output schema matches [[cosineTopK]] so recall@k is measurable by
+    * direct comparison (see SimilaritySpec). */
+  def ivfTopK(s: SparkSession, d: String, k: Int = 5, nProbe: Int = NProbe): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val cents = emb.filter(col("vec_id") % CentStride === CentOffset)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    // nearest-centroid assignment (ties: round(cos,6) then lowest cent_id)
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(round(col("ccos"), 6).desc, col("cent_id"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosineExpr("e", "ce"))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("cent_id"), col("e"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(round(col("qcos"), 6).desc, col("cent_id"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("qcos", cosineExpr("qe", "ce"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nProbe)
+      .select(col("qid"), col("qe"), col("cent_id"))
+    val wTop = Window.partitionBy("qid")
+      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+    probes.join(assigned, "cent_id")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineExpr("qe", "e"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  val ivfTopKSql: String =
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+      s"c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id % $CentStride = $CentOffset), " +
+      "ac AS (SELECT v.vec_id, c.cent_id, list_cosine_similarity(v.e, c.ce) AS ccos FROM v CROSS JOIN c), " +
+      "ar AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY round(ccos, 6) DESC, cent_id) AS r FROM ac), " +
+      "assigned AS (SELECT ar.vec_id, ar.cent_id, v.e FROM ar JOIN v ON v.vec_id = ar.vec_id WHERE ar.r = 1), " +
+      "q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 100 = 0), " +
+      "pc AS (SELECT q.qid, c.cent_id, list_cosine_similarity(q.qe, c.ce) AS qcos FROM q CROSS JOIN c), " +
+      "pr AS (SELECT qid, cent_id, row_number() OVER (PARTITION BY qid ORDER BY round(qcos, 6) DESC, cent_id) AS r FROM pc), " +
+      s"probes AS (SELECT qid, cent_id FROM pr WHERE r <= $NProbe), " +
+      "scored AS (SELECT p.qid, a.vec_id, list_cosine_similarity(q.qe, a.e) AS cos " +
+      "FROM probes p JOIN assigned a ON a.cent_id = p.cent_id JOIN q ON q.qid = p.qid WHERE a.vec_id <> p.qid), " +
+      "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, vec_id) AS rank FROM scored) " +
+      "SELECT qid, vec_id AS neighbor_id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5"
+
   /** Near-dup threshold: the corpus has no cos ≥ 0.8 pairs (max
     * candidate cos ≈ 0.43 at sf0.01 — see PERF_NOTES.md), so the
     * registered query uses 0.4 — the highest-affinity bucket-mates — to

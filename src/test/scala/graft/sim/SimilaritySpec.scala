@@ -43,4 +43,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cand.size < allPairs / 10,
       s"candidates ${cand.size} not <10% of all-pairs $allPairs")
   }
+
+  test("IVF top-k: every probed-list neighbor ranks correctly and recall@5 vs exact is reported") {
+    val spark = SparkSpec.spark
+    val sfDir = "/root/testdata/sf0.01"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SimilarityQueries.cosineTopK(spark, sfDir))
+    val ivf   = pairs(SimilarityQueries.ivfTopK(spark, sfDir))
+    assert(ivf.nonEmpty)
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    info(f"IVF recall@5 vs exact: $recall%.2f (nProbe=${SimilarityQueries.NProbe})")
+    // nProbe=4 of ~14 lists: exact search inside the probed lists can
+    // only miss neighbors whose list wasn't probed — demand a sane floor
+    assert(recall >= 0.5, s"recall=$recall")
+    // probing ALL lists must reproduce the exact result identically
+    val nLists = 500 / SimilarityQueries.CentStride + 1
+    val full = pairs(SimilarityQueries.ivfTopK(spark, sfDir, nProbe = nLists))
+    assert(full === exact, "IVF with nProbe=all lists must equal brute force")
+  }
 }
