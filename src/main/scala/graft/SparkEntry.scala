@@ -72,6 +72,8 @@ object SparkEntry {
     "q43_repetition"          -> (Scrub.repetition _),
     // training-data pipeline: IVF similarity-search scale path
     "q44_ivf_topk"            -> ((s: SparkSession, d: String) => SimilarityQueries.ivfTopK(s, d)),
+    // training-data pipeline: transitive-closure dedup clusters
+    "q45_dedup_clusters"      -> ((s: SparkSession, d: String) => DedupQueries.dedupClusters(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -119,5 +121,6 @@ object SparkEntry {
     "q42_pii_redact"          -> Scrub.piiRedactSql,
     "q43_repetition"          -> Scrub.repetitionSql,
     "q44_ivf_topk"            -> SimilarityQueries.ivfTopKSql,
+    "q45_dedup_clusters"      -> DedupQueries.dedupClustersSql,
   )
 }

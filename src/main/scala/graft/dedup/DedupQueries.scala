@@ -206,6 +206,68 @@ object DedupQueries {
     s"SELECT doc_id, lang, source FROM documents WHERE doc_id NOT IN " +
       s"(SELECT doc_b FROM ($minHashJaccardPairsSql))"
 
+  /** Transitive-closure dedup CLUSTERS: connected components over the
+    * MinHash-verified near-dup pair graph, every document labeled with
+    * the minimum doc_id reachable from it (singletons label themselves).
+    * This is the clustering q28's pair-greedy keep-list deliberately
+    * isn't: A~B, B~C puts A,B,C in one cluster even when A~C was never
+    * emitted as a pair.
+    *
+    * Algorithm: iterative min-label propagation — per round, each node
+    * takes min(own label, neighbors' labels); fixpoint after
+    * O(component diameter) rounds. Near-dup components are shallow
+    * (dup clusters are cliques-ish), so rounds stay single-digit; a
+    * 100 TB run with adversarial chain-shaped graphs would switch to
+    * large-star/small-star (Kiveris et al.) to collapse rounds to
+    * O(log diameter) — same per-round join+min-agg shuffle shape as
+    * here, so the physical plan survives the swap. Driver holds only
+    * the loop counter and the converged? count — never vertex state. */
+  def dedupClusters(s: SparkSession, d: String,
+                    minJaccard: Double = MinJaccard): DataFrame =
+    clustersFromEdges(
+      Tables.documents(s, d).select("doc_id"),
+      minHashJaccardPairs(s, d, minJaccard).select("doc_a", "doc_b"))
+
+  /** Core label propagation: (doc_id) vertices × (doc_a, doc_b) edges →
+    * (doc_id, cluster = min reachable doc_id). */
+  def clustersFromEdges(docs: DataFrame, edges: DataFrame,
+                        maxIters: Int = 50): DataFrame = {
+    val adj = edges.select(col("doc_a").as("src"), col("doc_b").as("nb"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("nb")))
+      .persist()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbMin = adj
+        .join(labels.select(col("doc_id").as("nb"), col("cluster")), "nb")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("cluster").as("nb_cluster"))
+      val next = labels
+        .join(nbMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nb_cluster"), col("cluster"))).as("cluster"))
+        .persist()
+      changed = next
+        .join(labels.select(col("doc_id"), col("cluster").as("old")), "doc_id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist() // no-op on iteration 0 (initial labels unpersisted)
+      labels = next
+      iter += 1
+    }
+    adj.unpersist()
+    labels
+  }
+
+  /** DuckDB twin: min reachable id per node via a recursive CTE over the
+    * same verified pair set (UNION dedup bounds the recursion). */
+  val dedupClustersSql: String =
+    "WITH RECURSIVE adj AS (SELECT doc_a AS src, doc_b AS nb FROM " +
+      s"($minHashJaccardPairsSql) UNION ALL SELECT doc_b, doc_a FROM ($minHashJaccardPairsSql)), " +
+      "reach(doc_id, lbl) AS (SELECT doc_id, doc_id FROM documents " +
+      "UNION SELECT a.src, r.lbl FROM adj a JOIN reach r ON r.doc_id = a.nb) " +
+      "SELECT doc_id, min(lbl) AS cluster FROM reach GROUP BY doc_id"
+
   /** SimHash near-dup pairs: pigeonhole block join, then exact Hamming
     * verification ≤ maxHamming (not registered as a query — the block
     * fingerprints are the oracle-checked artifact; this is the

@@ -32,6 +32,29 @@ class DedupSpec extends AnyFunSuite {
       s"missed=${(truth -- found).take(5)} extra=${(found -- truth).take(5)}")
   }
 
+  test("dedupClusters equals driver-side union-find over the emitted pairs (sf0.001)") {
+    val spark = SparkSpec.spark
+    val pairs = DedupQueries.minHashJaccardPairs(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    // union-find ground truth
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = ids.map(i => i -> find(i)).toMap
+    val got = DedupQueries.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === truth)
+    // clustering must be transitive even where the pair list isn't complete
+    val byCluster = truth.groupBy(_._2)
+    assert(byCluster.exists(_._2.size > 1), "corpus should have at least one real cluster")
+  }
+
   test("identical texts share every MinHash band") {
     val spark = SparkSpec.spark
     val bands = DedupQueries.minHashBands(spark, sfDir).collect()
