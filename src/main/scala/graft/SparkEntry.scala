@@ -74,6 +74,8 @@ object SparkEntry {
     "q44_ivf_topk"            -> ((s: SparkSession, d: String) => SimilarityQueries.ivfTopK(s, d)),
     // training-data pipeline: transitive-closure dedup clusters
     "q45_dedup_clusters"      -> ((s: SparkSession, d: String) => DedupQueries.dedupClusters(s, d)),
+    // training-data pipeline: benchmark decontamination
+    "q46_decontaminate"       -> (Scrub.decontaminate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -122,5 +124,6 @@ object SparkEntry {
     "q43_repetition"          -> Scrub.repetitionSql,
     "q44_ivf_topk"            -> SimilarityQueries.ivfTopKSql,
     "q45_dedup_clusters"      -> DedupQueries.dedupClustersSql,
+    "q46_decontaminate"       -> Scrub.decontaminateSql,
   )
 }

@@ -69,6 +69,52 @@ object Scrub {
       "FROM p"
   }
 
+  // ------------------------------------------------- decontamination
+
+  /** Benchmark-decontamination scan: which corpus documents share word
+    * n-grams with a held-out "benchmark" set (here: a deterministic
+    * doc_id-stride subset standing in for an eval suite). The classic
+    * pre-training hygiene op: hash each side's distinct n-grams, inner
+    * hash-join on the n-gram hash, count matches per (corpus doc, bench
+    * doc).
+    *
+    * Scale shape: both sides are exploded to (doc, gram_hash) and meet
+    * in ONE shuffle keyed by the hash — never doc × doc. The benchmark
+    * side is tiny (an eval suite), so at 100 TB Catalyst broadcasts it
+    * and the corpus side streams map-side; grams travel as md5 strings
+    * (16 bytes), not raw n-gram text. */
+  val DecontamN      = 8
+  val BenchStride    = 10 // 10% held-out slice — catches real near-dup
+  val BenchOffset    = 3  // contamination in the driver corpus (n_shared up to 86)
+
+  private val gramsUdf = udf { (text: String) =>
+    graft.dedup.Hashing.wordShingles(text, DecontamN).distinct
+  }
+
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), explode(gramsUdf(col("text"))).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+    val bench = grams.filter(col("doc_id") % BenchStride === BenchOffset)
+      .select(col("doc_id").as("bench_id"), col("gh"))
+    val corpus = grams.filter(col("doc_id") % BenchStride =!= BenchOffset)
+    corpus.join(bench, "gh")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  val decontaminateSql: String = {
+    val n = DecontamN
+    s"""WITH ws AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS w FROM documents),
+       |gr AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) < $n THEN [array_to_string(w, ' ')]
+       |  ELSE [array_to_string(w[i:i+${n - 1}], ' ') for i in range(1, len(w) - ${n - 2})] END)) AS gram FROM ws),
+       |gh AS (SELECT doc_id, md5(gram) AS gh FROM gr),
+       |bench AS (SELECT doc_id AS bench_id, gh FROM gh WHERE doc_id % $BenchStride = $BenchOffset),
+       |corpus AS (SELECT doc_id, gh FROM gh WHERE doc_id % $BenchStride <> $BenchOffset)
+       |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+       |FROM corpus c JOIN bench b ON c.gh = b.gh GROUP BY c.doc_id, b.bench_id""".stripMargin.replace("\n", " ")
+  }
+
   // ------------------------------------------------- repetition metrics
 
   /** Gopher-style repetition filters over `documents`: fraction of

@@ -28,6 +28,25 @@ class ScrubSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Int]("n_email")).distinct.sorted.toSeq == Seq(0, 1))
   }
 
+  test("decontaminate equals brute-force bench×corpus n-gram intersection (sf0.01)") {
+    val spark = SparkSpec.spark
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.ops.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> graft.dedup.Hashing
+        .wordShingles(r.getString(1), Scrub.DecontamN).distinct.toSet)
+    val (bench, corpus) = docs.partition(_._1 % Scrub.BenchStride == Scrub.BenchOffset)
+    val truth = (for {
+      (cid, cg) <- corpus; (bid, bg) <- bench
+      n = (cg intersect bg).size if n > 0
+    } yield (cid, bid) -> n.toLong).toMap
+    val got = Scrub.decontaminate(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id")) -> r.getAs[Long]("n_shared"))
+      .toMap
+    assert(got === truth)
+    assert(got.nonEmpty, "benchmark slice must catch real contamination")
+  }
+
   test("repetition metrics equal a driver-side recount (sf0.001)") {
     val spark = SparkSpec.spark
     val docs = graft.ops.Tables.documents(spark, sfDir)
