@@ -76,6 +76,8 @@ object SparkEntry {
     "q45_dedup_clusters"      -> ((s: SparkSession, d: String) => DedupQueries.dedupClusters(s, d)),
     // training-data pipeline: benchmark decontamination
     "q46_decontaminate"       -> (Scrub.decontaminate _),
+    // custom-plan showcase: native as-of join (LogicalPlan+Strategy+SparkPlan)
+    "q47_asof_native"         -> (RelationalQueries.asofJoinNative _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -125,5 +127,6 @@ object SparkEntry {
     "q44_ivf_topk"            -> SimilarityQueries.ivfTopKSql,
     "q45_dedup_clusters"      -> DedupQueries.dedupClustersSql,
     "q46_decontaminate"       -> Scrub.decontaminateSql,
+    "q47_asof_native"         -> RelationalQueries.asofJoinNativeSql,
   )
 }

@@ -250,6 +250,28 @@ object RelationalQueries {
       "SELECT e.event_id, e.user_id, p.event_id AS purchase_id, round(p.value, 2) AS purchase_value " +
       "FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts > p.ts"
 
+  /** The NATIVE-OPERATOR twin of [[asofJoin]]: same backward as-of
+    * semantics through graft.plans.AsOfJoin — a custom LogicalPlan +
+    * SparkStrategy + streaming merge SparkPlan registered via
+    * SparkSessionExtensions — instead of the last-over-range window
+    * rewrite. Same oracle as q32; PlansSpec asserts row-for-row
+    * equality between the two and that AsOfJoinExec is in the plan. */
+  def asofJoinNative(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    // alias right side: fresh names (no output collision) and fresh
+    // attribute ids (self-as-of) in one stroke
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("asof_user"), col("ts").as("asof_ts"),
+        col("event_id").as("purchase_id"), col("value").as("asof_value"))
+    graft.plans.AsOfJoin.backward(
+      ev.select("event_id", "user_id", "ts"), purchases,
+      "user_id", "asof_user", "ts", "asof_ts")
+      .select(col("event_id"), col("user_id"), col("purchase_id"),
+        round(col("asof_value"), 2).as("purchase_value"))
+  }
+
+  val asofJoinNativeSql: String = asofJoinSql
+
   /** Beyond-reference: tumbling event-time window — the batch twin of a
     * streaming windowed aggregation (same `window()` expression runs
     * under readStream + watermark). One hash aggregate on the derived

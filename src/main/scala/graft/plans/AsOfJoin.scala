@@ -1,0 +1,173 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, NullsFirst,
+  RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftshim.GraftSqlShim
+
+/** Native BACKWARD AS-OF JOIN — the custom-operator tier (c) of the
+  * build plan: a whole-operator semantic Spark lacks, expressed as its
+  * own `LogicalPlan` + `SparkStrategy` + `SparkPlan` and registered
+  * through `SparkSessionExtensions` (graft.plans.GraftExtensions, wired
+  * in graft.Sessions).
+  *
+  * Semantics: for every left row, attach the single right row with the
+  * SAME key and the GREATEST right-time STRICTLY BELOW the left time
+  * (null-extended when none) — identical to DuckDB `ASOF LEFT JOIN ...
+  * ON l.k = r.k AND l.t > r.t` and to the window-composed q32.
+  *
+  * Scale shape: `requiredChildDistribution` clusters both children on
+  * the key (one hash exchange each — EnsureRequirements inserts them,
+  * and AQE can re-plan them), `requiredChildOrdering` sorts by
+  * (key, time), and the operator itself is a single-pass per-partition
+  * merge holding O(1) state (one lookahead row + one candidate row) —
+  * no per-key buffering, no range probe, no time-key explosion. The
+  * window-composed q32 needs the same exchange but buffers whole key
+  * groups in the window sort; this node streams them.
+  */
+final case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression)
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+final case class AsOfJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    left: SparkPlan, right: SparkPlan)
+  extends BinaryExecNode {
+
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    "as-of key types must match")
+  require(leftTime.dataType == rightTime.dataType,
+    "as-of time types must match")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  /** Cluster both sides on the key; EnsureRequirements picks one
+    * numPartitions and inserts compatible hash exchanges (same contract
+    * as shuffled joins since SPARK-35703 removed HashClusteredDistribution). */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  private def ordering(keys: Seq[Expression], time: Expression): Seq[SortOrder] =
+    (keys :+ time).map(SortOrder(_, Ascending, NullsFirst, Seq.empty))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(ordering(leftKeys, leftTime), ordering(rightKeys, rightTime))
+
+  /** Left rows pass through in order — preserve their partitioning and
+    * (key, time) ordering so downstream ops skip re-exchange/re-sort. */
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = ordering(leftKeys, leftTime)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val (lk, rk, lt, rt) = (leftKeys, rightKeys, leftTime, rightTime)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj  = UnsafeProjection.create(lk, lOut)
+      val rKeyProj  = UnsafeProjection.create(rk, rOut)
+      val mKeyProj  = UnsafeProjection.create(rk, rOut) // lastMatch's own buffer
+      val lTimeProj = UnsafeProjection.create(Seq(lt), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rt), rOut)
+      val keyOrd  = RowOrdering.createNaturalAscendingOrdering(lk.map(_.dataType))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lt.dataType))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+
+      new Iterator[InternalRow] {
+        // one-row lookahead into the sorted right side (copied: sorter
+        // iterators reuse row buffers) + the best predecessor so far
+        private var rHead: InternalRow =
+          if (rIter.hasNext) rIter.next().copy() else null
+        private var lastMatch: InternalRow = null
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey  = lKeyProj(l)
+          val lTime = lTimeProj(l)
+          var advancing = rHead != null
+          while (advancing) {
+            val c = keyOrd.compare(rKeyProj(rHead), lKey)
+            if (c > 0 || (c == 0 && timeOrd.compare(rTimeProj(rHead), lTime) >= 0)) {
+              advancing = false // rHead is at/after the left row: stop
+            } else {
+              if (c == 0) lastMatch = rHead // latest right strictly before lTime
+              rHead = if (rIter.hasNext) rIter.next().copy() else null
+              if (rHead == null) advancing = false
+            }
+          }
+          // lastMatch may be left over from an earlier key group
+          val matched = lastMatch != null && keyOrd.compare(mKeyProj(lastMatch), lKey) == 0
+          joined(l, if (matched) lastMatch else nullRight)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: AsOfJoinPlan → AsOfJoinExec (children planned lazily). */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** `spark.sql.extensions` entry point (set by graft.Sessions.local). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+}
+
+/** Column-name-level API over the native node. */
+object AsOfJoin {
+
+  /** Backward as-of left join: `left` rows pick up the latest `right`
+    * row with equal key and `rightTimeCol` strictly before
+    * `leftTimeCol`. Right-side column names must not collide with the
+    * left's (alias them first — also what gives the right side fresh
+    * attribute ids for self-as-of joins). NULL keys compare equal under
+    * the natural row ordering (same as a window-over-partition rewrite,
+    * unlike SQL equi-join semantics) — filter them out first if that
+    * matters. */
+  def backward(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in [${p.output.map(_.name).mkString(", ")}]"))
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "as-of sides must not share column names — alias the right side")
+    GraftSqlShim.ofRows(left.sparkSession,
+      AsOfJoinPlan(lp, rp,
+        Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
+        attr(lp, leftTimeCol), attr(rp, rightTimeCol)))
+  }
+}

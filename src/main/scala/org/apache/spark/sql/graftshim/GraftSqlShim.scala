@@ -1,15 +1,20 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{classic, Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Minimal bridge to the `private[sql]` Column↔Expression converters —
   * the established pattern for libraries that ship native Catalyst
   * expressions with a Column API (cf. Sedona's `org.apache.spark.sql.
   * sedona_sql`, Glow's shims). Everything else in graft uses only the
-  * public API; keep this file to these two forwarders. */
+  * public API; keep this file to these three forwarders. */
 object GraftSqlShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over a custom logical plan (graft.plans nodes). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
