@@ -232,8 +232,13 @@ object DedupQueries {
     * (doc_id, cluster = min reachable doc_id). */
   def clustersFromEdges(docs: DataFrame, edges: DataFrame,
                         maxIters: Int = 50): DataFrame = {
-    val adj = edges.select(col("doc_a").as("src"), col("doc_b").as("nb"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("nb")))
+    // both edge orientations from ONE pass over the (expensive) pair
+    // pipeline — union(edges, edges.swap) would execute it twice
+    val adj = edges
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("nb")),
+        struct(col("doc_b").as("src"), col("doc_a").as("nb")))).as("e"))
+      .select(col("e.src").as("src"), col("e.nb").as("nb"))
       .persist()
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
     var changed = 1L

@@ -124,7 +124,7 @@ object Scrub {
     * (aggregate/map over the token list) — per-row, codegen-planned, no
     * explode+groupBy shuffle. */
   def repetition(s: SparkSession, d: String): DataFrame = {
-    val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    val toks = col("toks")
     val dist = array_distinct(toks)
     // per-distinct-token occurrence counts: O(n_tok · n_distinct) per row,
     // fine for web-page-sized docs; book-length inputs would switch to
@@ -133,14 +133,19 @@ object Scrub {
     val dupMass = aggregate(counts, lit(0), (acc, n) => acc + when(n > lit(1), n).otherwise(lit(0)))
     val maxFreq = aggregate(counts, lit(0), (acc, n) => greatest(acc, n))
     val nTok = size(toks)
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      nTok.as("n_tok"),
-      round(dupMass.cast("double") / greatest(nTok, lit(1)), 4).as("dup_frac"),
-      round(maxFreq.cast("double") / greatest(nTok, lit(1)), 4).as("top_frac"),
-      round(size(dist).cast("double") / greatest(nTok, lit(1)), 4).as("distinct_ratio"),
-      when(dupMass.cast("double") / greatest(nTok, lit(1)) > 0.5, "repetitive")
-        .otherwise("ok").as("verdict"))
+    Tables.documents(s, d)
+      // separate projection: tokenization runs ONCE per row (CollapseProject
+      // declines to inline a non-cheap alias referenced 5×)
+      .select(col("doc_id"),
+        filter(split(trim(col("text")), "\\s+"), t => t =!= "").as("toks"))
+      .select(
+        col("doc_id"),
+        nTok.as("n_tok"),
+        round(dupMass.cast("double") / greatest(nTok, lit(1)), 4).as("dup_frac"),
+        round(maxFreq.cast("double") / greatest(nTok, lit(1)), 4).as("top_frac"),
+        round(size(dist).cast("double") / greatest(nTok, lit(1)), 4).as("distinct_ratio"),
+        when(dupMass.cast("double") / greatest(nTok, lit(1)) > 0.5, "repetitive")
+          .otherwise("ok").as("verdict"))
   }
 
   val repetitionSql: String = {
