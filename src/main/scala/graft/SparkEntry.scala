@@ -78,6 +78,8 @@ object SparkEntry {
     "q46_decontaminate"       -> (Scrub.decontaminate _),
     // custom-plan showcase: native as-of join (LogicalPlan+Strategy+SparkPlan)
     "q47_asof_native"         -> (RelationalQueries.asofJoinNative _),
+    // training-data pipeline: end-to-end curation keep-list
+    "q48_curated_corpus"      -> (Scrub.curatedCorpus _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -128,5 +130,6 @@ object SparkEntry {
     "q45_dedup_clusters"      -> DedupQueries.dedupClustersSql,
     "q46_decontaminate"       -> Scrub.decontaminateSql,
     "q47_asof_native"         -> RelationalQueries.asofJoinNativeSql,
+    "q48_curated_corpus"      -> Scrub.curatedCorpusSql,
   )
 }

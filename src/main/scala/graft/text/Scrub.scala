@@ -115,6 +115,45 @@ object Scrub {
        |FROM corpus c JOIN bench b ON c.gh = b.gh GROUP BY c.doc_id, b.bench_id""".stripMargin.replace("\n", " ")
   }
 
+  // ------------------------------------------------- corpus curation
+
+  /** The end-to-end curation KEEP-LIST — what an actual training-data
+    * build runs nightly, composed from the pipeline's own operators:
+    * keep a document iff it (1) is the lowest-id holder of its
+    * canonical fingerprint (exact-dedup survivor, q25's key), (2) passes
+    * the quality gate (q23's 'good'), (3) is not itself benchmark
+    * material, and (4) shares no 8-gram with the benchmark slice (q46).
+    *
+    * Plan shape: one window over the fingerprint hash (same shuffle key
+    * as exact dedup), a semi-join on the quality gate, an anti-join on
+    * the contaminated set — all keyed on doc_id, so AQE lines the last
+    * two up on one exchange layout; nothing is quadratic. */
+  def curatedCorpus(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val good = TextQueries.quality(s, d)
+      .filter(col("quality") === "good").select("doc_id")
+    val contaminated = decontaminate(s, d).select("doc_id").distinct()
+    docs
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
+      .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("keep_id") &&
+        col("doc_id") % BenchStride =!= BenchOffset)
+      .join(good, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  val curatedCorpusSql: String =
+    "WITH fpk AS (SELECT doc_id, lang, source, n_chars, " +
+      "min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) AS keep_id FROM documents), " +
+      s"good AS (SELECT doc_id FROM (${TextQueries.qualitySql}) WHERE quality = 'good'), " +
+      s"cont AS (SELECT DISTINCT doc_id FROM ($decontaminateSql)) " +
+      "SELECT doc_id, lang, source, n_chars FROM fpk " +
+      s"WHERE doc_id = keep_id AND doc_id % $BenchStride <> $BenchOffset " +
+      "AND doc_id IN (SELECT doc_id FROM good) " +
+      "AND doc_id NOT IN (SELECT doc_id FROM cont)"
+
   // ------------------------------------------------- repetition metrics
 
   /** Gopher-style repetition filters over `documents`: fraction of

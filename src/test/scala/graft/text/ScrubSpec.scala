@@ -47,6 +47,30 @@ class ScrubSpec extends AnyFunSuite {
     assert(got.nonEmpty, "benchmark slice must catch real contamination")
   }
 
+  test("curatedCorpus equals the exact reconstruction from its component gates (sf0.01)") {
+    val spark = SparkSpec.spark
+    val dir = "/root/testdata/sf0.01"
+    val kept = Scrub.curatedCorpus(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val docs = graft.ops.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val fpKeeper = docs
+      .groupBy { case (_, t) => t.toLowerCase.replaceAll("[^a-z0-9]", "") }
+      .map { case (_, grp) => grp.map(_._1).min }.toSet
+    val good = TextQueries.quality(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("quality") === "good")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val contaminated = Scrub.decontaminate(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = docs.map(_._1).filter { id =>
+      fpKeeper(id) && good(id) && !contaminated(id) &&
+        id % Scrub.BenchStride != Scrub.BenchOffset
+    }.toSet
+    assert(kept === expected)
+    assert(kept.nonEmpty && kept.size < docs.length)
+  }
+
   test("repetition metrics equal a driver-side recount (sf0.001)") {
     val spark = SparkSpec.spark
     val docs = graft.ops.Tables.documents(spark, sfDir)
