@@ -181,6 +181,18 @@ object StreamingFraud {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Streaming twin of exact dedup (q16/q25): drop later arrivals of the
+    * same canonical fingerprint. `dropDuplicatesWithinWatermark` keeps
+    * per-fp state only inside the watermark horizon — bounded state at
+    * 100 TB/day ingest, with the documented relaxation that a duplicate
+    * arriving after the horizon is re-admitted (cross-horizon dedup is
+    * the batch job's responsibility). Input: (doc_id, ts, text). */
+  def dedupDocStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** File-source entry: watch a landing directory of claim CSVs (the
     * app.py upload loop), tag, and write per-micro-batch result CSVs. */
   def fileStream(spark: SparkSession, landingDir: String, outDir: String,

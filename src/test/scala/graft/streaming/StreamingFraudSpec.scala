@@ -15,6 +15,32 @@ class StreamingFraudSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
 
+  test("streaming dedup drops same-fingerprint docs within the watermark horizon") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = StreamingFraud.dedupDocStream(docs)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, Timestamp.valueOf("2025-07-01 10:00:00"), "alpha beta gamma"),
+        (2L, Timestamp.valueOf("2025-07-01 10:01:00"), "Alpha, beta GAMMA!"), // same canonical fp
+        (3L, Timestamp.valueOf("2025-07-01 10:02:00"), "delta epsilon"))
+      query.processAllAvailable()
+      input.addData( // second batch: another copy of fp(alpha beta gamma), one new doc
+        (4L, Timestamp.valueOf("2025-07-01 10:10:00"), "alpha beta gamma"),
+        (5L, Timestamp.valueOf("2025-07-01 10:11:00"), "zeta eta"))
+      query.processAllAvailable()
+      val ids = spark.sql("select doc_id from dedup_stream")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 3L, 5L), s"got $ids")
+    } finally query.stop()
+  }
+
   test("two micro-batches tag DuplicateAadhaar/FrequentClaims/HighClaimAmount from state") {
     val spark = SparkSpec.spark
     import spark.implicits._
