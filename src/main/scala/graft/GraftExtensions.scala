@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{FusedCosine, GraftFunctions}
+import graft.plans.AsOfJoinStrategy
+
+/** The single `spark.sql.extensions` entry point for the library:
+  * `spark.sql.extensions=graft.GraftExtensions` registers every custom
+  * Catalyst piece cluster-wide — the `fused_cosine` SQL function and the
+  * native as-of-join planner strategy. Set automatically by
+  * `graft.Sessions.local`; on shared infrastructure it goes in
+  * `spark-defaults.conf`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("fused_cosine"),
+      new ExpressionInfo(classOf[FusedCosine].getCanonicalName, "fused_cosine"),
+      GraftFunctions.fusedCosineBuilder _))
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
+}

@@ -16,7 +16,7 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // registers graft's custom planner strategies (native as-of join)
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     val s = extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

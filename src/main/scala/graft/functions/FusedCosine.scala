@@ -1,15 +1,12 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.GraftSqlShim
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<double>` columns: dot product and both norms in ONE pass over
@@ -100,7 +97,7 @@ object GraftFunctions {
     GraftSqlShim.column(
       FusedCosine(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
 
-  private[functions] def fusedCosineBuilder(exprs: Seq[Expression]): Expression = {
+  private[graft] def fusedCosineBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, s"fused_cosine expects 2 arguments, got ${exprs.length}")
     FusedCosine(exprs(0), exprs(1))
   }
@@ -111,13 +108,5 @@ object GraftFunctions {
       "fused_cosine", fusedCosineBuilder, "built-in")
 }
 
-/** SparkSessionExtensions hook: `spark.sql.extensions=graft.functions.
-  * GraftExtensions` makes `fused_cosine` available in every session of
-  * the cluster — the idiomatic deployment on shared infrastructure. */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("fused_cosine"),
-      new ExpressionInfo(classOf[FusedCosine].getCanonicalName, "fused_cosine"),
-      GraftFunctions.fusedCosineBuilder _))
-}
+// Cluster-wide SQL registration lives in `graft.GraftExtensions`
+// (spark.sql.extensions), alongside the custom planner strategies.

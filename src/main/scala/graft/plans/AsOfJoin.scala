@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, SparkSessionExtensions}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, NullsFirst,
@@ -135,12 +135,6 @@ object AsOfJoinStrategy extends SparkStrategy {
       AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
-}
-
-/** `spark.sql.extensions` entry point (set by graft.Sessions.local). */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
 }
 
 /** Column-name-level API over the native node. */

@@ -97,6 +97,6 @@ class FusedCosineSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-15)
     // extensions entry point constructs without error and injects the same builder
     val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new GraftExtensions().apply(ext)
+    new graft.GraftExtensions().apply(ext)
   }
 }
