@@ -273,6 +273,42 @@ object DedupQueries {
       "UNION SELECT a.src, r.lbl FROM adj a JOIN reach r ON r.doc_id = a.nb) " +
       "SELECT doc_id, min(lbl) AS cluster FROM reach GROUP BY doc_id"
 
+  // ------------------------------------------------- fuzzy record linkage
+
+  val FuzzyMaxEdit = 3
+
+  /** Blocked fuzzy matching (record linkage) over the part-name
+    * dictionary: DISTINCT names first (the dictionary is orders of
+    * magnitude smaller than the fact table — dedupe names, not rows),
+    * block on the product word (last token), self-join within blocks,
+    * verify with exact Levenshtein ≤ [[FuzzyMaxEdit]].
+    *
+    * Scale shape: the distinct-name aggregate is the only pass over the
+    * big table; the pair join runs on the tiny dictionary. At 100 TB
+    * the blocking key graduates from one token to q-gram LSH bands
+    * (same band→bucket→verify pipeline as MinHash), keeping candidate
+    * counts near-linear in dictionary size. */
+  def fuzzyNameMatch(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d)
+      .select(col("p_name").as("name"))
+      .distinct()
+      .withColumn("blk", element_at(split(col("name"), " "), -1))
+    names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
+      .withColumn("dist", levenshtein(col("a.name"), col("b.name")))
+      .filter(col("dist") <= FuzzyMaxEdit)
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        col("dist"))
+  }
+
+  val fuzzyNameMatchSql: String =
+    "WITH names AS (SELECT DISTINCT p_name AS name, " +
+      "list_extract(string_split(p_name, ' '), len(string_split(p_name, ' '))) AS blk FROM part) " +
+      "SELECT a.name AS name_a, b.name AS name_b, " +
+      "CAST(levenshtein(a.name, b.name) AS INT) AS dist " +
+      "FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name " +
+      s"WHERE levenshtein(a.name, b.name) <= $FuzzyMaxEdit"
+
   /** SimHash near-dup pairs: pigeonhole block join, then exact Hamming
     * verification ≤ maxHamming (not registered as a query — the block
     * fingerprints are the oracle-checked artifact; this is the

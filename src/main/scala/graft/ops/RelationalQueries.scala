@@ -383,4 +383,88 @@ object RelationalQueries {
       "full_c AS (SELECT DISTINCT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')), " +
       "never_c AS (SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) " +
       "SELECT DISTINCT c_custkey FROM ((SELECT c_custkey FROM open_c EXCEPT SELECT c_custkey FROM full_c) UNION SELECT c_custkey FROM never_c)"
+
+  // --------------------------------------------- time-range moving average
+
+  val MovingAvgWindowSec = 3600L
+
+  /** Trailing 1-hour moving average per user over event time — a RANGE
+    * frame (value-based, not row-count-based), the shape rolling feature
+    * stores compute. One window over one hash-partitioning of events by
+    * user_id; the frame is evaluated incrementally per partition, so
+    * cost is O(rows), not O(rows × frame width). Ordering key is epoch
+    * seconds (Spark range frames need a numeric sort key); same-second
+    * peers enter the frame together in both engines. */
+  def movingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec"))
+      .rangeBetween(-MovingAvgWindowSec, 0)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_timestamp(col("ts")).as("ts_sec"))
+      .select(col("event_id"), col("user_id"), col("ts_sec"),
+        round(avg("value").over(w), 4).as("avg_1h"),
+        count(lit(1)).over(w).as("n_1h"))
+  }
+
+  // floor(epoch(ts)), not CAST: epoch() keeps fractional seconds and a
+  // double→int CAST rounds, while Spark's unix_timestamp truncates
+  val movingAvgSql: String =
+    "SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, " +
+      s"round(avg(value) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN $MovingAvgWindowSec PRECEDING AND CURRENT ROW), 4) AS avg_1h, " +
+      s"count(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN $MovingAvgWindowSec PRECEDING AND CURRENT ROW) AS n_1h " +
+      "FROM events"
+
+  // -------------------------------------------------- multi-quantile agg
+
+  val QuantilePoints: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)
+
+  /** Exact multi-quantile per group: one `percentile` aggregate computes
+    * the whole quantile vector in a single pass (sorting each group's
+    * values once, not once per quantile), then the vector unnests to
+    * (group, q, value) rows. Exact-with-interpolation matches DuckDB's
+    * quantile_cont; the documented 100 TB switch is approx_percentile
+    * with the same array-of-points call shape. */
+  def groupQuantiles(s: SparkSession, d: String): DataFrame = {
+    val pts = QuantilePoints.mkString("array(", ", ", ")")
+    val qlabels = array(QuantilePoints.map(lit): _*)
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr(s"percentile(l_extendedprice, $pts)").as("qv"))
+      .select(col("l_returnflag"), posexplode(col("qv")).as(Seq("qi", "qval")))
+      .select(col("l_returnflag"),
+        element_at(qlabels, col("qi") + 1).as("q"),
+        round(col("qval"), 4).as("qval"))
+  }
+
+  val groupQuantilesSql: String = {
+    val pts = QuantilePoints.mkString("[", ", ", "]")
+    // parallel unnests of equal-length lists zip positionally in DuckDB
+    s"SELECT l_returnflag, unnest($pts) AS q, " +
+      s"round(unnest(quantile_cont(l_extendedprice, $pts)), 4) AS qval " +
+      "FROM lineitem GROUP BY l_returnflag"
+  }
+
+  // ------------------------------------------------------------ histogram
+
+  val HistBinWidth = 25000.0
+
+  /** Fixed-width histogram of order totals: bin assignment is a pure
+    * projection (floor division — no data-dependent bounds, so no extra
+    * pass to find min/max), then one hash aggregate with map-side
+    * partials. The classic first-look profiling op; at 100 TB it's a
+    * single shuffle of (bin → partial counts), ~dozens of groups. */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(floor(col("o_totalprice") / HistBinWidth).cast("long").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"),
+        round(avg("o_totalprice"), 4).as("mean"))
+
+  val histogramSql: String =
+    s"SELECT CAST(floor(o_totalprice / $HistBinWidth) AS BIGINT) AS bin, count(*) AS n, " +
+      "round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi, " +
+      "round(avg(o_totalprice), 4) AS mean " +
+      "FROM orders GROUP BY 1"
 }

@@ -237,4 +237,41 @@ object SimilarityQueries {
 
   val embeddingNearDupSql: String =
     s"SELECT vec_a, vec_b, cos FROM ($cosineLshPairsSql) WHERE cos >= $NearDupMinCos"
+
+  // -------------------------------------------- random-projection compress
+
+  val RpDims = 16
+
+  /** Sign-random-projection embedding compression 64 → [[RpDims]] dims
+    * (Achlioptas ±1 matrices preserve dot products in expectation; the
+    * JL workhorse for shrinking embedding stores before ANN indexing).
+    *
+    * The projection matrix row for output dim k is the 64 bits of
+    * md5-lower("rp<k>") mapped to ±1 — engine-independent, so the DuckDB
+    * oracle regenerates the identical matrix from the same strings and
+    * no literal matrix ships in the SQL. Spark-side the masks are 16
+    * long literals folded into a codegen'd HOF chain (transform over
+    * aggregate): per-row compute, no UDF, no shuffle; output is
+    * (vec_id, k, proj) long-form. The summation order (j = 0..63) is
+    * fixed and identical in both engines, so doubles match bit-for-bit
+    * before the display rounding. */
+  def randomProjection(s: SparkSession, d: String): DataFrame = {
+    val masks = Array.tabulate(RpDims)(k => Hashing.md5Lower64(s"rp$k"))
+    val maskArr = masks.mkString("array(", "L, ", "L)")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(expr(
+          s"transform($maskArr, m -> round(aggregate(sequence(0, ${Dim - 1}), 0D, " +
+            "(acc, j) -> acc + CAST(embedding[j] AS DOUBLE) * " +
+            "(CASE WHEN (shiftright(m, j) & 1) = 1 THEN 1.0D ELSE -1.0D END)), 4))"))
+          .as(Seq("k", "proj")))
+  }
+
+  val randomProjectionSql: String =
+    s"WITH ks AS (SELECT unnest(generate_series(0, ${RpDims - 1})) AS k), " +
+      "m AS (SELECT k, md5_number_lower('rp' || k) AS mask FROM ks) " +
+      "SELECT e.vec_id, CAST(m.k AS INT) AS k, " +
+      s"round(list_sum(list_transform(generate_series(0, ${Dim - 1}), " +
+      "j -> CAST(e.embedding[j + 1] AS DOUBLE) * (CASE WHEN (m.mask >> j) & 1 = 1 THEN 1.0 ELSE -1.0 END))), 4) AS proj " +
+      "FROM embeddings e CROSS JOIN m"
 }

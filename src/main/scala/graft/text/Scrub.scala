@@ -154,6 +154,43 @@ object Scrub {
       "AND doc_id IN (SELECT doc_id FROM good) " +
       "AND doc_id NOT IN (SELECT doc_id FROM cont)"
 
+  // ------------------------------------------------ cross-doc chunk dedup
+
+  /** Cross-document repeated-chunk removal — the line-level dedup of
+    * CCNet/RefinedWeb, with q39's fixed 256-char chunks standing in for
+    * lines (the corpus has no newlines). A chunk is dropped when its
+    * hash occurs in ≥ 2 DISTINCT documents; per-doc survival stats come
+    * out as the keep-list signal.
+    *
+    * Plan shape: chunk-explode → one hash aggregate keyed on chunk_hash
+    * (count distinct docs, map-side partial), join back on chunk_hash
+    * (same key → AQE reuses the exchange layout), then one aggregate
+    * keyed on doc_id. Everything moves as 16-byte md5s; no pair
+    * explosion anywhere, so it scales as O(total chunks), and the
+    * boilerplate chunks shared by thousands of docs are exactly the
+    * rows the first aggregate collapses. */
+  def chunkDedup(s: SparkSession, d: String): DataFrame = {
+    val chunks = TextQueries.chunkDocs(s, d)
+      .select("doc_id", "chunk_hash")
+    val docFreq = chunks.groupBy("chunk_hash")
+      .agg(countDistinct("doc_id").as("n_docs"))
+    chunks.join(docFreq, "chunk_hash")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") === 1, 1).otherwise(0)).as("n_kept"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_chunks"), 4).as("kept_frac"))
+  }
+
+  val chunkDedupSql: String =
+    s"WITH chunks AS (SELECT doc_id, chunk_hash FROM (${TextQueries.chunkDocsSql})), " +
+      "df AS (SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY chunk_hash) " +
+      "SELECT c.doc_id, count(*) AS n_chunks, " +
+      "CAST(sum(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+      "round(CAST(sum(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS kept_frac " +
+      "FROM chunks c JOIN df USING (chunk_hash) GROUP BY c.doc_id"
+
   // ------------------------------------------------- repetition metrics
 
   /** Gopher-style repetition filters over `documents`: fraction of
