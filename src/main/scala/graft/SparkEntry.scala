@@ -80,6 +80,14 @@ object SparkEntry {
     "q47_asof_native"         -> (RelationalQueries.asofJoinNative _),
     // training-data pipeline: end-to-end curation keep-list
     "q48_curated_corpus"      -> (Scrub.curatedCorpus _),
+    // round-4 registrations: record linkage, rolling features, profiling,
+    // JL compression, chunk-level dedup
+    "q49_fuzzy_name_match"    -> ((s: SparkSession, d: String) => DedupQueries.fuzzyNameMatch(s, d)),
+    "q50_moving_avg"          -> (RelationalQueries.movingAvg _),
+    "q51_group_quantiles"     -> (RelationalQueries.groupQuantiles _),
+    "q52_histogram"           -> (RelationalQueries.histogram _),
+    "q53_random_projection"   -> ((s: SparkSession, d: String) => SimilarityQueries.randomProjection(s, d)),
+    "q54_chunk_dedup"         -> (Scrub.chunkDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -131,5 +139,11 @@ object SparkEntry {
     "q46_decontaminate"       -> Scrub.decontaminateSql,
     "q47_asof_native"         -> RelationalQueries.asofJoinNativeSql,
     "q48_curated_corpus"      -> Scrub.curatedCorpusSql,
+    "q49_fuzzy_name_match"    -> DedupQueries.fuzzyNameMatchSql,
+    "q50_moving_avg"          -> RelationalQueries.movingAvgSql,
+    "q51_group_quantiles"     -> RelationalQueries.groupQuantilesSql,
+    "q52_histogram"           -> RelationalQueries.histogramSql,
+    "q53_random_projection"   -> SimilarityQueries.randomProjectionSql,
+    "q54_chunk_dedup"         -> Scrub.chunkDedupSql,
   )
 }

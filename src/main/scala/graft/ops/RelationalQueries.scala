@@ -406,12 +406,14 @@ object RelationalQueries {
         count(lit(1)).over(w).as("n_1h"))
   }
 
-  // floor(epoch(ts)), not CAST: epoch() keeps fractional seconds and a
-  // double→int CAST rounds, while Spark's unix_timestamp truncates
+  // Integer math only: epoch_ns // 1000 // 1000000 reproduces Spark's
+  // nanos→micros→seconds truncation exactly, with no double rounding
+  // (epoch() returns a double whose ~190 ns resolution can round a ts
+  // just below a whole second upward).
   val movingAvgSql: String =
-    "SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, " +
-      s"round(avg(value) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN $MovingAvgWindowSec PRECEDING AND CURRENT ROW), 4) AS avg_1h, " +
-      s"count(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) RANGE BETWEEN $MovingAvgWindowSec PRECEDING AND CURRENT ROW) AS n_1h " +
+    "SELECT event_id, user_id, (epoch_ns(ts) // 1000) // 1000000 AS ts_sec, " +
+      s"round(avg(value) OVER (PARTITION BY user_id ORDER BY (epoch_ns(ts) // 1000) // 1000000 RANGE BETWEEN $MovingAvgWindowSec PRECEDING AND CURRENT ROW), 4) AS avg_1h, " +
+      s"count(*) OVER (PARTITION BY user_id ORDER BY (epoch_ns(ts) // 1000) // 1000000 RANGE BETWEEN $MovingAvgWindowSec PRECEDING AND CURRENT ROW) AS n_1h " +
       "FROM events"
 
   // -------------------------------------------------- multi-quantile agg
@@ -438,8 +440,10 @@ object RelationalQueries {
 
   val groupQuantilesSql: String = {
     val pts = QuantilePoints.mkString("[", ", ", "]")
-    // parallel unnests of equal-length lists zip positionally in DuckDB
-    s"SELECT l_returnflag, unnest($pts) AS q, " +
+    // parallel unnests of equal-length lists zip positionally in DuckDB;
+    // the label cast matters — a bare [0.25, …] list is DECIMAL(3,2) and
+    // stringifies as '0.50' where Spark's double gives '0.5'
+    s"SELECT l_returnflag, CAST(unnest($pts) AS DOUBLE) AS q, " +
       s"round(unnest(quantile_cont(l_extendedprice, $pts)), 4) AS qval " +
       "FROM lineitem GROUP BY l_returnflag"
   }

@@ -257,6 +257,12 @@ object SimilarityQueries {
     * before the display rounding. */
   def randomProjection(s: SparkSession, d: String): DataFrame = {
     val masks = Array.tabulate(RpDims)(k => Hashing.md5Lower64(s"rp$k"))
+    // Long.MinValue would render as -9223372036854775808L, which Spark's
+    // parser rejects (unary minus over an out-of-range positive literal);
+    // impossible with the fixed 'rp*' inputs, but fail loudly if the salt
+    // or RpDims ever changes.
+    require(masks.forall(_ != Long.MinValue),
+      "random-projection mask hit Long.MinValue; change the salt")
     val maskArr = masks.mkString("array(", "L, ", "L)")
     Tables.embeddings(s, d)
       .select(col("vec_id"),
