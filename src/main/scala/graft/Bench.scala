@@ -18,9 +18,13 @@ object Bench {
     val spark = Sessions.local()
     // one row out, every column computed: xor-fold of per-row hashes
     // (bit_xor, not sum — ANSI mode makes a sum of hashes overflow)
-    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit = {
       df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
         .agg(bit_xor(col("h"))).head()
+      // queries may persist small intermediates (e.g. candidate pair
+      // sets); drop them so residue never accumulates across the run
+      spark.catalog.clearCache()
+    }
     // Untimed warmup at the smallest SF: runs every query shape once so
     // JIT + codegen + file-index costs don't land on the first timed
     // queries (q01 carried ~3.5 s of session warmup in r1/r2 numbers).

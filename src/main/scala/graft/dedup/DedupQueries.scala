@@ -116,7 +116,24 @@ object DedupQueries {
   /** Pair generation from a PRECOMPUTED band table — at 100 TB persist
     * [[minHashBands]] once (parquet, bucketed by band_val) and pass it
     * here: the self-join then reads the signature table twice instead
-    * of recomputing every signature on both sides of the join. */
+    * of recomputing every signature on both sides of the join.
+    *
+    * Candidates come from a band-table SELF-JOIN on (band, band_val):
+    * both sides shuffle on the same key from the same canonical subplan,
+    * so ReuseExchange computes the signature UDF once and the hash join
+    * STREAMS each bucket's pair space — an r4 experiment that rewrote
+    * this as groupBy + collect_set + a pair-exploding HOF materialized
+    * each bucket's O(B²) pair array in memory and was 10× slower on the
+    * skewed buckets (measured: q19 2.0 s → 20.9 s at sf0.1). Join wins.
+    *
+    * The exact-Jaccard verify stage (r4) joins the tiny candidate pair
+    * set against the docs table TWICE (doc_a text, doc_b text) — AQE
+    * sees the pair set's runtime size and broadcasts it, so both doc
+    * scans stream map-side with ZERO corpus shuffle — and shingles per
+    * pair inside the verify UDF. Verify cost scales with candidate
+    * count, not corpus size (the r3 version shingled every document,
+    * twice); per-pair text shipping is no heavier than the r3 design,
+    * which shipped the even-larger distinct-shingle arrays per pair. */
   def minHashJaccardPairsFromBands(bands: DataFrame, docs: DataFrame,
                                    minJaccard: Double = MinJaccard): DataFrame = {
     val cand = bands.as("a")
@@ -126,22 +143,22 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // shingle ONCE per doc (a dup-heavy doc appears in many pairs); the
-    // join ships distinct-shingle arrays, and the pair UDF only
-    // intersects sets — mirrors the oracle's shs CTE
-    val shingleUdf = udf { (text: String) =>
-      Hashing.wordShingles(text, ShingleN).distinct
+    // exact shingle-set Jaccard per candidate pair — mirrors the
+    // oracle's shs CTE
+    val jaccardUdf = udf { (ta: String, tb: String) =>
+      Hashing.exactJaccard(
+        Hashing.wordShingles(ta, ShingleN).distinct,
+        Hashing.wordShingles(tb, ShingleN).distinct)
     }
-    val jaccardUdf = udf { (sa: Seq[String], sb: Seq[String]) =>
-      Hashing.exactJaccard(sa.toArray, sb.toArray)
-    }
-    val shingled = docs
-      .select(col("doc_id"), shingleUdf(col("text")).as("ss"))
+    // no broadcast hint: AQE broadcasts the pair side when its runtime
+    // size allows (the common case) and falls back to a shuffled join
+    // when a dup-heavy corpus makes the pair set itself large — a
+    // pinned hint would OOM exactly there
     cand
-      .join(shingled.select(col("doc_id").as("doc_a"), col("ss").as("ss_a")), "doc_a")
-      .join(shingled.select(col("doc_id").as("doc_b"), col("ss").as("ss_b")), "doc_b")
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(jaccardUdf(col("ss_a"), col("ss_b")), 4).as("jaccard"))
+        round(jaccardUdf(col("text_a"), col("text_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

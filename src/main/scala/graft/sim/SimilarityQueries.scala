@@ -180,14 +180,20 @@ object SimilarityQueries {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val cents = emb.filter(col("vec_id") % CentStride === CentOffset)
       .select(col("vec_id").as("cent_id"), col("e").as("ce"))
-    // nearest-centroid assignment (ties: round(cos,6) then lowest cent_id)
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(round(col("ccos"), 6).desc, col("cent_id"))
+    // nearest-centroid assignment (ties: round(cos,6) then lowest
+    // cent_id) as a lexicographic struct-max AGGREGATE, not a window:
+    // the map-side partial collapses the (vec × centroid) rows in the
+    // same stage that generates them, so only one struct per vector
+    // crosses the wire — the r3 window shuffled the whole cross product
+    // (embedding arrays included) to sort it. any_value(e) is exact:
+    // e is functionally dependent on the group key.
     val assigned = emb.crossJoin(broadcast(cents))
       .withColumn("ccos", cosineExpr("e", "ce"))
-      .withColumn("arank", row_number().over(wAssign))
-      .filter(col("arank") === 1)
-      .select(col("vec_id"), col("cent_id"), col("e"))
+      .groupBy("vec_id")
+      .agg(
+        max(struct(round(col("ccos"), 6).as("c"), (-col("cent_id")).as("nc"))).as("m"),
+        any_value(col("e")).as("e"))
+      .select(col("vec_id"), (-col("m.nc")).as("cent_id"), col("e"))
     val queries = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
     val wProbe = Window.partitionBy("qid")

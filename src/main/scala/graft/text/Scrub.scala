@@ -92,13 +92,21 @@ object Scrub {
   }
 
   def decontaminate(s: SparkSession, d: String): DataFrame = {
+    // Two branches over the gram table, met by a BROADCAST hash join on
+    // the gram md5: the bench side (the eval suite — tiny by nature) is
+    // the build side, so the corpus side streams map-side and never
+    // shuffles. An r4 experiment fused this into one groupBy(gh) +
+    // collect_set pass — "one scan" but it forced a full shuffle of
+    // every corpus gram row, 3.4× slower at sf0.1. Pushing the bench
+    // filter INTO the scan (doc_id % stride) keeps the double scan
+    // cheap; at 100 TB the bench grams are a persisted side table.
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), explode(gramsUdf(col("text"))).as("gram"))
       .select(col("doc_id"), md5(col("gram")).as("gh"))
     val bench = grams.filter(col("doc_id") % BenchStride === BenchOffset)
       .select(col("doc_id").as("bench_id"), col("gh"))
     val corpus = grams.filter(col("doc_id") % BenchStride =!= BenchOffset)
-    corpus.join(bench, "gh")
+    corpus.join(broadcast(bench), "gh")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
   }
@@ -131,15 +139,22 @@ object Scrub {
   def curatedCorpus(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    val good = TextQueries.quality(s, d)
-      .filter(col("quality") === "good").select("doc_id")
+    // quality gate INLINED into the main scan (r4): q23's 'good' verdict
+    // is a pure per-row predicate on the same table, so evaluating it in
+    // place removes a second documents scan and a semi-join exchange —
+    // the oracle still phrases it as the semi-join, same rows out.
+    val nTok = size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    val stopPred = Seq("the", "a", "of", "and", "is", "to")
+      .map(w => s"t = '$w'").mkString(" OR ")
+    val nStop = size(expr(s"filter(split(text, ' '), t -> $stopPred)"))
+    val isGood = nTok >= 20 &&
+      (nStop.cast("double") / greatest(nTok, lit(1))) < 0.6
     val contaminated = decontaminate(s, d).select("doc_id").distinct()
     docs
       .withColumn("fp", md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
       .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
       .filter(col("doc_id") === col("keep_id") &&
-        col("doc_id") % BenchStride =!= BenchOffset)
-      .join(good, Seq("doc_id"), "left_semi")
+        col("doc_id") % BenchStride =!= BenchOffset && isGood)
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
   }
