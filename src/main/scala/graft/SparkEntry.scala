@@ -88,6 +88,15 @@ object SparkEntry {
     "q52_histogram"           -> (RelationalQueries.histogram _),
     "q53_random_projection"   -> ((s: SparkSession, d: String) => SimilarityQueries.randomProjection(s, d)),
     "q54_chunk_dedup"         -> (Scrub.chunkDedup _),
+    // round-4 additions: sequence packing, banded range join, TF-IDF,
+    // bloom runtime-filter decontamination, inverted index, weighted
+    // deterministic sampling
+    "q55_sequence_pack"       -> (graft.text.CorpusOps.sequencePack _),
+    "q56_range_join"          -> (RelationalQueries.rangeJoin _),
+    "q57_tfidf"               -> (graft.text.CorpusOps.tfIdf _),
+    "q58_bloom_decontaminate" -> (Scrub.bloomDecontaminate _),
+    "q59_inverted_index"      -> (graft.text.CorpusOps.invertedIndex _),
+    "q60_weighted_sample"     -> (graft.text.CorpusOps.weightedSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -145,5 +154,11 @@ object SparkEntry {
     "q52_histogram"           -> RelationalQueries.histogramSql,
     "q53_random_projection"   -> SimilarityQueries.randomProjectionSql,
     "q54_chunk_dedup"         -> Scrub.chunkDedupSql,
+    "q55_sequence_pack"       -> graft.text.CorpusOps.sequencePackSql,
+    "q56_range_join"          -> RelationalQueries.rangeJoinSql,
+    "q57_tfidf"               -> graft.text.CorpusOps.tfIdfSql,
+    "q58_bloom_decontaminate" -> Scrub.bloomDecontaminateSql,
+    "q59_inverted_index"      -> graft.text.CorpusOps.invertedIndexSql,
+    "q60_weighted_sample"     -> graft.text.CorpusOps.weightedSampleSql,
   )
 }

@@ -471,4 +471,63 @@ object RelationalQueries {
       "round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi, " +
       "round(avg(o_totalprice), 4) AS mean " +
       "FROM orders GROUP BY 1"
+
+  // ------------------------------------------------------ interval/range join
+
+  /** 25 deterministic audit windows derived from the nation table: window
+    * k opens at 2024-01-01T00:00Z + k·28h and lasts 10h — they tile the
+    * events table's January span with gaps and overlaps, which is what
+    * makes the range predicate non-trivial. */
+  val RangeT0Sec    = 1704067200L // 2024-01-01 00:00:00 UTC
+  val RangeStepSec  = 28L * 3600
+  val RangeWidthSec = 10L * 3600
+  val RangeBucketSec = 3600L
+
+  /** Interval (range) join: events × audit windows on
+    * `start ≤ ts < end`, aggregated per window. Spark has no native
+    * range-join operator, and the naive formulation is a
+    * BroadcastNestedLoopJoin that compares every event against every
+    * window — O(n·m). This is the BANDED rewrite: both sides map to
+    * hour buckets (each window explodes to the ~10 buckets it covers),
+    * the join becomes an EQUI-join on the bucket plus a residual range
+    * filter, and the pair space shrinks from (events × windows) to
+    * (events × windows-overlapping-their-hour).
+    *
+    * Scale: the bucket width trades replication (windows appear in
+    * width/bucket rows — here 10) against candidate precision; at
+    * 100 TB pick bucket ≈ median window width, broadcast the exploded
+    * window table when small, and the event side streams map-side with
+    * NO shuffle. Completely generic: as-of joins (q32/q47) handle the
+    * "latest before" flavor, this handles full interval containment. */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val windows = nation(s, d).select(
+      col("n_nationkey").as("window_id"),
+      (lit(RangeT0Sec) + col("n_nationkey") * RangeStepSec).as("start_sec"))
+      .withColumn("end_sec", col("start_sec") + RangeWidthSec)
+    val exploded = windows.select(col("window_id"), col("start_sec"), col("end_sec"),
+      explode(sequence(
+        (col("start_sec") / RangeBucketSec).cast("long"),
+        ((col("end_sec") - 1) / RangeBucketSec).cast("long"))).as("hb"))
+    val ev = events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_timestamp(col("ts")).as("es"))
+      .withColumn("hb", (col("es") / RangeBucketSec).cast("long"))
+    ev.join(broadcast(exploded), "hb")
+      .filter(col("es") >= col("start_sec") && col("es") < col("end_sec"))
+      .groupBy("window_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        round(avg("value"), 4).as("avg_value"))
+  }
+
+  /** The oracle states the range join the way a user would write it —
+    * a plain inequality join — and DuckDB executes its own IEJoin. */
+  val rangeJoinSql: String =
+    s"WITH w AS (SELECT n_nationkey AS window_id, $RangeT0Sec + n_nationkey * $RangeStepSec AS start_sec FROM nation), " +
+      "e AS (SELECT event_id, user_id, value, (epoch_ns(ts) // 1000) // 1000000 AS es FROM events) " +
+      "SELECT w.window_id, count(*) AS n_events, count(DISTINCT e.user_id) AS n_users, " +
+      "round(avg(e.value), 4) AS avg_value " +
+      s"FROM e JOIN w ON e.es >= w.start_sec AND e.es < w.start_sec + $RangeWidthSec " +
+      "GROUP BY w.window_id"
 }

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Tables
@@ -121,6 +121,58 @@ object Scrub {
        |corpus AS (SELECT doc_id, gh FROM gh WHERE doc_id % $BenchStride <> $BenchOffset)
        |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
        |FROM corpus c JOIN bench b ON c.gh = b.gh GROUP BY c.doc_id, b.bench_id""".stripMargin.replace("\n", " ")
+  }
+
+  // ------------------------------- bloom-prefiltered decontamination
+
+  /** Benchmark decontamination with a RUNTIME-FILTER shape: build a
+    * ~32 KB Bloom sketch over the bench side's gram hashes (distributed
+    * [[graft.functions.Bloom.BloomAgg]], OR-merged partials), broadcast
+    * the bits, prefilter the corpus grams MAP-SIDE, and only the
+    * survivors (true matches + the sketch's small false-positive set)
+    * enter the exact hash join that q46 pays for every gram. The exact
+    * join kills the false positives, so the output is EXACT — the bloom
+    * stage only changes how many rows move, which is the entire game at
+    * 100 TB: shuffle volume drops by the true-negative rate (~99% here)
+    * for 32 KB of broadcast.
+    *
+    * Output: per corpus doc, how many of its distinct 8-grams appear
+    * anywhere in the bench slice. The one-row sketch collect is bounded
+    * (32 KB) and the only driver-side state. */
+  def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val gh64 = udf { (gram: String) => graft.dedup.Hashing.md5Lower64(gram) }
+    def grams = Tables.documents(s, d)
+      .select(col("doc_id"), explode(gramsUdf(col("text"))).as("gram"))
+      .select(col("doc_id"), gh64(col("gram")).as("gh"))
+    val isBench = col("doc_id") % BenchStride === BenchOffset
+    val benchGh = grams.filter(isBench).select("gh").distinct()
+    val bloomUdaf = udaf(new graft.functions.Bloom.BloomAgg, Encoders.scalaLong)
+    val bits = benchGh.agg(bloomUdaf(col("gh"))).head.getSeq[Long](0).toArray
+    val bc = s.sparkContext.broadcast(bits)
+    val mightContain = udf { (gh: Long) =>
+      graft.functions.Bloom.mightContain(bc.value, gh)
+    }
+    grams.filter(!isBench)
+      .filter(mightContain(col("gh")))           // map-side bloom prefilter
+      .join(broadcast(benchGh), "gh")            // exact verify (kills FPs)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_flagged"))
+  }
+
+  /** Oracle: the exact semantics the bloom pipeline must reproduce —
+    * distinct corpus grams counted when present in the bench gram set
+    * (the 64-bit md5 slice is the join key in both engines). */
+  val bloomDecontaminateSql: String = {
+    val n = DecontamN
+    s"""WITH ws AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS w FROM documents),
+       |gr AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) < $n THEN [array_to_string(w, ' ')]
+       |  ELSE [array_to_string(w[i:i+${n - 1}], ' ') for i in range(1, len(w) - ${n - 2})] END)) AS gram FROM ws),
+       |gh AS (SELECT doc_id, md5_number_lower(gram) AS gh FROM gr),
+       |bench AS (SELECT DISTINCT gh FROM gh WHERE doc_id % $BenchStride = $BenchOffset)
+       |SELECT doc_id, count(*) AS n_flagged
+       |FROM gh JOIN bench USING (gh)
+       |WHERE doc_id % $BenchStride <> $BenchOffset
+       |GROUP BY doc_id""".stripMargin.replace("\n", " ")
   }
 
   // ------------------------------------------------- corpus curation
