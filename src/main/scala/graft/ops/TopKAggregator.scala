@@ -49,6 +49,36 @@ object TopKAggregator {
   def topK(k: Int) = udaf(new TopK(k),
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Entry]())
 
+  /** Bounded min-K over long keys: keeps the k SMALLEST inputs in an
+    * ascending sorted buffer — the posting-list accumulator for the
+    * inverted index (q59). Same map-side-partial story as [[TopK]]:
+    * each task reduces its input to ≤ k ids per group before the
+    * exchange, so no full posting list ever materializes anywhere —
+    * the fix for the r4 scale-killer that collect_set'd every doc id
+    * per term before slicing. Inputs are assumed pre-deduplicated
+    * (q59 stage 1 groups on (term, doc_id) first); a duplicated input
+    * would occupy two buffer slots by design — dedup belongs in the
+    * plan, where it shuffles as a hash aggregate, not in this buffer. */
+  final class MinK(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
+    private def insert(buf: List[Long], v: Long): List[Long] = {
+      val (head, tail) = buf.span(_ < v)
+      val merged = head ::: v :: tail
+      if (merged.length > k) merged.take(k) else merged
+    }
+    override def zero: List[Long] = Nil
+    override def reduce(b: List[Long], a: Long): List[Long] = insert(b, a)
+    override def merge(b1: List[Long], b2: List[Long]): List[Long] =
+      b2.foldLeft(b1)(insert)
+    override def finish(r: List[Long]): Seq[Long] = r
+    override def bufferEncoder: Encoder[List[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Untyped column form of [[MinK]]. */
+  def minK(k: Int) = udaf(new MinK(k), Encoders.scalaLong)
+
   /** Top-3 customers by account balance per nation — the Aggregator in
     * a registered query. Output exploded to flat rows; rank recovered
     * from the (already sorted) buffer position. */

@@ -110,23 +110,32 @@ object CorpusOps {
     * Terms below [[MinDf]] docs are dropped (the classic index-pruning
     * knob, and it bounds output rows).
     *
-    * Scale: one explode + one hash aggregate keyed on the term.
-    * collect_set is bounded per group by the posting cap only AFTER
-    * sort+slice — at 100 TB the cap moves INTO the aggregate (a bounded
-    * top-K accumulator like ops.TopKAggregator, ≤ cap ids per key per
-    * task) so no full posting list ever materializes; the registered
-    * shape keeps collect_set because the oracle must see identical
-    * semantics and per-term doc sets here are small. */
+    * Scale (the r5 rewrite): TWO bounded hash aggregates, no unbounded
+    * per-term buffer anywhere.
+    *   1. groupBy(term, doc_id) → per-doc term count. Pure codegen'd
+    *      hash aggregate with map-side partials; it both dedups doc ids
+    *      per term and yields tf in one pass.
+    *   2. groupBy(term): df = count (rows are distinct by construction),
+    *      total_tf = sum, posting = [[graft.ops.TopKAggregator.MinK]] —
+    *      a ≤-[[PostingCap]]-slot accumulator, so each task ships at
+    *      most cap ids per term across the exchange.
+    * The r4 shape (countDistinct + collect_set in ONE aggregate) forced
+    * an Expand-based distinct plan AND materialized every term's full
+    * posting list before slicing — 45 s at sf0.1, 22% of the whole
+    * bench, and an OOM at 100× (a stopword's posting list is the corpus
+    * doc-id set). Measured after the rewrite: 2.9 s isolated at sf0.1. */
   def invertedIndex(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), explode(expr(
         "regexp_extract_all(text, '[a-z0-9]+', 0)")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf_td"))
       .groupBy("term")
       .agg(
-        countDistinct("doc_id").as("df"),
-        count(lit(1)).as("total_tf"),
+        count(lit(1)).as("df"),
+        sum("tf_td").as("total_tf"),
         array_join(
-          slice(sort_array(collect_set(col("doc_id"))), 1, PostingCap),
+          graft.ops.TopKAggregator.minK(PostingCap)(col("doc_id")),
           ",").as("posting"))
       .filter(col("df") >= MinDf)
 

@@ -46,6 +46,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Exchange")) <= 2, p)
   }
 
+  test("q59 inverted index: bounded aggregates, no Expand, no collect_set") {
+    val p = plan("q59_inverted_index")
+    // the r4 countDistinct+collect_set shape planned an Expand (distinct
+    // rewrite) and an unbounded per-term set buffer; the r5 two-stage
+    // plan must show neither — just hash aggregates + the MinK udaf
+    assert(!p.contains("Expand"), p)
+    assert(!p.contains("collect_set"), p)
+    assert(p.contains("ObjectHashAggregate"), p) // MinK partial+merge
+  }
+
   test("q11 autoencoder scoring plan is shuffle-free") {
     val p = plan("q11_autoencoder_score")
     assert(!p.contains("Exchange"), p)
