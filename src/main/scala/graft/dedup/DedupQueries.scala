@@ -246,7 +246,18 @@ object DedupQueries {
       minHashJaccardPairs(s, d, minJaccard).select("doc_a", "doc_b"))
 
   /** Core label propagation: (doc_id) vertices × (doc_a, doc_b) edges →
-    * (doc_id, cluster = min reachable doc_id). */
+    * (doc_id, cluster = min reachable doc_id).
+    *
+    * r5 loop shape — ONE join + ONE aggregate + ONE driver action per
+    * iteration (the r4 shape ran join→agg→join per round plus a second
+    * join+count job for the convergence check, VERDICT r4 item 5):
+    *  - the adjacency carries a SELF-LOOP per vertex, so the per-round
+    *    msg join + min-agg yields min(own ∪ neighbors) directly — no
+    *    trailing left-join back onto labels;
+    *  - the self-loop row also smuggles the vertex's OWN previous label
+    *    through the aggregate (min over rows where nb = src), so the
+    *    convergence signal (labels are monotone non-increasing:
+    *    changed ⇔ new < old) rides the same pass. */
   def clustersFromEdges(docs: DataFrame, edges: DataFrame,
                         maxIters: Int = 50): DataFrame = {
     // both edge orientations from ONE pass over the (expensive) pair
@@ -256,29 +267,29 @@ object DedupQueries {
         struct(col("doc_a").as("src"), col("doc_b").as("nb")),
         struct(col("doc_b").as("src"), col("doc_a").as("nb")))).as("e"))
       .select(col("e.src").as("src"), col("e.nb").as("nb"))
+      .union(docs.select(col("doc_id").as("src"), col("doc_id").as("nb")))
       .persist()
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      val nbMin = adj
+      val next = adj
         .join(labels.select(col("doc_id").as("nb"), col("cluster")), "nb")
         .groupBy(col("src").as("doc_id"))
-        .agg(min("cluster").as("nb_cluster"))
-      val next = labels
-        .join(nbMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nb_cluster"), col("cluster"))).as("cluster"))
+        .agg(
+          min("cluster").as("cluster"),
+          min(when(col("nb") === col("src"), col("cluster"))).as("old"))
+        .select(col("doc_id"), col("cluster"),
+          (col("cluster") < col("old")).as("chg"))
         .persist()
-      changed = next
-        .join(labels.select(col("doc_id"), col("cluster").as("old")), "doc_id")
-        .filter(col("cluster") =!= col("old")).count()
+      changed = next.agg(sum(when(col("chg"), 1L).otherwise(0L))).head()
+        .getLong(0)
       labels.unpersist() // no-op on iteration 0 (initial labels unpersisted)
       labels = next
       iter += 1
     }
     adj.unpersist()
-    labels
+    labels.select("doc_id", "cluster")
   }
 
   /** DuckDB twin: min reachable id per node via a recursive CTE over the
