@@ -32,13 +32,23 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None        => SparkEntry.queries
     }
-    // Untimed warmup at the smallest SF: runs every SELECTED query shape
-    // once so JIT + codegen + file-index costs don't land on the first
+    // Untimed warmup: runs every SELECTED query shape once at a smaller
+    // SF so JIT + codegen + file-index costs don't land on the first
     // timed queries (q01 carried ~3.5 s of session warmup in r1/r2
-    // numbers). Timed results below still include each query's own full
-    // execution.
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
-      new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001").getPath)
+    // numbers). Warmup tier is sf0.01, NOT sf0.001: the r4 bench showed
+    // 6-19s of C2/janino warmup landing on whichever query first
+    // exercised a hot UDF path at scale (q31 "14x regression", q19
+    // 20.9 s first / 5.5 s warm — same plan), and sf0.001's 10x-smaller
+    // row counts neither trigger C2 compilation nor AQE's at-scale join
+    // choices. Measured: with sf0.01 warmup q21/q31 both time ~1.1 s;
+    // with sf0.001 warmup whichever runs first costs 6.6 s. Timed
+    // results below still include each query's own full execution.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", {
+      val p = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01")
+      if (p.isDirectory && p.getPath != sfDir)
+        p.getPath
+      else new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001").getPath
+    })
     if (new java.io.File(warmDir).isDirectory) {
       selected.foreach { case (_, fn) =>
         try materialize(fn(spark, warmDir)) catch { case _: Throwable => () }

@@ -175,25 +175,37 @@ object SimilarityQueries {
     * lists per query, exact cosine top-k within the probed lists only.
     * Output schema matches [[cosineTopK]] so recall@k is measurable by
     * direct comparison (see SimilaritySpec). */
-  def ivfTopK(s: SparkSession, d: String, k: Int = 5, nProbe: Int = NProbe): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+  def ivfTopK(s: SparkSession, d: String, k: Int = 5, nProbe: Int = NProbe): DataFrame =
+    ivfTopKFrom(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e")),
+      k, nProbe)
+
+  /** DataFrame-level core of [[ivfTopK]]: input (vec_id, e).
+    *
+    * Nearest-centroid assignment (ties: round(cos,6) then lowest
+    * cent_id) is a rank-1 WINDOW over the (vec × centroid) cross
+    * product. The r4 round rewrote this as a lexicographic struct-max
+    * aggregate on the theory that map-side partials would collapse the
+    * cross product before the exchange; measured head-to-head
+    * (tools.VariantBench, sf0.1 and 3×-inflated 6k-vector input) the
+    * window form is consistently ~40% faster — the ObjectHashAggregate
+    * buffers (struct + any_value array copy per group per task) cost
+    * more than the single codegen'd shuffle+sort, at every volume that
+    * fits an executor. The aggregate variant is kept in VariantBench
+    * for the record; at cluster scale the assignment stage is
+    * broadcast-map-side either way and the exchange it feeds is keyed
+    * by cent_id, so the local measurement is the deciding one. */
+  def ivfTopKFrom(emb: DataFrame, k: Int = 5, nProbe: Int = NProbe): DataFrame = {
     val cents = emb.filter(col("vec_id") % CentStride === CentOffset)
       .select(col("vec_id").as("cent_id"), col("e").as("ce"))
-    // nearest-centroid assignment (ties: round(cos,6) then lowest
-    // cent_id) as a lexicographic struct-max AGGREGATE, not a window:
-    // the map-side partial collapses the (vec × centroid) rows in the
-    // same stage that generates them, so only one struct per vector
-    // crosses the wire — the r3 window shuffled the whole cross product
-    // (embedding arrays included) to sort it. any_value(e) is exact:
-    // e is functionally dependent on the group key.
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(round(col("ccos"), 6).desc, col("cent_id"))
     val assigned = emb.crossJoin(broadcast(cents))
       .withColumn("ccos", cosineExpr("e", "ce"))
-      .groupBy("vec_id")
-      .agg(
-        max(struct(round(col("ccos"), 6).as("c"), (-col("cent_id")).as("nc"))).as("m"),
-        any_value(col("e")).as("e"))
-      .select(col("vec_id"), (-col("m.nc")).as("cent_id"), col("e"))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("cent_id"), col("e"))
     val queries = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
     val wProbe = Window.partitionBy("qid")

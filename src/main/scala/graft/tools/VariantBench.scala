@@ -1,0 +1,103 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tables
+import graft.sim.SimilarityQueries
+
+/** Head-to-head timings of alternative formulations of the same
+  * operator (the measurements PERF_NOTES.md cites). Each variant is
+  * warmed once at a smaller SF, then timed to full materialization at
+  * the target SF — same protocol as Bench.
+  *
+  * Usage: runMain graft.tools.VariantBench <variant...>
+  * Variants: ivf_struct_max | ivf_window | <none = all>
+  */
+object VariantBench {
+
+  /** The r4 IVF assignment experiment: nearest centroid via a
+    * lexicographic struct-max AGGREGATE over the (vec × centroid) cross
+    * product instead of the rank-1 window. Measured consistently ~40%
+    * SLOWER than the window (sf0.1: ~1.2 vs ~0.8 s; 3×-inflated input:
+    * ~4.7 vs ~2.8 s) — the ObjectHashAggregate struct buffers +
+    * any_value array copies cost more than one codegen'd shuffle+sort.
+    * Kept here, out of the registered query, for the A/B record. */
+  def ivfStructMaxFrom(emb: DataFrame, k: Int = 5,
+                       nProbe: Int = SimilarityQueries.NProbe): DataFrame = {
+    import SimilarityQueries._
+    val cents = emb.filter(col("vec_id") % CentStride === CentOffset)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosineExpr("e", "ce"))
+      .groupBy("vec_id")
+      .agg(
+        max(struct(round(col("ccos"), 6).as("c"), (-col("cent_id")).as("nc"))).as("m"),
+        any_value(col("e")).as("e"))
+      .select(col("vec_id"), (-col("m.nc")).as("cent_id"), col("e"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(round(col("qcos"), 6).desc, col("cent_id"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("qcos", cosineExpr("qe", "ce"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nProbe)
+      .select(col("qid"), col("qe"), col("cent_id"))
+    val wTop = Window.partitionBy("qid")
+      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+    probes.join(assigned, "cent_id")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineExpr("qe", "e"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** The sf0.1 embeddings table is only 2k vectors — overhead-scale for
+    * an ANN A/B. Inflate by `times` with id-shifted copies (same dim,
+    * same centroid stride semantics) so the cross-product shuffle the
+    * two assignment variants differ on actually has volume. */
+  def inflatedEmb(s: SparkSession, d: String, times: Int): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .select(explode(expr(s"sequence(0, ${times - 1})")).as("cp"),
+        col("vec_id"), col("e"))
+      .select((col("vec_id") + col("cp") * lit(1000000L)).as("vec_id"), col("e"))
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+
+  val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ivf_window"        -> ((s, d) => SimilarityQueries.ivfTopK(s, d)),
+    "ivf_struct_max"    -> ((s, d) => ivfStructMaxFrom(emb(s, d))),
+    "ivf_window_3x"     -> ((s, d) => SimilarityQueries.ivfTopKFrom(inflatedEmb(s, d, 3))),
+    "ivf_struct_max_3x" -> ((s, d) => ivfStructMaxFrom(inflatedEmb(s, d, 3))),
+  )
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.01")
+    val spark = graft.Sessions.local()
+    val sel = if (args.isEmpty) variants.keys.toSeq.sorted else args.toSeq
+    def materialize(df: DataFrame): Unit = {
+      df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+        .agg(bit_xor(col("h"))).head()
+      spark.catalog.clearCache()
+    }
+    sel.foreach { name =>
+      val fn = variants(name)
+      materialize(fn(spark, warmDir)) // warm JIT/codegen off the clock
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        materialize(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[variant] $name%-16s ${times.map(t => f"$t%.2f").mkString(" ")} s (3 runs, $sfDir)")
+    }
+    spark.stop()
+  }
+}
