@@ -97,6 +97,9 @@ object SparkEntry {
     "q58_bloom_decontaminate" -> (Scrub.bloomDecontaminate _),
     "q59_inverted_index"      -> (graft.text.CorpusOps.invertedIndex _),
     "q60_weighted_sample"     -> (graft.text.CorpusOps.weightedSample _),
+    // round-5: the quantile scale path (approx-bracket exact percentiles)
+    // as its own oracle-checked query
+    "q61_quantile_approx"     -> (graft.ops.Quantiles.quantileApprox _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -160,5 +163,6 @@ object SparkEntry {
     "q58_bloom_decontaminate" -> Scrub.bloomDecontaminateSql,
     "q59_inverted_index"      -> graft.text.CorpusOps.invertedIndexSql,
     "q60_weighted_sample"     -> graft.text.CorpusOps.weightedSampleSql,
+    "q61_quantile_approx"     -> graft.ops.Quantiles.quantileApproxSql,
   )
 }

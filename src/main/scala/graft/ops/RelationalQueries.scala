@@ -74,12 +74,16 @@ object RelationalQueries {
     "SELECT c.c_custkey, CASE WHEN n.n_seg > 1 THEN 'MultiSegment' ELSE 'Normal' END AS flag FROM customer c JOIN (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_seg FROM customer GROUP BY c_nationkey) n ON c.c_nationkey = n.c_nationkey"
 
   /** A4: exact p99 (linear interpolation — pandas `quantile` semantics,
-    * run_pipeline.py:34) + strict `>` filter. At 100 TB swap the scalar for
-    * `approx_percentile(l_extendedprice, 0.99, 10000)`; the filter plan is
-    * unchanged. */
+    * run_pipeline.py:34) + strict `>` filter. The scalar comes from
+    * [[Quantiles.exactPercentile]] — the approx-bracket two-pass plan
+    * with bounded aggregation state — NOT the single-buffer exact
+    * `percentile` aggregate that r1-r4 shipped (every value of the
+    * column in one buffer; the identified q05 scale-killer). Value is
+    * identical (QuantilesSpec asserts bit-equality), so the strict-`>`
+    * filter and the oracle are unchanged. */
   def quantileP99(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
-    val p99 = li.agg(expr("percentile(l_extendedprice, 0.99)")).head().getDouble(0)
+    val p99 = Quantiles.exactPercentile(li, "l_extendedprice", 0.99)
     li.filter(col("l_extendedprice") > lit(p99))
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
   }
@@ -124,7 +128,9 @@ object RelationalQueries {
     * partitioning, so the exchange is reused (one shuffle total). */
   def ruleTags(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
-    val p99 = o.agg(expr("percentile(o_totalprice, 0.99)")).head().getDouble(0)
+    // bracket-exact scalar (bit-identical to the single-buffer
+    // `percentile` aggregate — see Quantiles / QuantilesSpec)
+    val p99 = Quantiles.exactPercentile(o, "o_totalprice", 0.99)
     val wKey  = Window.partitionBy("o_custkey")
     val wLag  = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     val days  = datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(wLag))
