@@ -100,6 +100,10 @@ object SparkEntry {
     // round-5: the quantile scale path (approx-bracket exact percentiles)
     // as its own oracle-checked query
     "q61_quantile_approx"     -> (graft.ops.Quantiles.quantileApprox _),
+    // round-5: the SimHash pair consumer (q18's downstream) and the
+    // bounded-partition sequence packer (q55's deployed layout)
+    "q62_simhash_pairs"       -> ((s: SparkSession, d: String) => DedupQueries.simHashPairs(s, d)),
+    "q63_sequence_pack_bucketed" -> (graft.text.CorpusOps.sequencePackBucketed _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -164,5 +168,7 @@ object SparkEntry {
     "q59_inverted_index"      -> graft.text.CorpusOps.invertedIndexSql,
     "q60_weighted_sample"     -> graft.text.CorpusOps.weightedSampleSql,
     "q61_quantile_approx"     -> graft.ops.Quantiles.quantileApproxSql,
+    "q62_simhash_pairs"       -> DedupQueries.simHashPairsSql,
+    "q63_sequence_pack_bucketed" -> graft.text.CorpusOps.sequencePackBucketedSql,
   )
 }

@@ -337,10 +337,12 @@ object DedupQueries {
       "FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name " +
       s"WHERE levenshtein(a.name, b.name) <= $FuzzyMaxEdit"
 
-  /** SimHash near-dup pairs: pigeonhole block join, then exact Hamming
-    * verification ≤ maxHamming (not registered as a query — the block
-    * fingerprints are the oracle-checked artifact; this is the
-    * downstream consumer). */
+  /** SimHash near-dup pairs (q62): pigeonhole block join, then exact
+    * Hamming verification ≤ maxHamming. Registered in r5 — r4 shipped
+    * only the block fingerprints (q18) and left this downstream
+    * consumer unchecked. Scale shape is q18's: one shuffle on the
+    * (block index, block value) key whose space is 2^16 per index, then
+    * a codegen'd xor+popcount on the candidate pairs only. */
   def simHashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
     val simUdf = udf { (text: String) => Hashing.simHash64(Hashing.tokens(text)) }
     val fp = Tables.documents(s, d)
@@ -358,5 +360,35 @@ object DedupQueries {
         hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** DuckDB twin of [[simHashPairs]]: reassembles the full 64-bit
+    * fingerprint from the same md5-token bit votes as [[simHashSql]],
+    * converts the unsigned sum to two's-complement BIGINT (so xor +
+    * bit_count sees the identical bit pattern as the JVM Long), joins
+    * on the 16-bit pigeonhole blocks, and verifies Hamming ≤ 3.
+    * Block extraction `(h >> 16k) & 65535` is shift-kind-proof: the
+    * mask keeps only bits the arithmetic/logical fill can't touch. */
+  val simHashPairsSql: String = {
+    val two63 = "CAST('9223372036854775808' AS HUGEINT)"
+    val two64 = "CAST('18446744073709551616' AS HUGEINT)"
+    ("""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS tok FROM documents),
+       |th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+       |bits AS (SELECT doc_id, b,
+       |  CASE WHEN sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM th, range(64) r(b) GROUP BY doc_id, b),
+       |hraw AS (SELECT doc_id, sum(CASE WHEN bit = 1 THEN CAST(1 AS HUGEINT) << CAST(b AS INT) ELSE CAST(0 AS HUGEINT) END) AS h
+       |  FROM bits GROUP BY doc_id),
+       |fp AS (SELECT d.doc_id,
+       |  CAST(CASE WHEN coalesce(hraw.h, CAST(0 AS HUGEINT)) >= """ + two63 +
+      " THEN coalesce(hraw.h, CAST(0 AS HUGEINT)) - " + two64 +
+      """ ELSE coalesce(hraw.h, CAST(0 AS HUGEINT)) END AS BIGINT) AS simhash
+       |  FROM documents d LEFT JOIN hraw ON hraw.doc_id = d.doc_id),
+       |blocks AS (SELECT doc_id, simhash, k, (simhash >> CAST(k * 16 AS INT)) & 65535 AS bv FROM fp, range(4) r(k)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM blocks a JOIN blocks b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+       |FROM cand JOIN fp x ON x.doc_id = cand.doc_a JOIN fp y ON y.doc_id = cand.doc_b
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""").stripMargin.replace("\n", " ")
   }
 }

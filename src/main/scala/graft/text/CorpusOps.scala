@@ -55,6 +55,43 @@ object CorpusOps {
       s"CAST(cum_before % $PackBudget AS BIGINT) AS offset FROM c"
   }
 
+  /** Documents per (lang, bucket) packing cell for [[sequencePackBucketed]]. */
+  val PackBucketDocs = 500L
+
+  /** The BOUNDED-PARTITION sequence packer (q63) — the deployed layout
+    * [[sequencePack]]'s scaladoc promises: identical cumulative-sum plan,
+    * but the window partitions on (lang, bucket) where bucket is a
+    * fixed-width doc_id range. Each packing cell re-zeroes its shard
+    * numbering ((lang, bucket, shard) is the global shard key), so the
+    * widest window partition is bounded by [[PackBucketDocs]] documents
+    * REGARDLESS of corpus size — `lang` alone has fixed cardinality and
+    * would serialize a 100 TB pack onto a handful of partitions. At
+    * deploy time bucket is a date/ingest-batch key; doc_id ranges are
+    * the deterministic stand-in the oracle can reproduce. */
+  def sequencePackBucketed(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(split(trim(col("text")), "\\s+"))
+    val w = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), nTok.as("n_tok"),
+        expr(s"doc_id div $PackBucketDocs").as("bucket"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("n_tok"),
+        (col("cum_before") / PackBudget).cast("long").as("shard"),
+        (col("cum_before") % PackBudget).as("offset"))
+  }
+
+  val sequencePackBucketedSql: String = {
+    val nTok = "len(string_split_regex(trim(text), '\\s+'))"
+    val cum = "coalesce(sum(n_tok) OVER (PARTITION BY lang, bucket ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    s"WITH t AS (SELECT doc_id, lang, CAST($nTok AS INT) AS n_tok, " +
+      s"CAST(doc_id // $PackBucketDocs AS BIGINT) AS bucket FROM documents), " +
+      s"c AS (SELECT doc_id, lang, bucket, n_tok, $cum AS cum_before FROM t) " +
+      s"SELECT doc_id, lang, bucket, n_tok, CAST(cum_before // $PackBudget AS BIGINT) AS shard, " +
+      s"CAST(cum_before % $PackBudget AS BIGINT) AS offset FROM c"
+  }
+
   // ------------------------------------------------------------- TF-IDF
 
   val TfIdfTopK = 5
