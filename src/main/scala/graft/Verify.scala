@@ -35,7 +35,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Emit SQL only for the queries whose parquet was (re)written in THIS
+    // run: with SPARK_GRAFT_VERIFY_ONLY set, unselected entries would pair
+    // fresh SQL with stale/missing parquet and a manifest-driven comparator
+    // would report misleading results for queries this run never touched.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
