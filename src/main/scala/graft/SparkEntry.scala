@@ -104,6 +104,18 @@ object SparkEntry {
     // bounded-partition sequence packer (q55's deployed layout)
     "q62_simhash_pairs"       -> ((s: SparkSession, d: String) => DedupQueries.simHashPairs(s, d)),
     "q63_sequence_pack_bucketed" -> (graft.text.CorpusOps.sequencePackBucketed _),
+    // round-6: connected components by large-star/small-star contraction
+    // (the adversarial-diameter path), same output contract as q45
+    "q64_cc_largestar"        -> ((s: SparkSession, d: String) => DedupQueries.dedupClustersLargeStar(s, d)),
+    // round-6: deterministic sketches (KMV distinct, count-min), the
+    // hash-free third dedup family, and three classic warehouse shapes
+    // (cube, salted join, ordered funnel)
+    "q65_kmv_distinct"        -> (graft.ops.Sketches.kmvDistinct _),
+    "q66_countmin_freq"       -> (graft.ops.Sketches.countMinFreq _),
+    "q67_ngram_jaccard"       -> ((s: SparkSession, d: String) => DedupQueries.charNgramJaccardPairs(s, d)),
+    "q68_cube_agg"            -> (RelationalQueries.cubeAgg _),
+    "q69_salted_join"         -> (RelationalQueries.saltedJoinRevenue _),
+    "q70_event_funnel"        -> (RelationalQueries.eventFunnel _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -170,5 +182,12 @@ object SparkEntry {
     "q61_quantile_approx"     -> graft.ops.Quantiles.quantileApproxSql,
     "q62_simhash_pairs"       -> DedupQueries.simHashPairsSql,
     "q63_sequence_pack_bucketed" -> graft.text.CorpusOps.sequencePackBucketedSql,
+    "q64_cc_largestar"        -> DedupQueries.dedupClustersSql,
+    "q65_kmv_distinct"        -> graft.ops.Sketches.kmvDistinctSql,
+    "q66_countmin_freq"       -> graft.ops.Sketches.countMinFreqSql,
+    "q67_ngram_jaccard"       -> DedupQueries.charNgramJaccardPairsSql,
+    "q68_cube_agg"            -> RelationalQueries.cubeAggSql,
+    "q69_salted_join"         -> RelationalQueries.saltedJoinRevenueSql,
+    "q70_event_funnel"        -> RelationalQueries.eventFunnelSql,
   )
 }

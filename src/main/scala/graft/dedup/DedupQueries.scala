@@ -301,6 +301,223 @@ object DedupQueries {
       "UNION SELECT a.src, r.lbl FROM adj a JOIN reach r ON r.doc_id = a.nb) " +
       "SELECT doc_id, min(lbl) AS cluster FROM reach GROUP BY doc_id"
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC '14) — the adversarial-diameter alternative to
+    * [[clustersFromEdges]]: min-label propagation needs O(diameter)
+    * rounds, star contraction O(log² n) regardless of graph shape, so
+    * a chain-of-100k component costs ~tens of rounds instead of 100k.
+    * Near-dup graphs are usually shallow (clusters are near-cliques),
+    * which is why propagation is the default; this is the swap-in when
+    * the edge distribution is unknown or adversarial.
+    *
+    * Per round, the edge set is REWRITTEN (not annotated):
+    *  - large-star: every node connects its strictly-LARGER neighbors
+    *    to its neighborhood minimum — per edge (u,v), u<v, exactly one
+    *    emission (v, min Γ⁺(u)), so the set never grows;
+    *  - small-star: with edges oriented hi→lo, every hi connects its
+    *    smaller neighbors and itself to their collective minimum.
+    * Both are one hash-agg (min per node, map-side partial) + one
+    * re-join per round — the same keyed-shuffle shape as one
+    * propagation step, never a per-node neighbor list in a buffer
+    * (hub nodes would make `collect_set` the q59-style scale-killer).
+    * The fixpoint is a forest of stars centered at each component's
+    * minimum id, read off as the final labels. Convergence is detected
+    * by a (count, xor-of-edge-hashes) signature of the edge set — one
+    * driver action per round holding two longs, never vertex state (a
+    * 2⁻⁶⁴ signature collision would only stop one round early on an
+    * already-star-shaped graph).
+    */
+  def clustersLargeSmallStar(docs: DataFrame, edges: DataFrame,
+                             maxIters: Int = 50): DataFrame =
+    clustersLargeSmallStarWithStats(docs, edges, maxIters)._1
+
+  /** [[clustersLargeSmallStar]] plus the number of LS+SS rounds it took
+    * — exposed so tests can assert the O(log) round count on planted
+    * deep-chain graphs. */
+  private[graft] def clustersLargeSmallStarWithStats(
+      docs: DataFrame, edges: DataFrame,
+      maxIters: Int = 50): (DataFrame, Int) = {
+    def canon(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      Seq(least(a, b).as("lo"), greatest(a, b).as("hi"))
+    // localCheckpoint, not persist: persist caches the DATA but keeps
+    // the full LOGICAL plan, so after k rounds Catalyst re-analyzes a
+    // plan that nests the entire upstream pair pipeline k levels deep —
+    // planning time, not execution, dominates the loop. Checkpointing
+    // truncates the lineage to a scan of the materialized edge set
+    // (~|E| rows). On a cluster this becomes reliable `checkpoint` to
+    // durable storage; locally the executor-memory variant is exact.
+    var e = edges.filter(col("doc_a") =!= col("doc_b"))
+      .select(canon(col("doc_a"), col("doc_b")): _*)
+      .distinct().localCheckpoint(true)
+    // edge-set signature: (row count, xor of per-edge hashes). Order-
+    // independent, computed over the just-checkpointed edge set.
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("lo"), col("hi"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(e)
+    var iter = 0
+    var stable = false
+    while (!stable && iter < maxIters) {
+      // ---- large-star: (v, min Γ⁺(u)) for every neighbor v > u
+      val sym = e.select(explode(array(
+          struct(col("lo").as("src"), col("hi").as("nb")),
+          struct(col("hi").as("src"), col("lo").as("nb")))).as("p"))
+        .select(col("p.src").as("src"), col("p.nb").as("nb"))
+      val mins = sym.groupBy("src").agg(min("nb").as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      // emitted pairs always have m ≤ src < nb, so (m, nb) is canonical
+      val e1 = sym.filter(col("nb") > col("src"))
+        .join(mins, "src")
+        .filter(col("nb") =!= col("m"))
+        .select(col("m").as("lo"), col("nb").as("hi"))
+        .distinct()
+      // ---- small-star: edges are already oriented hi→lo; each hi
+      // links its smaller neighbors and itself to their minimum
+      val smins = e1.groupBy("hi").agg(min("lo").as("m"))
+      val e2 = e1.join(smins, "hi")
+        .select(col("m").as("lo"), col("lo").as("hi"))   // (v, m) for v ∈ N(hi)
+        .union(smins.select(col("m").as("lo"), col("hi")))// (hi, m)
+        .filter(col("lo") =!= col("hi"))                  // drops v = m
+        .distinct().localCheckpoint(true)
+      val nsig = signature(e2)
+      e.unpersist()
+      stable = nsig == sig
+      sig = nsig
+      e = e2
+      iter += 1
+    }
+    val labels = docs
+      .join(e.groupBy(col("hi").as("doc_id")).agg(min("lo").as("cluster")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    (labels, iter)
+  }
+
+  /** q64: the same cluster labels as q45, computed by star contraction —
+    * registered so the adversarial-diameter path is oracle-checked, not
+    * a comment. Oracle: identical SQL to q45 (same output contract). */
+  def dedupClustersLargeStar(s: SparkSession, d: String,
+                             minJaccard: Double = MinJaccard): DataFrame =
+    clustersLargeSmallStar(
+      Tables.documents(s, d).select("doc_id"),
+      minHashJaccardPairs(s, d, minJaccard).select("doc_a", "doc_b"))
+
+  // ------------------------------------------- character-n-gram Jaccard
+
+  val CharGramN     = 5 // 3-grams measured useless here: background J is
+                        // 0.4-0.7 on the small synthetic vocabulary;
+                        // 5-grams drop every non-dup pair below 0.4
+                        // while true near-dups stay >= 0.8
+  val CharGramMinJ  = 0.8
+  val CharBandRows  = 6  // 10 bands x 6 rows (of the 64 shared perms):
+  val CharBands     = 10 // P[band hit] = J^6 is 0.7% per band at the
+                         // J=0.3 background, 53% at J=0.9, so candidate
+                         // volume tracks near-dups (the q19-style 32x2
+                         // layout passed 99.6% of the 0.2-0.4 background
+                         // mass and the verify stage ate 313 s at sf0.1)
+
+  /** q67 — n-gram Jaccard near-dup pairs at the CHARACTER level: exact
+    * char-5-gram set Jaccard, the robust-to-tokenization dedup family
+    * next to word-shingle MinHash (q19) and SimHash (q62). Candidates
+    * come from MinHash-LSH banding over the char-gram sets (reusing
+    * q19's permutation constants, re-bucketed 10 bands × 6 rows) and
+    * the emitted score is the EXACT Jaccard recomputed per candidate;
+    * the oracle recomputes the identical bands, so LSH misses agree
+    * bit-for-bit. Recall at the τ=0.8 threshold: 1−(1−J⁶)¹⁰ ≈ 95% at
+    * J=0.8, 99.95% at J=0.9 (where this corpus's true dups live).
+    *
+    * This operator is the round's measured lesson in candidate
+    * generation — three designs built, two are dead ends HERE:
+    *  1. naive (lang, length-bucket) block join: 75 s at sf0.1 — a
+    *     universal trigram pairs everyone in a 1000-doc block;
+    *  2. textbook positional prefix filtering (ppjoin Lemma 1,
+    *     rarest-first order, integer-exact prefix lengths): still 1.34M
+    *     candidates for 5 true pairs, 30 s — even the RAREST trigram
+    *     of a doc has df ≈ 900 on this small synthetic vocabulary, so
+    *     no exact prefix scheme can prune at τ=0.8 over a ~0.55
+    *     background;
+    *  3. q19's own 32×2 band layout over trigrams: 313 s — P[band hit]
+    *     = J² passes 99.6% of the 0.2-0.4 background mass.
+    * The working design attacks BOTH knobs: 5-grams grow the gram
+    * space until background J drops under 0.4, and 6-row bands make a
+    * background hit cost J⁶. Candidate volume then tracks near-dup
+    * count, not block or background co-membership — the property that
+    * survives 100 TB. */
+  def charNgramJaccardPairs(s: SparkSession, d: String,
+                            minJ: Double = CharGramMinJ): DataFrame = {
+    val bands = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(charBandValsUdf(col("text"))).as(Seq("band", "band_val")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val jaccardUdf = udf { (ta: String, tb: String) =>
+      Hashing.exactJaccard(
+        Hashing.charShingles(ta, CharGramN),
+        Hashing.charShingles(tb, CharGramN))
+    }
+    val docs = Tables.documents(s, d)
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccardUdf(col("text_a"), col("text_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJ)
+  }
+
+  /** text -> 10 LSH band values over the char-shingle MinHash signature
+    * (first 60 of the 64 shared permutations, 6 rows per band). */
+  private val charBandValsUdf = udf { (text: String) =>
+    val base = Hashing.charShingles(text, CharGramN).map(Hashing.shingleBaseHash)
+    val sig = Hashing.minHashSignature(base, Perms)
+    Array.tabulate(CharBands) { b =>
+      val sb = new StringBuilder
+      var r = 0
+      while (r < CharBandRows) {
+        if (r > 0) sb.append(':')
+        sb.append(sig(b * CharBandRows + r))
+        r += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** doc_id, band, band_val over CHAR shingles — twin of
+    * [[charBandValsUdf]], mirroring the word-level bandsCtes. */
+  private def charBandsCtes: String =
+    s"""csh AS (SELECT doc_id, CASE WHEN len(text) < $CharGramN THEN [text]
+       |  ELSE list_transform(range(1, len(text) - ${CharGramN - 1} + 1), i -> text[i:i+${CharGramN - 1}]) END AS shingles FROM documents),
+       |$permValues,
+       |cbase AS (SELECT doc_id, CAST(md5_number_lower(s) >> 3 AS BIGINT) AS x
+       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM csh)),
+       |csig AS (SELECT doc_id, perm,
+       |  min(CAST((CAST(a AS HUGEINT) * x + b) % ${Hashing.MersennePrime} AS BIGINT)) AS v
+       |  FROM cbase, perms WHERE perm < ${CharBands * CharBandRows} GROUP BY doc_id, perm),
+       |cbands AS (SELECT doc_id, CAST(perm // $CharBandRows AS INT) AS band,
+       |  string_agg(CAST(v AS VARCHAR), ':' ORDER BY perm) AS band_val
+       |  FROM csig GROUP BY doc_id, perm // $CharBandRows)""".stripMargin
+
+  val charNgramJaccardPairsSql: String = {
+    val jac = "CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE) / " +
+      "(len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss)))"
+    (s"""WITH ${charBandsCtes},
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM cbands a JOIN cbands b ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+        |cshs AS (SELECT doc_id, list_distinct(shingles) AS ss FROM csh)
+        |SELECT doc_a, doc_b, round($jac, 4) AS jaccard
+        |FROM cand JOIN cshs x ON x.doc_id = cand.doc_a JOIN cshs y ON y.doc_id = cand.doc_b
+        |WHERE round($jac, 4) >= $CharGramMinJ""").stripMargin.replace("\n", " ")
+  }
+
   // ------------------------------------------------- fuzzy record linkage
 
   val FuzzyMaxEdit = 3

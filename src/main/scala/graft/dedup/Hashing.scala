@@ -61,6 +61,13 @@ object Hashing {
     else toks.sliding(n).map(_.mkString(" ")).toArray
   }
 
+  /** Character n-gram shingles (sliding window over the raw string,
+    * multiplicity preserved; shorter-than-n text → itself as the one
+    * shingle — mirrors [[wordShingles]]' degenerate case). */
+  def charShingles(text: String, n: Int): Array[String] =
+    if (text.length < n) Array(text)
+    else Array.tabulate(text.length - n + 1)(i => text.substring(i, i + n))
+
   /** Whitespace tokens (multiplicity preserved — SimHash weights repeat
     * tokens). */
   def tokens(text: String): Array[String] =

@@ -536,4 +536,105 @@ object RelationalQueries {
       "round(avg(e.value), 4) AS avg_value " +
       s"FROM e JOIN w ON e.es >= w.start_sec AND e.es < w.start_sec + $RangeWidthSec " +
       "GROUP BY w.window_id"
+
+  /** q68: CUBE over (returnflag, linestatus) — all four grouping sets
+    * (flag×status, flag, status, grand total) in one pass. Spark plans
+    * this as a single Expand + hash aggregate: each input row fans out
+    * once per grouping set and partial aggregation still happens
+    * map-side, so the shuffle carries pre-reduced cells (≤ |groups|·4
+    * rows per task), not the fact table — the right shape at 100 TB.
+    * Quantities are integral doubles, so the sums are exact across
+    * engines. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum("l_quantity").as("sum_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"))
+
+  val cubeAggSql: String =
+    "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, " +
+      "sum(l_quantity) AS sum_qty, round(avg(l_discount), 4) AS avg_disc " +
+      "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+
+  /** q69: the salted-join component ([[Skew.saltedJoin]]) as an
+    * oracle-checked query: lineitem ⋈ supplier with the supplier side
+    * exploded 16× and the fact side salted on l_orderkey, then revenue
+    * per supplier nation. The oracle is the PLAIN join — salting must
+    * be invisible in the result. Locally supplier would broadcast;
+    * the registered shape is the one you reach for at 100 TB when the
+    * dim outgrows broadcast AND a handful of hot keys would otherwise
+    * pin the shuffle join's reducers (AQE's skew split handles sorted
+    * shuffle joins, but not a hot key inside one reducer of a
+    * hash-partitioned agg-after-join pipeline). Revenue rounds an
+    * integral-cents computation, so cross-engine sums stay exact. */
+  def saltedJoinRevenue(s: SparkSession, d: String): DataFrame = {
+    val fact = lineitem(s, d).select(
+      col("l_suppkey"),
+      // exact cents: price has 2 decimals, so price*100 is integral
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val dim = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    Skew.saltedJoin(fact, dim,
+        col("l_suppkey"), col("s_suppkey"), col("l_suppkey") + col("cents"))
+      .groupBy("s_nationkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum("cents").as("revenue_cents"))
+  }
+
+  val saltedJoinRevenueSql: String =
+    "SELECT s_nationkey, count(*) AS n_items, " +
+      "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+      "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+      "GROUP BY s_nationkey"
+
+  /** q70: ordered event FUNNEL — per user, how far through
+    * view → click → purchase they progressed, each step strictly AFTER
+    * the previous one (the sequential-pattern query every product
+    * analytics stack ships). Three conditional-min aggregates computed
+    * in ONE pass over a single hash partitioning on user_id: stage
+    * times are min-ts of the step's events, masked to those after the
+    * previous stage via a two-level min (min click-after-first-view
+    * needs the first view, which is itself min view — both derivable
+    * in one grouped pass because min is order-insensitive; the
+    * click-after-view mask can't see the view min mid-aggregate, so
+    * the plan is two chained aggregates on the SAME user_id key — AQE
+    * reuses the exchange, no second shuffle). */
+  def eventFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+    val t2 = ev.join(t1, "user_id")
+      .groupBy("user_id")
+      .agg(
+        first("t_view").as("t_view"),
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+          col("ts"))).as("t_click"))
+    val t3 = ev.join(t2, "user_id")
+      .groupBy("user_id")
+      .agg(
+        first("t_view").as("t_view"),
+        first("t_click").as("t_click"),
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+          col("ts"))).as("t_purchase"))
+    t3.select(
+      col("user_id"),
+      (when(col("t_purchase").isNotNull, 3)
+        .when(col("t_click").isNotNull, 2)
+        .when(col("t_view").isNotNull, 1)
+        .otherwise(0)).as("funnel_stage"))
+  }
+
+  val eventFunnelSql: String =
+    """WITH t1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view FROM events GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, any_value(t1.t_view) AS t_view,
+      |  min(CASE WHEN e.event_type = 'click' AND e.ts > t1.t_view THEN e.ts END) AS t_click
+      |  FROM events e JOIN t1 USING (user_id) GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, any_value(t2.t_view) AS t_view, any_value(t2.t_click) AS t_click,
+      |  min(CASE WHEN e.event_type = 'purchase' AND e.ts > t2.t_click THEN e.ts END) AS t_purchase
+      |  FROM events e JOIN t2 USING (user_id) GROUP BY e.user_id)
+      |SELECT user_id, CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+      |  WHEN t_click IS NOT NULL THEN 2
+      |  WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS INT) AS funnel_stage FROM t3""".stripMargin.replace("\n", " ")
 }

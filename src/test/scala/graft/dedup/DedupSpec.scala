@@ -92,6 +92,41 @@ class DedupSpec extends AnyFunSuite {
     assert(agg === docs) // every doc lands in exactly one group
   }
 
+  test("large-star/small-star equals label propagation on random graphs") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val n = 24 + trial * 8
+      val ids = (0L until n).toArray
+      val edges = (for {
+        _ <- 1 to n
+        a = rnd.nextInt(n).toLong; b = rnd.nextInt(n).toLong if a != b
+      } yield (math.min(a, b), math.max(a, b))).distinct
+      val docsDf = ids.toSeq.toDF("doc_id")
+      val edgesDf = edges.toDF("doc_a", "doc_b")
+      val prop = DedupQueries.clustersFromEdges(docsDf, edgesDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = DedupQueries.clustersLargeSmallStar(docsDf, edgesDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === prop, s"trial $trial: star != propagation")
+    }
+  }
+
+  test("star contraction collapses a diameter-100 chain in O(log) rounds") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    // a 101-node path 0-1-2-…-100: worst case for propagation
+    // (needs ~100 rounds, more than the default iteration cap)
+    val ids = (0L to 100L).toSeq
+    val edges = ids.init.map(i => (i, i + 1))
+    val (labels, iters) = DedupQueries.clustersLargeSmallStarWithStats(
+      ids.toDF("doc_id"), edges.toDF("doc_a", "doc_b"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ids.map(_ -> 0L).toMap, "every chain node labels to 0")
+    assert(iters <= 12, s"expected O(log n) rounds on the chain, took $iters")
+  }
+
   test("pairs from a PERSISTED band table equal the inline computation") {
     val spark = SparkSpec.spark
     val dir = java.nio.file.Files.createTempDirectory("bands").toString + "/bands"
