@@ -127,6 +127,33 @@ class DedupSpec extends AnyFunSuite {
     assert(iters <= 12, s"expected O(log n) rounds on the chain, took $iters")
   }
 
+  test("char-5-gram Jaccard pairs: sound (all >= tau) and complete vs brute force at J >= 0.9") {
+    val spark = SparkSpec.spark
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val truthStrong = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      j = r4(Hashing.exactJaccard(
+        Hashing.charShingles(ta, DedupQueries.CharGramN),
+        Hashing.charShingles(tb, DedupQueries.CharGramN))) if j >= 0.9
+    } yield (a, b)).toSet
+    val found = DedupQueries.charNgramJaccardPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // soundness: every emitted pair really has exact J >= tau
+    found.foreach { case (a, b, j) =>
+      assert(j >= DedupQueries.CharGramMinJ, s"pair ($a,$b) below threshold: $j")
+    }
+    // completeness at J >= 0.9, where the 10x6 banding miss probability
+    // is < 1e-3 per pair and the fixed corpus makes the check
+    // deterministic either way
+    val foundSet = found.map(t => (t._1, t._2)).toSet
+    assert(truthStrong.subsetOf(foundSet),
+      s"missed strong pairs: ${(truthStrong -- foundSet).take(5)}")
+  }
+
   test("pairs from a PERSISTED band table equal the inline computation") {
     val spark = SparkSpec.spark
     val dir = java.nio.file.Files.createTempDirectory("bands").toString + "/bands"

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class SketchesSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("MinKDistinct buffer: insert/merge equal sorted-distinct-bottom-k") {
+    val k = 16
+    val agg = new Sketches.MinKDistinct(k)
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 20) {
+      val xs = Array.fill(200)(rnd.nextInt(50).toLong) // heavy duplicates
+      val ys = Array.fill(200)(rnd.nextInt(50).toLong)
+      val bufX = xs.foldLeft(agg.zero)(agg.reduce)
+      val bufY = ys.foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.merge(bufX, bufY)
+      val expect = (xs ++ ys).distinct.sorted.take(k).toSeq
+      assert(merged.toSeq === expect)
+    }
+  }
+
+  test("KMV estimate is exact below k and within 4/sqrt(k-1) above it") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    // below k: the sketch IS the key set (sf0.001 has < 1024 partkeys)
+    val exactSmall = Tables.lineitem(spark, sfDir)
+      .select("l_partkey").distinct().count()
+    assert(exactSmall < Sketches.KmvK)
+    val r = Sketches.kmvDistinct(spark, sfDir).head()
+    assert(r.getLong(0) === exactSmall)
+    assert(r.getDouble(2) === exactSmall.toDouble)
+    // above k: estimator error bound on a synthetic 50k-key stream
+    val n = 50000
+    val hashes = (0 until n).map(i =>
+      graft.dedup.Hashing.md5Lower64(i.toString) & Long.MaxValue)
+    val agg = new Sketches.MinKDistinct(Sketches.KmvK)
+    val buf = hashes.foldLeft(agg.zero)(agg.reduce)
+    val est = (Sketches.KmvK - 1).toDouble * math.pow(2, 63) / buf.last
+    val relErr = math.abs(est - n) / n
+    assert(relErr < 4.0 / math.sqrt(Sketches.KmvK - 1.0),
+      s"KMV rel err $relErr out of bound (est $est vs $n)")
+  }
+
+  test("count-min estimates never undercount and match exact at low load") {
+    val spark = SparkSpec.spark
+    val rows = Sketches.countMinFreq(spark, sfDir).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"suppkey ${r.getLong(0)}: est $est < exact $exact")
+    }
+    // sf0.001 has ~6k lineitem rows over 4096 cells — collisions are
+    // rare enough that most probes are exact; all of them overestimate
+    assert(rows.count(r => r.getLong(1) === r.getLong(2)) >= 10)
+  }
+}
