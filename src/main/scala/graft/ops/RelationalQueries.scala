@@ -592,38 +592,33 @@ object RelationalQueries {
   /** q70: ordered event FUNNEL — per user, how far through
     * view → click → purchase they progressed, each step strictly AFTER
     * the previous one (the sequential-pattern query every product
-    * analytics stack ships). Three conditional-min aggregates computed
-    * in ONE pass over a single hash partitioning on user_id: stage
-    * times are min-ts of the step's events, masked to those after the
-    * previous stage via a two-level min (min click-after-first-view
-    * needs the first view, which is itself min view — both derivable
-    * in one grouped pass because min is order-insensitive; the
-    * click-after-view mask can't see the view min mid-aggregate, so
-    * the plan is two chained aggregates on the SAME user_id key — AQE
-    * reuses the exchange, no second shuffle). */
+    * analytics stack ships). The three conditional stage-minima are
+    * CHAINED WINDOW aggregates over one `user_id` partitioning
+    * (click-min is masked by the view-min window column, purchase-min
+    * by the click-min — each window value is constant per partition,
+    * so the mask is well-defined per row), and the final per-user
+    * reduction groups on the SAME key, which already satisfies the
+    * aggregate's required distribution — the whole funnel costs ONE
+    * shuffle of the events table. The first cut computed each stage as
+    * its own aggregate + join back; three event-sized exchanges
+    * (verified in the plan) against this plan's one. */
   def eventFunnel(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
-    val t1 = ev.groupBy("user_id")
-      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
-    val t2 = ev.join(t1, "user_id")
-      .groupBy("user_id")
-      .agg(
-        first("t_view").as("t_view"),
+    val w = Window.partitionBy("user_id")
+    events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
         min(when(col("event_type") === "click" && col("ts") > col("t_view"),
-          col("ts"))).as("t_click"))
-    val t3 = ev.join(t2, "user_id")
-      .groupBy("user_id")
-      .agg(
-        first("t_view").as("t_view"),
-        first("t_click").as("t_click"),
+          col("ts"))).over(w))
+      .withColumn("t_purchase",
         min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
-          col("ts"))).as("t_purchase"))
-    t3.select(
-      col("user_id"),
-      (when(col("t_purchase").isNotNull, 3)
-        .when(col("t_click").isNotNull, 2)
-        .when(col("t_view").isNotNull, 1)
-        .otherwise(0)).as("funnel_stage"))
+          col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(max(
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0)).as("funnel_stage"))
   }
 
   val eventFunnelSql: String =
