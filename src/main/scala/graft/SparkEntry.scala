@@ -116,6 +116,8 @@ object SparkEntry {
     "q68_cube_agg"            -> (RelationalQueries.cubeAgg _),
     "q69_salted_join"         -> (RelationalQueries.saltedJoinRevenue _),
     "q70_event_funnel"        -> (RelationalQueries.eventFunnel _),
+    // round-6: incremental batch-vs-corpus dedup (the nightly-crawl shape)
+    "q71_incremental_dedup"   -> ((s: SparkSession, d: String) => DedupQueries.incrementalDedup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -189,5 +191,6 @@ object SparkEntry {
     "q68_cube_agg"            -> RelationalQueries.cubeAggSql,
     "q69_salted_join"         -> RelationalQueries.saltedJoinRevenueSql,
     "q70_event_funnel"        -> RelationalQueries.eventFunnelSql,
+    "q71_incremental_dedup"   -> DedupQueries.incrementalDedupSql,
   )
 }

@@ -608,4 +608,83 @@ object DedupQueries {
        |FROM cand JOIN fp x ON x.doc_id = cand.doc_a JOIN fp y ON y.doc_id = cand.doc_b
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""").stripMargin.replace("\n", " ")
   }
+
+  // ------------------------------------------------- incremental dedup
+
+  val IncBatchMod = 5
+  val IncBatchRem = 4
+
+  /** q71 — INCREMENTAL dedup: deduplicate a NEW batch against an
+    * EXISTING corpus, the shape a nightly crawl actually runs (the
+    * self-join dedups q16-q19 answer "is this corpus internally
+    * clean"; production asks "which of today's documents are already
+    * in the index"). Here the batch is the doc_id % 5 == 4 slice
+    * standing in for today's crawl.
+    *
+    * Verdict per batch doc: 'exact_dup' (content md5 already in the
+    * corpus), else 'near_dup' (shares a MinHash band with a corpus doc
+    * AND verified word-shingle Jaccard >= 0.5 — q19's banding and
+    * threshold), else 'new'.
+    *
+    * Scale shape — why this is NOT just a filtered q19: the band join
+    * is batch x corpus, never corpus x corpus. At 100 TB the corpus
+    * side's md5s and band table are PERSISTED artifacts (bucketed by
+    * hash / band_val, as minHashJaccardPairsFromBands documents); the
+    * daily cost is streaming the batch's signatures against those
+    * buckets — proportional to the batch, not the index. The verify
+    * join ships text only for candidate pairs, and every stage is a
+    * keyed equi-join with no unbounded state. */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val isNew = col("doc_id") % IncBatchMod === IncBatchRem
+    val docs = Tables.documents(s, d)
+    val hashes = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val exactDup = hashes.filter(isNew)
+      .join(hashes.filter(!isNew).select("h").distinct(), Seq("h"), "left_semi")
+      .select("doc_id")
+    val bands = minHashBands(s, d)
+    val bandNew = col("doc_id") % IncBatchMod === IncBatchRem
+    val cand = bands.filter(bandNew).as("a")
+      .join(bands.filter(!bandNew).as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("corpus_id"))
+      .distinct()
+    val jaccardUdf = udf { (ta: String, tb: String) =>
+      Hashing.exactJaccard(
+        Hashing.wordShingles(ta, ShingleN).distinct,
+        Hashing.wordShingles(tb, ShingleN).distinct)
+    }
+    val nearDup = cand
+      .join(docs.select(col("doc_id"), col("text").as("text_a")), "doc_id")
+      .join(docs.select(col("doc_id").as("corpus_id"), col("text").as("text_b")), "corpus_id")
+      .filter(round(jaccardUdf(col("text_a"), col("text_b")), 4) >= MinJaccard)
+      .select("doc_id").distinct()
+    docs.filter(isNew).select("doc_id")
+      .join(exactDup.withColumn("e", lit(1)), Seq("doc_id"), "left")
+      .join(nearDup.withColumn("n", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("e") === 1, "exact_dup")
+          .when(col("n") === 1, "near_dup")
+          .otherwise("new").as("verdict"))
+  }
+
+  val incrementalDedupSql: String = {
+    val jac = "CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE) / " +
+      "(len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss)))"
+    (s"""WITH $bandsCtes,
+        |bh AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |exact_dup AS (SELECT DISTINCT b.doc_id FROM bh b JOIN bh c ON b.h = c.h
+        |  AND b.doc_id % $IncBatchMod = $IncBatchRem AND c.doc_id % $IncBatchMod <> $IncBatchRem),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS corpus_id
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+        |  AND a.doc_id % $IncBatchMod = $IncBatchRem AND b.doc_id % $IncBatchMod <> $IncBatchRem),
+        |shs AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+        |near_dup AS (SELECT DISTINCT cand.doc_id FROM cand
+        |  JOIN shs x ON x.doc_id = cand.doc_id JOIN shs y ON y.doc_id = cand.corpus_id
+        |  WHERE round($jac, 4) >= $MinJaccard)
+        |SELECT d.doc_id, CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+        |  WHEN n.doc_id IS NOT NULL THEN 'near_dup' ELSE 'new' END AS verdict
+        |FROM documents d LEFT JOIN exact_dup e ON e.doc_id = d.doc_id
+        |LEFT JOIN near_dup n ON n.doc_id = d.doc_id
+        |WHERE d.doc_id % $IncBatchMod = $IncBatchRem""").stripMargin.replace("\n", " ")
+  }
 }
