@@ -193,6 +193,40 @@ object StreamingFraud {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming KMV distinct-count (q65's sketch on a stream): per
+    * tumbling window, the estimated number of DISTINCT users, carried
+    * as a bounded bottom-k-hashes aggregation state instead of the
+    * exact per-key set. This is the streaming cardinality posture at
+    * 100 TB/day: `approx` state is k longs per open window (vs one
+    * entry per distinct key for an exact distinct), the aggregator
+    * merges across micro-batches like any partial, and the watermark
+    * closes windows so state stays proportional to open windows × k.
+    * The estimate is the same deterministic md5-derived KMV as the
+    * batch q65, so a batch backfill reproduces the stream's numbers
+    * exactly. Input schema: (ts, user_id). */
+  def distinctUsersStream(events: DataFrame, window: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame = {
+    val h63 = udf { (k: Long) =>
+      graft.dedup.Hashing.md5Lower64(k.toString) & Long.MaxValue
+    }
+    val kmv = org.apache.spark.sql.functions.udaf(
+      new graft.ops.Sketches.MinKDistinct(graft.ops.Sketches.KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val k = graft.ops.Sketches.KmvK
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
+      .agg(kmv(h63(col("user_id"))).as("ks"))
+      .select(
+        col("window.start").as("window_start"),
+        size(col("ks")).cast("long").as("k_used"),
+        when(size(col("ks")) < k, size(col("ks")).cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble * math.pow(2, 63)) /
+              element_at(col("ks"), -1), 2))
+          .as("est_distinct_users"))
+  }
+
   /** File-source entry: watch a landing directory of claim CSVs (the
     * app.py upload loop), tag, and write per-micro-batch result CSVs. */
   def fileStream(spark: SparkSession, landingDir: String, outDir: String,

@@ -170,6 +170,34 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming KMV distinct-users: exact below k, merges across micro-batches") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val query = StreamingFraud.distinctUsersStream(events)
+      .writeStream.format("memory").queryName("ukmv")
+      .outputMode("append").start()
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    try {
+      // window 10:00-11:00 — users 1,2,3 across TWO micro-batches, with
+      // repeats (the sketch must dedup across batch boundaries)
+      input.addData((t("2025-07-01 10:00:00"), 1L), (t("2025-07-01 10:05:00"), 2L))
+      query.processAllAvailable()
+      input.addData((t("2025-07-01 10:20:00"), 2L), (t("2025-07-01 10:30:00"), 3L))
+      query.processAllAvailable()
+      // advance the watermark past the window close to emit it
+      input.addData((t("2025-07-01 14:00:00"), 9L))
+      query.processAllAvailable()
+      input.addData((t("2025-07-01 18:00:00"), 9L))
+      query.processAllAvailable()
+      val rows = spark.sql("select k_used, est_distinct_users from ukmv")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.contains((3L, 3.0)), s"expected exact 3 distinct users in ${rows.toSeq}")
+    } finally query.stop()
+  }
+
   test("scoreStream applies the fitted model per micro-batch, rules win over ML") {
     val spark = SparkSpec.spark
     import spark.implicits._
