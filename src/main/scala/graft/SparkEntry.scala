@@ -118,6 +118,8 @@ object SparkEntry {
     "q70_event_funnel"        -> (RelationalQueries.eventFunnel _),
     // round-6: incremental batch-vs-corpus dedup (the nightly-crawl shape)
     "q71_incremental_dedup"   -> ((s: SparkSession, d: String) => DedupQueries.incrementalDedup(s, d)),
+    // round-6: k-NN majority-label propagation (embedding-space eval op)
+    "q72_knn_label"           -> ((s: SparkSession, d: String) => graft.sim.SimilarityQueries.knnLabel(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -192,5 +194,6 @@ object SparkEntry {
     "q69_salted_join"         -> RelationalQueries.saltedJoinRevenueSql,
     "q70_event_funnel"        -> RelationalQueries.eventFunnelSql,
     "q71_incremental_dedup"   -> DedupQueries.incrementalDedupSql,
+    "q72_knn_label"           -> graft.sim.SimilarityQueries.knnLabelSql,
   )
 }

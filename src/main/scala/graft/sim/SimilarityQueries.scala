@@ -65,6 +65,42 @@ object SimilarityQueries {
       "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, vec_id) AS rank FROM scored) " +
       "SELECT qid, vec_id AS neighbor_id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5"
 
+  /** q72 — k-NN majority-vote LABEL PROPAGATION over the embedding
+    * table: for each held-out query vector, the majority label among
+    * its top-k cosine neighbors (ties to the smaller label id), next
+    * to the vector's own label — the weak-supervision / eval op a
+    * training pipeline runs to sanity-check an embedding space. The
+    * neighbor stage IS q20's exact brute-force plan (broadcast query
+    * side, one window); votes are a tiny (queries × labels) aggregate
+    * and the verdict join brings the query's own label back broadcast.
+    * At 100 TB the neighbor stage swaps to the IVF candidates (q44) —
+    * the vote/verdict stages are unchanged, which is the point of
+    * keeping them separate plans. */
+  def knnLabel(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val votes = cosineTopK(s, d, k)
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), "neighbor_id")
+      .groupBy("qid", "nlabel")
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("n_votes").desc, col("nlabel"))
+    votes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(labels.select(col("vec_id").as("qid"),
+        col("label").as("own_label")), "qid")
+      .select(col("qid"), col("own_label"),
+        col("nlabel").as("pred_label"), col("n_votes"))
+  }
+
+  val knnLabelSql: String =
+    s"""WITH nb AS ($cosineTopKSql),
+       |v AS (SELECT nb.qid, e.label AS nlabel, count(*) AS n_votes
+       |  FROM nb JOIN embeddings e ON e.vec_id = nb.neighbor_id GROUP BY nb.qid, e.label),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY n_votes DESC, nlabel) AS rk FROM v)
+       |SELECT r.qid, q.label AS own_label, r.nlabel AS pred_label, CAST(r.n_votes AS BIGINT) AS n_votes
+       |FROM r JOIN embeddings q ON q.vec_id = r.qid WHERE rk = 1""".stripMargin.replace("\n", " ")
+
   /** Deterministic hyperplane component for (table, plane, dim),
     * uniform in [-1, 1). Derived from the seed — never shipped. */
   def planeComponent(seed: Long, table: Int, plane: Int, dim: Int): Double = {
