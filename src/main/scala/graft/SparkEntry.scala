@@ -120,6 +120,8 @@ object SparkEntry {
     "q71_incremental_dedup"   -> ((s: SparkSession, d: String) => DedupQueries.incrementalDedup(s, d)),
     // round-6: k-NN majority-label propagation (embedding-space eval op)
     "q72_knn_label"           -> ((s: SparkSession, d: String) => graft.sim.SimilarityQueries.knnLabel(s, d)),
+    // round-6: mixture resampling to target language proportions
+    "q73_mixture_sample"      -> (graft.text.CorpusOps.mixtureSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -195,5 +197,6 @@ object SparkEntry {
     "q70_event_funnel"        -> RelationalQueries.eventFunnelSql,
     "q71_incremental_dedup"   -> DedupQueries.incrementalDedupSql,
     "q72_knn_label"           -> graft.sim.SimilarityQueries.knnLabelSql,
+    "q73_mixture_sample"      -> graft.text.CorpusOps.mixtureSampleSql,
   )
 }

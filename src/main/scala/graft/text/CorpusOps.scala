@@ -226,4 +226,64 @@ object CorpusOps {
       "CAST(md5_number_lower(text) >> 11 AS DOUBLE) / n_chars AS skey FROM documents), " +
       "ranked AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS rnk FROM keyed) " +
       s"SELECT doc_id, lang, n_chars, round(skey, 6) AS skey, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $SampleK"
+
+  // ---------------------------------------------- mixture resampling
+
+  /** Target mixture as exact rationals (lang, numerator, denominator):
+    * en 2/5, the rest 3/20 each. Rationals, not doubles, so feasible
+    * totals and per-lang quotas are integer arithmetic — bit-identical
+    * across engines (0.15·n as a double can floor either side of an
+    * integer). */
+  val MixTargets: Seq[(String, Long, Long)] =
+    Seq(("en", 2L, 5L), ("de", 3L, 20L), ("es", 3L, 20L),
+        ("fr", 3L, 20L), ("zh", 3L, 20L))
+
+  /** q73 — DATA MIXING: resample the corpus to target language
+    * proportions, the knob every pretraining run turns (upsampling is
+    * out of scope — this is the subsampling direction: find the largest
+    * total T such that every language can fill its share, then keep
+    * exactly floor(share_l · T) docs per language). Selection within a
+    * language is by md5(doc_id) order — deterministic, reproducible,
+    * and uncorrelated with doc_id order, i.e. a seedless shuffle.
+    *
+    * Scale shape: the per-lang counts are a 5-row aggregate collected
+    * to the driver (bounded by |languages|, the same scalar-threshold
+    * pattern as q05/q07); quotas fold back in as literals; the keep
+    * filter is one rank window per language partition. At 100 TB the
+    * window sort is the cost — the documented swap is the q60-style
+    * bounded top-K accumulator on the md5 key once quotas fit memory,
+    * same output by construction. */
+  def mixtureSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nl = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = MixTargets.filter { case (l, _, _) => nl.contains(l) }
+    val t = present.map { case (l, num, den) => nl(l) * den / num }.min
+    val quota = present.map { case (l, num, den) => (l, t * num / den) }
+    val kCase = quota.foldLeft(lit(0L)) { case (acc, (l, k)) =>
+      when(col("lang") === l, lit(k)).otherwise(acc)
+    }
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= kCase)
+      .select(col("doc_id"), col("lang"), col("rnk"))
+  }
+
+  val mixtureSampleSql: String = {
+    val langs = MixTargets.map(t => s"'${t._1}'").mkString(", ")
+    val tCase = MixTargets.map { case (l, num, den) =>
+      s"WHEN '$l' THEN n * $den // $num" }.mkString("CASE lang ", " ", " END")
+    val kCase = MixTargets.map { case (l, num, den) =>
+      s"WHEN '$l' THEN t.t * $num // $den" }.mkString("CASE lang ", " ", " END")
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |t AS (SELECT min($tCase) AS t FROM c WHERE lang IN ($langs)),
+       |k AS (SELECT lang, $kCase AS k FROM c, t WHERE lang IN ($langs)),
+       |r AS (SELECT doc_id, lang,
+       |  row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+       |  FROM documents)
+       |SELECT r.doc_id, r.lang, CAST(r.rnk AS INT) AS rnk
+       |FROM r JOIN k USING (lang) WHERE r.rnk <= k.k""".stripMargin.replace("\n", " ")
+  }
 }
