@@ -122,6 +122,8 @@ object SparkEntry {
     "q72_knn_label"           -> ((s: SparkSession, d: String) => graft.sim.SimilarityQueries.knnLabel(s, d)),
     // round-6: mixture resampling to target language proportions
     "q73_mixture_sample"      -> (graft.text.CorpusOps.mixtureSample _),
+    // round-6: frame-sampling plumbing (the video-pipeline grain)
+    "q74_frame_sample"        -> (graft.text.TextQueries.frameSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -198,5 +200,6 @@ object SparkEntry {
     "q71_incremental_dedup"   -> DedupQueries.incrementalDedupSql,
     "q72_knn_label"           -> graft.sim.SimilarityQueries.knnLabelSql,
     "q73_mixture_sample"      -> graft.text.CorpusOps.mixtureSampleSql,
+    "q74_frame_sample"        -> graft.text.TextQueries.frameSampleSql,
   )
 }

@@ -76,4 +76,40 @@ object Multimodal {
       byteLen.as("byte_len"),
       ceil(byteLen.cast("double") / ChunkBytes.toDouble).cast("long").as("n_chunks"))
   }
+
+  val FrameBytes  = 64 // fixed-size "frame" of the opaque payload
+  val FrameStride = 4  // keep every 4th frame — the temporal subsample
+
+  /** Video-style FRAME SAMPLING over an opaque binary column: the
+    * payload is a sequence of fixed-[[FrameBytes]] frames; every
+    * [[FrameStride]]-th frame is sliced out and decoded
+    * ([[decodeStub]] per frame — swap for a real codec). The explode
+    * happens BEFORE decode so a real decoder sees one bounded frame at
+    * a time (never the whole payload in memory per row), and the
+    * output is (row, frame_idx, frame_features) — the training-sample
+    * granularity a video pipeline feeds downstream. Pure plan-side
+    * slicing (codegen'd `substring` on binary) + one mapPartitions
+    * decode pass; frame count per row is byte_len/[[FrameBytes]], so
+    * output scales with data volume, not row count. */
+  def sampleFrames(df: DataFrame, payloadCol: String): DataFrame = {
+    val nFrames = ceil(length(col(payloadCol)).cast("double") / FrameBytes)
+      .cast("int")
+    val sliced = df
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(nFrames, lit(1)) - 1, lit(FrameStride))))
+      .withColumn("frame_bytes",
+        expr(s"substring($payloadCol, frame_idx * $FrameBytes + 1, $FrameBytes)"))
+    val schema = StructType(sliced.schema.fields :+
+      StructField("frame_features", featureSchema))
+    val idx = sliced.schema.fieldIndex("frame_bytes")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    sliced.mapPartitions { rows =>
+      // per-partition decoder init would go here
+      rows.map { r =>
+        val frame = r.getAs[Array[Byte]](idx)
+        val feats = if (frame == null) Array.empty[Float] else decodeStub(frame)
+        Row.fromSeq(r.toSeq :+ feats.toSeq)
+      }
+    }(enc)
+  }
 }

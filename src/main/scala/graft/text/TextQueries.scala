@@ -239,4 +239,38 @@ object TextQueries {
 
   val multimodalMetaSql: String =
     "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 256.0) AS BIGINT) AS n_chunks, (CAST(octet_length(encode(text)) AS BIGINT) * 2654435761) % 2147483647 AS stub_sig FROM documents"
+
+  /** q74 — frame-sampling metadata, the oracle-checked twin of
+    * [[graft.multimodal.Multimodal.sampleFrames]]: the payload (here
+    * the text standing in for media bytes) is framed at 64 chars,
+    * every 4th frame is kept, and each sampled frame's md5 stands in
+    * for its decoded features (the md5 is what both engines can compute
+    * bit-identically; the binary path's decodeStub is test-verified in
+    * MultimodalSpec). Output grain = (doc, sampled frame) — the
+    * explode-then-process shape whose volume scales with payload bytes,
+    * exactly like the real video pipeline. */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    val fb = graft.multimodal.Multimodal.FrameBytes
+    val st = graft.multimodal.Multimodal.FrameStride
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        ceil(length(col("text")).cast("double") / fb).cast("int").as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), greatest(col("n_frames"), lit(1)) - 1,
+          lit(st))).as("frame_idx"),
+        col("text"))
+      .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+        col("frame_idx"),
+        md5(expr(s"substring(text, frame_idx * $fb + 1, $fb)")).as("frame_md5"))
+  }
+
+  val frameSampleSql: String = {
+    val fb = graft.multimodal.Multimodal.FrameBytes
+    val st = graft.multimodal.Multimodal.FrameStride
+    s"""WITH f AS (SELECT doc_id, text, CAST(ceil(len(text) / $fb.0) AS BIGINT) AS n_frames FROM documents),
+       |e AS (SELECT doc_id, n_frames, text, unnest(range(0, greatest(n_frames, 1), $st)) AS i FROM f)
+       |SELECT doc_id, n_frames, CAST(i AS INT) AS frame_idx,
+       |  md5(substring(text, CAST(i * $fb + 1 AS INT), $fb)) AS frame_md5
+       |FROM e""".stripMargin.replace("\n", " ")
+  }
 }

@@ -28,6 +28,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(4L).isEmpty)          // null payload → empty vector
   }
 
+  test("sampleFrames slices every 4th 64-byte frame and decodes each") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    // 300 bytes → 5 frames (64,64,64,64,44) → sampled idx 0 and 4
+    val payload = Array.tabulate[Byte](300)(i => (i % 127).toByte)
+    val df = Seq((1L, payload), (2L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.sampleFrames(df, "payload")
+      .select("doc_id", "frame_idx", "frame_features").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
+    assert(out.keySet === Set((1L, 0), (1L, 4), (2L, 0)))
+    // each sampled frame decodes like the standalone stub on its slice
+    val frame0 = payload.slice(0, 64)
+    assert(out((1L, 0)) === Multimodal.decodeStub(frame0).toSeq)
+    val frame4 = payload.slice(256, 300) // short tail frame
+    assert(out((1L, 4)) === Multimodal.decodeStub(frame4).toSeq)
+    assert(out((2L, 0)) === Multimodal.decodeStub(Array[Byte](1, 2, 3)).toSeq)
+  }
+
   test("mediaMeta chunk math matches the chunk size contract") {
     val spark = SparkSpec.spark
     import spark.implicits._
