@@ -77,6 +77,39 @@ object Multimodal {
       ceil(byteLen.cast("double") / ChunkBytes.toDouble).cast("long").as("n_chunks"))
   }
 
+  /** STUB resize: keep every `factor`-th byte of the payload — the
+    * spatial-downsample stand-in (a real implementation decodes,
+    * rescales, re-encodes here). Deterministic, so the spec can assert
+    * byte-exact output; the Spark-side shape (binary in → smaller
+    * binary out, one decoder-style pass per partition) is the real
+    * contract. */
+  def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+    out
+  }
+
+  /** Appends `media_resized: binary` = [[resizeStub]] of `payloadCol`,
+    * per-partition like [[withMediaFeatures]] (one codec init per
+    * partition). Null payloads stay null — resize is size-changing, so
+    * unlike features an empty sentinel would be ambiguous. */
+  def withResizedMedia(df: DataFrame, payloadCol: String,
+                       factor: Int = 4): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("media_resized", BinaryType))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      // per-partition decoder init would go here
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val resized = if (payload == null) null else resizeStub(payload, factor)
+        Row.fromSeq(r.toSeq :+ resized)
+      }
+    }(enc)
+  }
+
   val FrameBytes  = 64 // fixed-size "frame" of the opaque payload
   val FrameStride = 4  // keep every 4th frame — the temporal subsample
 

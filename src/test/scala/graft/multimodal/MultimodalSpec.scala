@@ -47,6 +47,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out((2L, 0)) === Multimodal.decodeStub(Array[Byte](1, 2, 3)).toSeq)
   }
 
+  test("withResizedMedia keeps every 4th byte, nulls stay null") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](10)(_.toByte)
+    val df = Seq((1L, payload), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.withResizedMedia(df, "payload")
+      .select("doc_id", "media_resized").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(out(1L).toSeq === Seq[Byte](0, 4, 8))
+    assert(out(2L) == null)
+  }
+
   test("mediaMeta chunk math matches the chunk size contract") {
     val spark = SparkSpec.spark
     import spark.implicits._
