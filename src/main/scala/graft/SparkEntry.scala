@@ -124,6 +124,9 @@ object SparkEntry {
     "q73_mixture_sample"      -> (graft.text.CorpusOps.mixtureSample _),
     // round-6: frame-sampling plumbing (the video-pipeline grain)
     "q74_frame_sample"        -> (graft.text.TextQueries.frameSample _),
+    // round-7: incremental dedup against the PERSISTED bucketed corpus
+    // index — q71's output, the nightly-crawl plan (no corpus exchange)
+    "q75_incremental_dedup_indexed" -> ((s: SparkSession, d: String) => DedupQueries.incrementalDedupIndexed(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -201,5 +204,7 @@ object SparkEntry {
     "q72_knn_label"           -> graft.sim.SimilarityQueries.knnLabelSql,
     "q73_mixture_sample"      -> graft.text.CorpusOps.mixtureSampleSql,
     "q74_frame_sample"        -> graft.text.TextQueries.frameSampleSql,
+    // identical output contract to q71 — same oracle
+    "q75_incremental_dedup_indexed" -> DedupQueries.incrementalDedupSql,
   )
 }

@@ -68,8 +68,13 @@ object DedupQueries {
     * the band-bucket shuffle; also a useful persisted artifact
     * (signatures are computed once, reused across dedup runs). */
   def minHashBands(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(bandValsUdf(col("text"))).as(Seq("band", "band_val")))
+    minHashBandsOf(Tables.documents(s, d))
+
+  /** Same, over an arbitrary (doc_id, text) slice — lets the batch
+    * side of incremental dedup compute signatures for ONLY today's
+    * documents instead of the whole table. */
+  def minHashBandsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(bandValsUdf(col("text"))).as(Seq("band", "band_val")))
 
   // ---- shared DuckDB CTE fragments (must mirror Hashing exactly) ----
 
@@ -686,5 +691,102 @@ object DedupQueries {
         |FROM documents d LEFT JOIN exact_dup e ON e.doc_id = d.doc_id
         |LEFT JOIN near_dup n ON n.doc_id = d.doc_id
         |WHERE d.doc_id % $IncBatchMod = $IncBatchRem""").stripMargin.replace("\n", " ")
+  }
+
+  // ------------------------------------ indexed incremental dedup (q75)
+
+  /** Bucket count for the persisted corpus index. 8 at test scale; at
+    * 100 TB size it so each bucket's band file set is a few hundred MB
+    * (the shuffle paid once at write time replaces a corpus-side
+    * shuffle on EVERY nightly run). */
+  val IndexBuckets = 8
+
+  /** (applicationId, dataDir) → (hashTable, bandTable) names. Keyed by
+    * applicationId so a restarted SparkSession in the same JVM rebuilds
+    * its own catalog entries instead of reusing tables registered in a
+    * dead session's catalog. Assumes the data under `dataDir` is
+    * immutable for the life of the application (true for the snapshot
+    * dirs here; a production index would version by snapshot id). */
+  private val corpusIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (String, String)]
+
+  /** Writes the corpus-side dedup index ONCE per (app, dir) as bucketed
+    * parquet tables and returns their names:
+    *
+    *  - `<prefix>_hashes`: distinct corpus content md5s, bucketed+sorted
+    *    by `h` — the exact-dup probe target.
+    *  - `<prefix>_bands`:  corpus (doc_id, band_key) where band_key =
+    *    "band|band_val", bucketed+sorted by `band_key` — the near-dup
+    *    candidate probe target. A single composite key column so the
+    *    join keys equal the bucket spec exactly and the bucketed scan's
+    *    HashPartitioning satisfies the join's required distribution.
+    *
+    * This is the artifact the q71 scale story promises: the nightly run
+    * streams the BATCH's signatures against these buckets; the corpus
+    * side is read pre-partitioned with no exchange and no signature
+    * recomputation. Cost per run ∝ batch size, not index size. */
+  def corpusIndex(s: SparkSession, d: String): (String, String) =
+    corpusIndexCache.getOrElseUpdate((s.sparkContext.applicationId, d), {
+      val tag = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+      val loc = java.nio.file.Files.createTempDirectory(s"graft-dedup-index-$tag")
+      val hashTbl = s"inc_corpus_hashes_$tag"
+      val bandTbl = s"inc_corpus_bands_$tag"
+      val isCorpus = col("doc_id") % IncBatchMod =!= IncBatchRem
+      val corpusDocs = Tables.documents(s, d).filter(isCorpus)
+      corpusDocs.select(md5(col("text")).as("h")).distinct()
+        .write.mode("overwrite")
+        .option("path", s"$loc/hashes")
+        .bucketBy(IndexBuckets, "h").sortBy("h")
+        .saveAsTable(hashTbl)
+      minHashBandsOf(corpusDocs)
+        .select(col("doc_id"),
+          concat_ws("|", col("band"), col("band_val")).as("band_key"))
+        .write.mode("overwrite")
+        .option("path", s"$loc/bands")
+        .bucketBy(IndexBuckets, "band_key").sortBy("band_key")
+        .saveAsTable(bandTbl)
+      (hashTbl, bandTbl)
+    })
+
+  /** q75 — incremental dedup against the PERSISTED corpus index: same
+    * output as [[incrementalDedup]] (same oracle), but the corpus md5s
+    * and band table are read from the bucketed tables [[corpusIndex]]
+    * wrote once. Signature compute + shuffle happen only for the batch:
+    * the bucketed corpus scans arrive pre-partitioned on the join key,
+    * so EnsureRequirements shuffles ONLY the batch side (PlanAuditSpec
+    * asserts zero exchanges above the index scans). This is the plan a
+    * nightly crawl runs at 100 TB — daily cost ∝ batch, not index. */
+  def incrementalDedupIndexed(s: SparkSession, d: String): DataFrame = {
+    val (hashTbl, bandTbl) = corpusIndex(s, d)
+    val isNew = col("doc_id") % IncBatchMod === IncBatchRem
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(isNew)
+    val exactDup = batch.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(s.table(hashTbl), Seq("h"), "left_semi")
+      .select("doc_id")
+    val cand = minHashBandsOf(batch)
+      .select(col("doc_id"),
+        concat_ws("|", col("band"), col("band_val")).as("band_key"))
+      .join(s.table(bandTbl).withColumnRenamed("doc_id", "corpus_id"), "band_key")
+      .select("doc_id", "corpus_id")
+      .distinct()
+    val jaccardUdf = udf { (ta: String, tb: String) =>
+      Hashing.exactJaccard(
+        Hashing.wordShingles(ta, ShingleN).distinct,
+        Hashing.wordShingles(tb, ShingleN).distinct)
+    }
+    val nearDup = cand
+      .join(docs.select(col("doc_id"), col("text").as("text_a")), "doc_id")
+      .join(docs.select(col("doc_id").as("corpus_id"), col("text").as("text_b")), "corpus_id")
+      .filter(round(jaccardUdf(col("text_a"), col("text_b")), 4) >= MinJaccard)
+      .select("doc_id").distinct()
+    batch.select("doc_id")
+      .join(exactDup.withColumn("e", lit(1)), Seq("doc_id"), "left")
+      .join(nearDup.withColumn("n", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("e") === 1, "exact_dup")
+          .when(col("n") === 1, "near_dup")
+          .otherwise("new").as("verdict"))
   }
 }

@@ -154,6 +154,53 @@ class DedupSpec extends AnyFunSuite {
       s"missed strong pairs: ${(truthStrong -- foundSet).take(5)}")
   }
 
+  test("indexed incremental dedup (q75) emits exactly q71's verdicts") {
+    val spark = SparkSpec.spark
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(DedupQueries.incrementalDedupIndexed(spark, sfDir)) ===
+      rows(DedupQueries.incrementalDedup(spark, sfDir)))
+  }
+
+  test("q75 plan never shuffles the persisted corpus index") {
+    val spark = SparkSpec.spark
+    // Force sort-merge joins and a static plan so the assertion sees the
+    // worst case: if even the un-broadcast plan leaves the index scans
+    // exchange-free, the bucketing is doing its job.
+    val saved = Seq("spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"),
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = DedupQueries.incrementalDedupIndexed(spark, sfDir)
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      def isIndexScan(p: SparkPlan) = p match {
+        case sc: FileSourceScanExec =>
+          sc.tableIdentifier.exists(_.table.startsWith("inc_corpus"))
+        case _ => false
+      }
+      // Root-to-scan paths for every index scan; the segment between the
+      // scan and its NEAREST join ancestor must be exchange-free (later
+      // shuffles — candidate distinct, final assembly — legitimately have
+      // the scan somewhere below them).
+      def paths(p: SparkPlan, acc: List[SparkPlan]): Seq[List[SparkPlan]] = {
+        val here = p :: acc // scan-first when we bottom out
+        if (isIndexScan(p)) Seq(here) else p.children.flatMap(c => paths(c, here))
+      }
+      val scanPaths = paths(plan, Nil)
+      assert(scanPaths.nonEmpty, "expected scans of the bucketed index tables")
+      scanPaths.foreach { path =>
+        val belowJoin = path.takeWhile(!_.isInstanceOf[BaseJoinExec])
+        val shuffles = belowJoin.filter(_.isInstanceOf[ShuffleExchangeExec])
+        assert(shuffles.isEmpty,
+          s"exchange between corpus index scan and its join:\n${path.head}")
+      }
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("pairs from a PERSISTED band table equal the inline computation") {
     val spark = SparkSpec.spark
     val dir = java.nio.file.Files.createTempDirectory("bands").toString + "/bands"
