@@ -79,6 +79,72 @@ object TopKAggregator {
   /** Untyped column form of [[MinK]]. */
   def minK(k: Int) = udaf(new MinK(k), Encoders.scalaLong)
 
+  type KeyedEntry = (Double, Long, Long) // (sort key, id tiebreak, payload)
+
+  /** Bounded k-smallest by (key asc, id asc), carrying one payload
+    * column through the buffer — the grouped-sampling accumulator
+    * (q60): `row_number().over(partitionBy(g).orderBy(key, id)) <= k`
+    * funnels each group's FULL sort through one task when the group
+    * cardinality is fixed (5 languages), whereas this buffer reduces
+    * map-side to ≤ k rows per group per task and ranks by buffer
+    * position. Memory O(k) per group per task, no sort, no window. */
+  final class MinKBy(k: Int)
+      extends Aggregator[KeyedEntry, List[KeyedEntry], Seq[KeyedEntry]] {
+    private def lt(a: KeyedEntry, b: KeyedEntry): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def insert(buf: List[KeyedEntry], e: KeyedEntry): List[KeyedEntry] = {
+      val (head, tail) = buf.span(x => lt(x, e))
+      val merged = head ::: e :: tail
+      if (merged.length > k) merged.take(k) else merged
+    }
+    override def zero: List[KeyedEntry] = Nil
+    override def reduce(b: List[KeyedEntry], a: KeyedEntry): List[KeyedEntry] = insert(b, a)
+    override def merge(b1: List[KeyedEntry], b2: List[KeyedEntry]): List[KeyedEntry] =
+      b2.foldLeft(b1)(insert)
+    override def finish(r: List[KeyedEntry]): Seq[KeyedEntry] = r
+    override def bufferEncoder: Encoder[List[KeyedEntry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[KeyedEntry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Untyped column form of [[MinKBy]]: agg(minKBy(k)(key, id, payload)). */
+  def minKBy(k: Int) = udaf(new MinKBy(k),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[KeyedEntry]())
+
+  type StrEntry = (String, Long) // (sort key, id tiebreak)
+
+  /** [[MinKBy]] with a STRING sort key (lexicographic asc, id asc) —
+    * the md5-ordered quota-sampling accumulator (q73). Byte-wise
+    * compare over lowercase hex equals the engines' binary string
+    * ordering, so buffer position reproduces the oracle's
+    * ORDER BY md5 ASC, id ASC rank exactly. */
+  final class MinKByStr(k: Int)
+      extends Aggregator[StrEntry, List[StrEntry], Seq[StrEntry]] {
+    private def lt(a: StrEntry, b: StrEntry): Boolean = {
+      val c = a._1.compareTo(b._1)
+      c < 0 || (c == 0 && a._2 < b._2)
+    }
+    private def insert(buf: List[StrEntry], e: StrEntry): List[StrEntry] = {
+      val (head, tail) = buf.span(x => lt(x, e))
+      val merged = head ::: e :: tail
+      if (merged.length > k) merged.take(k) else merged
+    }
+    override def zero: List[StrEntry] = Nil
+    override def reduce(b: List[StrEntry], a: StrEntry): List[StrEntry] = insert(b, a)
+    override def merge(b1: List[StrEntry], b2: List[StrEntry]): List[StrEntry] =
+      b2.foldLeft(b1)(insert)
+    override def finish(r: List[StrEntry]): Seq[StrEntry] = r
+    override def bufferEncoder: Encoder[List[StrEntry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[StrEntry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Untyped column form of [[MinKByStr]]. */
+  def minKByStr(k: Int) = udaf(new MinKByStr(k),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[StrEntry]())
+
   /** Top-3 customers by account balance per nation — the Aggregator in
     * a registered query. Output exploded to flat rows; rank recovered
     * from the (already sorted) buffer position. */

@@ -204,28 +204,42 @@ object CorpusOps {
     * IEEE division, bit-identical in both engines (no transcendentals,
     * unlike the textbook u^(1/w) formulation).
     *
-    * Scale: per-row key (codegen) + one per-lang top-K window. At
-    * 100 TB the window swaps for a bounded top-K aggregate per lang
-    * (ops.TopKAggregator shape) — ≤ K rows per key per task. */
+    * Scale: per-row key (codegen) + one bounded [[graft.ops.TopKAggregator.MinKBy]]
+    * per lang — each task reduces map-side to ≤ K rows per language
+    * before the exchange, and rank is recovered from the (sorted)
+    * buffer position. The r6 `row_number` window over the
+    * fixed-cardinality lang partition (~5 values) funneled each
+    * language's FULL sort through a single task — the straggler this
+    * replaces.
+    *
+    * skey is emitted RAW (not rounded): the division of a 53-bit md5
+    * slice by n_chars is one exact IEEE op, bit-identical across
+    * engines, whereas round(x, 6) at skey's ~1e12 magnitude asks for
+    * sub-ulp decimal places and the engines' rounding implementations
+    * legitimately disagree by 1 ulp (observed: DuckDB 1.0.0
+    * round(1218533959177.93652…, 6) flips the last bit; Spark's
+    * BigDecimal path doesn't). */
   def weightedSample(s: SparkSession, d: String): DataFrame = {
     val hashUdf = udf { (text: String) =>
       graft.dedup.Hashing.md5Lower64(text) >>> 11
     }
-    val w = Window.partitionBy("lang").orderBy(col("skey"), col("doc_id"))
     Tables.documents(s, d)
       .withColumn("skey",
         hashUdf(col("text")).cast("double") / col("n_chars"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= SampleK)
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        round(col("skey"), 6).as("skey"), col("rnk"))
+      .groupBy("lang")
+      .agg(graft.ops.TopKAggregator.minKBy(SampleK)(
+        col("skey"), col("doc_id"), col("n_chars")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("e._2").as("doc_id"), col("lang"),
+        col("e._3").as("n_chars"), col("e._1").as("skey"),
+        (col("pos") + 1).cast("int").as("rnk"))
   }
 
   val weightedSampleSql: String =
     "WITH keyed AS (SELECT doc_id, lang, n_chars, " +
       "CAST(md5_number_lower(text) >> 11 AS DOUBLE) / n_chars AS skey FROM documents), " +
       "ranked AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS rnk FROM keyed) " +
-      s"SELECT doc_id, lang, n_chars, round(skey, 6) AS skey, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $SampleK"
+      s"SELECT doc_id, lang, n_chars, skey, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $SampleK"
 
   // ---------------------------------------------- mixture resampling
 
@@ -248,11 +262,16 @@ object CorpusOps {
     *
     * Scale shape: the per-lang counts are a 5-row aggregate collected
     * to the driver (bounded by |languages|, the same scalar-threshold
-    * pattern as q05/q07); quotas fold back in as literals; the keep
-    * filter is one rank window per language partition. At 100 TB the
-    * window sort is the cost — the documented swap is the q60-style
-    * bounded top-K accumulator on the md5 key once quotas fit memory,
-    * same output by construction. */
+    * pattern as q05/q07); quotas fold back in as literals; selection is
+    * one bounded [[graft.ops.TopKAggregator.MinKByStr]] per language
+    * (buffer = max quota), trimmed to each language's quota by buffer
+    * position — map-side partials replace the r6 `row_number` window
+    * whose ~5-value lang partitioning sorted each language in a single
+    * task. For quotas too large for an in-memory buffer (a 40% slice of
+    * a 100 TB corpus), the remaining step is threshold-filtering: take
+    * the quota-th smallest md5 per lang via the ops.Quantiles bracket
+    * plan and keep keys below it — rank then only matters within the
+    * kept slice. */
   def mixtureSample(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nl = docs.groupBy("lang").agg(count(lit(1)).as("n"))
@@ -263,12 +282,15 @@ object CorpusOps {
     val kCase = quota.foldLeft(lit(0L)) { case (acc, (l, k)) =>
       when(col("lang") === l, lit(k)).otherwise(acc)
     }
-    val w = Window.partitionBy("lang")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    docs
-      .withColumn("rnk", row_number().over(w))
+    val maxK = quota.map(_._2).max.toInt
+    docs.filter(col("lang").isin(quota.map(_._1): _*))
+      .groupBy("lang")
+      .agg(graft.ops.TopKAggregator.minKByStr(maxK)(
+        md5(col("doc_id").cast("string")), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "e")))
+      .withColumn("rnk", (col("pos") + 1).cast("int"))
       .filter(col("rnk") <= kCase)
-      .select(col("doc_id"), col("lang"), col("rnk"))
+      .select(col("e._2").as("doc_id"), col("lang"), col("rnk"))
   }
 
   val mixtureSampleSql: String = {

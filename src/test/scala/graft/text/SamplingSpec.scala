@@ -1,0 +1,98 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The bounded top-K sampling aggregates (q60/q73) must emit exactly
+  * what the row_number-window formulation emits — the aggregate is a
+  * pure execution-strategy swap — while keeping every per-lang sort
+  * out of single tasks (no WindowExec anywhere in the plan). */
+class SamplingSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def windowWeightedSample(docs: DataFrame, k: Int): DataFrame = {
+    val hashUdf = udf { (text: String) =>
+      graft.dedup.Hashing.md5Lower64(text) >>> 11
+    }
+    val w = Window.partitionBy("lang").orderBy(col("skey"), col("doc_id"))
+    docs
+      .withColumn("skey", hashUdf(col("text")).cast("double") / col("n_chars"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("skey"), col("rnk"))
+  }
+
+  test("q60 bounded aggregate equals the window formulation (sf0.001)") {
+    val spark = SparkSpec.spark
+    val expect = windowWeightedSample(
+      graft.ops.Tables.documents(spark, sfDir), CorpusOps.SampleK)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    val got = CorpusOps.weightedSample(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    assert(got === expect)
+  }
+
+  test("q60/q73 plans contain no window operator") {
+    val spark = SparkSpec.spark
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq(CorpusOps.weightedSample(spark, sfDir),
+        CorpusOps.mixtureSample(spark, sfDir)).foreach { df =>
+      val windows = df.queryExecution.executedPlan.collect { case w: WindowExec => w }
+      assert(windows.isEmpty, s"window sort in plan: $windows")
+    }
+  }
+
+  test("q60 aggregate survives planted skew (one lang = 90% of docs)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    // 9000 docs in 'en', ~1000 spread over 4 other langs
+    val docs = (1L to 10000L).map { i =>
+      val lang = if (i % 10 != 0) "en" else Seq("de", "es", "fr", "zh")((i / 10 % 4).toInt)
+      (i, s"synthetic text $i ${"x" * (i % 97).toInt}", lang, "t", 10L + i % 131)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val k = CorpusOps.SampleK
+    val expect = windowWeightedSample(docs, k)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(4))).toSet
+    val hashUdf = udf { (text: String) =>
+      graft.dedup.Hashing.md5Lower64(text) >>> 11
+    }
+    val got = docs
+      .withColumn("skey", hashUdf(col("text")).cast("double") / col("n_chars"))
+      .groupBy("lang")
+      .agg(graft.ops.TopKAggregator.minKBy(k)(
+        col("skey"), col("doc_id"), col("n_chars")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("e._2").as("doc_id"), col("lang"), (col("pos") + 1).cast("int").as("rnk"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === expect)
+  }
+
+  test("q73 bounded aggregate equals the window formulation (sf0.001)") {
+    val spark = SparkSpec.spark
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+    val nl = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = CorpusOps.MixTargets.filter { case (l, _, _) => nl.contains(l) }
+    val t = present.map { case (l, num, den) => nl(l) * den / num }.min
+    val quota = present.map { case (l, num, den) => (l, t * num / den) }
+    val kCase = quota.foldLeft(lit(0L)) { case (acc, (l, k)) =>
+      when(col("lang") === l, lit(k)).otherwise(acc)
+    }
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val expect = docs
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= kCase)
+      .select(col("doc_id"), col("lang"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val got = CorpusOps.mixtureSample(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === expect)
+  }
+}
