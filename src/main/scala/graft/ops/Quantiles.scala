@@ -73,6 +73,77 @@ object Quantiles {
                       accuracy: Int = DefaultAccuracy): Double =
     exactPercentiles(df, c, Seq(p), accuracy).head
 
+  /** PER-GROUP exact percentiles via the same two-pass bracket plan,
+    * fully declarative (no driver loop, works for any group count):
+    *
+    *   pass 1 — grouped `approx_percentile` sketches bracket every
+    *            (group, p) rank in bounded, mergeable memory.
+    *   pass 2 — brackets broadcast back onto the rows (|groups|·2|ps|
+    *            doubles — tiny), then ONE grouped aggregate counts
+    *            exact below-bracket ranks and collects only in-bracket
+    *            values (≤ ≈4n_g/accuracy per group, vs the whole group
+    *            that the single-buffer `percentile` aggregate holds).
+    *   interpolation happens in column expressions with the same
+    *   weighted form as [[interpolate]] — bit-identical to Spark's
+    *   `percentile` and DuckDB `quantile_cont` (GroupQuantilesSpec
+    *   asserts bit-equality).
+    *
+    * A bracket miss (impossible within the sketch's rank-error
+    * contract) surfaces as a NULL qval — loudly wrong under the
+    * oracle rather than silently approximate.
+    *
+    * Returns (g, q, qval) with one row per group per requested p. */
+  def exactGroupPercentiles(df: DataFrame, g: String, c: String, ps: Seq[Double],
+                            accuracy: Int = DefaultAccuracy): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
+    val v = col(c).cast("double")
+    val eps = 2.0 / accuracy
+    val pcts = ps.flatMap(p => Seq(math.max(0.0, p - eps), math.min(1.0, p + eps)))
+    val pass1 = df.groupBy(g).agg(
+      count(v).as("n"),
+      expr(s"approx_percentile(CAST($c AS DOUBLE), " +
+        s"array(${pcts.mkString(", ")}), $accuracy)").as("b"))
+    val joined = df.join(broadcast(pass1), g)
+    // Each bracket is padded with its immediate out-of-bracket neighbors
+    // (two more bounded scalar aggregates): when a group's n is under
+    // `accuracy`, the ±2/accuracy percentile margin spans less than one
+    // RANK and the sketch can return the same order statistic for both
+    // endpoints, leaving the k+1 value interpolation needs outside the
+    // slice. The ±1-rank pad covers that regime; at n ≥ accuracy the
+    // margin itself guarantees ≥ 1 rank of slack on each side.
+    val aggs = ps.indices.flatMap { i =>
+      val lo = element_at(col("b"), 2 * i + 1)
+      val hi = element_at(col("b"), 2 * i + 2)
+      Seq(
+        sum(when(v < lo, 1L).otherwise(0L)).as(s"below_$i"),
+        sort_array(collect_list(when(v >= lo && v <= hi, v))).as(s"vals_$i"),
+        max(when(v < lo, v)).as(s"lopad_$i"),
+        min(when(v > hi, v)).as(s"hipad_$i"))
+    }
+    val allAggs = max(col("n")).as("n") +: aggs
+    val pass2 = joined.groupBy(g).agg(allAggs.head, allAggs.tail: _*)
+    val qcols = ps.zipWithIndex.map { case (p, i) =>
+      val hasLoPad = col(s"lopad_$i").isNotNull
+      val vals = concat(
+        when(hasLoPad, array(col(s"lopad_$i"))).otherwise(array().cast("array<double>")),
+        col(s"vals_$i"),
+        when(col(s"hipad_$i").isNotNull, array(col(s"hipad_$i")))
+          .otherwise(array().cast("array<double>")))
+      val below = col(s"below_$i") - when(hasLoPad, 1L).otherwise(0L)
+      val pos = lit(p) * (col("n") - 1).cast("double")
+      val k = floor(pos)
+      val idx = (k.cast("long") - below).cast("int")
+      val loV = get(vals, idx)
+      val hiV = get(vals, idx + 1)
+      struct(lit(p).as("q"),
+        when(pos === k, loV)
+          .otherwise(loV * (k + lit(1) - pos) + hiV * (pos - k)).as("qval"))
+    }
+    pass2
+      .select(col(g), explode(array(qcols: _*)).as("e"))
+      .select(col(g), col("e.q").as("q"), col("e.qval").as("qval"))
+  }
+
   /** Linear interpolation at rank p·(n−1) from a sorted slice `vals`
     * whose first element has global rank `below`. BIT-identical to
     * Spark's Percentile.getPercentile (and the DuckDB `quantile_cont`

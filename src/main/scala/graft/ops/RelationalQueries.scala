@@ -426,23 +426,21 @@ object RelationalQueries {
 
   val QuantilePoints: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)
 
-  /** Exact multi-quantile per group: one `percentile` aggregate computes
-    * the whole quantile vector in a single pass (sorting each group's
-    * values once, not once per quantile), then the vector unnests to
-    * (group, q, value) rows. Exact-with-interpolation matches DuckDB's
-    * quantile_cont; the documented 100 TB switch is approx_percentile
-    * with the same array-of-points call shape. */
-  def groupQuantiles(s: SparkSession, d: String): DataFrame = {
-    val pts = QuantilePoints.mkString("array(", ", ", ")")
-    val qlabels = array(QuantilePoints.map(lit): _*)
-    lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(expr(s"percentile(l_extendedprice, $pts)").as("qv"))
-      .select(col("l_returnflag"), posexplode(col("qv")).as(Seq("qi", "qval")))
-      .select(col("l_returnflag"),
-        element_at(qlabels, col("qi") + 1).as("q"),
-        round(col("qval"), 4).as("qval"))
-  }
+  /** Exact multi-quantile per group via the GROUPED two-pass bracket
+    * plan ([[graft.ops.Quantiles.exactGroupPercentiles]]): a grouped
+    * approx_percentile sketch brackets every (group, p) rank, then one
+    * grouped bounded aggregate collects only the in-bracket slices.
+    * Exact output (interpolation matches DuckDB's quantile_cont
+    * bit-for-bit) with per-group state ∝ n/accuracy — unlike the
+    * single-buffer `percentile` aggregate this replaces, which held
+    * every value of a group in one buffer (l_returnflag has 3 values,
+    * so ~⅓ of lineitem per buffer at scale — the q05 pathology,
+    * grouped). */
+  def groupQuantiles(s: SparkSession, d: String): DataFrame =
+    graft.ops.Quantiles
+      .exactGroupPercentiles(lineitem(s, d), "l_returnflag", "l_extendedprice",
+        QuantilePoints)
+      .select(col("l_returnflag"), col("q"), round(col("qval"), 4).as("qval"))
 
   val groupQuantilesSql: String = {
     val pts = QuantilePoints.mkString("[", ", ", "]")

@@ -60,4 +60,35 @@ class QuantilesSpec extends AnyFunSuite {
     val got = Quantiles.exactPercentiles(df, "l_extendedprice", Seq(0.5))
     assert(got.head.isNaN)
   }
+
+  test("grouped bracket percentiles == grouped exact percentile, bit-for-bit") {
+    val ps = Seq(0.0, 0.25, 0.5, 0.75, 0.95, 1.0)
+    for ((table, g, c) <- Seq(
+        ("lineitem", "l_returnflag", "l_extendedprice"),
+        ("lineitem", "l_linestatus", "l_quantity"), // 2 groups, duplicate-heavy
+        ("orders", "o_orderpriority", "o_totalprice"))) {
+      val df = Tables.table(spark, sfDir, table)
+      val got = Quantiles.exactGroupPercentiles(df, g, c, ps)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      val pts = ps.mkString("array(", ", ", ")")
+      val want = df.groupBy(g)
+        .agg(expr(s"percentile(CAST($c AS DOUBLE), $pts)").as("qv"))
+        .collect().flatMap { r =>
+          ps.zip(r.getSeq[Double](1)).map { case (p, v) => (r.getString(0), p) -> v }
+        }.toMap
+      assert(got.keySet === want.keySet)
+      got.foreach { case (k, v) =>
+        assert(java.lang.Double.compare(v, want(k)) == 0,
+          s"$table.$c group=${k._1} p=${k._2}: bracket=$v exact=${want(k)}")
+      }
+    }
+  }
+
+  test("grouped bracket plan carries no single-buffer percentile aggregate") {
+    val plan = RelationalQueries
+      .groupQuantiles(spark, sfDir).queryExecution.executedPlan.toString
+    assert("(?<!approx_)percentile\\(".r.findFirstIn(plan).isEmpty,
+      "single-buffer percentile aggregate in q51's plan")
+    assert(plan.contains("approx_percentile"))
+  }
 }
