@@ -127,6 +127,9 @@ object SparkEntry {
     // round-7: incremental dedup against the PERSISTED bucketed corpus
     // index — q71's output, the nightly-crawl plan (no corpus exchange)
     "q75_incremental_dedup_indexed" -> ((s: SparkSession, d: String) => DedupQueries.incrementalDedupIndexed(s, d)),
+    // round-7: label propagation composed over the IVF ANN stage
+    // (probe-all ≡ exact ⇒ same oracle as q72)
+    "q76_knn_label_ivf"       -> ((s: SparkSession, d: String) => graft.sim.SimilarityQueries.knnLabelIvf(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -206,5 +209,6 @@ object SparkEntry {
     "q74_frame_sample"        -> graft.text.TextQueries.frameSampleSql,
     // identical output contract to q71 — same oracle
     "q75_incremental_dedup_indexed" -> DedupQueries.incrementalDedupSql,
+    "q76_knn_label_ivf"       -> graft.sim.SimilarityQueries.knnLabelSql,
   )
 }

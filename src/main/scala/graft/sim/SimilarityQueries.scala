@@ -76,9 +76,28 @@ object SimilarityQueries {
     * At 100 TB the neighbor stage swaps to the IVF candidates (q44) —
     * the vote/verdict stages are unchanged, which is the point of
     * keeping them separate plans. */
-  def knnLabel(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+  def knnLabel(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    knnLabelFrom(s, d, cosineTopK(s, d, k))
+
+  /** q76 — the SAME label propagation composed over the IVF ANN
+    * neighbor stage ([[ivfTopK]]) instead of the brute-force one: the
+    * corpus-scale semi-supervised labeling path. With the default
+    * probe-all setting the IVF search is exhaustive and the output is
+    * IDENTICAL to [[knnLabel]] (probe-all ≡ exact, SimilaritySpec) —
+    * which is what makes this composition oracle-checkable; production
+    * sets nProbe ≪ nlist and trades the SimilaritySpec-measured recall
+    * for a per-query cost of nProbe lists instead of N vectors. */
+  def knnLabelIvf(s: SparkSession, d: String, k: Int = 5,
+                  nProbe: Int = Int.MaxValue): DataFrame =
+    knnLabelFrom(s, d, ivfTopK(s, d, k, nProbe))
+
+  /** Vote + verdict stages over ANY neighbor table with the
+    * (qid, neighbor_id, rank, cos) schema — the neighbor stage is
+    * pluggable (exact q20, IVF q44) precisely so the scale path swaps
+    * without touching the voting semantics. */
+  def knnLabelFrom(s: SparkSession, d: String, neighbors: DataFrame): DataFrame = {
     val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
-    val votes = cosineTopK(s, d, k)
+    val votes = neighbors
       .join(labels.select(col("vec_id").as("neighbor_id"),
         col("label").as("nlabel")), "neighbor_id")
       .groupBy("qid", "nlabel")

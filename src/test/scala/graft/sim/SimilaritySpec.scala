@@ -63,4 +63,24 @@ class SimilaritySpec extends AnyFunSuite {
     val full = pairs(SimilarityQueries.ivfTopK(spark, sfDir, nProbe = nLists))
     assert(full === exact, "IVF with nProbe=all lists must equal brute force")
   }
+
+  test("IVF-backed label propagation: probe-all equals exact; agreement at nProbe=4 is reported") {
+    val spark = SparkSpec.spark
+    val sfDir = "/root/testdata/sf0.01"
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.get(1), r.get(2), r.getLong(3))).toMap
+    val exact = verdicts(SimilarityQueries.knnLabel(spark, sfDir))
+    // probe-all (the registered q76 default) must reproduce q72 exactly
+    val full = verdicts(SimilarityQueries.knnLabelIvf(spark, sfDir))
+    assert(full === exact, "probe-all IVF label propagation must equal q72")
+    // the production setting: nProbe << nlist — measure prediction agreement
+    val approx = verdicts(
+      SimilarityQueries.knnLabelIvf(spark, sfDir, nProbe = SimilarityQueries.NProbe))
+    assert(approx.keySet === exact.keySet, "every query must still get a verdict")
+    val agree = exact.count { case (q, (_, pred, _)) => approx(q)._2 == pred }
+    val rate = agree.toDouble / exact.size
+    info(f"pred_label agreement at nProbe=${SimilarityQueries.NProbe}: $rate%.2f ($agree/${exact.size})")
+    assert(rate >= 0.5, s"agreement=$rate")
+  }
 }
