@@ -61,12 +61,30 @@ object Hashing {
     else toks.sliding(n).map(_.mkString(" ")).toArray
   }
 
-  /** Character n-gram shingles (sliding window over the raw string,
+  /** Character n-gram shingles (sliding window over CODE POINTS,
     * multiplicity preserved; shorter-than-n text → itself as the one
-    * shingle — mirrors [[wordShingles]]' degenerate case). */
-  def charShingles(text: String, n: Int): Array[String] =
-    if (text.length < n) Array(text)
-    else Array.tabulate(text.length - n + 1)(i => text.substring(i, i + n))
+    * shingle — mirrors [[wordShingles]]' degenerate case). Code points,
+    * not UTF-16 code units: DuckDB's len/substring count code points,
+    * so UTF-16 windows would split surrogate pairs on any non-BMP
+    * character (emoji, astral CJK) and the q67 oracle's shingle sets
+    * would diverge (ADVICE r6). For pure-BMP text the two are
+    * identical, and the all-ASCII fast path keeps the hot loop
+    * substring-based. */
+  def charShingles(text: String, n: Int): Array[String] = {
+    val cpCount = text.codePointCount(0, text.length)
+    if (cpCount < n) Array(text)
+    else if (cpCount == text.length) // no surrogate pairs: offsets == indices
+      Array.tabulate(text.length - n + 1)(i => text.substring(i, i + n))
+    else {
+      // code-point start offsets (cpCount + 1 entries incl. end)
+      val offs = new Array[Int](cpCount + 1)
+      var i = 0
+      var c = 0
+      while (c < cpCount) { offs(c) = i; i = text.offsetByCodePoints(i, 1); c += 1 }
+      offs(cpCount) = text.length
+      Array.tabulate(cpCount - n + 1)(j => text.substring(offs(j), offs(j + n)))
+    }
+  }
 
   /** Whitespace tokens (multiplicity preserved — SimHash weights repeat
     * tokens). */

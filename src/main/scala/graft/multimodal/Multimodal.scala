@@ -127,9 +127,15 @@ object Multimodal {
   def sampleFrames(df: DataFrame, payloadCol: String): DataFrame = {
     val nFrames = ceil(length(col(payloadCol)).cast("double") / FrameBytes)
       .cast("int")
+    // NULL payload → NO frames (explode of an empty array emits no
+    // rows), matching withResizedMedia's null-stays-null contract.
+    // Without the guard, greatest(null, 1) = 1 manufactured a phantom
+    // frame_idx=0 row with empty features for every null payload
+    // (ADVICE r6).
+    val frameIdxs = when(col(payloadCol).isNull, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), greatest(nFrames, lit(1)) - 1, lit(FrameStride)))
     val sliced = df
-      .withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(nFrames, lit(1)) - 1, lit(FrameStride))))
+      .withColumn("frame_idx", explode(frameIdxs))
       .withColumn("frame_bytes",
         expr(s"substring($payloadCol, frame_idx * $FrameBytes + 1, $FrameBytes)"))
     val schema = StructType(sliced.schema.fields :+

@@ -113,16 +113,18 @@ object CorpusOps {
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-    // Rank on the EXACT integer surrogate (df asc, tf desc, term asc) —
-    // rarest-then-most-frequent, the distinctiveness order — NOT on the
-    // ln-based score: JVM Math.log and DuckDB's libm may differ in the
-    // last ulp, and a flip at a round(·,4) boundary would reorder the
-    // top-K between engines (ADVICE r4). The surrogate agrees with
-    // tf·idf whenever df ties (then score order IS tf order) and keeps
-    // ln only in the displayed score, where an ulp can no longer change
-    // WHICH rows the query returns.
+    // Rank on the ROUNDED score desc (true tf·idf order), ties df asc
+    // then term asc. The r6 integer surrogate (df asc, tf desc, term)
+    // dodged ln entirely but was NOT order-equivalent to the score —
+    // a df=1, tf=1 term outranked a df=2, tf=100 one (ADVICE r6), so
+    // "TF-IDF top-K" returned non-top-scoring terms. Ranking on
+    // round(score, 4) restores the advertised semantics; the residual
+    // cross-engine risk is a JVM-vs-libm ln ulp landing exactly on a
+    // rounding boundary — the same risk class the displayed score
+    // column already carries, and one the oracle hash would catch
+    // loudly rather than silently.
     val w = Window.partitionBy("doc_id")
-      .orderBy(col("df").asc, col("tf").desc, col("term"))
+      .orderBy(col("score").desc, col("df").asc, col("term"))
     tf.join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("score",
@@ -141,7 +143,7 @@ object CorpusOps {
       "scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, " +
       "round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS score " +
       "FROM tf JOIN df USING (term) CROSS JOIN n), " +
-      "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY df ASC, tf DESC, term) AS rnk FROM scored) " +
+      "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, df ASC, term) AS rnk FROM scored) " +
       s"SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= $TfIdfTopK"
 
   // ----------------------------------------------------- inverted index

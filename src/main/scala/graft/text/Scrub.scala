@@ -143,16 +143,21 @@ object Scrub {
     * Output: per corpus doc, how many of its distinct 8-grams appear
     * anywhere in the bench slice. The one-row sketch collect is bounded
     * (32 KB) and the only driver-side state. */
-  /** One sketch per dataset dir, memoized: the sketch build is an eager
-    * action, and warmup + timed + verify passes over the same dataset
-    * would otherwise each build AND leak a fresh `broadcast()`
-    * (`catalog.clearCache()` releases cached plans, not broadcast
-    * blocks — the leak ADVICE r4 flagged). The map holds one entry per
-    * dataset this JVM touches (2-3 in practice), each ≤ MaxBits/8
-    * bytes. */
+  /** One sketch per (application, dataset dir), memoized: the sketch
+    * build is an eager action, and warmup + timed + verify passes over
+    * the same dataset would otherwise each build AND leak a fresh
+    * `broadcast()` (`catalog.clearCache()` releases cached plans, not
+    * broadcast blocks — the leak ADVICE r4 flagged). The applicationId
+    * in the key keeps a restarted SparkSession in the same JVM (tests,
+    * session-per-tool mains) from reusing a broadcast bound to a dead
+    * SparkContext (ADVICE r6). Assumes the data under a dir is
+    * immutable for the life of the application — true for the snapshot
+    * dirs here; content-addressed dirs are the production analogue. The
+    * map holds one entry per (app, dataset) this JVM touches (2-3 in
+    * practice), each ≤ MaxBits/8 bytes. */
   private val sketchCache =
     new java.util.concurrent.ConcurrentHashMap[
-      String, (org.apache.spark.broadcast.Broadcast[Array[Long]], Int)]()
+      (String, String), (org.apache.spark.broadcast.Broadcast[Array[Long]], Int)]()
 
   def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
     val gh64 = udf { (gram: String) => graft.dedup.Hashing.md5Lower64(gram) }
@@ -161,7 +166,7 @@ object Scrub {
       .select(col("doc_id"), gh64(col("gram")).as("gh"))
     val isBench = col("doc_id") % BenchStride === BenchOffset
     val benchGh = grams.filter(isBench).select("gh").distinct()
-    val (bc, numBits) = sketchCache.computeIfAbsent(d, _ => {
+    val (bc, numBits) = sketchCache.computeIfAbsent((s.sparkContext.applicationId, d), _ => {
       // Size the sketch from the measured key count (ADVICE r4: a
       // static size saturates when the keyed side grows with SF —
       // FP → 1 and the prefilter degrades to pure overhead). The

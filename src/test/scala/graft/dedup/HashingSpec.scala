@@ -111,4 +111,20 @@ class HashingSpec extends AnyFunSuite {
     assert(Hashing.wordShingles("", 3).toSeq == Seq(""))
     assert(Hashing.wordShingles("  a   b  ", 3).toSeq == Seq("a b"))
   }
+
+  test("charShingles windows over code points, not UTF-16 units") {
+    // ASCII fast path
+    assert(Hashing.charShingles("abcd", 3).toSeq == Seq("abc", "bcd"))
+    assert(Hashing.charShingles("ab", 3).toSeq == Seq("ab"))
+    // non-BMP: each emoji is one code point but two UTF-16 chars.
+    // DuckDB's text[i:j] counts code points — shingles must match it
+    // and never split a surrogate pair.
+    val s = "a😀b😁" // a😀b😁 — 4 code points, 6 chars
+    val got = Hashing.charShingles(s, 3).toSeq
+    assert(got == Seq("a😀b", "😀b😁"))
+    assert(got.forall(g => g.codePointCount(0, g.length) == 3))
+    // degenerate: 2 code points < n=3 → whole text
+    assert(Hashing.charShingles("😀😁", 3).toSeq ==
+      Seq("😀😁"))
+  }
 }

@@ -33,11 +33,13 @@ class MultimodalSpec extends AnyFunSuite {
     import spark.implicits._
     // 300 bytes → 5 frames (64,64,64,64,44) → sampled idx 0 and 4
     val payload = Array.tabulate[Byte](300)(i => (i % 127).toByte)
-    val df = Seq((1L, payload), (2L, Array[Byte](1, 2, 3)))
+    val df = Seq((1L, payload), (2L, Array[Byte](1, 2, 3)),
+        (3L, null.asInstanceOf[Array[Byte]]))
       .toDF("doc_id", "payload")
     val out = Multimodal.sampleFrames(df, "payload")
       .select("doc_id", "frame_idx", "frame_features").collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
+    // null payload contributes NO frames (no phantom frame_idx=0 row)
     assert(out.keySet === Set((1L, 0), (1L, 4), (2L, 0)))
     // each sampled frame decodes like the standalone stub on its slice
     val frame0 = payload.slice(0, 64)
