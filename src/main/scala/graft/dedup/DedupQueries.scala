@@ -757,11 +757,22 @@ object DedupQueries {
     * so EnsureRequirements shuffles ONLY the batch side (PlanAuditSpec
     * asserts zero exchanges above the index scans). This is the plan a
     * nightly crawl runs at 100 TB — daily cost ∝ batch, not index. */
-  def incrementalDedupIndexed(s: SparkSession, d: String): DataFrame = {
+  def incrementalDedupIndexed(s: SparkSession, d: String): DataFrame =
+    incrementalVerdictsIndexed(s, d,
+      Tables.documents(s, d)
+        .filter(col("doc_id") % IncBatchMod === IncBatchRem)
+        .select("doc_id", "text"))
+
+  /** The index-probing core of [[incrementalDedupIndexed]] over an
+    * ARBITRARY (doc_id, text) batch — also the per-micro-batch body of
+    * the streaming twin ([[graft.streaming.StreamingFraud
+    * .incrementalDedupStream]]): signatures are computed for the batch
+    * rows only, the corpus side is the bucketed [[corpusIndex]] (no
+    * exchange, no recompute), so each call costs ∝ the batch. */
+  def incrementalVerdictsIndexed(s: SparkSession, d: String,
+                                 batch: DataFrame): DataFrame = {
     val (hashTbl, bandTbl) = corpusIndex(s, d)
-    val isNew = col("doc_id") % IncBatchMod === IncBatchRem
     val docs = Tables.documents(s, d)
-    val batch = docs.filter(isNew)
     val exactDup = batch.select(col("doc_id"), md5(col("text")).as("h"))
       .join(s.table(hashTbl), Seq("h"), "left_semi")
       .select("doc_id")
@@ -777,7 +788,7 @@ object DedupQueries {
         Hashing.wordShingles(tb, ShingleN).distinct)
     }
     val nearDup = cand
-      .join(docs.select(col("doc_id"), col("text").as("text_a")), "doc_id")
+      .join(batch.select(col("doc_id"), col("text").as("text_a")), "doc_id")
       .join(docs.select(col("doc_id").as("corpus_id"), col("text").as("text_b")), "corpus_id")
       .filter(round(jaccardUdf(col("text_a"), col("text_b")), 4) >= MinJaccard)
       .select("doc_id").distinct()

@@ -227,6 +227,31 @@ object StreamingFraud {
           .as("est_distinct_users"))
   }
 
+  /** Streaming twin of q75 — incremental dedup of a DOCUMENT STREAM
+    * against the persisted corpus index: each micro-batch's (doc_id,
+    * text) rows run the same index-probing plan as the batch query
+    * ([[graft.dedup.DedupQueries.incrementalVerdictsIndexed]]) via
+    * foreachBatch, so per-micro-batch cost is ∝ the micro-batch —
+    * signatures are computed for the new documents only and the corpus
+    * side is the bucketed band/hash tables, read exchange-free and
+    * never recomputed. This is the nightly-crawl plan with "nightly"
+    * shrunk to the trigger interval; verdicts are handed to `sink`
+    * (write to your store of choice) and are byte-identical to the
+    * batch q71/q75 verdicts for the same documents
+    * (StreamingFraudSpec). foreachBatch rather than a stream-static
+    * join pipeline because the verdict requires a per-doc EXISTS over
+    * candidate matches — an aggregation that in pure streaming would
+    * drag in watermark state the batch-per-trigger shape doesn't need. */
+  def incrementalDedupStream(spark: SparkSession, corpusDir: String,
+                             docs: DataFrame,
+                             sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.dedup.DedupQueries.incrementalVerdictsIndexed(
+          spark, corpusDir, batch.select("doc_id", "text")), batchId)
+      }
+      .start()
+
   /** File-source entry: watch a landing directory of claim CSVs (the
     * app.py upload loop), tag, and write per-micro-batch result CSVs. */
   def fileStream(spark: SparkSession, landingDir: String, outDir: String,

@@ -225,4 +225,40 @@ class StreamingFraudSpec extends AnyFunSuite {
       assert(rows.values.forall(v => v._1 > 0 && !v._1.isNaN))
     } finally query.stop()
   }
+
+  test("streaming incremental dedup: 2 micro-batches match the batch q71 verdicts") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    import graft.dedup.DedupQueries
+
+    // the batch query's "today's crawl" slice, replayed as a stream
+    val batchDocs = graft.ops.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % DedupQueries.IncBatchMod === DedupQueries.IncBatchRem)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(batchDocs.length >= 2, "need at least 2 docs to form 2 micro-batches")
+    val (first, second) = batchDocs.splitAt(batchDocs.length / 2)
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val query = StreamingFraud.incrementalDedupStream(spark, sfDir, docs,
+      (verdicts, _) => verdicts.collect().foreach(r =>
+        got.add(r.getLong(0) -> r.getString(1))))
+    try {
+      input.addData(first.toSeq)
+      query.processAllAvailable()
+      input.addData(second.toSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val expect = DedupQueries.incrementalDedup(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    import scala.jdk.CollectionConverters._
+    assert(got.size === expect.size, "one verdict per streamed doc")
+    assert(got.asScala.toSet === expect)
+  }
 }
