@@ -264,7 +264,16 @@ object DedupQueries {
     *    convergence signal (labels are monotone non-increasing:
     *    changed ⇔ new < old) rides the same pass. */
   def clustersFromEdges(docs: DataFrame, edges: DataFrame,
-                        maxIters: Int = 50): DataFrame = {
+                        maxIters: Int = 50): DataFrame =
+    clustersFromEdgesWithStats(docs, edges, maxIters)._1
+
+  /** [[clustersFromEdges]] plus (rounds run, labels still changing in
+    * the last round) — exposed so tests can pit propagation's
+    * O(diameter) round count against star contraction's O(log n) on
+    * adversarial graphs instead of asserting the trade-off in prose. */
+  private[graft] def clustersFromEdgesWithStats(
+      docs: DataFrame, edges: DataFrame,
+      maxIters: Int = 50): (DataFrame, Int, Long) = {
     // both edge orientations from ONE pass over the (expensive) pair
     // pipeline — union(edges, edges.swap) would execute it twice
     val adj = edges
@@ -278,6 +287,14 @@ object DedupQueries {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
+      // localCheckpoint, not persist, for the SAME reason as the star
+      // loop below: persist caches data but keeps the full logical
+      // plan, so round k re-analyzes a k-level-deep nest of every
+      // previous round's join — planning, not execution, came to
+      // dominate past ~10 rounds (exposed by DedupSpec's 5k-chain
+      // adversarial graph; invisible at the ≤3 rounds real near-dup
+      // graphs take). Checkpointing truncates each round's plan to a
+      // scan of the materialized label set.
       val next = adj
         .join(labels.select(col("doc_id").as("nb"), col("cluster")), "nb")
         .groupBy(col("src").as("doc_id"))
@@ -286,7 +303,7 @@ object DedupQueries {
           min(when(col("nb") === col("src"), col("cluster"))).as("old"))
         .select(col("doc_id"), col("cluster"),
           (col("cluster") < col("old")).as("chg"))
-        .persist()
+        .localCheckpoint(true)
       changed = next.agg(sum(when(col("chg"), 1L).otherwise(0L))).head()
         .getLong(0)
       labels.unpersist() // no-op on iteration 0 (initial labels unpersisted)
@@ -294,7 +311,7 @@ object DedupQueries {
       iter += 1
     }
     adj.unpersist()
-    labels.select("doc_id", "cluster")
+    (labels.select("doc_id", "cluster"), iter, changed)
   }
 
   /** DuckDB twin: min reachable id per node via a recursive CTE over the

@@ -127,6 +127,41 @@ class DedupSpec extends AnyFunSuite {
     assert(iters <= 12, s"expected O(log n) rounds on the chain, took $iters")
   }
 
+  test("adversarial star+chain (10k nodes): propagation is diameter-bound, star contraction is not") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    // component 1: a 5001-node star (hub 0, leaves 1..5000) — diameter 2
+    // component 2: a 4999-node chain 5001-…-9999 — diameter ~5000, the
+    // shape that makes O(diameter) propagation unusable
+    val starEdges = (1L to 5000L).map(i => (0L, i))
+    val chainEdges = (5001L until 9999L).map(i => (i, i + 1))
+    val docsDf = (0L to 9999L).toDF("doc_id")
+    val edgesDf = (starEdges ++ chainEdges).toDF("doc_a", "doc_b")
+
+    // star contraction: full convergence in O(log n) rounds, labels exact
+    val (starLabels, starIters) =
+      DedupQueries.clustersLargeSmallStarWithStats(docsDf, edgesDf)
+    val got = starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ((0L to 5000L).map(_ -> 0L) ++ (5001L to 9999L).map(_ -> 5001L)).toMap
+    assert(got === want)
+    assert(starIters <= 15, s"star contraction took $starIters rounds on the chain")
+
+    // propagation: after 20 rounds labels are STILL changing — the
+    // chain needs ~diameter rounds, which is exactly the swap criterion
+    val (_, propIters, stillChanging) =
+      DedupQueries.clustersFromEdgesWithStats(docsDf, edgesDf, maxIters = 20)
+    assert(propIters === 20)
+    assert(stillChanging > 0,
+      "propagation should NOT converge on a 5k chain within 20 rounds")
+
+    // …while on the shallow star alone (the real near-dup shape)
+    // propagation converges immediately — why it stays the default
+    val (_, starOnlyIters, done) = DedupQueries.clustersFromEdgesWithStats(
+      (0L to 5000L).toDF("doc_id"), starEdges.toDF("doc_a", "doc_b"), maxIters = 20)
+    assert(done === 0L && starOnlyIters <= 3,
+      s"propagation on the shallow star: $starOnlyIters rounds, changing=$done")
+  }
+
   test("char-5-gram Jaccard pairs: sound (all >= tau) and complete vs brute force at J >= 0.9") {
     val spark = SparkSpec.spark
     val docs = graft.ops.Tables.documents(spark, sfDir)
