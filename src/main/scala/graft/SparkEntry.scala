@@ -130,6 +130,9 @@ object SparkEntry {
     // round-7: label propagation composed over the IVF ANN stage
     // (probe-all ≡ exact ⇒ same oracle as q72)
     "q76_knn_label_ivf"       -> ((s: SparkSession, d: String) => graft.sim.SimilarityQueries.knnLabelIvf(s, d)),
+    // round-7: exact-quota mixture sampling as a threshold FILTER
+    // (order-statistic per lang) — q73's beyond-buffer scale path
+    "q77_quota_sample_threshold" -> (graft.text.CorpusOps.quotaSampleThreshold _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -210,5 +213,6 @@ object SparkEntry {
     // identical output contract to q71 — same oracle
     "q75_incremental_dedup_indexed" -> DedupQueries.incrementalDedupSql,
     "q76_knn_label_ivf"       -> graft.sim.SimilarityQueries.knnLabelSql,
+    "q77_quota_sample_threshold" -> graft.text.CorpusOps.quotaSampleThresholdSql,
   )
 }

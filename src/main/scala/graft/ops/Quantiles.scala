@@ -73,6 +73,44 @@ object Quantiles {
                       accuracy: Int = DefaultAccuracy): Double =
     exactPercentiles(df, c, Seq(p), accuracy).head
 
+  /** EXACT k-th smallest value of `df.col(c)` (1-based rank, nulls
+    * ignored) via the same bracket machinery — rank-based selection,
+    * no interpolation, so it works where percentile arithmetic cannot
+    * (integer sample keys whose (k-1)/(n-1) fraction isn't a
+    * representable double). pass 1 brackets the rank with
+    * approx_percentile ± the sketch error (plus the ±1-rank neighbor
+    * pad); pass 2 counts below-bracket and collects the bracket slice;
+    * the answer is slice[(k-1) - below]. Returns None when k is out of
+    * range (empty input or k > n). */
+  def exactKthSmallest(df: DataFrame, c: String, k: Long,
+                       accuracy: Int = DefaultAccuracy): Option[Double] = {
+    require(k >= 1, s"rank must be >= 1, got $k")
+    val v = col(c).cast("double")
+    val n = df.agg(count(v)).head().getLong(0)
+    if (n == 0L || k > n) return None
+    val p = (k - 1).toDouble / math.max(1L, n - 1).toDouble
+    val eps = 2.0 / accuracy
+    val (plo, phi) = (math.max(0.0, p - eps), math.min(1.0, p + eps))
+    val b = df.agg(expr(
+      s"approx_percentile(CAST($c AS DOUBLE), array($plo, $phi), $accuracy)"))
+      .head().getSeq[Double](0)
+    val pass2 = df.agg(
+      sum(when(v < b.head, 1L).otherwise(0L)),
+      sort_array(collect_list(when(v >= b.head && v <= b(1), v))),
+      max(when(v < b.head, v)),
+      min(when(v > b(1), v))).head()
+    val below0 = pass2.getLong(0)
+    val inB = pass2.getSeq[Double](1)
+    val loPad = if (pass2.isNullAt(2)) None else Some(pass2.getDouble(2))
+    val hiPad = if (pass2.isNullAt(3)) None else Some(pass2.getDouble(3))
+    val vals = loPad.toSeq ++ inB ++ hiPad.toSeq
+    val below = below0 - loPad.size
+    val idx = (k - 1) - below
+    if (idx >= 0 && idx < vals.size) Some(vals(idx.toInt))
+    else // defensive: bracket miss outside the sketch contract
+      df.sort(v).select(v).limit(k.toInt).collect().lastOption.map(_.getDouble(0))
+  }
+
   /** PER-GROUP exact percentiles via the same two-pass bracket plan,
     * fully declarative (no driver loop, works for any group count):
     *

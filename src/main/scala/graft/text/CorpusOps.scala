@@ -295,6 +295,64 @@ object CorpusOps {
       .select(col("e._2").as("doc_id"), col("lang"), col("rnk"))
   }
 
+  /** q77 — exact-quota mixture sampling by THRESHOLD FILTER: the scale
+    * path for quotas too large for any in-memory top-K buffer (q73's
+    * buffer is bounded by the quota, and a 40% slice of a 100 TB corpus
+    * is not a buffer). The sample key is the 53-bit md5 slice of the
+    * doc_id (the q60 key family — exact in a double, bit-identical in
+    * both engines, numeric hash order); "the quota_l smallest keys in
+    * language l" then becomes a pure map-side filter once the quota-th
+    * smallest key is known. That threshold is an exact ORDER STATISTIC
+    * per language, computed by the bounded two-pass bracket
+    * ([[graft.ops.Quantiles.exactKthSmallest]]) — |langs| scalar
+    * computations, the same bounded driver pattern as the quota math
+    * itself. No window, no rank buffer, no per-group state beyond the
+    * bracket slice.
+    *
+    * Exact quota relies on within-language key distinctness (53-bit
+    * hashes of distinct ids; a boundary collision would over-admit and
+    * fail the count assertions in SamplingSpec loudly). */
+  def quotaSampleThreshold(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val hashUdf = udf { (sid: String) => graft.dedup.Hashing.md5Lower64(sid) >>> 11 }
+    val keyed = docs.select(col("doc_id"), col("lang"),
+      hashUdf(col("doc_id").cast("string")).as("skey"))
+    val nl = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = MixTargets.filter { case (l, _, _) => nl.contains(l) }
+    val t = present.map { case (l, num, den) => nl(l) * den / num }.min
+    val quota = present
+      .map { case (l, num, den) => (l, t * num / den) }
+      .filter(_._2 >= 1L)
+    val thr = quota.map { case (l, k) =>
+      l -> graft.ops.Quantiles
+        .exactKthSmallest(keyed.filter(col("lang") === l), "skey", k)
+        .get.toLong
+    }
+    val thrCase = thr.foldLeft(lit(Long.MinValue)) { case (acc, (l, th)) =>
+      when(col("lang") === l, lit(th)).otherwise(acc)
+    }
+    keyed.filter(col("skey") <= thrCase).select("doc_id", "lang", "skey")
+  }
+
+  val quotaSampleThresholdSql: String = {
+    val langs = MixTargets.map(t => s"'${t._1}'").mkString(", ")
+    val tCase = MixTargets.map { case (l, num, den) =>
+      s"WHEN '$l' THEN n * $den // $num" }.mkString("CASE lang ", " ", " END")
+    val kCase = MixTargets.map { case (l, num, den) =>
+      s"WHEN '$l' THEN t.t * $num // $den" }.mkString("CASE lang ", " ", " END")
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |t AS (SELECT min($tCase) AS t FROM c WHERE lang IN ($langs)),
+       |k AS (SELECT lang, $kCase AS k FROM c, t WHERE lang IN ($langs)),
+       |r AS (SELECT doc_id, lang,
+       |  CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) >> 11 AS BIGINT) AS skey,
+       |  row_number() OVER (PARTITION BY lang
+       |    ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)) >> 11, doc_id) AS rnk
+       |  FROM documents)
+       |SELECT r.doc_id, r.lang, r.skey
+       |FROM r JOIN k USING (lang) WHERE r.rnk <= k.k""".stripMargin.replace("\n", " ")
+  }
+
   val mixtureSampleSql: String = {
     val langs = MixTargets.map(t => s"'${t._1}'").mkString(", ")
     val tCase = MixTargets.map { case (l, num, den) =>
