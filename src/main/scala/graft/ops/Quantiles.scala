@@ -107,8 +107,102 @@ object Quantiles {
     val below = below0 - loPad.size
     val idx = (k - 1) - below
     if (idx >= 0 && idx < vals.size) Some(vals(idx.toInt))
-    else // defensive: bracket miss outside the sketch contract
-      df.sort(v).select(v).limit(k.toInt).collect().lastOption.map(_.getDouble(0))
+    else {
+      // defensive: bracket miss outside the sketch contract. Nulls are
+      // filtered (an ascending sort puts them FIRST, which would shift
+      // the rank the main path computes over count(v) non-nulls), and
+      // limit() takes an Int — guard rather than overflow silently.
+      require(k <= Int.MaxValue,
+        s"defensive fallback needs k <= Int.MaxValue, got $k")
+      df.select(v.as("_v")).filter(col("_v").isNotNull)
+        .sort("_v").limit(k.toInt).collect().lastOption.map(_.getDouble(0))
+    }
+  }
+
+  /** PER-GROUP exact k-th smallest (1-based rank per group, nulls
+    * ignored) — the grouped twin of [[exactKthSmallest]], built so a
+    * caller with G groups pays a FIXED number of Spark jobs instead of
+    * ~3·G (the q77 driver loop this replaces: VERDICT r7 item 1).
+    *
+    * Three jobs, each one full scan, regardless of |G|:
+    *   pass 0 — grouped exact count of non-null values (needed to turn
+    *            each group's rank into a percentile).
+    *   pass 1 — ONE grouped `approx_percentile` sketch. The percentage
+    *            argument must be foldable, so per-group percentiles
+    *            can't vary inside the aggregate; instead the sketch is
+    *            evaluated at the UNION of every group's bracket
+    *            endpoints (2·|G| doubles — each group's mergeable
+    *            digest answers all of them for free) and the driver
+    *            picks each group's own pair.
+    *   pass 2 — brackets broadcast back (|G|-row join side), ONE
+    *            grouped bounded aggregate: exact below-bracket count,
+    *            sorted in-bracket slice (≤ ≈4·n_g/accuracy values per
+    *            group), ±1-rank neighbor pads for the small-group
+    *            regime (same rationale as [[exactGroupPercentiles]]).
+    *
+    * The answer for group g is slice[(k_g−1) − below_g]. A bracket miss
+    * (outside the sketch's rank-error contract — defensive only) falls
+    * back to [[exactKthSmallest]] on that group's rows alone.
+    *
+    * Group keys are non-null strings (they come from `ks`); rows whose
+    * group is not in `ks` are filtered before any scan.
+    *
+    * `knownCounts`, when provided, must be each group's NON-NULL value
+    * count (callers like q77 already hold it from their quota math) —
+    * it skips pass 0, taking the fixed job count down by one scan. */
+  def exactGroupKthSmallest(df: DataFrame, g: String, c: String,
+                            ks: Map[String, Long],
+                            accuracy: Int = DefaultAccuracy,
+                            knownCounts: Option[Map[String, Long]] = None): Map[String, Double] = {
+    require(ks.nonEmpty, "need at least one (group, rank)")
+    require(ks.values.forall(_ >= 1), s"ranks must be >= 1, got $ks")
+    val v = col(c).cast("double")
+    val in = df.filter(col(g).isin(ks.keys.toSeq: _*))
+    val ns = knownCounts.getOrElse(
+      in.groupBy(g).agg(count(v).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    ks.foreach { case (grp, k) =>
+      require(ns.getOrElse(grp, 0L) >= k,
+        s"group $grp has ${ns.getOrElse(grp, 0L)} non-null rows < rank $k")
+    }
+    val eps = 2.0 / accuracy
+    val groups = ks.keys.toSeq.sorted
+    val bounds = groups.map { grp =>
+      val p = (ks(grp) - 1).toDouble / math.max(1L, ns(grp) - 1).toDouble
+      (grp, math.max(0.0, p - eps), math.min(1.0, p + eps))
+    }
+    val pcts = bounds.flatMap { case (_, lo, hi) => Seq(lo, hi) }
+    val sk = in.groupBy(g).agg(expr(
+      s"approx_percentile(CAST($c AS DOUBLE), array(${pcts.mkString(", ")}), $accuracy)").as("b"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val brackets = bounds.zipWithIndex.map { case ((grp, _, _), i) =>
+      (grp, sk(grp)(2 * i), sk(grp)(2 * i + 1))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bdf = brackets.toDF(g, "_lo", "_hi")
+    val pass2 = in.join(broadcast(bdf), g).groupBy(g).agg(
+      sum(when(v < col("_lo"), 1L).otherwise(0L)).as("below"),
+      sort_array(collect_list(when(v >= col("_lo") && v <= col("_hi"), v))).as("slice"),
+      max(when(v < col("_lo"), v)).as("lopad"),
+      min(when(v > col("_hi"), v)).as("hipad"))
+      .collect().map { r =>
+        val grp = r.getString(0)
+        val loPad = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+        val hiPad = if (r.isNullAt(4)) None else Some(r.getDouble(4))
+        val vals = loPad.toSeq ++ r.getSeq[Double](2) ++ hiPad.toSeq
+        val below = r.getLong(1) - loPad.size
+        grp -> ((below, vals))
+      }.toMap
+    groups.map { grp =>
+      val (below, vals) = pass2(grp)
+      val idx = (ks(grp) - 1) - below
+      val ans =
+        if (idx >= 0 && idx < vals.size) vals(idx.toInt)
+        else // defensive: per-group bracket miss outside the contract
+          exactKthSmallest(in.filter(col(g) === grp), c, ks(grp), accuracy).get
+      grp -> ans
+    }.toMap
   }
 
   /** PER-GROUP exact percentiles via the same two-pass bracket plan,
@@ -141,7 +235,11 @@ object Quantiles {
       count(v).as("n"),
       expr(s"approx_percentile(CAST($c AS DOUBLE), " +
         s"array(${pcts.mkString(", ")}), $accuracy)").as("b"))
-    val joined = df.join(broadcast(pass1), g)
+    // null-safe (<=>) bracket join: groupBy emits a NULL-group row, and
+    // an equi-join on g would silently drop it — the grouped percentile
+    // aggregate this replaces keeps the null group, so must we.
+    val joined = df.join(broadcast(pass1.withColumnRenamed(g, "__qg")),
+      col(g) <=> col("__qg")).drop("__qg")
     // Each bracket is padded with its immediate out-of-bracket neighbors
     // (two more bounded scalar aggregates): when a group's n is under
     // `accuracy`, the ±2/accuracy percentile margin spans less than one

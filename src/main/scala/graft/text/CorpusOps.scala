@@ -284,7 +284,11 @@ object CorpusOps {
     val kCase = quota.foldLeft(lit(0L)) { case (acc, (l, k)) =>
       when(col("lang") === l, lit(k)).otherwise(acc)
     }
-    val maxK = quota.map(_._2).max.toInt
+    val maxKL = quota.map(_._2).max
+    require(maxKL <= Int.MaxValue,
+      s"quota $maxKL exceeds the Int buffer bound — use q77 " +
+        "(quotaSampleThreshold), the beyond-buffer scale path")
+    val maxK = maxKL.toInt
     docs.filter(col("lang").isin(quota.map(_._1): _*))
       .groupBy("lang")
       .agg(graft.ops.TopKAggregator.minKByStr(maxK)(
@@ -310,8 +314,17 @@ object CorpusOps {
     * bracket slice.
     *
     * Exact quota relies on within-language key distinctness (53-bit
-    * hashes of distinct ids; a boundary collision would over-admit and
-    * fail the count assertions in SamplingSpec loudly). */
+    * hashes of distinct ids; a boundary collision would over-admit —
+    * caught loudly by SamplingSpec's per-language quota-count assertion
+    * and by the oracle's rnk-with-doc_id-tiebreak compare).
+    *
+    * Thresholds for ALL languages come from ONE grouped two-pass
+    * bracket ([[graft.ops.Quantiles.exactGroupKthSmallest]]): 3 Spark
+    * jobs total regardless of |langs|. The r7 shape — a per-language
+    * driver loop of the global [[graft.ops.Quantiles.exactKthSmallest]]
+    * — cost ~3 full corpus scans PER language (lang is a predicate, not
+    * a partition), i.e. hundreds of scans at a realistic 50–100
+    * languages; PlanSpec now pins the fixed job count. */
   def quotaSampleThreshold(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val hashUdf = udf { (sid: String) => graft.dedup.Hashing.md5Lower64(sid) >>> 11 }
@@ -324,13 +337,13 @@ object CorpusOps {
     val quota = present
       .map { case (l, num, den) => (l, t * num / den) }
       .filter(_._2 >= 1L)
-    val thr = quota.map { case (l, k) =>
-      l -> graft.ops.Quantiles
-        .exactKthSmallest(keyed.filter(col("lang") === l), "skey", k)
-        .get.toLong
-    }
-    val thrCase = thr.foldLeft(lit(Long.MinValue)) { case (acc, (l, th)) =>
-      when(col("lang") === l, lit(th)).otherwise(acc)
+    val quotaMap = quota.toMap
+    val thr = graft.ops.Quantiles
+      .exactGroupKthSmallest(keyed, "lang", "skey", quotaMap,
+        knownCounts = Some(nl.filter { case (l, _) => quotaMap.contains(l) }))
+      .map { case (l, x) => l -> x.toLong }
+    val thrCase = quota.foldLeft(lit(Long.MinValue)) { case (acc, (l, _)) =>
+      when(col("lang") === l, lit(thr(l))).otherwise(acc)
     }
     keyed.filter(col("skey") <= thrCase).select("doc_id", "lang", "skey")
   }

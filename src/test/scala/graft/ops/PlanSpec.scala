@@ -60,4 +60,63 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q11_autoencoder_score")
     assert(!p.contains("Exchange"), p)
   }
+
+  /** Count Spark jobs launched while `body` runs. The listener bus is
+    * async, so the count is polled until stable; a lost race can only
+    * UNDERcount, so the ≤-bound assertions below cannot flake red. */
+  private def countJobs(body: => Unit): Int = {
+    val sc = SparkSpec.spark.sparkContext
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(l)
+    try {
+      body
+      var prev = -1
+      var cur = n.get()
+      var spins = 0
+      while (cur != prev && spins < 20) {
+        Thread.sleep(150); prev = cur; cur = n.get(); spins += 1
+      }
+      cur
+    } finally sc.removeSparkListener(l)
+  }
+
+  // Job-count regression guards: the class of scale bug plan-string
+  // assertions can't see — driver loops issuing a job per group, or
+  // hidden recomputation of an unpersisted lineage. Bounds are upper
+  // bounds with a little slack; the regression they catch is O(|groups|)
+  // or O(rounds²) blowup, not a ±1 drift.
+
+  test("q77 launches a FIXED number of jobs, independent of language count") {
+    val spark = SparkSpec.spark
+    // shape today: 1 lang-count collect + the grouped two-pass bracket
+    // (sketch, slice — counts are reused from the quota math) + the
+    // result collect; AQE runs each shuffle stage as its own job, so the
+    // measured total is 10, fixed. The r7 per-language driver loop cost
+    // ~3 jobs PER language ≈ 19+ at the 5 test languages (and scales
+    // with |langs|); 12 is the tripwire between the two shapes.
+    val jobs = countJobs {
+      graft.SparkEntry.queries("q77_quota_sample_threshold")(spark, sfDir)
+        .collect()
+    }
+    info(s"q77 jobs: $jobs")
+    assert(jobs <= 12, s"q77 launched $jobs jobs — per-group driver loop regression?")
+  }
+
+  test("iterative CC job counts stay O(rounds), not O(rounds^2)") {
+    val spark = SparkSpec.spark
+    for ((q, bound) <- Seq("q45_dedup_clusters" -> 30, "q64_cc_largestar" -> 40)) {
+      val jobs = countJobs {
+        graft.SparkEntry.queries(q)(spark, sfDir).collect()
+      }
+      info(s"$q jobs: $jobs")
+      assert(jobs <= bound,
+        s"$q launched $jobs jobs (bound $bound) — lineage/recompute regression?")
+    }
+  }
 }

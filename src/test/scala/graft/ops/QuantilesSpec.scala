@@ -84,6 +84,48 @@ class QuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped kth-smallest == per-group sort, including edge ranks") {
+    val df = Tables.table(spark, sfDir, "lineitem")
+    val g = "l_returnflag"; val c = "l_quantity" // duplicate-heavy values
+    val ns = df.groupBy(g).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rank menu per group: first, middle, last — exercises bracket
+    // clamping at both ends and the duplicate-run arithmetic
+    for (pick <- Seq[Long => Long](_ => 1L, n => n / 2, n => n)) {
+      val ks = ns.map { case (grp, n) => grp -> math.max(1L, pick(n)) }
+      val got = Quantiles.exactGroupKthSmallest(df, g, c, ks)
+      val want = ks.map { case (grp, k) =>
+        grp -> df.filter(col(g) === grp)
+          .select(col(c).cast("double")).sort(c)
+          .limit(k.toInt).collect().last.getDouble(0)
+      }
+      assert(got.keySet === want.keySet)
+      got.foreach { case (grp, v) =>
+        assert(java.lang.Double.compare(v, want(grp)) == 0,
+          s"group=$grp k=${ks(grp)}: grouped=$v exact=${want(grp)}")
+      }
+    }
+  }
+
+  test("grouped kth-smallest rejects out-of-range ranks loudly") {
+    val df = Tables.table(spark, sfDir, "lineitem")
+    val n = df.filter(col("l_returnflag") === "R").count()
+    intercept[IllegalArgumentException] {
+      Quantiles.exactGroupKthSmallest(df, "l_returnflag", "l_quantity",
+        Map("R" -> (n + 1)))
+    }
+  }
+
+  test("grouped percentiles keep the NULL group (null-safe bracket join)") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+                 (null.asInstanceOf[String], 10.0), (null.asInstanceOf[String], 20.0))
+      .toDF("g", "v")
+    val got = Quantiles.exactGroupPercentiles(df, "g", "v", Seq(0.5))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(2)).toMap
+    assert(got === Map(Some("a") -> 2.0, None -> 15.0))
+  }
+
   test("grouped bracket plan carries no single-buffer percentile aggregate") {
     val plan = RelationalQueries
       .groupQuantiles(spark, sfDir).queryExecution.executedPlan.toString

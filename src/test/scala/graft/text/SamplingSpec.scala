@@ -73,6 +73,47 @@ class SamplingSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("q77 threshold filter admits exactly each language's quota (sf0.001)") {
+    val spark = SparkSpec.spark
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+    val nl = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = CorpusOps.MixTargets.filter { case (l, _, _) => nl.contains(l) }
+    val t = present.map { case (l, num, den) => nl(l) * den / num }.min
+    val quota = present.map { case (l, num, den) => (l, t * num / den) }
+      .filter(_._2 >= 1L).toMap
+    val gotCounts = CorpusOps.quotaSampleThreshold(spark, sfDir)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotCounts === quota,
+      s"per-language admitted counts must equal the quotas: got $gotCounts want $quota")
+  }
+
+  test("q77 equals the rank-window formulation row-for-row (sf0.001)") {
+    val spark = SparkSpec.spark
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+    val hashUdf = udf { (sid: String) => graft.dedup.Hashing.md5Lower64(sid) >>> 11 }
+    val nl = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = CorpusOps.MixTargets.filter { case (l, _, _) => nl.contains(l) }
+    val t = present.map { case (l, num, den) => nl(l) * den / num }.min
+    val quota = present.map { case (l, num, den) => (l, t * num / den) }
+      .filter(_._2 >= 1L)
+    val kCase = quota.foldLeft(lit(0L)) { case (acc, (l, k)) =>
+      when(col("lang") === l, lit(k)).otherwise(acc)
+    }
+    val w = Window.partitionBy("lang").orderBy(col("skey"), col("doc_id"))
+    val expect = docs
+      .withColumn("skey", hashUdf(col("doc_id").cast("string")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= kCase)
+      .select(col("doc_id"), col("lang"), col("skey"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val got = CorpusOps.quotaSampleThreshold(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expect)
+  }
+
   test("q73 bounded aggregate equals the window formulation (sf0.001)") {
     val spark = SparkSpec.spark
     val docs = graft.ops.Tables.documents(spark, sfDir)
