@@ -197,17 +197,20 @@ class DedupSpec extends AnyFunSuite {
       rows(DedupQueries.incrementalDedup(spark, sfDir)))
   }
 
-  test("q75 plan never shuffles the persisted corpus index") {
-    val spark = SparkSpec.spark
-    // Force sort-merge joins and a static plan so the assertion sees the
-    // worst case: if even the un-broadcast plan leaves the index scans
-    // exchange-free, the bucketing is doing its job.
-    val saved = Seq("spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"),
-      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+  /** Assert that in `session`'s forced-SMJ, AQE-off q75 plan, every
+    * scan of the bucketed index tables reaches its nearest join with no
+    * exchange in between — the worst case: if even the un-broadcast
+    * plan leaves the index scans exchange-free, the bucketing (and, for
+    * a reusing session, the external-table re-registration) is doing
+    * its job. Later shuffles — candidate distinct, final assembly —
+    * legitimately have the scan somewhere below them. */
+  private def assertIndexSideExchangeFree(session: org.apache.spark.sql.SparkSession): Unit = {
+    val saved = Seq("spark.sql.adaptive.enabled" -> session.conf.get("spark.sql.adaptive.enabled"),
+      "spark.sql.autoBroadcastJoinThreshold" -> session.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    session.conf.set("spark.sql.adaptive.enabled", "false")
+    session.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val plan = DedupQueries.incrementalDedupIndexed(spark, sfDir)
+      val plan = DedupQueries.incrementalDedupIndexed(session, sfDir)
         .queryExecution.executedPlan
       import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -217,10 +220,6 @@ class DedupSpec extends AnyFunSuite {
           sc.tableIdentifier.exists(_.table.startsWith("inc_corpus"))
         case _ => false
       }
-      // Root-to-scan paths for every index scan; the segment between the
-      // scan and its NEAREST join ancestor must be exchange-free (later
-      // shuffles — candidate distinct, final assembly — legitimately have
-      // the scan somewhere below them).
       def paths(p: SparkPlan, acc: List[SparkPlan]): Seq[List[SparkPlan]] = {
         val here = p :: acc // scan-first when we bottom out
         if (isIndexScan(p)) Seq(here) else p.children.flatMap(c => paths(c, here))
@@ -233,7 +232,52 @@ class DedupSpec extends AnyFunSuite {
         assert(shuffles.isEmpty,
           s"exchange between corpus index scan and its join:\n${path.head}")
       }
-    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    } finally saved.foreach { case (k, v) => session.conf.set(k, v) }
+  }
+
+  test("q75 plan never shuffles the persisted corpus index") {
+    assertIndexSideExchangeFree(SparkSpec.spark)
+  }
+
+  test("a fresh session probes the persisted index without rebuilding it") {
+    val spark = SparkSpec.spark
+    // build (or find) the durable index and snapshot its files
+    val (hashTbl, _) = DedupQueries.corpusIndex(spark, sfDir)
+    val tag = hashTbl.stripPrefix("inc_corpus_hashes_")
+    val loc = DedupQueries.indexRoot.resolve(tag)
+    def fileState(): Map[String, Long] = {
+      val st = java.nio.file.Files.walk(loc)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => p.toString ->
+            java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+      } finally st.close()
+    }
+    val expect = DedupQueries.incrementalDedupIndexed(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val before = fileState()
+    // The cross-session scenario: catalog entries die with the session,
+    // the FILES must carry the index. saveAsTable registers into the
+    // SparkContext-wide SharedState catalog (newSession() still sees
+    // it), so simulate a fresh session's empty catalog by dropping the
+    // EXTERNAL tables — entries go, files and completion marker stay.
+    spark.sql(s"DROP TABLE $hashTbl")
+    spark.sql(s"DROP TABLE inc_corpus_bands_$tag")
+    assert(java.nio.file.Files.exists(
+      loc.resolve("hashes")) && fileState() === before,
+      "DROP TABLE on the external index must not touch its files")
+    val fresh = spark.newSession()
+    assert(!fresh.catalog.tableExists(hashTbl))
+    val got = DedupQueries.incrementalDedupIndexed(fresh, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === expect)
+    assert(fileState() === before,
+      "fresh session rewrote the persisted index instead of reusing it")
+    // and the re-registered external tables still carry the bucket
+    // spec — without it the probe would silently shuffle the corpus
+    assertIndexSideExchangeFree(fresh)
+    assert(fileState() === before)
   }
 
   test("pairs from a PERSISTED band table equal the inline computation") {
