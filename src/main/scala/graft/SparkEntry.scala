@@ -133,6 +133,9 @@ object SparkEntry {
     // round-7: exact-quota mixture sampling as a threshold FILTER
     // (order-statistic per lang) — q73's beyond-buffer scale path
     "q77_quota_sample_threshold" -> (graft.text.CorpusOps.quotaSampleThreshold _),
+    // round-8: IVF top-k against the PERSISTED codebook + list tables
+    // (same search semantics ⇒ same oracle as q44)
+    "q78_ivf_topk_indexed"    -> ((s: SparkSession, d: String) => graft.sim.SimilarityQueries.ivfTopKIndexed(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -214,5 +217,7 @@ object SparkEntry {
     "q75_incremental_dedup_indexed" -> DedupQueries.incrementalDedupSql,
     "q76_knn_label_ivf"       -> graft.sim.SimilarityQueries.knnLabelSql,
     "q77_quota_sample_threshold" -> graft.text.CorpusOps.quotaSampleThresholdSql,
+    // identical output contract to q44 — same oracle
+    "q78_ivf_topk_indexed"    -> graft.sim.SimilarityQueries.ivfTopKSql,
   )
 }

@@ -718,45 +718,10 @@ object DedupQueries {
     * shuffle on EVERY nightly run). */
   val IndexBuckets = 8
 
-  /** Stable on-disk root for persisted dedup indexes. Overridable for
-    * deployments (a production cluster points this at shared storage);
-    * defaults under the JVM temp root so tests and the round driver
-    * share indexes across SESSIONS on one machine. */
-  def indexRoot: java.nio.file.Path = java.nio.file.Paths.get(
-    sys.env.getOrElse("SPARK_GRAFT_INDEX_ROOT",
-      sys.props("java.io.tmpdir") + "/graft-dedup-index"))
-
-  /** Marker written after BOTH index tables land — its absence means a
-    * partial/in-flight build, which is rebuilt, never reused. */
-  private val IndexDoneMarker = "_GRAFT_INDEX_COMPLETE"
-
-  /** Snapshot tag: hash of the data dir plus the (name, size, mtime)
-    * listing of `documents.parquet`. The index location and table names
-    * derive from it, so a data refresh VERSIONS the index (stale reuse
-    * is impossible) — the production "version by snapshot id" pattern,
-    * with the file listing standing in for a catalog snapshot id. */
-  private def snapshotTag(d: String): String = {
-    val docs = java.nio.file.Paths.get(d, "documents.parquet")
-    val sig = new StringBuilder(docs.toAbsolutePath.toString)
-    if (java.nio.file.Files.isDirectory(docs)) {
-      val st = java.nio.file.Files.list(docs)
-      try st.sorted().forEach { p =>
-        sig.append('|').append(p.getFileName).append(':')
-          .append(java.nio.file.Files.size(p)).append(':')
-          .append(java.nio.file.Files.getLastModifiedTime(p).toMillis)
-        ()
-      } finally st.close()
-    }
-    java.lang.Long.toHexString(Hashing.md5Lower64(sig.toString))
-  }
-
-  /** One lock object per snapshot tag: `computeIfAbsent` + synchronized
-    * serializes concurrent builders in this JVM (the streaming twin's
-    * first micro-batch racing batch q75 — ADVICE r7), so exactly one
-    * writes and the loser reuses. Cross-JVM racers are idempotent: both
-    * write the same content to the same location, last marker wins. */
-  private val indexLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** Root for persisted indexes — shared machinery in
+    * [[graft.ops.DurableIndex]] (snapshot tagging, build locking,
+    * completion marker); exposed here for the spec's file assertions. */
+  def indexRoot: java.nio.file.Path = graft.ops.DurableIndex.root
 
   /** The corpus-side dedup index as DURABLE bucketed parquet tables,
     * built at most once per data snapshot and REUSED across sessions
@@ -771,7 +736,7 @@ object DedupQueries {
     *    so the join keys equal the bucket spec exactly and the bucketed
     *    scan's HashPartitioning satisfies the join's distribution.
     *
-    * Lifecycle: files live under [[indexRoot]]/<snapshot tag> and are
+    * Lifecycle: files live under [[indexRoot]]/dedup-<snapshot tag> and are
     * deliberately NOT deleted on exit — they are the artifact. Catalog
     * entries are per-session; a session that finds the files (marker
     * present) re-registers them as EXTERNAL bucketed tables via DDL —
@@ -785,13 +750,13 @@ object DedupQueries {
     * side is read pre-partitioned with no exchange and no signature
     * recomputation. Cost per run ∝ batch size, not index size. */
   def corpusIndex(s: SparkSession, d: String): (String, String) = {
-    val tag = snapshotTag(d)
+    val tag = graft.ops.DurableIndex.snapshotTag(d, "documents.parquet")
     val hashTbl = s"inc_corpus_hashes_$tag"
     val bandTbl = s"inc_corpus_bands_$tag"
-    indexLocks.computeIfAbsent(tag, _ => new Object).synchronized {
+    graft.ops.DurableIndex.locked(tag) {
       if (!s.catalog.tableExists(hashTbl) || !s.catalog.tableExists(bandTbl)) {
-        val loc = indexRoot.resolve(tag)
-        if (java.nio.file.Files.exists(loc.resolve(IndexDoneMarker))) {
+        val loc = indexRoot.resolve(s"dedup-$tag")
+        if (graft.ops.DurableIndex.complete(loc)) {
           // reuse: redeclare the external bucketed tables over the
           // existing files (written by saveAsTable with this exact
           // bucket spec, so file naming carries the bucket ids)
@@ -817,7 +782,7 @@ object DedupQueries {
             .option("path", loc.resolve("bands").toString)
             .bucketBy(IndexBuckets, "band_key").sortBy("band_key")
             .saveAsTable(bandTbl)
-          java.nio.file.Files.createFile(loc.resolve(IndexDoneMarker))
+          graft.ops.DurableIndex.markComplete(loc)
         }
       }
     }

@@ -244,7 +244,7 @@ class DedupSpec extends AnyFunSuite {
     // build (or find) the durable index and snapshot its files
     val (hashTbl, _) = DedupQueries.corpusIndex(spark, sfDir)
     val tag = hashTbl.stripPrefix("inc_corpus_hashes_")
-    val loc = DedupQueries.indexRoot.resolve(tag)
+    val loc = DedupQueries.indexRoot.resolve(s"dedup-$tag")
     def fileState(): Map[String, Long] = {
       val st = java.nio.file.Files.walk(loc)
       try {

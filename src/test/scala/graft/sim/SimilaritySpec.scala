@@ -83,4 +83,59 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"pred_label agreement at nProbe=${SimilarityQueries.NProbe}: $rate%.2f ($agree/${exact.size})")
     assert(rate >= 0.5, s"agreement=$rate")
   }
+
+  test("q78: persisted-index IVF search equals the inline computation at every nProbe") {
+    val spark = SparkSpec.spark
+    val sfDir = "/root/testdata/sf0.01"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    for (nProbe <- Seq(SimilarityQueries.NProbe, Int.MaxValue)) {
+      assert(rows(SimilarityQueries.ivfTopKIndexed(spark, sfDir, nProbe = nProbe)) ===
+        rows(SimilarityQueries.ivfTopK(spark, sfDir, nProbe = nProbe)),
+        s"persisted-index search diverged from inline at nProbe=$nProbe")
+    }
+    // ... and so does the label propagation composed over it
+    assert(SimilarityQueries.knnLabelIvfIndexed(spark, sfDir).collect().toSet ===
+      SimilarityQueries.knnLabelIvf(spark, sfDir).collect().toSet)
+  }
+
+  test("q78 plan never shuffles or recomputes the persisted IVF lists") {
+    val spark = SparkSpec.spark
+    val sfDir = "/root/testdata/sf0.01"
+    // Worst case: forced sort-merge join, no AQE — if even that plan
+    // reads the list table exchange-free, the bucketing is doing its job.
+    val saved = Seq(
+      "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"),
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = SimilarityQueries.ivfTopKIndexed(spark, sfDir)
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{BaseJoinExec, SortMergeJoinExec}
+      def isListScan(p: SparkPlan): Boolean = p match {
+        case sc: FileSourceScanExec =>
+          sc.tableIdentifier.exists(_.table.startsWith("ivf_lists"))
+        case _ => false
+      }
+      // root-to-scan path: the segment between the list scan and its
+      // nearest join ancestor must be exchange-free
+      def paths(p: SparkPlan, acc: List[SparkPlan]): Seq[List[SparkPlan]] = {
+        val here = p :: acc
+        if (isListScan(p)) Seq(here) else p.children.flatMap(c => paths(c, here))
+      }
+      val scanPaths = paths(plan, Nil)
+      assert(scanPaths.nonEmpty, "q78 plan reads no persisted list table")
+      assert(scanPaths.exists(_.exists(_.isInstanceOf[SortMergeJoinExec])),
+        "forced-SMJ setup failed: no sort-merge join above the list scan")
+      for (path <- scanPaths) {
+        val toJoin = path.takeWhile(!_.isInstanceOf[BaseJoinExec])
+        val shuffles = toJoin.filter(_.isInstanceOf[ShuffleExchangeExec])
+        assert(shuffles.isEmpty,
+          s"exchange between IVF list scan and its join:\n${path.head}")
+      }
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
