@@ -252,6 +252,32 @@ object StreamingFraud {
       }
       .start()
 
+  /** Streaming twin of q76 — k-NN label propagation of a VECTOR STREAM
+    * against the persisted IVF index ([[graft.sim.SimilarityQueries
+    * .ivfIndex]]): each micro-batch's (vec_id, embedding) rows probe
+    * the durable codebook + bucketed list tables
+    * ([[graft.sim.SimilarityQueries.ivfProbeIndexed]]) and run the
+    * unchanged vote/verdict stages, so per-micro-batch cost is ∝ the
+    * micro-batch — the corpus lists are read pre-partitioned and never
+    * re-assigned. Default nProbe probes all lists so verdicts are
+    * byte-identical to batch q76 for the same vectors
+    * (StreamingFraudSpec); production sets nProbe ≪ nlist. Same
+    * foreachBatch shape as [[incrementalDedupStream]] and for the same
+    * reason: top-k + majority-vote per query is a per-batch aggregation
+    * a pure stream-static join can't express without watermark state. */
+  def knnLabelStream(spark: SparkSession, corpusDir: String,
+                     vecs: DataFrame, sink: (DataFrame, Long) => Unit,
+                     k: Int = 5, nProbe: Int = Int.MaxValue): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val queries = batch.select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qe"))
+        sink(graft.sim.SimilarityQueries.knnLabelFrom(spark, corpusDir,
+          graft.sim.SimilarityQueries.ivfProbeIndexed(
+            spark, corpusDir, queries, k, nProbe)), batchId)
+      }
+      .start()
+
   /** File-source entry: watch a landing directory of claim CSVs (the
     * app.py upload loop), tag, and write per-micro-batch result CSVs. */
   def fileStream(spark: SparkSession, landingDir: String, outDir: String,

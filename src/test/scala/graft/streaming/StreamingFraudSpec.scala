@@ -261,4 +261,40 @@ class StreamingFraudSpec extends AnyFunSuite {
     assert(got.size === expect.size, "one verdict per streamed doc")
     assert(got.asScala.toSet === expect)
   }
+
+  test("streaming ANN labeling: 2 micro-batches match the batch q76 verdicts") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    import graft.sim.SimilarityQueries
+
+    // q76's query subset, replayed as a stream of raw embedding rows
+    val queryVecs = graft.ops.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(queryVecs.length >= 2, "need at least 2 vectors to form 2 micro-batches")
+    val (first, second) = queryVecs.splitAt(queryVecs.length / 2)
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Any, Any, Long)]()
+    val input = MemoryStream[(Long, Seq[Double])]
+    val vecs = input.toDF().toDF("vec_id", "embedding")
+    val query = StreamingFraud.knnLabelStream(spark, sfDir, vecs,
+      (verdicts, _) => verdicts.collect().foreach(r =>
+        got.add((r.getLong(0), r.get(1), r.get(2), r.getLong(3)))))
+    try {
+      input.addData(first.toSeq)
+      query.processAllAvailable()
+      input.addData(second.toSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val expect = SimilarityQueries.knnLabelIvfIndexed(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.getLong(3))).toSet
+    import scala.jdk.CollectionConverters._
+    assert(got.size === expect.size, "one verdict per streamed vector")
+    assert(got.asScala.toSet === expect)
+  }
 }
