@@ -10,12 +10,18 @@ import graft.dedup.Hashing
   * columns with typed metadata, processed per-partition in batches —
   * the Spark-side shape of an image/audio feature-extraction stage.
   *
-  * The decode step itself is a DELIBERATE STUB (this container has no
-  * image/audio codecs): [[decodeStub]] produces deterministic fake
-  * features from the payload bytes. Everything around it is real and
-  * load-bearing at scale — schema, per-partition batching (one decoder
-  * init per partition, not per row), chunking, and the pruned scan:
-  * swap [[decodeStub]] for a JNI/codec call and nothing else changes.
+  * IMAGE decode and resize are REAL for the formats the JDK ships
+  * codecs for (PNG, BMP, GIF, JPEG via `javax.imageio` — no external
+  * dependency): [[decodeImage]] / [[resizeImage]] run inside the same
+  * mapPartitions batch path and fall back to the deterministic stubs
+  * for payloads no installed reader recognizes. AUDIO/VIDEO decode
+  * remains a DELIBERATE STUB (this container has no media codecs):
+  * [[decodeStub]] produces deterministic fake features from the
+  * payload bytes so tests have stable oracles. Everything around the
+  * decoders is load-bearing at scale — schema, per-partition batching
+  * (one decoder init per partition, not per row), chunking, and the
+  * pruned scan: swap [[decodeStub]] for a JNI/codec call and nothing
+  * else changes.
   */
 object Multimodal {
 
@@ -45,12 +51,70 @@ object Multimodal {
     out
   }
 
+  /** REAL image decode via `javax.imageio` (JDK codecs: PNG, BMP, GIF,
+    * JPEG): payload → [width, height, n_components, meanR, meanG,
+    * meanB, meanA, n_pixels] — [[FeatureDim]] floats, same contract as
+    * the stub. None when no installed reader recognizes the bytes (or
+    * a recognized header turns out truncated/corrupt) — callers fall
+    * back to [[decodeStub]], so arbitrary binary never poisons a
+    * partition. */
+  def decodeImage(payload: Array[Byte]): Option[Array[Float]] =
+    readImage(payload).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L; var sa = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y) // ARGB regardless of storage format
+          sa += (p >>> 24) & 0xff; sr += (p >>> 16) & 0xff
+          sg += (p >>> 8) & 0xff;  sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Array(w.toFloat, h.toFloat,
+        img.getColorModel.getNumComponents.toFloat,
+        (sr.toDouble / n).toFloat, (sg.toDouble / n).toFloat,
+        (sb.toDouble / n).toFloat, (sa.toDouble / n).toFloat, n.toFloat)
+    }
+
+  /** REAL image resize (decode → scale 1/factor → re-encode PNG).
+    * Dimensions floor to at least 1; drawImage's default interpolation
+    * is deterministic for a given JDK. None when the payload is not a
+    * decodable image — callers fall back to [[resizeStub]]. */
+  def resizeImage(payload: Array[Byte], factor: Int): Option[Array[Byte]] =
+    readImage(payload).map { img =>
+      val w = math.max(1, img.getWidth / factor)
+      val h = math.max(1, img.getHeight / factor)
+      val dst = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      val g = dst.createGraphics()
+      try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", out)
+      out.toByteArray
+    }
+
+  private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (payload == null || payload.isEmpty) None
+    else try {
+      // ImageIO returns null for an unrecognized header; a recognized
+      // header over garbage (e.g. text starting with "BM") throws — both
+      // mean "not an image here"
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
+
   private val featureSchema = ArrayType(FloatType, containsNull = false)
 
   /** Appends `media_features: array<float>` by running the decoder over
-    * `payloadCol` per partition. mapPartitions (not a per-row UDF) so a
-    * real decoder initializes once per partition — the standard shape
-    * for codec/model handles that are expensive to construct. */
+    * `payloadCol` per partition: [[decodeImage]] (REAL, JDK codecs)
+    * when the payload is a recognizable image, [[decodeStub]]
+    * otherwise. mapPartitions (not a per-row UDF) so a real decoder
+    * initializes once per partition — the standard shape for
+    * codec/model handles that are expensive to construct. */
   def withMediaFeatures(df: DataFrame, payloadCol: String): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField("media_features", featureSchema))
     val idx = df.schema.fieldIndex(payloadCol)
@@ -59,7 +123,9 @@ object Multimodal {
       // per-partition decoder init would go here
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](idx)
-        val feats = if (payload == null) Array.empty[Float] else decodeStub(payload)
+        val feats =
+          if (payload == null) Array.empty[Float]
+          else decodeImage(payload).getOrElse(decodeStub(payload))
         Row.fromSeq(r.toSeq :+ feats.toSeq)
       }
     }(enc)
@@ -90,10 +156,12 @@ object Multimodal {
     out
   }
 
-  /** Appends `media_resized: binary` = [[resizeStub]] of `payloadCol`,
-    * per-partition like [[withMediaFeatures]] (one codec init per
-    * partition). Null payloads stay null — resize is size-changing, so
-    * unlike features an empty sentinel would be ambiguous. */
+  /** Appends `media_resized: binary`: [[resizeImage]] (REAL spatial
+    * downsample, JDK codecs) for decodable images, [[resizeStub]] for
+    * everything else — per-partition like [[withMediaFeatures]] (one
+    * codec init per partition). Null payloads stay null — resize is
+    * size-changing, so unlike features an empty sentinel would be
+    * ambiguous. */
   def withResizedMedia(df: DataFrame, payloadCol: String,
                        factor: Int = 4): DataFrame = {
     val schema = StructType(df.schema.fields :+
@@ -104,7 +172,9 @@ object Multimodal {
       // per-partition decoder init would go here
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](idx)
-        val resized = if (payload == null) null else resizeStub(payload, factor)
+        val resized =
+          if (payload == null) null
+          else resizeImage(payload, factor).getOrElse(resizeStub(payload, factor))
         Row.fromSeq(r.toSeq :+ resized)
       }
     }(enc)

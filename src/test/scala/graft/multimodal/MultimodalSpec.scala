@@ -62,6 +62,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L) == null)
   }
 
+  /** An in-memory w×h image filled with one ARGB color, encoded with
+    * the JDK's own writer (png / bmp). */
+  private def encodedImage(w: Int, h: Int, argb: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, argb)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out), s"no $format writer")
+    out.toByteArray
+  }
+
+  test("withMediaFeatures REALLY decodes PNG/BMP dimensions and channel means; text falls back to the stub") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val png = encodedImage(8, 4, 0xff336699, "png") // solid (51, 102, 153)
+    val bmp = encodedImage(3, 5, 0xffff0000, "bmp") // solid red
+    val txt = "just text bytes".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, bmp), (3L, txt)).toDF("doc_id", "payload")
+    val feats = Multimodal.withMediaFeatures(df, "payload")
+      .select("doc_id", "media_features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // [w, h, n_components, meanR, meanG, meanB, meanA, n_pixels]
+    assert(feats(1L) === Seq(8f, 4f, 3f, 51f, 102f, 153f, 255f, 32f))
+    assert(feats(2L) === Seq(3f, 5f, 3f, 255f, 0f, 0f, 255f, 15f))
+    assert(feats(3L) === Multimodal.decodeStub(txt).toSeq,
+      "non-image binary must take the deterministic stub path")
+  }
+
+  test("withResizedMedia REALLY rescales a decodable image and re-encodes it") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val png = encodedImage(8, 4, 0xff336699, "png")
+    val txt = Array.tabulate[Byte](10)(_.toByte)
+    val df = Seq((1L, png), (2L, txt)).toDF("doc_id", "payload")
+    val out = Multimodal.withResizedMedia(df, "payload", factor = 2)
+      .select("doc_id", "media_resized").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L)))
+    assert(back != null, "resized payload must itself be a decodable image")
+    assert((back.getWidth, back.getHeight) === ((4, 2)))
+    // a solid-color image stays that color through any interpolation
+    assert(back.getRGB(0, 0) === 0xff336699)
+    assert(out(2L).toSeq === Seq[Byte](0, 2, 4, 6, 8),
+      "non-image binary must take the stub resize path")
+  }
+
   test("mediaMeta chunk math matches the chunk size contract") {
     val spark = SparkSpec.spark
     import spark.implicits._
