@@ -54,6 +54,30 @@ object Bench {
         try materialize(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     }
+    // One-time index-build cost, timed SEPARATELY from the probes:
+    // q75/q78 exist to amortize the build across nightly runs, so their
+    // per-query numbers must reflect the probe alone (VERDICT r7 item
+    // 8). Any existing persisted index for this snapshot is removed
+    // first so the build is genuinely timed — the builds then leave
+    // catalog entries behind, making the timed q75/q78 runs pure
+    // probes. BENCH.json carries the split as "index_build".
+    def timeIndexBuild(subdir: String, build: () => Unit): Double = {
+      val loc = graft.ops.DurableIndex.root.resolve(subdir)
+      if (Files.exists(loc))
+        Files.walk(loc)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.delete(p))
+      val t0 = System.nanoTime()
+      build()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val indexBuilds = Seq(
+      "dedup_corpus" -> timeIndexBuild(
+        "dedup-" + graft.ops.DurableIndex.snapshotTag(sfDir, "documents.parquet"),
+        () => { graft.dedup.DedupQueries.corpusIndex(spark, sfDir); () }),
+      "ivf" -> timeIndexBuild(
+        "ivf-" + graft.ops.DurableIndex.snapshotTag(sfDir, "embeddings.parquet"),
+        () => { graft.sim.SimilarityQueries.ivfIndex(spark, sfDir); () }))
     def time(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
@@ -102,8 +126,10 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val builds = indexBuilds
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_isolated":${toJson(isolated)},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_isolated":${toJson(isolated)},"index_build":$builds,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"errors":$errs,"sf":"$sfDir"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")), json)
     println(json)
