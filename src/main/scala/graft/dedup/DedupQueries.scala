@@ -753,8 +753,10 @@ object DedupQueries {
     val tag = graft.ops.DurableIndex.snapshotTag(d, "documents.parquet")
     val hashTbl = s"inc_corpus_hashes_$tag"
     val bandTbl = s"inc_corpus_bands_$tag"
+    val textTbl = appendedTextsTable(s, d)
     graft.ops.DurableIndex.locked(tag) {
-      if (!s.catalog.tableExists(hashTbl) || !s.catalog.tableExists(bandTbl)) {
+      if (!s.catalog.tableExists(hashTbl) || !s.catalog.tableExists(bandTbl) ||
+          !s.catalog.tableExists(textTbl)) {
         val loc = indexRoot.resolve(s"dedup-$tag")
         if (graft.ops.DurableIndex.complete(loc)) {
           // reuse: redeclare the external bucketed tables over the
@@ -766,6 +768,8 @@ object DedupQueries {
           s.sql(s"CREATE TABLE IF NOT EXISTS $bandTbl (doc_id BIGINT, band_key STRING) " +
             s"USING PARQUET CLUSTERED BY (band_key) SORTED BY (band_key) " +
             s"INTO $IndexBuckets BUCKETS LOCATION '${loc.resolve("bands")}'")
+          s.sql(s"CREATE TABLE IF NOT EXISTS $textTbl (doc_id BIGINT, text STRING) " +
+            s"USING PARQUET LOCATION '${loc.resolve("texts")}'")
         } else {
           java.nio.file.Files.createDirectories(loc)
           val isCorpus = col("doc_id") % IncBatchMod =!= IncBatchRem
@@ -782,11 +786,58 @@ object DedupQueries {
             .option("path", loc.resolve("bands").toString)
             .bucketBy(IndexBuckets, "band_key").sortBy("band_key")
             .saveAsTable(bandTbl)
+          // the write-back text side-table starts EMPTY: it holds only
+          // texts appended after the snapshot (the snapshot's own texts
+          // stay in documents.parquet — no duplication at build time)
+          corpusDocs.select(col("doc_id"), col("text")).limit(0)
+            .write.mode("overwrite")
+            .option("path", loc.resolve("texts").toString)
+            .saveAsTable(textTbl)
           graft.ops.DurableIndex.markComplete(loc)
         }
       }
     }
     (hashTbl, bandTbl)
+  }
+
+  /** Name of the index's appended-texts side table — (doc_id, text) of
+    * every document appended SINCE the snapshot, so the near-dup verify
+    * stage can resolve candidate texts that documents.parquet doesn't
+    * hold. Deliberately NOT under the `inc_corpus` prefix: it is never
+    * a probe target (the tiny candidate set joins it broadcast, like
+    * the documents table itself), so the exchange-free plan assertions
+    * scope to the bucketed probe tables only. */
+  private def appendedTextsTable(s: SparkSession, d: String): String =
+    s"inc_texts_${graft.ops.DurableIndex.snapshotTag(d, "documents.parquet")}"
+
+  /** The nightly loop's WRITE-BACK: append a batch's signatures to the
+    * persisted corpus index, so tomorrow's run sees today's admitted
+    * documents without any rebuild. `newDocs` is the (doc_id, text)
+    * set the caller decided joins the corpus (typically the "new"
+    * verdicts of [[incrementalVerdictsIndexed]] — appending a known
+    * duplicate is harmless for correctness, the probes are semi-joins,
+    * but wastes index bytes). Appends run through saveAsTable(Append)
+    * with the SAME bucket spec, so the new files land with bucket ids
+    * and the probe plan stays exchange-free (DedupSpec asserts after
+    * an append); the parquet commit protocol keeps a failed append
+    * from leaving half-visible files. Cost ∝ batch, never index. */
+  def appendToCorpusIndex(s: SparkSession, d: String, newDocs: DataFrame): Unit = {
+    val (hashTbl, bandTbl) = corpusIndex(s, d)
+    newDocs.select(md5(col("text")).as("h")).distinct()
+      .write.mode("append")
+      .bucketBy(IndexBuckets, "h").sortBy("h")
+      .saveAsTable(hashTbl)
+    minHashBandsOf(newDocs)
+      .select(col("doc_id"),
+        concat_ws("|", col("band"), col("band_val")).as("band_key"))
+      .write.mode("append")
+      .bucketBy(IndexBuckets, "band_key").sortBy("band_key")
+      .saveAsTable(bandTbl)
+    // texts land in the side table so future near-dup candidates against
+    // these docs can still be exact-Jaccard verified
+    newDocs.select(col("doc_id"), col("text"))
+      .write.mode("append")
+      .saveAsTable(appendedTextsTable(s, d))
   }
 
   /** q75 — incremental dedup against the PERSISTED corpus index: same
@@ -812,7 +863,10 @@ object DedupQueries {
   def incrementalVerdictsIndexed(s: SparkSession, d: String,
                                  batch: DataFrame): DataFrame = {
     val (hashTbl, bandTbl) = corpusIndex(s, d)
-    val docs = Tables.documents(s, d)
+    // candidate-text resolution covers BOTH the snapshot's documents and
+    // everything appended to the index since (the write-back side table)
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+      .union(s.table(appendedTextsTable(s, d)))
     val exactDup = batch.select(col("doc_id"), md5(col("text")).as("h"))
       .join(s.table(hashTbl), Seq("h"), "left_semi")
       .select("doc_id")

@@ -399,6 +399,21 @@ object SimilarityQueries {
     ivfSearch(queries, s.table(listTbl), s.table(centTbl), k, nProbe)
   }
 
+  /** The nightly WRITE-BACK for the ANN side: assign new vectors
+    * against the PERSISTED (frozen) codebook and append them to the
+    * bucketed list table — the standard IVF update discipline (lists
+    * grow, the codebook is retrained offline when drift warrants a new
+    * index version). Append uses the SAME bucket spec so the new files
+    * carry bucket ids and the search plan stays exchange-free
+    * (SimilaritySpec asserts after an append). Cost ∝ batch. */
+  def appendToIvfIndex(s: SparkSession, d: String, newVecs: DataFrame): Unit = {
+    val (centTbl, listTbl) = ivfIndex(s, d)
+    ivfAssign(newVecs, s.table(centTbl))
+      .write.mode("append")
+      .bucketBy(IvfIndexBuckets, "cent_id").sortBy("cent_id")
+      .saveAsTable(listTbl)
+  }
+
   /** The q76 label propagation over the PERSISTED index (probe-all ≡
     * exact keeps it oracle-checkable, same as [[knnLabelIvf]]). */
   def knnLabelIvfIndexed(s: SparkSession, d: String, k: Int = 5,

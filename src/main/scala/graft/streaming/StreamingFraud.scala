@@ -252,6 +252,36 @@ object StreamingFraud {
       }
       .start()
 
+  /** The FULL nightly crawl loop as a stream: per micro-batch, verdicts
+    * against the persisted corpus index (cost ∝ batch), then the
+    * WRITE-BACK — the admitted ("new") docs are appended to the index
+    * ([[graft.dedup.DedupQueries.appendToCorpusIndex]]) so the NEXT
+    * micro-batch dedups against them too. A doc duplicated across
+    * micro-batches is "new" once and "exact_dup" ever after
+    * (StreamingFraudSpec). Verdicts are pinned (persist + count)
+    * BEFORE the index grows, so what `sink` sees and what gets
+    * appended are computed against the same index state regardless of
+    * when the sink materializes. */
+  def crawlDedupStream(spark: SparkSession, corpusDir: String,
+                       docs: DataFrame,
+                       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.select("doc_id", "text").persist()
+        try {
+          val verdicts = graft.dedup.DedupQueries
+            .incrementalVerdictsIndexed(spark, corpusDir, b).persist()
+          try {
+            verdicts.count() // pin against the PRE-append index state
+            sink(verdicts, batchId)
+            graft.dedup.DedupQueries.appendToCorpusIndex(spark, corpusDir,
+              b.join(verdicts.filter(col("verdict") === "new"), "doc_id")
+                .select("doc_id", "text"))
+          } finally { verdicts.unpersist(); () }
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
   /** Streaming twin of q76 — k-NN label propagation of a VECTOR STREAM
     * against the persisted IVF index ([[graft.sim.SimilarityQueries
     * .ivfIndex]]): each micro-batch's (vec_id, embedding) rows probe

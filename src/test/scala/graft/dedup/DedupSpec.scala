@@ -204,13 +204,14 @@ class DedupSpec extends AnyFunSuite {
     * a reusing session, the external-table re-registration) is doing
     * its job. Later shuffles — candidate distinct, final assembly —
     * legitimately have the scan somewhere below them. */
-  private def assertIndexSideExchangeFree(session: org.apache.spark.sql.SparkSession): Unit = {
+  private def assertIndexSideExchangeFree(session: org.apache.spark.sql.SparkSession,
+                                          dataDir: String = sfDir): Unit = {
     val saved = Seq("spark.sql.adaptive.enabled" -> session.conf.get("spark.sql.adaptive.enabled"),
       "spark.sql.autoBroadcastJoinThreshold" -> session.conf.get("spark.sql.autoBroadcastJoinThreshold"))
     session.conf.set("spark.sql.adaptive.enabled", "false")
     session.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val plan = DedupQueries.incrementalDedupIndexed(session, sfDir)
+      val plan = DedupQueries.incrementalDedupIndexed(session, dataDir)
         .queryExecution.executedPlan
       import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -278,6 +279,37 @@ class DedupSpec extends AnyFunSuite {
     // spec — without it the probe would silently shuffle the corpus
     assertIndexSideExchangeFree(fresh)
     assert(fileState() === before)
+  }
+
+  test("index append: admitted docs probe as exact dups next run, plan stays exchange-free") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // appending MUTATES the index, so use a private corpus snapshot
+    // (the shared sf-dir indexes must keep matching their oracles)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-append").toString
+    val docs = (0L until 40L).map { i =>
+      // disjoint word sets per doc: no shared shingles, so the
+      // precondition "every batch doc is new" holds by construction
+      (i, (1 to 12).map(j => s"w${i}_$j").mkString(" "))
+    }
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val batch = graft.ops.Tables.documents(spark, dir)
+      .filter(col("doc_id") % DedupQueries.IncBatchMod === DedupQueries.IncBatchRem)
+      .select("doc_id", "text")
+    val before = DedupQueries.incrementalDedupIndexed(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before.nonEmpty && before.values.forall(_ == "new"),
+      s"precondition: every batch doc new, got $before")
+    DedupQueries.appendToCorpusIndex(spark, dir, batch)
+    val after = DedupQueries.incrementalDedupIndexed(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after.keySet === before.keySet)
+    assert(after.values.forall(_ == "exact_dup"),
+      s"appended docs must probe as exact dups: $after")
+    // the appended files carry bucket ids — the probe must still read
+    // the grown index without an exchange
+    assertIndexSideExchangeFree(spark, dir)
   }
 
   test("pairs from a PERSISTED band table equal the inline computation") {

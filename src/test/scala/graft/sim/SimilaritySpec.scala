@@ -99,6 +99,50 @@ class SimilaritySpec extends AnyFunSuite {
       SimilarityQueries.knnLabelIvf(spark, sfDir).collect().toSet)
   }
 
+  test("IVF index append: frozen-codebook assignment, appended vectors found, no rebuild") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // appending MUTATES the index, so use a private embeddings snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    val rng = new Random(11)
+    def vec(): Seq[Float] = Seq.fill(SimilarityQueries.Dim)(rng.nextFloat() * 2 - 1)
+    val base = (0L until 300L).map(i => (i, vec(), (i % 7).toInt))
+    base.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    SimilarityQueries.ivfIndex(spark, dir)
+    // the appended batch: near-copies of the query vectors, so they MUST
+    // surface as top neighbors through the grown lists
+    val queriesIds = Seq(0L, 100L, 200L)
+    val baseMap = base.map { case (id, v, _) => id -> v }.toMap
+    val extra = queriesIds.zipWithIndex.map { case (qid, j) =>
+      (300L + j, baseMap(qid).map(x => x + 0.01f * rng.nextFloat()), 0)
+    }
+    val toD = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    SimilarityQueries.appendToIvfIndex(spark, dir,
+      toD(extra.toDF("vec_id", "embedding", "label")))
+    // expected: the SAME frozen codebook (stride over the base file),
+    // assignment of base ∪ extra, same search — computed inline
+    val baseEmb = toD(base.toDF("vec_id", "embedding", "label"))
+    val unionEmb = toD((base ++ extra).toDF("vec_id", "embedding", "label"))
+    val cents = SimilarityQueries.ivfCentroids(baseEmb)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expect = rows(SimilarityQueries.ivfSearch(
+      SimilarityQueries.ivfQueries(baseEmb),
+      SimilarityQueries.ivfAssign(unionEmb, cents), cents,
+      5, SimilarityQueries.NProbe))
+    val got = rows(SimilarityQueries.ivfTopKIndexed(spark, dir,
+      nProbe = SimilarityQueries.NProbe))
+    assert(got === expect,
+      "post-append persisted search must equal inline frozen-codebook search")
+    // the near-copies really are reachable through the appended lists
+    for ((qid, j) <- queriesIds.zipWithIndex)
+      assert(got.exists { case (q, n, rank) => q == qid && n == 300L + j && rank == 1 },
+        s"appended near-copy of query $qid must be its top neighbor")
+  }
+
   test("q78 plan never shuffles or recomputes the persisted IVF lists") {
     val spark = SparkSpec.spark
     val sfDir = "/root/testdata/sf0.01"

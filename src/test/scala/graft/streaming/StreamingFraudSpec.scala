@@ -262,6 +262,43 @@ class StreamingFraudSpec extends AnyFunSuite {
     assert(got.asScala.toSet === expect)
   }
 
+  test("crawl loop with write-back: a doc repeated across micro-batches is new once, dup after") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // the write-back MUTATES the index → private corpus snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawl-loop").toString
+    (0L until 20L).map(i => (i, (1 to 12).map(j => s"c${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+
+    val freshText  = (1 to 12).map(j => s"n1_$j").mkString(" ")
+    val fresh2Text = (1 to 12).map(j => s"n2_$j").mkString(" ")
+    val corpusText = (1 to 12).map(j => s"c3_$j").mkString(" ") // already in corpus
+    val batch1 = Seq((100L, freshText), (101L, corpusText))
+    // 102 repeats batch1's NEW text → dup only via the write-back
+    val batch2 = Seq((102L, freshText), (103L, fresh2Text))
+
+    val got = scala.collection.mutable.Map.empty[Long, (Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingFraud.crawlDedupStream(spark, dir,
+      input.toDF().toDF("doc_id", "text"),
+      (verdicts, batchId) => verdicts.collect().foreach(r =>
+        got(r.getLong(0)) = (batchId, r.getString(1))))
+    try {
+      input.addData(batch1)
+      query.processAllAvailable()
+      input.addData(batch2)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    assert(got(100L)._2 === "new")
+    assert(got(101L)._2 === "exact_dup", "text already in the snapshot corpus")
+    assert(got(102L)._2 === "exact_dup",
+      "batch1's admitted doc must dedup batch2 via the write-back")
+    assert(got(103L)._2 === "new")
+  }
+
   test("streaming ANN labeling: 2 micro-batches match the batch q76 verdicts") {
     val spark = SparkSpec.spark
     import spark.implicits._
