@@ -136,6 +136,10 @@ object SparkEntry {
     // round-8: IVF top-k against the PERSISTED codebook + list tables
     // (same search semantics ⇒ same oracle as q44)
     "q78_ivf_topk_indexed"    -> ((s: SparkSession, d: String) => graft.sim.SimilarityQueries.ivfTopKIndexed(s, d)),
+    // round-8: product-quantized ADC search over the compressed store
+    "q79_pq_topk"             -> ((s: SparkSession, d: String) => graft.sim.ProductQuantization.pqTopK(s, d)),
+    // round-8: IVF-PQ two-level composition (probe-all ≡ q79 ⇒ same oracle)
+    "q80_ivfpq_topk"          -> ((s: SparkSession, d: String) => graft.sim.ProductQuantization.ivfPqTopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -219,5 +223,8 @@ object SparkEntry {
     "q77_quota_sample_threshold" -> graft.text.CorpusOps.quotaSampleThresholdSql,
     // identical output contract to q44 — same oracle
     "q78_ivf_topk_indexed"    -> graft.sim.SimilarityQueries.ivfTopKSql,
+    "q79_pq_topk"             -> graft.sim.ProductQuantization.pqTopKSql,
+    // probe-all IVF-PQ ≡ flat PQ — same oracle
+    "q80_ivfpq_topk"          -> graft.sim.ProductQuantization.pqTopKSql,
   )
 }
