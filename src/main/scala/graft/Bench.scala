@@ -76,7 +76,7 @@ object Bench {
         "dedup-" + graft.ops.DurableIndex.snapshotTag(sfDir, "documents.parquet"),
         () => { graft.dedup.DedupQueries.corpusIndex(spark, sfDir); () }),
       "ivf" -> timeIndexBuild(
-        "ivf-" + graft.ops.DurableIndex.snapshotTag(sfDir, "embeddings.parquet"),
+        "ivf2-" + graft.ops.DurableIndex.snapshotTag(sfDir, "embeddings.parquet"),
         () => { graft.sim.SimilarityQueries.ivfIndex(spark, sfDir); () }))
     def time(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double, Boolean) = {
       val t0 = System.nanoTime()

@@ -140,6 +140,8 @@ object SparkEntry {
     "q79_pq_topk"             -> ((s: SparkSession, d: String) => graft.sim.ProductQuantization.pqTopK(s, d)),
     // round-8: IVF-PQ two-level composition (probe-all ≡ q79 ⇒ same oracle)
     "q80_ivfpq_topk"          -> ((s: SparkSession, d: String) => graft.sim.ProductQuantization.ivfPqTopK(s, d)),
+    // round-8: IVF-PQ against the PERSISTED bucketed code table
+    "q81_ivfpq_indexed"       -> ((s: SparkSession, d: String) => graft.sim.ProductQuantization.ivfPqTopKIndexed(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -226,5 +228,6 @@ object SparkEntry {
     "q79_pq_topk"             -> graft.sim.ProductQuantization.pqTopKSql,
     // probe-all IVF-PQ ≡ flat PQ — same oracle
     "q80_ivfpq_topk"          -> graft.sim.ProductQuantization.pqTopKSql,
+    "q81_ivfpq_indexed"       -> graft.sim.ProductQuantization.pqTopKSql,
   )
 }

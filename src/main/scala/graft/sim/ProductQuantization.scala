@@ -60,12 +60,17 @@ object ProductQuantization {
       s"(acc, i) -> acc + ($a[j * $SubDim + i] - $b[j * $SubDim + i]) * " +
       s"($a[j * $SubDim + i] - $b[j * $SubDim + i])))")
 
-  /** PQ-encode every vector: (vec_id, codes array<int>) where codes[j]
-    * = argmin over c of the subspace-j distance (ties → lowest c,
-    * via a lexicographic struct-min on (round(d,9), c) — the same
-    * rounding the oracle applies, so tie sets agree exactly). */
-  def pqCodes(emb: DataFrame): DataFrame = {
-    val cents = pqCodebook(emb)
+  /** PQ-encode every vector against its own derived codebook. */
+  def pqCodes(emb: DataFrame): DataFrame = pqEncode(emb, pqCodebook(emb))
+
+  /** PQ-encode (vec_id, e) rows against an EXPLICIT (possibly frozen)
+    * codebook: (vec_id, codes array<int>) where codes[j] = argmin over
+    * c of the subspace-j distance (ties → lowest c, via a
+    * lexicographic struct-min on (round(d,9), c) — the same rounding
+    * the oracle applies, so tie sets agree exactly). The explicit
+    * codebook is what index appends use: new vectors encode against
+    * the index's codebook, not their own. */
+  def pqEncode(emb: DataFrame, cents: DataFrame): DataFrame = {
     emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("c"),
         posexplode(subDists("e", "ce")).as(Seq("j", "d")))
@@ -145,6 +150,31 @@ object ProductQuantization {
       .select(col("qid"), col("vec_id")).distinct()
       .join(pqCodes(emb), "vec_id")
     adcTopK(cand, distTable(queries, pqCodebook(emb)), k)
+  }
+
+  /** q81 — IVF-PQ against the PERSISTED index: the coarse probe runs
+    * on the durable codebook, the ADC scan on the bucketed
+    * `ivf_codes` table (read pre-partitioned on cent_id — the 64×
+    * smaller probe target the layout exists for). Probe-all ≡ flat PQ
+    * keeps it on q79's oracle. The PQ distance table still derives
+    * from the snapshot's PQ codebook (a 16-row scan of the embeddings
+    * file — the frozen-codebook discipline). */
+  def ivfPqTopKIndexed(s: SparkSession, d: String, k: Int = 5,
+                       nProbe: Int = Int.MaxValue): DataFrame = {
+    val (centTbl, _) = SimilarityQueries.ivfIndex(s, d)
+    val queries = SimilarityQueries.ivfQueries(embD(s, d))
+    val coarse = s.table(centTbl)
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(round(col("qcos"), 6).desc, col("cent_id"))
+    val probes = queries.crossJoin(broadcast(coarse))
+      .withColumn("qcos", SimilarityQueries.cosineExpr("qe", "ce"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nProbe)
+      .select(col("qid"), col("cent_id"))
+    val cand = probes
+      .join(s.table(SimilarityQueries.ivfCodesTable(s, d)), "cent_id")
+      .select(col("qid"), col("vec_id"), col("codes"))
+    adcTopK(cand, distTable(queries, pqCodebook(embD(s, d))), k)
   }
 
   val pqTopKSql: String = {

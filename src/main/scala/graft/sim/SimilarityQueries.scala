@@ -336,19 +336,26 @@ object SimilarityQueries {
     *    bucketed+sorted by `cent_id` — the search join reads it
     *    pre-partitioned on the probe key with no exchange and no
     *    re-assignment (SimilaritySpec asserts the plan).
+    *  - `ivf_codes_<tag>`: the IVF-PQ leg — the same assignments with
+    *    the vector REPLACED by its PQ codes (cent_id, vec_id, codes),
+    *    bucketed the same way. At 100 TB this table is ~64× smaller
+    *    than the lists and is what q81's ADC probe actually scans.
     *
-    * Files live under [[graft.ops.DurableIndex.root]]/ivf-<tag> keyed
-    * by the embeddings snapshot; a fresh session re-registers them as
-    * EXTERNAL bucketed tables via DDL (bucket metadata lives in the
-    * catalog, not the files). */
+    * Files live under [[graft.ops.DurableIndex.root]]/ivf2-<tag> keyed
+    * by the embeddings snapshot (the `2` versions the 3-table LAYOUT:
+    * dirs written by the pre-codes layout are simply ignored); a fresh
+    * session re-registers them as EXTERNAL bucketed tables via DDL
+    * (bucket metadata lives in the catalog, not the files). */
   def ivfIndex(s: SparkSession, d: String): (String, String) = {
     import graft.ops.DurableIndex
     val tag = DurableIndex.snapshotTag(d, "embeddings.parquet")
     val centTbl = s"ivf_cents_$tag"
     val listTbl = s"ivf_lists_$tag"
+    val codeTbl = ivfCodesTable(s, d)
     DurableIndex.locked(tag) {
-      if (!s.catalog.tableExists(centTbl) || !s.catalog.tableExists(listTbl)) {
-        val loc = DurableIndex.root.resolve(s"ivf-$tag")
+      if (!s.catalog.tableExists(centTbl) || !s.catalog.tableExists(listTbl) ||
+          !s.catalog.tableExists(codeTbl)) {
+        val loc = DurableIndex.root.resolve(s"ivf2-$tag")
         if (DurableIndex.complete(loc)) {
           s.sql(s"CREATE TABLE IF NOT EXISTS $centTbl " +
             "(cent_id BIGINT, ce ARRAY<DOUBLE>) USING PARQUET " +
@@ -357,6 +364,10 @@ object SimilarityQueries {
             "(cent_id BIGINT, vec_id BIGINT, e ARRAY<DOUBLE>) USING PARQUET " +
             s"CLUSTERED BY (cent_id) SORTED BY (cent_id) " +
             s"INTO $IvfIndexBuckets BUCKETS LOCATION '${loc.resolve("lists")}'")
+          s.sql(s"CREATE TABLE IF NOT EXISTS $codeTbl " +
+            "(cent_id BIGINT, vec_id BIGINT, codes ARRAY<INT>) USING PARQUET " +
+            s"CLUSTERED BY (cent_id) SORTED BY (cent_id) " +
+            s"INTO $IvfIndexBuckets BUCKETS LOCATION '${loc.resolve("codes")}'")
         } else {
           java.nio.file.Files.createDirectories(loc)
           val emb = Tables.embeddings(s, d)
@@ -365,16 +376,28 @@ object SimilarityQueries {
           cents.write.mode("overwrite")
             .option("path", loc.resolve("cents").toString)
             .saveAsTable(centTbl)
-          ivfAssign(emb, cents).write.mode("overwrite")
+          val assigned = ivfAssign(emb, cents)
+          assigned.write.mode("overwrite")
             .option("path", loc.resolve("lists").toString)
             .bucketBy(IvfIndexBuckets, "cent_id").sortBy("cent_id")
             .saveAsTable(listTbl)
+          assigned.select("cent_id", "vec_id")
+            .join(ProductQuantization.pqCodes(emb), "vec_id")
+            .select("cent_id", "vec_id", "codes")
+            .write.mode("overwrite")
+            .option("path", loc.resolve("codes").toString)
+            .bucketBy(IvfIndexBuckets, "cent_id").sortBy("cent_id")
+            .saveAsTable(codeTbl)
           DurableIndex.markComplete(loc)
         }
       }
     }
     (centTbl, listTbl)
   }
+
+  /** Name of the index's PQ-code table (the q81 probe target). */
+  private[sim] def ivfCodesTable(s: SparkSession, d: String): String =
+    s"ivf_codes_${graft.ops.DurableIndex.snapshotTag(d, "embeddings.parquet")}"
 
   /** q78 — IVF top-k against the PERSISTED index: same output (and
     * oracle) as [[ivfTopK]], but the codebook and lists are read from
@@ -408,10 +431,21 @@ object SimilarityQueries {
     * (SimilaritySpec asserts after an append). Cost ∝ batch. */
   def appendToIvfIndex(s: SparkSession, d: String, newVecs: DataFrame): Unit = {
     val (centTbl, listTbl) = ivfIndex(s, d)
-    ivfAssign(newVecs, s.table(centTbl))
-      .write.mode("append")
+    val assigned = ivfAssign(newVecs, s.table(centTbl))
+    assigned.write.mode("append")
       .bucketBy(IvfIndexBuckets, "cent_id").sortBy("cent_id")
       .saveAsTable(listTbl)
+    // the PQ leg grows in lockstep, encoded against the index's FROZEN
+    // PQ codebook (derived from the snapshot file, not the new batch)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    assigned.select("cent_id", "vec_id")
+      .join(ProductQuantization.pqEncode(newVecs,
+        ProductQuantization.pqCodebook(emb)), "vec_id")
+      .select("cent_id", "vec_id", "codes")
+      .write.mode("append")
+      .bucketBy(IvfIndexBuckets, "cent_id").sortBy("cent_id")
+      .saveAsTable(ivfCodesTable(s, d))
   }
 
   /** The q76 label propagation over the PERSISTED index (probe-all ≡

@@ -69,6 +69,50 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
+  test("q81: persisted-index IVF-PQ equals the inline computation at every nProbe") {
+    val spark = SparkSpec.spark
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    for (nProbe <- Seq(SimilarityQueries.NProbe, Int.MaxValue)) {
+      assert(rows(ProductQuantization.ivfPqTopKIndexed(spark, sfDir, nProbe = nProbe)) ===
+        rows(ProductQuantization.ivfPqTopK(spark, sfDir, nProbe = nProbe)),
+        s"persisted IVF-PQ diverged from inline at nProbe=$nProbe")
+    }
+  }
+
+  test("q81 plan never shuffles or recomputes the persisted code table") {
+    val spark = SparkSpec.spark
+    val saved = Seq(
+      "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"),
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = ProductQuantization.ivfPqTopKIndexed(spark, sfDir)
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      def isCodeScan(p: SparkPlan): Boolean = p match {
+        case sc: FileSourceScanExec =>
+          sc.tableIdentifier.exists(_.table.startsWith("ivf_codes"))
+        case _ => false
+      }
+      def paths(p: SparkPlan, acc: List[SparkPlan]): Seq[List[SparkPlan]] = {
+        val here = p :: acc
+        if (isCodeScan(p)) Seq(here) else p.children.flatMap(c => paths(c, here))
+      }
+      val scanPaths = paths(plan, Nil)
+      assert(scanPaths.nonEmpty, "q81 plan reads no persisted code table")
+      for (path <- scanPaths) {
+        val toJoin = path.takeWhile(!_.isInstanceOf[BaseJoinExec])
+        val shuffles = toJoin.filter(_.isInstanceOf[ShuffleExchangeExec])
+        assert(shuffles.isEmpty,
+          s"exchange between PQ code scan and its join:\n${path.head}")
+      }
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("a planted near-copy survives IVF-PQ probing at nProbe=1") {
     val spark = SparkSpec.spark
     import spark.implicits._

@@ -141,6 +141,14 @@ class SimilaritySpec extends AnyFunSuite {
     for ((qid, j) <- queriesIds.zipWithIndex)
       assert(got.exists { case (q, n, rank) => q == qid && n == 300L + j && rank == 1 },
         s"appended near-copy of query $qid must be its top neighbor")
+    // ... and the PQ code leg grew in lockstep: the persisted ADC probe
+    // equals the inline scan over base ∪ extra (adcSearchAll derives
+    // its codebook from stride ids < 49, which are all in the base, so
+    // it IS the index's frozen codebook)
+    val expectPq = rows(ProductQuantization.adcSearchAll(
+      SimilarityQueries.ivfQueries(baseEmb), unionEmb, 5))
+    assert(rows(ProductQuantization.ivfPqTopKIndexed(spark, dir)) === expectPq,
+      "post-append persisted IVF-PQ must equal inline frozen-codebook ADC")
   }
 
   test("q78 plan never shuffles or recomputes the persisted IVF lists") {
