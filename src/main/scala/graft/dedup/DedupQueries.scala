@@ -840,6 +840,28 @@ object DedupQueries {
       .saveAsTable(appendedTextsTable(s, d))
   }
 
+  /** Index MAINTENANCE: merge the accumulated per-append files back to
+    * one file per bucket (appends land one file per bucket per batch —
+    * after a year of nightly runs each probe task would open ~365 small
+    * files). Rewrites both bucketed probe tables through the same
+    * bucket spec and swaps the files in place ([[graft.ops.DurableIndex
+    * .compactBucketedTable]]); probe results and the exchange-free plan
+    * are unchanged (DedupSpec asserts both). The texts side table is
+    * broadcast-side (never a probe target), so its file count is not a
+    * per-probe-task cost and it is left alone. Cost ∝ index size — run
+    * it from the maintenance window, not the nightly probe. */
+  def compactCorpusIndex(s: SparkSession, d: String): Unit = {
+    val tag = graft.ops.DurableIndex.snapshotTag(d, "documents.parquet")
+    val (hashTbl, bandTbl) = corpusIndex(s, d)
+    val loc = indexRoot.resolve(s"dedup-$tag")
+    graft.ops.DurableIndex.locked(tag) {
+      graft.ops.DurableIndex.compactBucketedTable(
+        s, hashTbl, loc.resolve("hashes"), "h", IndexBuckets)
+      graft.ops.DurableIndex.compactBucketedTable(
+        s, bandTbl, loc.resolve("bands"), "band_key", IndexBuckets)
+    }
+  }
+
   /** q75 — incremental dedup against the PERSISTED corpus index: same
     * output as [[incrementalDedup]] (same oracle), but the corpus md5s
     * and band table are read from the bucketed tables [[corpusIndex]]

@@ -1,6 +1,10 @@
 package graft.ops
 
 import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 import graft.dedup.Hashing
 
@@ -67,4 +71,90 @@ object DurableIndex {
     Files.createFile(loc.resolve(DoneMarker))
     ()
   }
+
+  /** Compact a bucketed index table in place: rewrite its rows through
+    * the SAME bucket spec into one file per bucket, then swap the new
+    * files under the table's location.
+    *
+    * Why: [[graft.dedup.DedupQueries.appendToCorpusIndex]] /
+    * [[graft.sim.SimilarityQueries.appendToIvfIndex]] land one file per
+    * bucket per APPEND — correct (every file carries its bucket id, the
+    * probe stays exchange-free) but at a nightly cadence the per-bucket
+    * file count grows ∝ days, and at 100 TB each probe task pays an
+    * open/seek/footer per file. Compaction restores O(1) files per
+    * bucket without touching the probe plan — and without a SHUFFLE:
+    * with the bucketed scan forced on (autoBucketedScan would disable
+    * it here, because after the optimizer elides the redundant
+    * repartition no operator appears to require the distribution — the
+    * measured trap: the writer then sees arbitrary scan partitions and
+    * emits per-task-per-bucket files, 54 instead of 8 in the repro),
+    * each task reads exactly one bucket's files, re-sorts, and writes
+    * exactly one file. The `repartition(n, bucketCol)` is belt and
+    * braces: it is a no-op over the bucketed scan (same murmur3-pmod
+    * placement), and if the bucketed layout is ever NOT picked up it
+    * degrades to one aligned shuffle — more cost, never wrong files.
+    * `sortBy` re-sorts within the merged files, restoring the
+    * single-run sort the first build had.
+    *
+    * The swap is filesystem-level (write to `<dir>.compact`, move the
+    * old dir aside, rename, re-register the external-table DDL with the
+    * same bucket spec). On a real cluster the rename step is a metastore
+    * location swap (or a transactional table format); the brief window
+    * where the location is mid-move is the same window every
+    * non-transactional parquet rewrite has — callers run compaction from
+    * the maintenance job that owns the index, serialized by [[locked]].
+    * Readers holding an already-planned DataFrame keep their file list
+    * and must re-plan after compaction (same contract as any overwrite). */
+  def compactBucketedTable(s: SparkSession, tbl: String, dir: Path,
+                           bucketCol: String, nBuckets: Int): Unit = {
+    val autoScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val savedAutoScan = s.conf.get(autoScanKey)
+    s.conf.set(autoScanKey, "false")
+    try {
+      val df = s.table(tbl)
+      val schemaDdl = df.schema.toDDL
+      val tmpTbl = s"${tbl}_compact"
+      val tmpDir = dir.resolveSibling(dir.getFileName.toString + ".compact")
+      val oldDir = dir.resolveSibling(dir.getFileName.toString + ".old")
+      deleteRecursively(tmpDir); deleteRecursively(oldDir)
+      s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+      df.repartition(nBuckets, col(bucketCol))
+        .write.mode("overwrite")
+        .option("path", tmpDir.toString)
+        .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+        .saveAsTable(tmpTbl)
+      s.sql(s"DROP TABLE IF EXISTS $tmpTbl")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      Files.move(dir, oldDir)
+      Files.move(tmpDir, dir)
+      s.sql(s"CREATE TABLE $tbl ($schemaDdl) USING PARQUET " +
+        s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) " +
+        s"INTO $nBuckets BUCKETS LOCATION '$dir'")
+      deleteRecursively(oldDir)
+    } finally s.conf.set(autoScanKey, savedAutoScan)
+  }
+
+  /** Data files of a table directory — the parquet parts, not the
+    * `_SUCCESS` marker or the local filesystem's hidden `.crc`
+    * siblings — for the compaction specs' file-count assertions. */
+  def dataFiles(dir: Path): Seq[Path] = {
+    val st = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .toSeq
+    } finally st.close()
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val st = Files.walk(p)
+      try st.sorted(Comparator.reverseOrder[Path]()).forEach { q =>
+        Files.delete(q); ()
+      } finally st.close()
+    }
 }

@@ -448,6 +448,27 @@ object SimilarityQueries {
       .saveAsTable(ivfCodesTable(s, d))
   }
 
+  /** Index MAINTENANCE for the ANN side: merge the per-append files of
+    * the bucketed list and code tables back to one file per bucket (the
+    * dedup twin is [[graft.dedup.DedupQueries.compactCorpusIndex]] —
+    * same rationale: appends are correct but leave one file per bucket
+    * per batch, and probe tasks pay an open per file). The codebook is
+    * nlist rows of plain parquet and never grows on append, so it is
+    * left alone. Search results and the exchange-free list scan are
+    * unchanged (SimilaritySpec asserts both). */
+  def compactIvfIndex(s: SparkSession, d: String): Unit = {
+    import graft.ops.DurableIndex
+    val tag = DurableIndex.snapshotTag(d, "embeddings.parquet")
+    val (_, listTbl) = ivfIndex(s, d)
+    val loc = DurableIndex.root.resolve(s"ivf2-$tag")
+    DurableIndex.locked(tag) {
+      DurableIndex.compactBucketedTable(
+        s, listTbl, loc.resolve("lists"), "cent_id", IvfIndexBuckets)
+      DurableIndex.compactBucketedTable(
+        s, ivfCodesTable(s, d), loc.resolve("codes"), "cent_id", IvfIndexBuckets)
+    }
+  }
+
   /** The q76 label propagation over the PERSISTED index (probe-all ≡
     * exact keeps it oracle-checkable, same as [[knnLabelIvf]]). */
   def knnLabelIvfIndexed(s: SparkSession, d: String, k: Int = 5,

@@ -312,6 +312,43 @@ class DedupSpec extends AnyFunSuite {
     assertIndexSideExchangeFree(spark, dir)
   }
 
+  test("index compaction: per-append files merge to one per bucket, verdicts and plan unchanged") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // compaction MUTATES the index files, so use a private snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-compact").toString
+    val docs = (0L until 60L).map { i =>
+      (i, (1 to 12).map(j => s"c${i}_$j").mkString(" "))
+    }
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val (hashTbl, _) = DedupQueries.corpusIndex(spark, dir)
+    val tag = hashTbl.stripPrefix("inc_corpus_hashes_")
+    val loc = DedupQueries.indexRoot.resolve(s"dedup-$tag")
+    // three nightly appends — each lands its own file set per table
+    val all = graft.ops.Tables.documents(spark, dir).select("doc_id", "text")
+    for (r <- 1L to 3L)
+      DedupQueries.appendToCorpusIndex(spark, dir,
+        all.filter(col("doc_id") % 10 === r))
+    def files(name: String) =
+      graft.ops.DurableIndex.dataFiles(loc.resolve(name)).size
+    val before = DedupQueries.incrementalDedupIndexed(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(files("hashes") > DedupQueries.IndexBuckets,
+      s"precondition: appends should leave >1 file per bucket, got ${files("hashes")}")
+    DedupQueries.compactCorpusIndex(spark, dir)
+    assert(files("hashes") <= DedupQueries.IndexBuckets &&
+      files("bands") <= DedupQueries.IndexBuckets,
+      s"compaction must leave at most one file per bucket: " +
+        s"hashes=${files("hashes")} bands=${files("bands")}")
+    val after = DedupQueries.incrementalDedupIndexed(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after === before, "compaction must not change probe verdicts")
+    // the rewritten files still carry bucket ids and the re-registered
+    // tables still carry the bucket spec
+    assertIndexSideExchangeFree(spark, dir)
+  }
+
   test("pairs from a PERSISTED band table equal the inline computation") {
     val spark = SparkSpec.spark
     val dir = java.nio.file.Files.createTempDirectory("bands").toString + "/bands"

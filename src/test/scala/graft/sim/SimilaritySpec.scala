@@ -151,18 +151,20 @@ class SimilaritySpec extends AnyFunSuite {
       "post-append persisted IVF-PQ must equal inline frozen-codebook ADC")
   }
 
-  test("q78 plan never shuffles or recomputes the persisted IVF lists") {
-    val spark = SparkSpec.spark
-    val sfDir = "/root/testdata/sf0.01"
-    // Worst case: forced sort-merge join, no AQE — if even that plan
-    // reads the list table exchange-free, the bucketing is doing its job.
+  /** Assert that `dataDir`'s forced-SMJ, AQE-off q78 plan reads the
+    * persisted IVF list table with no exchange between the scan and its
+    * nearest join — the worst case: if even the un-broadcast plan is
+    * exchange-free, the bucketing (and its survival through append /
+    * compaction) is doing its job. */
+  private def assertListSideExchangeFree(spark: org.apache.spark.sql.SparkSession,
+                                         dataDir: String): Unit = {
     val saved = Seq(
       "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"),
       "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val plan = SimilarityQueries.ivfTopKIndexed(spark, sfDir)
+      val plan = SimilarityQueries.ivfTopKIndexed(spark, dataDir)
         .queryExecution.executedPlan
       import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -189,5 +191,51 @@ class SimilaritySpec extends AnyFunSuite {
           s"exchange between IVF list scan and its join:\n${path.head}")
       }
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("q78 plan never shuffles or recomputes the persisted IVF lists") {
+    assertListSideExchangeFree(SparkSpec.spark, "/root/testdata/sf0.01")
+  }
+
+  test("IVF index compaction: per-append files merge to one per bucket, search and plan unchanged") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // compaction MUTATES the index files, so use a private snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString
+    val rng = new Random(23)
+    def vec(): Seq[Float] = Seq.fill(SimilarityQueries.Dim)(rng.nextFloat() * 2 - 1)
+    val base = (0L until 300L).map(i => (i, vec(), (i % 7).toInt))
+    base.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    SimilarityQueries.ivfIndex(spark, dir)
+    val toD = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // three nightly appends — each lands its own file set per table
+    for (r <- 0 until 3) {
+      val extra = (0 until 10).map(j => (400L + 10 * r + j, vec(), 0))
+      SimilarityQueries.appendToIvfIndex(spark, dir,
+        toD(extra.toDF("vec_id", "embedding", "label")))
+    }
+    val tag = graft.ops.DurableIndex.snapshotTag(dir, "embeddings.parquet")
+    val loc = graft.ops.DurableIndex.root.resolve(s"ivf2-$tag")
+    def files(name: String) =
+      graft.ops.DurableIndex.dataFiles(loc.resolve(name)).size
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val searchBefore = rows(SimilarityQueries.ivfTopKIndexed(spark, dir))
+    val adcBefore = rows(ProductQuantization.ivfPqTopKIndexed(spark, dir))
+    assert(files("lists") > SimilarityQueries.IvfIndexBuckets,
+      s"precondition: appends should leave >1 file per bucket, got ${files("lists")}")
+    SimilarityQueries.compactIvfIndex(spark, dir)
+    assert(files("lists") <= SimilarityQueries.IvfIndexBuckets &&
+      files("codes") <= SimilarityQueries.IvfIndexBuckets,
+      s"compaction must leave at most one file per bucket: " +
+        s"lists=${files("lists")} codes=${files("codes")}")
+    assert(rows(SimilarityQueries.ivfTopKIndexed(spark, dir)) === searchBefore,
+      "compaction must not change IVF search results")
+    assert(rows(ProductQuantization.ivfPqTopKIndexed(spark, dir)) === adcBefore,
+      "compaction must not change ADC search results")
+    assertListSideExchangeFree(spark, dir)
   }
 }
