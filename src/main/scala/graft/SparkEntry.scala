@@ -142,6 +142,8 @@ object SparkEntry {
     "q80_ivfpq_topk"          -> ((s: SparkSession, d: String) => graft.sim.ProductQuantization.ivfPqTopK(s, d)),
     // round-8: IVF-PQ against the PERSISTED bucketed code table
     "q81_ivfpq_indexed"       -> ((s: SparkSession, d: String) => graft.sim.ProductQuantization.ivfPqTopKIndexed(s, d)),
+    // round-8: BM25 retrieval scoring (the ranking complement of q59)
+    "q82_bm25_search"         -> ((s: SparkSession, d: String) => graft.text.CorpusOps.bm25Search(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -229,5 +231,6 @@ object SparkEntry {
     // probe-all IVF-PQ ≡ flat PQ — same oracle
     "q80_ivfpq_topk"          -> graft.sim.ProductQuantization.pqTopKSql,
     "q81_ivfpq_indexed"       -> graft.sim.ProductQuantization.pqTopKSql,
+    "q82_bm25_search"         -> graft.text.CorpusOps.bm25SearchSql,
   )
 }

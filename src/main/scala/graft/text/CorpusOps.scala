@@ -192,6 +192,72 @@ object CorpusOps {
       s"array_to_string(list_sort(list(DISTINCT doc_id))[1:$PostingCap], ',') AS posting " +
       s"FROM terms GROUP BY term HAVING count(DISTINCT doc_id) >= $MinDf"
 
+  // ------------------------------------------------------- BM25 ranking
+
+  val Bm25K1   = 1.2
+  val Bm25B    = 0.75
+  val Bm25TopN = 10
+  /** The registered query's fixed search terms — high-df corpus words so
+    * the df/idf machinery is exercised on real posting sizes. */
+  val Bm25Query: Seq[String] = Seq("hash", "join", "scan")
+
+  /** BM25 document ranking for a fixed term query (the scoring function
+    * a retrieval pass over the corpus runs — the ranking complement of
+    * the q59 index build). Lucene-style idf
+    * `ln((N − df + 0.5)/(df + 0.5) + 1)` (always positive, so stopword
+    * queries can't flip sign), tf saturation k1=[[Bm25K1]], length
+    * normalization b=[[Bm25B]] against the corpus mean token count.
+    *
+    * Scale: the explode is filtered to the query terms immediately, so
+    * the big aggregate is keyed (doc_id, term) over MATCHING docs only;
+    * df (≤ |query| rows) and the corpus stats (1 row) join back
+    * broadcast; the top-N is `orderBy.limit` — Spark plans
+    * TakeOrderedAndProject (per-partition truncation, no global sort,
+    * no unbounded single-partition window; PlanSpec asserts) — and the
+    * rank column is a window over the already-limited [[Bm25TopN]]
+    * rows. Two corpus scans total (corpus stats need every doc's
+    * length, matching docs need the terms — a stats-maintaining source
+    * would hand over the first for free). */
+  def bm25Search(s: SparkSession, d: String): DataFrame = {
+    val toks = expr("regexp_extract_all(text, '[a-z0-9]+', 0)")
+    val docs = Tables.documents(s, d).select(col("doc_id"), size(toks).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
+      .filter(col("term").isin(Bm25Query: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val norm = col("tf") * (lit(Bm25K1) + 1) /
+      (col("tf") + lit(Bm25K1) *
+        (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    val ranked = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum(idf * norm), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopN)
+    ranked.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("doc_id", "score", "rank")
+  }
+
+  val bm25SearchSql: String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    "WITH docs AS (SELECT doc_id, len(regexp_extract_all(text, '[a-z0-9]+')) AS dl FROM documents), " +
+      "stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs), " +
+      "terms AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term FROM documents), " +
+      s"tf AS (SELECT doc_id, term, count(*) AS tf FROM terms WHERE term IN ($terms) GROUP BY doc_id, term), " +
+      "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+      s"scored AS (SELECT tf.doc_id, ln((n_docs - df + 0.5)/(df + 0.5) + 1) * " +
+      s"tf*($Bm25K1+1)/(tf + $Bm25K1*(1 - $Bm25B + $Bm25B*dl/avgdl)) AS sc " +
+      "FROM tf JOIN df USING (term) JOIN docs USING (doc_id) CROSS JOIN stats), " +
+      "agg AS (SELECT doc_id, round(sum(sc), 4) AS score FROM scored GROUP BY doc_id), " +
+      "ranked AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM agg) " +
+      s"SELECT doc_id, score, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= $Bm25TopN"
+  }
+
   // -------------------------------------------------- weighted sampling
 
   val SampleK = 10

@@ -56,6 +56,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), p) // MinK partial+merge
   }
 
+  test("q82 BM25 top-N plans TakeOrderedAndProject, not a global sort or unbounded window") {
+    val p = plan("q82_bm25_search")
+    // the top-N must be per-partition-truncating (orderBy.limit →
+    // TakeOrderedAndProject); a `Sort` over the full scored set or a
+    // single-partition Window over unbounded rows would be the scale bug
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the one Window (rank numbering) runs over the already-limited
+    // Bm25TopN rows — it must sit ABOVE the take in the plan tree
+    val takeIdx = p.indexOf("TakeOrderedAndProject")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && winIdx < takeIdx,
+      s"rank window must be above the top-N truncation:\n$p")
+  }
+
   test("q11 autoencoder scoring plan is shuffle-free") {
     val p = plan("q11_autoencoder_score")
     assert(!p.contains("Exchange"), p)
