@@ -144,6 +144,8 @@ object SparkEntry {
     "q81_ivfpq_indexed"       -> ((s: SparkSession, d: String) => graft.sim.ProductQuantization.ivfPqTopKIndexed(s, d)),
     // round-8: BM25 retrieval scoring (the ranking complement of q59)
     "q82_bm25_search"         -> ((s: SparkSession, d: String) => graft.text.CorpusOps.bm25Search(s, d)),
+    // round-8: end-to-end corpus build (curate ∘ near-dup collapse ∘ pack)
+    "q83_corpus_build"        -> ((s: SparkSession, d: String) => graft.text.CorpusOps.corpusBuild(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -232,5 +234,6 @@ object SparkEntry {
     "q80_ivfpq_topk"          -> graft.sim.ProductQuantization.pqTopKSql,
     "q81_ivfpq_indexed"       -> graft.sim.ProductQuantization.pqTopKSql,
     "q82_bm25_search"         -> graft.text.CorpusOps.bm25SearchSql,
+    "q83_corpus_build"        -> graft.text.CorpusOps.corpusBuildSql,
   )
 }

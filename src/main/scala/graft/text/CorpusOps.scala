@@ -192,6 +192,57 @@ object CorpusOps {
       s"array_to_string(list_sort(list(DISTINCT doc_id))[1:$PostingCap], ',') AS posting " +
       s"FROM terms GROUP BY term HAVING count(DISTINCT doc_id) >= $MinDf"
 
+  // ------------------------------------------------- corpus build (e2e)
+
+  /** The END-TO-END corpus build — the pipeline a training-data run
+    * actually executes, composed from the engine's own stages rather
+    * than re-implemented:
+    *
+    *   1. admission — [[graft.text.Scrub.curatedCorpus]] (q48): exact-
+    *      dedup survivor ∧ quality gate ∧ not benchmark material ∧
+    *      8-gram decontaminated;
+    *   2. near-dup collapse — keep only each MinHash cluster's minimum
+    *      doc ([[graft.dedup.DedupQueries.dedupClusters]], q45) so one
+    *      representative of every near-dup family survives;
+    *   3. packing — the q55 cumulative-sum shard/offset layout over the
+    *      admitted set (the bounded (lang,bucket) variant q63 is the
+    *      deploy-scale swap-in, same plan shape).
+    *
+    * Everything is one lazy plan: the admission semi-joins are keyed on
+    * doc_id (AQE lines them up on one exchange layout), the CC stage is
+    * the q45 iterative propagation (lineage-truncated, one job per
+    * round), and the final window partitions per language over only the
+    * admitted rows. This is the query that proves the operators
+    * COMPOSE — each stage's output feeds the next with no driver
+    * materialization between them. */
+  def corpusBuild(s: SparkSession, d: String): DataFrame = {
+    val survivors = graft.dedup.DedupQueries.dedupClusters(s, d)
+      .filter(col("cluster") === col("doc_id")).select("doc_id")
+    val admitted = graft.text.Scrub.curatedCorpus(s, d).select("doc_id")
+      .join(survivors, "doc_id")
+    val nTok = size(split(trim(col("text")), "\\s+"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .join(admitted, "doc_id")
+      .select(col("doc_id"), col("lang"), nTok.as("n_tok"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        (col("cum_before") / PackBudget).cast("long").as("shard"),
+        (col("cum_before") % PackBudget).as("offset"))
+  }
+
+  val corpusBuildSql: String =
+    s"WITH curated AS (SELECT doc_id FROM (${graft.text.Scrub.curatedCorpusSql})), " +
+      s"clusters AS (SELECT doc_id, cluster FROM (${graft.dedup.DedupQueries.dedupClustersSql})), " +
+      "adm AS (SELECT c.doc_id FROM curated c JOIN clusters k ON k.doc_id = c.doc_id WHERE k.cluster = k.doc_id), " +
+      "t AS (SELECT d.doc_id, d.lang, CAST(len(string_split_regex(trim(d.text), '\\s+')) AS INT) AS n_tok " +
+      "FROM documents d JOIN adm ON adm.doc_id = d.doc_id), " +
+      "c2 AS (SELECT doc_id, lang, n_tok, coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t) " +
+      s"SELECT doc_id, lang, n_tok, CAST(cum_before // $PackBudget AS BIGINT) AS shard, " +
+      s"CAST(cum_before % $PackBudget AS BIGINT) AS offset FROM c2"
+
   // ------------------------------------------------------- BM25 ranking
 
   val Bm25K1   = 1.2
