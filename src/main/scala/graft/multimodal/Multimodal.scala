@@ -12,16 +12,17 @@ import graft.dedup.Hashing
   *
   * IMAGE decode and resize are REAL for the formats the JDK ships
   * codecs for (PNG, BMP, GIF, JPEG via `javax.imageio` — no external
-  * dependency): [[decodeImage]] / [[resizeImage]] run inside the same
-  * mapPartitions batch path and fall back to the deterministic stubs
-  * for payloads no installed reader recognizes. AUDIO/VIDEO decode
-  * remains a DELIBERATE STUB (this container has no media codecs):
-  * [[decodeStub]] produces deterministic fake features from the
-  * payload bytes so tests have stable oracles. Everything around the
-  * decoders is load-bearing at scale — schema, per-partition batching
-  * (one decoder init per partition, not per row), chunking, and the
-  * pruned scan: swap [[decodeStub]] for a JNI/codec call and nothing
-  * else changes.
+  * dependency), and AUDIO decode is REAL for WAV/AU/AIFF via
+  * `javax.sound.sampled`: [[decodeImage]] / [[resizeImage]] /
+  * [[decodeAudio]] run inside the same mapPartitions batch path and
+  * fall back to the deterministic stubs for payloads no installed
+  * reader recognizes. VIDEO decode remains a DELIBERATE STUB (the JDK
+  * ships no video codec and this container has none): [[decodeStub]]
+  * produces deterministic fake features from the payload bytes so
+  * tests have stable oracles. Everything around the decoders is
+  * load-bearing at scale — schema, per-partition batching (one decoder
+  * init per partition, not per row), chunking, and the pruned scan:
+  * swap [[decodeStub]] for a JNI/codec call and nothing else changes.
   */
 object Multimodal {
 
@@ -98,6 +99,58 @@ object Multimodal {
       out.toByteArray
     }
 
+  /** REAL audio decode via `javax.sound.sampled` (JDK codecs: WAV, AU,
+    * AIFF — no external dependency): payload → [sample_rate, channels,
+    * n_frames, duration_sec, mean_abs, rms, peak, zero_cross_rate] —
+    * [[FeatureDim]] floats, same contract as the stub. Samples are
+    * converted to signed 16-bit PCM first so the stats are uniform
+    * across source encodings (8-bit, big-endian, unsigned). None when
+    * the bytes carry no recognizable audio header (RIFF/.snd/FORM) or
+    * the recognized stream is truncated — callers fall back to
+    * [[decodeStub]], so arbitrary binary never poisons a partition. */
+  def decodeAudio(payload: Array[Byte]): Option[Array[Float]] =
+    if (payload == null || payload.isEmpty) None
+    else try {
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val src = raw.getFormat
+        val pcm = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          2 * src.getChannels, src.getSampleRate, false)
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(pcm, raw)
+        try {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2 // 16-bit samples across all channels
+          if (n == 0) None
+          else {
+            var sumAbs = 0.0; var sumSq = 0.0; var peak = 0.0; var zc = 0L
+            var prev = 0; var i = 0
+            while (i < n) {
+              val s = (((bytes(2 * i + 1) & 0xff) << 8) |
+                (bytes(2 * i) & 0xff)).toShort / 32768.0
+              val a = math.abs(s)
+              sumAbs += a; sumSq += s * s
+              if (a > peak) peak = a
+              val sign = java.lang.Double.compare(s, 0.0)
+              if (sign != 0) { if (prev != 0 && sign != prev) zc += 1; prev = sign }
+              i += 1
+            }
+            val frames = n / src.getChannels
+            Some(Array(
+              src.getSampleRate, src.getChannels.toFloat, frames.toFloat,
+              (frames / src.getSampleRate.toDouble).toFloat,
+              (sumAbs / n).toFloat, math.sqrt(sumSq / n).toFloat,
+              peak.toFloat, (zc.toDouble / n).toFloat))
+          }
+        } finally in.close()
+      } finally raw.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+           _: java.io.IOException | _: RuntimeException => None
+    }
+
   private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (payload == null || payload.isEmpty) None
     else try {
@@ -111,10 +164,13 @@ object Multimodal {
 
   /** Appends `media_features: array<float>` by running the decoder over
     * `payloadCol` per partition: [[decodeImage]] (REAL, JDK codecs)
-    * when the payload is a recognizable image, [[decodeStub]]
-    * otherwise. mapPartitions (not a per-row UDF) so a real decoder
-    * initializes once per partition — the standard shape for
-    * codec/model handles that are expensive to construct. */
+    * when the payload is a recognizable image, [[decodeAudio]] (REAL,
+    * JDK codecs) when it is recognizable audio, [[decodeStub]]
+    * otherwise. Sniff order is cheap-header-first — both real decoders
+    * reject foreign bytes on the magic number, so a WAV never pays an
+    * image parse and vice versa. mapPartitions (not a per-row UDF) so a
+    * real decoder initializes once per partition — the standard shape
+    * for codec/model handles that are expensive to construct. */
   def withMediaFeatures(df: DataFrame, payloadCol: String): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField("media_features", featureSchema))
     val idx = df.schema.fieldIndex(payloadCol)
@@ -125,7 +181,9 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](idx)
         val feats =
           if (payload == null) Array.empty[Float]
-          else decodeImage(payload).getOrElse(decodeStub(payload))
+          else decodeImage(payload)
+            .orElse(decodeAudio(payload))
+            .getOrElse(decodeStub(payload))
         Row.fromSeq(r.toSeq :+ feats.toSeq)
       }
     }(enc)

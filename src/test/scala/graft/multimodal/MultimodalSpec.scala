@@ -90,6 +90,53 @@ class MultimodalSpec extends AnyFunSuite {
       "non-image binary must take the deterministic stub path")
   }
 
+  /** An in-memory WAV: `nFrames` of a 440 Hz sine at `sr` Hz, mono
+    * 16-bit PCM, written by the JDK's own writer. */
+  private def encodedWav(sr: Float, nFrames: Int): Array[Byte] = {
+    val data = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val v = (math.sin(2 * math.Pi * 440 * i / sr) * 16384).toShort
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      sr, 16, 1, 2, sr, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("withMediaFeatures REALLY decodes WAV rate/frames/rms; image and text paths unaffected") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val wav = encodedWav(8000f, 800) // 0.1 s of 440 Hz sine
+    val png = encodedImage(8, 4, 0xff336699, "png")
+    val txt = "just text bytes".getBytes("UTF-8")
+    val df = Seq((1L, wav), (2L, png), (3L, txt)).toDF("doc_id", "payload")
+    val feats = Multimodal.withMediaFeatures(df, "payload")
+      .select("doc_id", "media_features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // [sample_rate, channels, n_frames, duration_sec, mean_abs, rms, peak, zcr]
+    val a = feats(1L)
+    assert(a(0) === 8000f && a(1) === 1f && a(2) === 800f)
+    assert(math.abs(a(3) - 0.1f) < 1e-6, s"duration: ${a(3)}")
+    // a full-cycle sine at amplitude 0.5: rms = 0.5/√2 ≈ 0.3536
+    assert(math.abs(a(5) - 0.3536f) < 0.005, s"rms: ${a(5)}")
+    assert(a(6) <= 0.5f + 1e-3 && a(6) > 0.45f, s"peak: ${a(6)}")
+    // 440 Hz over 0.1 s crosses zero ~88 times → zcr ≈ 88/800
+    assert(math.abs(a(7) - 0.11f) < 0.01, s"zcr: ${a(7)}")
+    assert(feats(2L) === Seq(8f, 4f, 3f, 51f, 102f, 153f, 255f, 32f),
+      "image path must be unaffected by the audio sniff")
+    assert(feats(3L) === Multimodal.decodeStub(txt).toSeq,
+      "non-media binary must still take the deterministic stub path")
+    // and the decoder itself agrees with the plan output
+    assert(Multimodal.decodeAudio(wav).get.toSeq === a)
+  }
+
   test("withResizedMedia REALLY rescales a decodable image and re-encodes it") {
     val spark = SparkSpec.spark
     import spark.implicits._
