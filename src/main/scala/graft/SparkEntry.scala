@@ -146,6 +146,8 @@ object SparkEntry {
     "q82_bm25_search"         -> ((s: SparkSession, d: String) => graft.text.CorpusOps.bm25Search(s, d)),
     // round-8: end-to-end corpus build (curate ∘ near-dup collapse ∘ pack)
     "q83_corpus_build"        -> ((s: SparkSession, d: String) => graft.text.CorpusOps.corpusBuild(s, d)),
+    // round-8: bigram-LM cross-entropy quality scoring (CCNet-style filter)
+    "q84_lm_score"            -> ((s: SparkSession, d: String) => graft.text.TextQueries.lmScore(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -235,5 +237,6 @@ object SparkEntry {
     "q81_ivfpq_indexed"       -> graft.sim.ProductQuantization.pqTopKSql,
     "q82_bm25_search"         -> graft.text.CorpusOps.bm25SearchSql,
     "q83_corpus_build"        -> graft.text.CorpusOps.corpusBuildSql,
+    "q84_lm_score"            -> graft.text.TextQueries.lmScoreSql,
   )
 }

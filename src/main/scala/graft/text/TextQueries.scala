@@ -220,6 +220,54 @@ object TextQueries {
     s"SELECT token, count(*) AS freq FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS token FROM documents) " +
       s"GROUP BY token ORDER BY freq DESC, token LIMIT $VocabTopN"
 
+  // ------------------------------------------------- LM quality scoring
+
+  /** Per-document cross-entropy under an add-one-smoothed BIGRAM model
+    * fit on the corpus itself — the CCNet-style LM quality filter (low
+    * score = fluent/typical text, high score = off-distribution), one
+    * step past the q23 surface heuristics. score(D) = avg over D's
+    * bigrams of −ln((c(w1,w2)+1)/(c(w1)+V)), V = context vocabulary.
+    *
+    * Scale: bigrams come from a codegen'd zip_with over the token
+    * array (no UDF, no self-join); the model is two keyed hash
+    * aggregates — c(w1,w2), then c(w1) riding the same exchange as a
+    * second aggregate over it — and scoring joins the bigrams back on
+    * their own keys (vocabulary-sized model tables, data-sized probe:
+    * the classic fact-dim shape). V is a one-row broadcast. Since the
+    * scored corpus IS the training corpus, every probe bigram hits the
+    * model — no missing-join edge. */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val bigrams = Tables.documents(s, d)
+      .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(toks, 1, greatest(size(toks)-1, 0)), " +
+          "slice(toks, 2, greatest(size(toks)-1, 0)), (a, b) -> struct(a, b))")).as("p"))
+      .select(col("doc_id"), col("p.a").as("w1"), col("p.b").as("w2"))
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    bigrams
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("c12") + 1.0) / (col("c1") + col("v")))), 4).as("score"))
+  }
+
+  val lmScoreSql: String =
+    "WITH t AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents), " +
+      "bg AS (SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS p FROM t), " +
+      "b2 AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg), " +
+      "c12 AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY w1, w2), " +
+      "c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1), " +
+      "v AS (SELECT count(*) AS v FROM c1) " +
+      "SELECT b2.doc_id, count(*) AS n_bigrams, " +
+      "round(avg(-ln((c12 + 1.0)/(c1 + v))), 4) AS score " +
+      "FROM b2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v " +
+      "GROUP BY b2.doc_id"
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal plumbing: treat payloads as opaque binary + typed
