@@ -148,6 +148,13 @@ object SparkEntry {
     "q83_corpus_build"        -> ((s: SparkSession, d: String) => graft.text.CorpusOps.corpusBuild(s, d)),
     // round-8: bigram-LM cross-entropy quality scoring (CCNet-style filter)
     "q84_lm_score"            -> ((s: SparkSession, d: String) => graft.text.TextQueries.lmScore(s, d)),
+    // round-8: deterministic content-hash train/val/test split (pure map)
+    "q85_deterministic_split" -> (graft.text.CorpusOps.deterministicSplit _),
+    // round-8: cross-doc boilerplate n-gram fraction (C4-style template filter)
+    "q86_boilerplate"         -> ((s: SparkSession, d: String) => graft.text.Scrub.boilerplate(s, d)),
+    // round-8: BPE merge-candidate pair statistics (the SQL-expressible
+    // face of the tokenizer trainer; the merge loop itself is BpeSpec)
+    "q87_bpe_pairs"           -> ((s: SparkSession, d: String) => graft.text.Bpe.pairStats(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -238,5 +245,8 @@ object SparkEntry {
     "q82_bm25_search"         -> graft.text.CorpusOps.bm25SearchSql,
     "q83_corpus_build"        -> graft.text.CorpusOps.corpusBuildSql,
     "q84_lm_score"            -> graft.text.TextQueries.lmScoreSql,
+    "q85_deterministic_split" -> graft.text.CorpusOps.deterministicSplitSql,
+    "q86_boilerplate"         -> graft.text.Scrub.boilerplateSql,
+    "q87_bpe_pairs"           -> graft.text.Bpe.pairStatsSql,
   )
 }

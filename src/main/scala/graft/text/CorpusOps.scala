@@ -498,4 +498,46 @@ object CorpusOps {
        |SELECT r.doc_id, r.lang, CAST(r.rnk AS INT) AS rnk
        |FROM r JOIN k USING (lang) WHERE r.rnk <= k.k""".stripMargin.replace("\n", " ")
   }
+
+  // ------------------------------------------- deterministic data split
+
+  /** 256ths of the bucket space assigned to train / val (rest = test). */
+  val TrainBuckets = 205 // ~80%
+  val ValBuckets   = 25  // ~10%
+
+  /** q85 — deterministic train/val/test split keyed by CONTENT hash:
+    * bucket = first byte of md5(text) (two hex nibbles → 0..255),
+    * train < 205, val < 230, else test (≈80/10/10).
+    *
+    * Content-keyed, not id-keyed, on purpose: re-crawling or
+    * re-sharding reassigns doc_ids, but the same text must land in the
+    * same split forever or eval data leaks into training across
+    * snapshot versions. And it is a pure map — no RNG, no shuffle, no
+    * global pass of any kind: the split of 100 TB costs exactly one
+    * scan, is reproducible run-to-run, and two engines agree on it
+    * bit-for-bit (which is what the oracle checks). The nibble
+    * arithmetic (instr on the hex alphabet) instead of conv() keeps the
+    * expression portable to engines without a base-conversion builtin. */
+  def deterministicSplit(s: SparkSession, d: String): DataFrame = {
+    val hex = "0123456789abcdef"
+    val bucket = ((expr(s"instr('$hex', substring(md5(text), 1, 1))") - 1) * 16 +
+      expr(s"instr('$hex', substring(md5(text), 2, 1))") - 1).cast("int")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < TrainBuckets, "train")
+        .when(bucket < TrainBuckets + ValBuckets, "val")
+        .otherwise("test").as("split"))
+  }
+
+  val deterministicSplitSql: String =
+    s"""WITH b AS (SELECT doc_id,
+       |  CAST((instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
+       |     + instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1 AS INT) AS bucket
+       |  FROM documents)
+       |SELECT doc_id, bucket,
+       |  CASE WHEN bucket < $TrainBuckets THEN 'train'
+       |       WHEN bucket < ${TrainBuckets + ValBuckets} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b""".stripMargin.replace("\n", " ")
 }

@@ -340,4 +340,56 @@ object Scrub {
       "CASE WHEN CAST(coalesce(dup_mass, 0) AS DOUBLE) / greatest(n_tok, 1) > 0.5 THEN 'repetitive' ELSE 'ok' END AS verdict " +
       "FROM c"
   }
+
+  // ------------------------------------------- boilerplate n-gram ratio
+
+  val BoilerN = 5 // word n-gram size for cross-doc boilerplate detection
+
+  private val boilerGramsUdf = udf { (text: String) =>
+    graft.dedup.Hashing.wordShingles(text, BoilerN).distinct
+  }
+
+  /** q86 — per-document BOILERPLATE fraction: the share of a doc's
+    * distinct word 5-grams that also occur in at least one OTHER
+    * document. This is the n-gram-grain complement of [[chunkDedup]]:
+    * fixed 256-char chunks only catch repeats that share chunk
+    * ALIGNMENT, while sliding word grams catch the nav bars, footers
+    * and license blurbs that appear at arbitrary offsets — the signal
+    * C4/RefinedWeb threshold on to drop template-heavy pages.
+    *
+    * Plan shape: explode to distinct (doc, gram-md5) rows, ONE hash
+    * aggregate keyed on the md5 counts the documents per gram (distinct
+    * per doc ⇒ a plain count(*) IS the doc count — no count-distinct
+    * expansion), join back on the same key (the aggregate output is
+    * already partitioned by it, so the probe side pays the only new
+    * exchange), then one aggregate keyed on doc_id. Everything past the
+    * explode travels as 16-byte md5s; cost is O(total grams), never
+    * doc × doc, and the most-shared grams are exactly the rows the
+    * first aggregate collapses hardest. */
+  def boilerplate(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), explode(boilerGramsUdf(col("text"))).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+    val docFreq = grams.groupBy("gh").agg(count(lit(1)).as("ndocs"))
+    grams.join(docFreq, "gh")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(when(col("ndocs") >= 2, 1)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_grams"), 4).as("boiler_frac"))
+  }
+
+  val boilerplateSql: String = {
+    val n = BoilerN
+    s"""WITH ws AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS w FROM documents),
+       |gr AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) < $n THEN [array_to_string(w, ' ')]
+       |  ELSE [array_to_string(w[i:i+${n - 1}], ' ') for i in range(1, len(w) - ${n - 2})] END)) AS gram FROM ws),
+       |gh AS (SELECT doc_id, md5(gram) AS gh FROM gr),
+       |df AS (SELECT gh, count(*) AS ndocs FROM gh GROUP BY gh)
+       |SELECT g.doc_id, count(*) AS n_grams,
+       |  count(*) FILTER (WHERE ndocs >= 2) AS n_shared,
+       |  round(count(*) FILTER (WHERE ndocs >= 2) * 1.0 / count(*), 4) AS boiler_frac
+       |FROM gh g JOIN df USING (gh) GROUP BY g.doc_id""".stripMargin.replace("\n", " ")
+  }
 }

@@ -75,6 +75,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q85 deterministic split is a pure map: no exchange, no RNG") {
+    val p = plan("q85_deterministic_split")
+    // the split's whole value at 100 TB is costing exactly one scan —
+    // any Exchange (or a rand() sneaking in over the md5 bucketing)
+    // would break reproducibility or add a corpus-wide shuffle
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("rand"), p)
+  }
+
+  test("q87 BPE pair stats: pair explode runs over the vocab, not the corpus") {
+    val p = plan("q87_bpe_pairs")
+    // word-freq aggregate FIRST (corpus → vocab contraction), then the
+    // character-pair generate over distinct words only: the Generate for
+    // pairs must sit above the word aggregate's exchange, and the top-N
+    // must truncate per partition
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val wordAggIdx = p.indexOf("Exchange hashpartitioning(word")
+    assert(wordAggIdx > 0, p)
+    val pairGen = p.indexOf("Generate explode(transform(sequence")
+    assert(pairGen >= 0 && pairGen < wordAggIdx,
+      s"pair explode must consume the word aggregate, not raw docs:\n$p")
+  }
+
   /** Count Spark jobs launched while `body` runs. The listener bus is
     * async, so the count is polled until stable; a lost race can only
     * UNDERcount, so the ≤-bound assertions below cannot flake red. */
