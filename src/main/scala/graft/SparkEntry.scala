@@ -155,6 +155,8 @@ object SparkEntry {
     // round-8: BPE merge-candidate pair statistics (the SQL-expressible
     // face of the tokenizer trainer; the merge loop itself is BpeSpec)
     "q87_bpe_pairs"           -> ((s: SparkSession, d: String) => graft.text.Bpe.pairStats(s, d)),
+    // round-8: SemDeDup-style embedding-space near-dup drop list
+    "q88_semantic_dedup"      -> ((s: SparkSession, d: String) => SimilarityQueries.semanticDedup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -248,5 +250,6 @@ object SparkEntry {
     "q85_deterministic_split" -> graft.text.CorpusOps.deterministicSplitSql,
     "q86_boilerplate"         -> graft.text.Scrub.boilerplateSql,
     "q87_bpe_pairs"           -> graft.text.Bpe.pairStatsSql,
+    "q88_semantic_dedup"      -> SimilarityQueries.semanticDedupSql,
   )
 }

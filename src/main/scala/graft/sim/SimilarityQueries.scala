@@ -316,6 +316,63 @@ object SimilarityQueries {
       "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, vec_id) AS rank FROM scored) " +
       "SELECT qid, vec_id AS neighbor_id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5"
 
+  // --------------------------------------------------- semantic dedup
+
+  /** The ε-ball radius for q88. Corpus-calibrated, as SemDeDup's ε
+    * always is: this synthetic embedding space has NO planted
+    * near-copies (global max pairwise cosine 0.513, 99.9th percentile
+    * 0.377 — measured at sf0.01), so 0.40 marks the genuinely
+    * outlier-similar pairs; a real encoder's space would sit ≈0.9+. */
+  val SemDedupThr = 0.40
+
+  /** q88 — SemDeDup-style embedding-space near-duplicate removal
+    * (Abbas et al. 2023): assign every vector to its nearest coarse
+    * centroid, compare pairs ONLY within a cell, and drop a vector
+    * when a lower-id cell-mate sits within the ε-ball — the min-id
+    * survivor rule every dedup keep-list here uses. Output is the drop
+    * list: (vec_id, dup_of = lowest such mate, n_mates, max_cos).
+    *
+    * This is the dedup-mode face of the IVF machinery: [[ivfAssign]]
+    * is reused verbatim, so the persisted q78 index serves the same
+    * plan with the assignment stage already paid. Cost is
+    * Σ_cells |cell|² — never corpus × corpus; at scale nlist grows
+    * with N to hold cells at the ~10³–10⁴ vectors where the quadratic
+    * term is trivial, and a hot cell (AQE skew stats) would salt into
+    * sub-cells at a recall cost SemDeDup already accepts: pairs that
+    * straddle a cell boundary are missed BY DESIGN (the LSH/brute
+    * paths q19/q21 are the recall-measured alternatives). */
+  def semanticDedup(s: SparkSession, d: String): DataFrame =
+    semanticDedupFrom(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+
+  /** DataFrame-level core of [[semanticDedup]]: input (vec_id, e). */
+  def semanticDedupFrom(emb: DataFrame, thr: Double = SemDedupThr): DataFrame = {
+    val assigned = ivfAssign(emb, ivfCentroids(emb))
+    val mates = assigned
+      .select(col("cent_id"), col("vec_id").as("mate"), col("e").as("me"))
+    assigned.join(mates, Seq("cent_id"))
+      .filter(col("mate") < col("vec_id"))
+      .withColumn("cos", cosineExpr("e", "me"))
+      .filter(round(col("cos"), 6) >= thr)
+      .groupBy("vec_id")
+      .agg(
+        min("mate").as("dup_of"),
+        count(lit(1)).as("n_mates"),
+        round(max(col("cos")), 4).as("max_cos"))
+  }
+
+  val semanticDedupSql: String =
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+      s"c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id % $CentStride = $CentOffset), " +
+      "ac AS (SELECT v.vec_id, c.cent_id, list_cosine_similarity(v.e, c.ce) AS ccos FROM v CROSS JOIN c), " +
+      "ar AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY round(ccos, 6) DESC, cent_id) AS r FROM ac), " +
+      "assigned AS (SELECT ar.vec_id, ar.cent_id, v.e FROM ar JOIN v ON v.vec_id = ar.vec_id WHERE ar.r = 1), " +
+      "p AS (SELECT a.vec_id, b.vec_id AS mate, list_cosine_similarity(a.e, b.e) AS cos " +
+      "FROM assigned a JOIN assigned b ON a.cent_id = b.cent_id AND b.vec_id < a.vec_id) " +
+      s"SELECT vec_id, min(mate) AS dup_of, count(*) AS n_mates, round(max(cos), 4) AS max_cos " +
+      s"FROM p WHERE round(cos, 6) >= $SemDedupThr GROUP BY vec_id"
+
   // ------------------------------------------------ persisted IVF index
 
   /** Bucket count for the persisted IVF list table. 8 at test scale;

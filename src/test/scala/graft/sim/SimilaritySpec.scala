@@ -44,6 +44,43 @@ class SimilaritySpec extends AnyFunSuite {
       s"candidates ${cand.size} not <10% of all-pairs $allPairs")
   }
 
+  test("q88 semantic dedup: planted ε-ball copies drop to their source, boundary misses only") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val rng = new Random(11)
+    val dim = SimilarityQueries.Dim
+    val n = 400
+    val base = Array.fill(n)(Array.fill(dim)(rng.nextGaussian()))
+    // 80 jittered copies at cos ≈ 0.99 (noise norm ≈ 0.1425 · |v|)
+    val planted = (0 until 80).map { k =>
+      val src = k * 5
+      val v = base(src)
+      val noise = Array.fill(dim)(rng.nextGaussian())
+      val vn = math.sqrt(v.map(x => x * x).sum)
+      val nn = math.sqrt(noise.map(x => x * x).sum)
+      val jit = v.zip(noise).map { case (a, b) => a + b * (vn * 0.1425 / nn) }
+      (n + k, src, jit)
+    }
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      planted.map { case (id, _, v) => (id.toLong, v.toSeq) }
+    val emb = rows.toSeq.toDF("vec_id", "e")
+    val drops = SimilarityQueries.semanticDedupFrom(emb, thr = 0.9).collect()
+    val dropOf = drops.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // random gaussians never reach cos 0.9, so ONLY planted copies can
+    // drop, and a dropped copy's sole ε-mate is its source
+    assert(drops.forall(_.getLong(0) >= n), "a base vector dropped")
+    assert(drops.forall(r => r.getLong(1) < r.getLong(0)))
+    assert(drops.forall(_.getDouble(3) >= 0.9))
+    val hits = planted.count { case (id, src, _) =>
+      dropOf.get(id.toLong).contains(src.toLong)
+    }
+    val recall = hits.toDouble / planted.size
+    info(f"SemDeDup planted recall: $recall%.2f ($hits/${planted.size})")
+    // misses can ONLY be copy/source pairs straddling a cell boundary —
+    // the cost SemDeDup accepts by design; demand it stays rare
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("IVF top-k: every probed-list neighbor ranks correctly and recall@5 vs exact is reported") {
     val spark = SparkSpec.spark
     val sfDir = "/root/testdata/sf0.01"
