@@ -157,6 +157,8 @@ object SparkEntry {
     "q87_bpe_pairs"           -> ((s: SparkSession, d: String) => graft.text.Bpe.pairStats(s, d)),
     // round-8: SemDeDup-style embedding-space near-dup drop list
     "q88_semantic_dedup"      -> ((s: SparkSession, d: String) => SimilarityQueries.semanticDedup(s, d)),
+    // round-8: temperature-scaled (α=1/2) mixture resampling, integer-exact
+    "q89_temperature_mixture" -> (graft.text.CorpusOps.temperatureMixture _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -251,5 +253,6 @@ object SparkEntry {
     "q86_boilerplate"         -> graft.text.Scrub.boilerplateSql,
     "q87_bpe_pairs"           -> graft.text.Bpe.pairStatsSql,
     "q88_semantic_dedup"      -> SimilarityQueries.semanticDedupSql,
+    "q89_temperature_mixture" -> graft.text.CorpusOps.temperatureMixtureSql,
   )
 }

@@ -540,4 +540,77 @@ object CorpusOps {
        |       WHEN bucket < ${TrainBuckets + ValBuckets} THEN 'val'
        |       ELSE 'test' END AS split
        |FROM b""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------- temperature resampling
+
+  /** Denominator of the q89 budget: keep Σn / [[TempBudgetFrac]] docs. */
+  val TempBudgetFrac = 5L
+
+  /** Exact integer square root: the double `sqrt` is correctly rounded
+    * (IEEE), so its floor is within ±1 of ⌊√n⌋; the two correction
+    * steps make it exact for every n ≥ 0 — no float survives into the
+    * quota math. */
+  private def isqrt(n: Long): Long = {
+    var x = math.sqrt(n.toDouble).toLong
+    while (x > 0 && x * x > n) x -= 1
+    while ((x + 1) * (x + 1) <= n) x += 1
+    x
+  }
+
+  /** q89 — TEMPERATURE-scaled mixture resampling, the mT5/XLM-R way to
+    * rebalance languages WITHOUT hand-set target shares (q73/q77 take
+    * explicit ratios): per-language quotas ∝ n_l^α with α = 1/2, so
+    * low-resource languages keep a larger fraction of their docs than
+    * high-resource ones while the head still dominates absolutely.
+    *
+    * Everything that decides membership is INTEGER arithmetic:
+    * w_l = isqrt(n_l) (exact — see [[isqrt]]), budget B = Σn /
+    * [[TempBudgetFrac]], quota_l = min(n_l, B·w_l / Σw). Both engines
+    * recompute the identical quotas from their own counts — no
+    * driver-computed literal and no float ever crosses the compare
+    * (libm `pow` is NOT correctly rounded across engines; `sqrt` is,
+    * and the ±1-step correction makes even its floor exact).
+    *
+    * Selection is the q77 threshold filter: the 53-bit md5 sample key,
+    * every language's quota-th smallest key from ONE grouped two-pass
+    * bracket ([[graft.ops.Quantiles.exactGroupKthSmallest]], 3 jobs
+    * regardless of |langs|), then a pure map-side filter. Same skey
+    * boundary-collision caveat as q77, caught by the same guards. */
+  def temperatureMixture(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val hashUdf = udf { (sid: String) => graft.dedup.Hashing.md5Lower64(sid) >>> 11 }
+    val keyed = docs.select(col("doc_id"), col("lang"),
+      hashUdf(col("doc_id").cast("string")).as("skey"))
+    val nl = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = nl.map { case (l, n) => l -> isqrt(n) }
+    val sw = w.values.sum
+    val budget = nl.values.sum / TempBudgetFrac
+    val quota = nl.map { case (l, n) => l -> math.min(n, budget * w(l) / sw) }
+      .filter(_._2 >= 1L)
+    val thr = graft.ops.Quantiles
+      .exactGroupKthSmallest(keyed, "lang", "skey", quota,
+        knownCounts = Some(nl.filter { case (l, _) => quota.contains(l) }))
+      .map { case (l, x) => l -> x.toLong }
+    val thrCase = quota.keys.toSeq.sorted.foldLeft(lit(Long.MinValue)) {
+      case (acc, l) => when(col("lang") === l, lit(thr(l))).otherwise(acc)
+    }
+    keyed.filter(col("skey") <= thrCase).select("doc_id", "lang", "skey")
+  }
+
+  val temperatureMixtureSql: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |w0 AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS s FROM c),
+       |w AS (SELECT lang, n,
+       |  CASE WHEN s > 0 AND s*s > n THEN s - 1
+       |       WHEN (s+1)*(s+1) <= n THEN s + 1 ELSE s END AS w FROM w0),
+       |t AS (SELECT sum(n) // $TempBudgetFrac AS b, sum(w) AS sw FROM w),
+       |k AS (SELECT lang, least(n, b * w // sw) AS k FROM w, t),
+       |r AS (SELECT doc_id, lang,
+       |  CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) >> 11 AS BIGINT) AS skey,
+       |  row_number() OVER (PARTITION BY lang
+       |    ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)) >> 11, doc_id) AS rnk
+       |  FROM documents)
+       |SELECT r.doc_id, r.lang, r.skey
+       |FROM r JOIN k USING (lang) WHERE r.rnk <= k.k""".stripMargin.replace("\n", " ")
 }

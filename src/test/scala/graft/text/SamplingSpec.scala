@@ -114,6 +114,43 @@ class SamplingSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("q89 temperature quotas: exact isqrt weights, per-lang counts match (sf0.001)") {
+    val spark = SparkSpec.spark
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+    val nl = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // recompute the integer quota math independently
+    def isqrt(n: Long): Long = {
+      var x = math.sqrt(n.toDouble).toLong
+      while (x > 0 && x * x > n) x -= 1
+      while ((x + 1) * (x + 1) <= n) x += 1
+      x
+    }
+    val w = nl.map { case (l, n) => l -> isqrt(n) }
+    val sw = w.values.sum
+    val budget = nl.values.sum / CorpusOps.TempBudgetFrac
+    val quota = nl.map { case (l, n) => l -> math.min(n, budget * w(l) / sw) }
+      .filter(_._2 >= 1L)
+    val gotCounts = CorpusOps.temperatureMixture(spark, sfDir)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotCounts === quota,
+      s"per-language admitted counts must equal the α=1/2 quotas: got $gotCounts want $quota")
+    // temperature property: kept FRACTION is non-increasing in corpus
+    // share. The isqrt staircase (w jumps by 1 at square boundaries) can
+    // invert the fraction for NEAR-EQUAL sizes (n=80 → w=8 vs n=82 → w=9),
+    // so the clean property only binds for well-separated sizes: nHi ≥
+    // 2·nLo keeps the ±1 weight discretization from flipping the ratio.
+    val fracs = quota.toSeq.map { case (l, k) => (nl(l), k.toDouble / nl(l)) }
+      .sortBy(_._1)
+    for {
+      (nLo, fLo) <- fracs
+      (nHi, fHi) <- fracs
+      if nHi >= 2 * nLo && nLo >= 16
+    } assert(fLo >= fHi - 1e-9,
+      s"much-smaller language must keep a >= fraction: n=$nLo f=$fLo vs n=$nHi f=$fHi")
+  }
+
   test("q73 bounded aggregate equals the window formulation (sf0.001)") {
     val spark = SparkSpec.spark
     val docs = graft.ops.Tables.documents(spark, sfDir)
