@@ -159,6 +159,11 @@ object SparkEntry {
     "q88_semantic_dedup"      -> ((s: SparkSession, d: String) => SimilarityQueries.semanticDedup(s, d)),
     // round-8: temperature-scaled (α=1/2) mixture resampling, integer-exact
     "q89_temperature_mixture" -> (graft.text.CorpusOps.temperatureMixture _),
+    // round-8: PMI collocation mining over adjacent token pairs
+    "q90_pmi_collocations"    -> ((s: SparkSession, d: String) => graft.text.TextQueries.collocations(s, d)),
+    // round-8: Misra–Gries heavy hitters — bounded sketch finds the
+    // candidates, an exact recount answers (no estimate in the output)
+    "q91_heavy_hitters"       -> (graft.ops.Sketches.heavyHitters _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -254,5 +259,7 @@ object SparkEntry {
     "q87_bpe_pairs"           -> graft.text.Bpe.pairStatsSql,
     "q88_semantic_dedup"      -> SimilarityQueries.semanticDedupSql,
     "q89_temperature_mixture" -> graft.text.CorpusOps.temperatureMixtureSql,
+    "q90_pmi_collocations"    -> graft.text.TextQueries.collocationsSql,
+    "q91_heavy_hitters"       -> graft.ops.Sketches.heavyHittersSql,
   )
 }

@@ -164,4 +164,92 @@ object Sketches {
        |ex AS (SELECT l_suppkey AS suppkey, count(*) AS exact_count FROM lineitem WHERE l_suppkey <= 20 GROUP BY l_suppkey)
        |SELECT est.suppkey, est.est_count, CAST(coalesce(ex.exact_count, 0) AS BIGINT) AS exact_count
        |FROM est LEFT JOIN ex USING (suppkey)""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------ Misra–Gries heavy hitters
+
+  val MgK = 64 // sketch capacity: finds every key with freq > N/(MgK+1)
+
+  /** Mergeable Misra–Gries summary over string keys, with the stream
+    * length N carried in the same buffer so one pass yields both.
+    *
+    * reduce: hit → increment; room → insert; full miss → decrement ALL
+    * (the MG step; zeros evicted). merge: sum counts, then if over
+    * capacity subtract the (k+1)-th largest count from everything and
+    * keep the positive survivors — the Agarwal et al. mergeable-summary
+    * rule, which preserves the deterministic guarantee that any key
+    * with true frequency > N/(k+1) remains in the summary with
+    * estimate ≥ freq − N/(k+1).
+    *
+    * Unlike KMV/count-min (q65/q66) this sketch's ESTIMATES never leave
+    * the plan: q91 recounts the bounded candidate set exactly, so the
+    * sketch needs only its superset guarantee, not determinism of the
+    * counts themselves. */
+  final class MisraGries(k: Int)
+      extends Aggregator[String, (Map[String, Long], Long), (Seq[String], Long)] {
+    override def zero: (Map[String, Long], Long) = (Map.empty, 0L)
+    override def reduce(b: (Map[String, Long], Long), key: String): (Map[String, Long], Long) = {
+      val (m, n) = b
+      m.get(key) match {
+        case Some(c) => (m.updated(key, c + 1), n + 1)
+        case None if m.size < k => (m.updated(key, 1L), n + 1)
+        case None =>
+          // decrement-all: one "vote" from every counter cancels the miss
+          (m.collect { case (w, c) if c > 1 => (w, c - 1) }, n + 1)
+      }
+    }
+    override def merge(b1: (Map[String, Long], Long),
+                       b2: (Map[String, Long], Long)): (Map[String, Long], Long) = {
+      val summed = b2._1.foldLeft(b1._1) { case (m, (w, c)) =>
+        m.updated(w, m.getOrElse(w, 0L) + c)
+      }
+      val trimmed =
+        if (summed.size <= k) summed
+        else {
+          val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
+          summed.collect { case (w, c) if c > cut => (w, c - cut) }
+        }
+      (trimmed, b1._2 + b2._2)
+    }
+    override def finish(r: (Map[String, Long], Long)): (Seq[String], Long) =
+      (r._1.keys.toSeq.sorted, r._2)
+    override def bufferEncoder: Encoder[(Map[String, Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[(Seq[String], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  def misraGries(k: Int) = udaf(new MisraGries(k), Encoders.STRING)
+
+  /** q91 — HEAVY HITTERS with an exact answer from approximate
+    * machinery: the Misra–Gries pass finds a ≤ [[MgK]]-key candidate
+    * superset of everything with frequency > N/[[MgK]] (guaranteed —
+    * the sketch can only miss keys at or below N/(k+1) < N/k), then a
+    * second pass recounts ONLY the candidates exactly and keeps those
+    * above the threshold. The integer comparison `freq·k > N` is what
+    * the oracle computes directly — no sketch estimate ever reaches
+    * the output, so no determinism requirement lands on the sketch.
+    *
+    * Scale: pass 1 shuffles ≤ (k+64)·tasks (map-side partial summaries,
+    * never the vocabulary); pass 2 is a broadcast semi-join + a
+    * ≤ k-group aggregate. `distinct().groupBy.count` over 100 TB of
+    * tokens would shuffle every distinct token; this shuffles a few KB
+    * per task, twice. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("w"))
+    val sketch = toks.agg(misraGries(MgK)(col("w")).as("mg"))
+      .select(col("mg._1").as("cands"), col("mg._2").as("n"))
+    val cands = sketch.select(explode(col("cands")).as("w"), col("n"))
+    toks.join(broadcast(cands), "w")
+      .groupBy("w", "n").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * MgK > col("n"))
+      .select(col("w"), col("freq"), col("n").as("n_tokens"))
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH tok AS (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w FROM documents),
+       |n AS (SELECT count(*) AS n_tokens FROM tok)
+       |SELECT w, count(*) AS freq, n.n_tokens
+       |FROM tok, n GROUP BY w, n.n_tokens
+       |HAVING count(*) * $MgK > n.n_tokens""".stripMargin.replace("\n", " ")
 }

@@ -268,6 +268,68 @@ object TextQueries {
       "FROM b2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v " +
       "GROUP BY b2.doc_id"
 
+  // ------------------------------------------------- PMI collocations
+
+  val CollocMinSupport = 5L
+  val CollocTopN = 100
+
+  /** q90 — COLLOCATION mining by pointwise mutual information over
+    * adjacent token pairs (the word2phrase step that decides "new_york"
+    * should be one token before a tokenizer is trained):
+    * pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with the joint from bigram
+    * counts and the marginals from unigram counts. High-PMI pairs are
+    * merged into phrase tokens; this emits the top-[[CollocTopN]] by
+    * PMI among pairs with support ≥ [[CollocMinSupport]].
+    *
+    * Scale: bigrams come from the same codegen'd zip_with as q84 (no
+    * self-join); counts are two keyed hash aggregates (vocab- and
+    * bigram-vocab-bounded, map-side partials); the support filter
+    * prunes the pair table BEFORE the marginal joins (the long tail of
+    * hapax bigrams — most of the table — never reaches a join); the
+    * two scalar totals broadcast; and the final top-N is
+    * TakeOrderedAndProject, never a global sort. The PMI expression is
+    * structured identically to the oracle's so IEEE multiplication
+    * order matches term-for-term (then round(…,4) belt-and-braces). */
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    val toksDf = Tables.documents(s, d)
+      .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    val uni = toksDf.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n1 = uni.agg(sum("c").as("n1"))
+    val bigrams = toksDf.select(explode(expr(
+      "zip_with(slice(toks, 1, greatest(size(toks)-1, 0)), " +
+        "slice(toks, 2, greatest(size(toks)-1, 0)), (a, b) -> struct(a, b))")).as("p"))
+      .select(col("p.a").as("w1"), col("p.b").as("w2"))
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val n2 = c12.agg(sum("c12").as("n2"))
+    c12.filter(col("c12") >= CollocMinSupport)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(
+          (col("c12").cast("double") * col("n1") * col("n1")) /
+            (col("n2").cast("double") * col("c1") * col("c2"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(CollocTopN)
+  }
+
+  val collocationsSql: String =
+    s"""WITH t AS (SELECT regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+       |tok AS (SELECT unnest(toks) AS w FROM t),
+       |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+       |n1 AS (SELECT sum(c) AS n1 FROM uni),
+       |bg AS (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS p FROM t),
+       |b2 AS (SELECT p[1] AS w1, p[2] AS w2 FROM bg),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b2 GROUP BY w1, w2),
+       |n2 AS (SELECT sum(c12) AS n2 FROM c12)
+       |SELECT w1, w2, c12,
+       |  round(ln((CAST(c12 AS DOUBLE) * n1 * n1) / (CAST(n2 AS DOUBLE) * u1.c * u2.c)), 4) AS pmi
+       |FROM c12 JOIN uni u1 ON c12.w1 = u1.w JOIN uni u2 ON c12.w2 = u2.w
+       |CROSS JOIN n1 CROSS JOIN n2
+       |WHERE c12 >= $CollocMinSupport
+       |ORDER BY pmi DESC, w1, w2 LIMIT $CollocTopN""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal plumbing: treat payloads as opaque binary + typed

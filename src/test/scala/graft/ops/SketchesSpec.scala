@@ -56,4 +56,42 @@ class SketchesSpec extends AnyFunSuite {
     // rare enough that most probes are exact; all of them overestimate
     assert(rows.count(r => r.getLong(1) === r.getLong(2)) >= 10)
   }
+
+  test("Misra–Gries never misses a key above N/(k+1), under any split/merge") {
+    val k = 8
+    val agg = new Sketches.MisraGries(k)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 20) {
+      // zipf-ish planted stream: key i gets ~N/2^i occurrences + noise tail
+      val stream = rnd.shuffle(
+        (0 until 6).flatMap(i => Seq.fill(1 << (9 - i))(s"hh_$i")) ++
+          (0 until 400).map(i => s"tail_${trial}_$i"))
+      val n = stream.size.toLong
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val must = exact.collect { case (w, c) if c > n / (k + 1) => w }.toSet
+      // random split into 4 partitions, reduce each, merge pairwise
+      val parts = stream.grouped(stream.size / 4 + 1).toSeq
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+      val (mg, nGot) = agg.finish(parts.reduce(agg.merge))
+      assert(nGot === n)
+      assert(mg.size <= k, s"summary exceeded capacity: ${mg.size}")
+      assert(must.subsetOf(mg.toSet),
+        s"missed heavy keys: ${must -- mg.toSet} (n=$n, threshold=${n / (k + 1)})")
+    }
+  }
+
+  test("q91 heavy hitters equal the brute-force exact answer (sf0.001)") {
+    val spark = SparkSpec.spark
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("w"))
+    val n = toks.count()
+    val expect = toks.groupBy("w").count()
+      .filter(col("count") * Sketches.MgK > n)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = Sketches.heavyHitters(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expect)
+    assert(got.forall(_._2 * Sketches.MgK > n))
+  }
 }
