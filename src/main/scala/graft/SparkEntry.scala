@@ -164,6 +164,10 @@ object SparkEntry {
     // round-8: Misra–Gries heavy hitters — bounded sketch finds the
     // candidates, an exact recount answers (no estimate in the output)
     "q91_heavy_hitters"       -> (graft.ops.Sketches.heavyHitters _),
+    // round-8: exponentially time-decayed per-user activity score
+    "q92_decayed_activity"    -> (RelationalQueries.decayedActivity _),
+    // round-8: median/MAD robust outliers (grouped bracket quantiles ×2)
+    "q93_robust_outliers"     -> (RelationalQueries.robustOutliers _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -261,5 +265,7 @@ object SparkEntry {
     "q89_temperature_mixture" -> graft.text.CorpusOps.temperatureMixtureSql,
     "q90_pmi_collocations"    -> graft.text.TextQueries.collocationsSql,
     "q91_heavy_hitters"       -> graft.ops.Sketches.heavyHittersSql,
+    "q92_decayed_activity"    -> RelationalQueries.decayedActivitySql,
+    "q93_robust_outliers"     -> RelationalQueries.robustOutliersSql,
   )
 }

@@ -630,4 +630,83 @@ object RelationalQueries {
       |SELECT user_id, CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
       |  WHEN t_click IS NOT NULL THEN 2
       |  WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS INT) AS funnel_stage FROM t3""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------- time-decayed aggregation
+
+  val DecayTauDays = 30.0
+
+  /** q92 — exponentially time-decayed activity score per user: recency
+    * weighting as one weighted sum, `Σ value·e^{−Δdays/τ}`, anchored at
+    * the corpus max timestamp. The feature-store staple (recency-
+    * weighted engagement) — and the cheap alternative to "recompute a
+    * window over the last N days nightly": the decay anchor moves, but
+    * the score is a plain aggregate of per-row terms, so it
+    * recomputes in one scan with map-side partials — no window, no
+    * per-user state, no sessionization.
+    *
+    * Scale: the anchor is a one-row broadcast (same scalar-threshold
+    * pattern as q05/q07); everything else is a single hash aggregate on
+    * user_id. Decay math is on integer micros (identical truncation in
+    * both engines) and the expression tree mirrors the oracle's
+    * term-for-term so IEEE rounding matches; round(…,4) on top. */
+  def decayedActivity(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val anchor = ev.agg(max(unix_micros(col("ts"))).as("anchor_us"))
+    ev.crossJoin(broadcast(anchor))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value") * exp(
+          -((col("anchor_us") - unix_micros(col("ts"))).cast("double")
+            / 86400000000.0) / DecayTauDays)), 4).as("activity"))
+  }
+
+  val decayedActivitySql: String =
+    s"""WITH a AS (SELECT max(epoch_us(ts)) AS anchor_us FROM events)
+       |SELECT user_id, count(*) AS n_events,
+       |  round(sum(value * exp(-(CAST(a.anchor_us - epoch_us(ts) AS DOUBLE)
+       |    / 86400000000.0) / $DecayTauDays)), 4) AS activity
+       |FROM events, a GROUP BY user_id""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------- robust (median/MAD) outliers
+
+  /** q93 — robust z-score outliers per event_type: |x − median| >
+    * 3·1.4826·MAD, the median/MAD twin of q07's mean+2σ. Unlike the
+    * moment-based rule, one colossal outlier cannot drag the threshold
+    * up and mask the others (the breakdown point is 50%, not 0) — which
+    * is why data-quality monitors prefer it at corpus scale.
+    *
+    * Both medians come from the GROUPED two-pass bracket
+    * ([[Quantiles.exactGroupPercentiles]], the q51 plan): bounded
+    * per-group state, bit-identical linear interpolation to the
+    * oracle's quantile_cont — the deviations join the median back
+    * broadcast (|event_type| rows), so the whole thing is two bracket
+    * passes + two broadcast joins over one fact lineage. The filter
+    * literal 4.4478 (= 3·1.4826) is spelled identically in both
+    * engines — computing it as 3*1.4826 here and 4.4478 there would
+    * differ in the last ulp and flip boundary rows. */
+  def robustOutliers(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_id"), col("event_type"), col("value"))
+    val med = Quantiles.exactGroupPercentiles(ev, "event_type", "value", Seq(0.5))
+      .select(col("event_type"), col("qval").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("delta", col("value") - col("med"))
+      .withColumn("dev", abs(col("delta")))
+    val mad = Quantiles.exactGroupPercentiles(dev, "event_type", "dev", Seq(0.5))
+      .select(col("event_type"), col("qval").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("mad") > 0.0 && col("dev") > lit(4.4478) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("delta") / (lit(1.4826) * col("mad")), 4).as("rz"))
+  }
+
+  val robustOutliersSql: String =
+    """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type),
+      |dev AS (SELECT e.event_id, e.event_type, e.value, e.value - med.med AS delta,
+      |  abs(e.value - med.med) AS dev FROM events e JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY event_type)
+      |SELECT d.event_id, d.event_type, d.value,
+      |  round(d.delta / (1.4826 * mad.mad), 4) AS rz
+      |FROM dev d JOIN mad USING (event_type)
+      |WHERE mad.mad > 0 AND d.dev > 4.4478 * mad.mad""".stripMargin.replace("\n", " ")
 }

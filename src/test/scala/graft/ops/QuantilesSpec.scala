@@ -133,4 +133,29 @@ class QuantilesSpec extends AnyFunSuite {
       "single-buffer percentile aggregate in q51's plan")
     assert(plan.contains("approx_percentile"))
   }
+
+  test("q93 robust outliers equal driver-side median/MAD brute force (sf0.001)") {
+    // interpolated median in the same WEIGHTED form the bracket plan uses
+    def median(xs: Seq[Double]): Double = {
+      val v = xs.sorted.toIndexedSeq
+      val pos = 0.5 * (v.size - 1)
+      val k = math.floor(pos)
+      if (pos == k) v(k.toInt)
+      else v(k.toInt) * (k + 1 - pos) + v(k.toInt + 1) * (pos - k)
+    }
+    val rows = Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expect = rows.groupBy(_._2).flatMap { case (et, grp) =>
+      val med = median(grp.map(_._3).toSeq)
+      val devs = grp.map { case (_, _, v) => math.abs(v - med) }
+      val mad = median(devs.toSeq)
+      grp.toSeq.collect {
+        case (id, _, v) if mad > 0 && math.abs(v - med) > 4.4478 * mad => id
+      }
+    }.toSet
+    val got = RelationalQueries.robustOutliers(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+  }
 }
