@@ -168,6 +168,8 @@ object SparkEntry {
     "q92_decayed_activity"    -> (RelationalQueries.decayedActivity _),
     // round-8: median/MAD robust outliers (grouped bracket quantiles ×2)
     "q93_robust_outliers"     -> (RelationalQueries.robustOutliers _),
+    // round-8: Naive Bayes lang classifier, trained AND scored in-plan
+    "q94_naive_bayes"         -> ((s: SparkSession, d: String) => graft.text.TextQueries.naiveBayesLang(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -267,5 +269,6 @@ object SparkEntry {
     "q91_heavy_hitters"       -> graft.ops.Sketches.heavyHittersSql,
     "q92_decayed_activity"    -> RelationalQueries.decayedActivitySql,
     "q93_robust_outliers"     -> RelationalQueries.robustOutliersSql,
+    "q94_naive_bayes"         -> graft.text.TextQueries.naiveBayesLangSql,
   )
 }

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.Tables
@@ -267,6 +268,86 @@ object TextQueries {
       "round(avg(-ln((c12 + 1.0)/(c1 + v))), 4) AS score " +
       "FROM b2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v " +
       "GROUP BY b2.doc_id"
+
+  // ------------------------------------------- Naive Bayes classifier
+
+  /** q94 — a multinomial NAIVE BAYES language classifier TRAINED AND
+    * SCORED in one lazy plan: the trainable upgrade of q22's fixed
+    * n-gram heuristic, and the closed-form cousin of the fasttext-style
+    * quality/language filters every corpus pipeline runs. NB is the one
+    * classifier whose "training" is exactly the aggregations a SQL
+    * engine is good at — per-(token,class) counts plus class priors —
+    * so unlike the MLP (q11, driver-trained weights), the entire
+    * train→predict DAG is declarative, distributed, and
+    * oracle-checkable with no fitted artifact crossing the boundary.
+    *
+    * score(doc, l) = ln p(l) + Σ_tokens ln((c(w,l)+1)/(n_l+V)) — add-one
+    * smoothing, the q84 convention. Unseen (w,l) pairs fall out of the
+    * left join and coalesce to the smoothed floor. Prediction = argmax
+    * (row_number over score desc, lang asc tiebreak).
+    *
+    * Scale: the model IS two hash aggregates (vocab·|classes| and
+    * |classes| rows — fact-dim again, never collected); scoring is the
+    * token stream × |classes| (a 5-way multiply, not a shuffle blowup)
+    * joined against the model tables; the argmax window partitions on
+    * doc_id, whose cardinality grows with the data. Only the RANK of
+    * class scores crosses the engine boundary, so ln/sum-order ulps
+    * (which differ across engines) are harmless: flipping an argmax
+    * needs two class scores within ~1e-13 relative, and real class
+    * scores differ by O(1) in log space.
+    *
+    * On THIS corpus accuracy is ~47% (sf0.01): the synthetic generator
+    * draws all languages from one shared vocabulary, so there is
+    * little signal beyond the class prior — the measured ceiling of
+    * the data, not a defect of the classifier (the oracle checks the
+    * exact same predictions). */
+  def naiveBayesLang(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("w"))
+    val cwl = toks.groupBy(col("w"), col("lang").as("l"))
+      .agg(count(lit(1)).as("c"))
+    val ntl = cwl.groupBy("l").agg(sum("c").as("n_l"))
+    val v = toks.agg(countDistinct("w").as("v"))
+    val nDocs = docs.count()
+    val priors = docs.groupBy(col("lang").as("l"))
+      .agg(log(count(lit(1)).cast("double") / nDocs.toDouble).as("prior"))
+    val langs = docs.select(col("lang").as("l")).distinct()
+    val scored = toks
+      .crossJoin(broadcast(langs))
+      .join(cwl, Seq("w", "l"), "left")
+      .join(broadcast(ntl), "l")
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"), col("lang"), col("l"))
+      .agg(sum(log((coalesce(col("c"), lit(0L)) + 1.0) / (col("n_l") + col("v"))))
+        .as("ll"))
+      .join(broadcast(priors), "l")
+      .withColumn("score", col("ll") + col("prior"))
+    val rank = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("l").asc)
+    scored.withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("l").as("pred"),
+        (col("lang") === col("l")).as("correct"))
+  }
+
+  val naiveBayesLangSql: String =
+    """WITH t AS (SELECT doc_id, lang, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w FROM documents),
+      |cwl AS (SELECT w, lang AS l, count(*) AS c FROM t GROUP BY w, lang),
+      |ntl AS (SELECT l, sum(c) AS n_l FROM cwl GROUP BY l),
+      |v AS (SELECT count(DISTINCT w) AS v FROM t),
+      |pri AS (SELECT lang AS l, ln(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents)) AS prior FROM documents GROUP BY lang),
+      |langs AS (SELECT DISTINCT lang AS l FROM documents),
+      |sc AS (SELECT t.doc_id, t.lang, langs.l,
+      |  sum(ln((coalesce(cwl.c, 0) + 1.0) / (ntl.n_l + v.v))) AS ll
+      |  FROM t CROSS JOIN langs
+      |  LEFT JOIN cwl ON t.w = cwl.w AND langs.l = cwl.l
+      |  JOIN ntl ON ntl.l = langs.l CROSS JOIN v
+      |  GROUP BY t.doc_id, t.lang, langs.l),
+      |fin AS (SELECT sc.doc_id, sc.lang, sc.l, sc.ll + pri.prior AS score FROM sc JOIN pri USING (l)),
+      |r AS (SELECT doc_id, lang, l, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, l) AS rn FROM fin)
+      |SELECT doc_id, lang, l AS pred, lang = l AS correct FROM r WHERE rn = 1""".stripMargin.replace("\n", " ")
 
   // ------------------------------------------------- PMI collocations
 
