@@ -170,6 +170,8 @@ object SparkEntry {
     "q93_robust_outliers"     -> (RelationalQueries.robustOutliers _),
     // round-8: Naive Bayes lang classifier, trained AND scored in-plan
     "q94_naive_bayes"         -> ((s: SparkSession, d: String) => graft.text.TextQueries.naiveBayesLang(s, d)),
+    // round-8: cross-source 8-gram contamination matrix
+    "q95_source_overlap"      -> ((s: SparkSession, d: String) => graft.text.Scrub.sourceOverlap(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -270,5 +272,6 @@ object SparkEntry {
     "q92_decayed_activity"    -> RelationalQueries.decayedActivitySql,
     "q93_robust_outliers"     -> RelationalQueries.robustOutliersSql,
     "q94_naive_bayes"         -> graft.text.TextQueries.naiveBayesLangSql,
+    "q95_source_overlap"      -> graft.text.Scrub.sourceOverlapSql,
   )
 }

@@ -392,4 +392,63 @@ object Scrub {
        |  round(count(*) FILTER (WHERE ndocs >= 2) * 1.0 / count(*), 4) AS boiler_frac
        |FROM gh g JOIN df USING (gh) GROUP BY g.doc_id""".stripMargin.replace("\n", " ")
   }
+
+  // --------------------------------------------- source overlap matrix
+
+  val OverlapGramN = 8
+
+  /** q95 — cross-SOURCE contamination matrix: for every source pair,
+    * how many distinct word 8-grams they share, plus the gram-set
+    * Jaccard. The corpus-curation question behind it: which ingest
+    * feeds are re-serving each other's content (mirrors, scrapes,
+    * syndication) — q46/q58 ask "does the corpus contain the
+    * benchmark", this asks the same of every source against every
+    * other, and its output decides which feeds need cross-source
+    * dedup (q71) before they are mixed.
+    *
+    * Scale: grams are built by a codegen'd transform-over-sequence
+    * (no UDF), hashed to md5 in-place so raw text never shuffles;
+    * (source, gram) is deduped once (ONE exchange ∝ distinct grams);
+    * the self-join meets on the gram hash where each key occurs in at
+    * most |sources| rows — fan-out bounded by sources² PER GRAM, never
+    * docs². Output ≤ C(|sources|, 2) rows; per-source totals broadcast
+    * back for the Jaccard. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val n = OverlapGramN
+    val sg = Tables.documents(s, d)
+      .withColumn("w", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
+      .withColumn("grams", expr(
+        s"""CASE WHEN size(w) >= $n
+           |THEN transform(sequence(1, size(w) - ${n - 1}),
+           |  i -> md5(concat_ws(' ', slice(w, i, $n))))
+           |ELSE cast(array() AS array<string>) END""".stripMargin.replace("\n", " ")))
+      .select(col("source"), explode(col("grams")).as("gh"))
+      .distinct()
+    val counts = sg.groupBy("source").agg(count(lit(1)).as("n"))
+    sg.as("a").join(sg.as("b"), "gh")
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(counts.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(counts.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared"),
+        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4)
+          .as("jaccard"))
+  }
+
+  val sourceOverlapSql: String = {
+    val n = OverlapGramN
+    s"""WITH ws AS (SELECT source, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+       |gr AS (SELECT DISTINCT source, md5(gram) AS gh FROM
+       |  (SELECT source, unnest(CASE WHEN len(w) >= $n
+       |     THEN [array_to_string(w[i:i+${n - 1}], ' ') for i in range(1, len(w) - ${n - 2})]
+       |     ELSE [] END) AS gram FROM ws)),
+       |cnt AS (SELECT source, count(*) AS n FROM gr GROUP BY source),
+       |pr AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+       |  FROM gr a JOIN gr b USING (gh) WHERE a.source < b.source GROUP BY 1, 2)
+       |SELECT src_a, src_b, shared,
+       |  round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 4) AS jaccard
+       |FROM pr JOIN cnt ca ON pr.src_a = ca.source
+       |JOIN cnt cb ON pr.src_b = cb.source""".stripMargin.replace("\n", " ")
+  }
 }
