@@ -308,6 +308,53 @@ object StreamingFraud {
       }
       .start()
 
+  /** Per-user decayed-activity state: the score AS OF `anchor_us` (the
+    * user's latest event time so far). */
+  final case class UserActivity(
+      user_id: Long, anchor_us: Long, score: Double, n_events: Long)
+
+  /** Streaming twin of q92 — the exponentially time-decayed activity
+    * score maintained INCREMENTALLY: per-user state is three numbers
+    * (anchor, score-at-anchor, count), updated per event as
+    * `score' = score·e^{−(A'−A)/τ} + v·e^{−(A'−t)/τ}` with
+    * `A' = max(A, t)` — algebraically exact for out-of-order events,
+    * because the true score is a sum of independent per-event decay
+    * terms (addition order only moves float ulps). Reading the score
+    * at any later anchor is one more multiply; no event history is
+    * retained. This is the feature-store posture at stream scale:
+    * O(1) state per user where a naive "recompute the window" keeps
+    * every event inside the horizon.
+    *
+    * Batch equivalence (StreamingFraudSpec): decay each user's final
+    * state to the global max timestamp and it matches q92's one-pass
+    * aggregate on the same rows to float tolerance. Input schema:
+    * (ts: timestamp, user_id, value). */
+  def decayedActivityStream(events: DataFrame,
+                            tauDays: Double = graft.ops.RelationalQueries.DecayTauDays): Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    val tauUs = tauDays * 86400e6
+    events
+      .selectExpr("user_id", "unix_micros(ts) AS t_us", "value")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        (uid: Long, rows: Iterator[(Long, Long, Double)], st: GroupState[UserActivity]) => {
+          var s = st.getOption.getOrElse(UserActivity(uid, 0L, 0.0, 0L))
+          rows.foreach { case (_, t, v) =>
+            if (s.n_events == 0L) s = UserActivity(uid, t, v, 1L)
+            else {
+              val a = math.max(s.anchor_us, t)
+              s = UserActivity(uid, a,
+                s.score * math.exp(-(a - s.anchor_us) / tauUs) +
+                  v * math.exp(-(a - t).toDouble / tauUs),
+                s.n_events + 1)
+            }
+          }
+          st.update(s)
+          s
+        })
+  }
+
   /** File-source entry: watch a landing directory of claim CSVs (the
     * app.py upload loop), tag, and write per-micro-batch result CSVs. */
   def fileStream(spark: SparkSession, landingDir: String, outDir: String,

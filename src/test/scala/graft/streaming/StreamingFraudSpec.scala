@@ -170,6 +170,54 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming decayed activity: incremental state equals the batch formula") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val query = StreamingFraud.decayedActivityStream(events)
+      .writeStream.format("memory").queryName("activity")
+      .outputMode("update").start()
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    val batch1 = Seq(
+      (t("2025-06-01 10:00:00"), 1L, 5.0),
+      (t("2025-06-15 10:00:00"), 1L, 7.0),
+      (t("2025-06-20 10:00:00"), 2L, 3.0))
+    val batch2 = Seq(
+      (t("2025-07-01 10:00:00"), 1L, 2.0),
+      (t("2025-06-05 10:00:00"), 2L, 9.0), // OUT OF ORDER: before user 2's batch-1 event
+      (t("2025-07-02 10:00:00"), 3L, 4.0))
+    try {
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+      // latest state per user, decayed to the global anchor
+      val all = batch1 ++ batch2
+      val anchorUs = all.map(_._1.getTime).max * 1000L
+      val tauUs = graft.ops.RelationalQueries.DecayTauDays * 86400e6
+      val expect = all.groupBy(_._2).map { case (uid, evs) =>
+        uid -> evs.map { case (ts, _, v) =>
+          v * math.exp(-(anchorUs - ts.getTime * 1000L) / tauUs)
+        }.sum
+      }
+      val states = spark.sql(
+        "select user_id, anchor_us, score, n_events from activity")
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3))))
+        .groupBy(_._1).map { case (uid, rows) =>
+          uid -> rows.map(_._2).maxBy(_._3) // latest state = highest n_events
+        }
+      assert(states.keySet === expect.keySet)
+      states.foreach { case (uid, (aUs, score, _)) =>
+        val atAnchor = score * math.exp(-(anchorUs - aUs) / tauUs)
+        assert(math.abs(atAnchor - expect(uid)) <= 1e-9 * math.abs(expect(uid)),
+          s"user $uid: stream $atAnchor vs batch ${expect(uid)}")
+      }
+    } finally query.stop()
+  }
+
   test("streaming KMV distinct-users: exact below k, merges across micro-batches") {
     val spark = SparkSpec.spark
     import spark.implicits._
