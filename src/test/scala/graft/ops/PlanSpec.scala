@@ -145,6 +145,36 @@ class PlanSpec extends AnyFunSuite {
     assert(jobs <= 12, s"q77 launched $jobs jobs — per-group driver loop regression?")
   }
 
+  test("q90 collocation top-N is TakeOrderedAndProject, never a global sort") {
+    val p = plan("q90_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val takeIdx = p.indexOf("TakeOrderedAndProject")
+    val sortIdx = p.indexOf("Sort ")
+    assert(sortIdx == -1 || sortIdx < takeIdx,
+      "global Sort below the top-N — ordering the full pair table")
+  }
+
+  test("q89 temperature mixture launches a FIXED number of jobs like q77") {
+    val spark = SparkSpec.spark
+    // same grouped two-pass bracket + map-side filter shape as q77;
+    // a per-language threshold loop would scale jobs with |langs|
+    val jobs = countJobs {
+      graft.SparkEntry.queries("q89_temperature_mixture")(spark, sfDir)
+        .collect()
+    }
+    info(s"q89 jobs: $jobs")
+    assert(jobs <= 12, s"q89 launched $jobs jobs — per-group driver loop regression?")
+  }
+
+  test("q92 decayed activity: one aggregate exchange, no window operator") {
+    val p = plan("q92_decayed_activity")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"window operator in a plain-aggregate plan: $p")
+    // one exchange for the user_id hash aggregate + the broadcast anchor
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"q92 shuffles $exchanges times; expected 1:\n$p")
+  }
+
   test("iterative CC job counts stay O(rounds), not O(rounds^2)") {
     val spark = SparkSpec.spark
     for ((q, bound) <- Seq("q45_dedup_clusters" -> 30, "q64_cc_largestar" -> 40)) {
