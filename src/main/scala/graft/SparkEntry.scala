@@ -172,6 +172,8 @@ object SparkEntry {
     "q94_naive_bayes"         -> ((s: SparkSession, d: String) => graft.text.TextQueries.naiveBayesLang(s, d)),
     // round-8: cross-source 8-gram contamination matrix
     "q95_source_overlap"      -> ((s: SparkSession, d: String) => graft.text.Scrub.sourceOverlap(s, d)),
+    // round-8: centroid-based label-noise audit over the embeddings
+    "q96_label_audit"         -> ((s: SparkSession, d: String) => SimilarityQueries.labelAudit(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -273,5 +275,6 @@ object SparkEntry {
     "q93_robust_outliers"     -> RelationalQueries.robustOutliersSql,
     "q94_naive_bayes"         -> graft.text.TextQueries.naiveBayesLangSql,
     "q95_source_overlap"      -> graft.text.Scrub.sourceOverlapSql,
+    "q96_label_audit"         -> SimilarityQueries.labelAuditSql,
   )
 }

@@ -589,4 +589,65 @@ object SimilarityQueries {
       s"round(list_sum(list_transform(generate_series(0, ${Dim - 1}), " +
       "j -> CAST(e.embedding[j + 1] AS DOUBLE) * (CASE WHEN (m.mask >> j) & 1 = 1 THEN 1.0 ELSE -1.0 END))), 4) AS proj " +
       "FROM embeddings e CROSS JOIN m"
+
+  // ---------------------------------------------------- label-noise audit
+
+  /** q96 — LABEL-NOISE audit (confident-learning-lite): per-label
+    * centroids from the labeled embedding table, then every vector's
+    * cosine to its OWN centroid vs its nearest OTHER centroid; a
+    * vector closer to a foreign centroid is a labeling suspect. This
+    * is the triage pass run before spending human review or training
+    * a cleaner model on a weakly-labeled corpus.
+    *
+    * Scale: centroids are one (label, dim) hash aggregate — bounded at
+    * |labels|·dim rows, reassembled with a sorted collect bounded at
+    * dim — and broadcast; scoring is a |labels|-way fan-out (a small
+    * multiply, not a shuffle) through the codegen'd [[cosineExpr]];
+    * the nearest-other argmax windows on vec_id (cardinality grows
+    * with data). Ranking and the suspect flag compare round(cos, 6)
+    * in BOTH engines (the q20 convention): measured worst-case
+    * own-vs-other margin on this corpus is 5e-4, so quantized
+    * comparisons are cross-engine stable while raw ulps are not. */
+  def labelAudit(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+    val cents = emb
+      .select(col("label").as("c_label"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("c_label", "pos").agg(avg("v").as("cv"))
+      .groupBy("c_label")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), x -> x.cv)")
+        .as("cent"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .withColumn("cos", cosineExpr("e", "cent"))
+    val own = scored.filter(col("label") === col("c_label"))
+      .select(col("vec_id"), col("label"), col("cos").as("own_cos"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(round(col("cos"), 6).desc, col("c_label").asc)
+    val other = scored.filter(col("label") =!= col("c_label"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("nearest_other"),
+        col("cos").as("other_cos"))
+    own.join(other, "vec_id")
+      .select(col("vec_id"), col("label"), col("nearest_other"),
+        round(col("own_cos"), 4).as("own_cos"),
+        round(col("other_cos"), 4).as("other_cos"),
+        (round(col("other_cos"), 6) > round(col("own_cos"), 6)).as("suspect"))
+  }
+
+  val labelAuditSql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |dims AS (SELECT label, generate_subscripts(emb, 1) - 1 AS pos, unnest(emb) AS v FROM e),
+      |cd AS (SELECT label AS c_label, pos, avg(v) AS cv FROM dims GROUP BY label, pos),
+      |cents AS (SELECT c_label, list(cv ORDER BY pos) AS cent FROM cd GROUP BY c_label),
+      |sc AS (SELECT e.vec_id, e.label, c.c_label,
+      |  list_cosine_similarity(e.emb, c.cent) AS cos FROM e CROSS JOIN cents c),
+      |own AS (SELECT vec_id, label, cos AS own_cos FROM sc WHERE label = c_label),
+      |oth AS (SELECT vec_id, c_label AS nearest_other, cos AS other_cos,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY round(cos, 6) DESC, c_label) AS rn
+      |  FROM sc WHERE label <> c_label)
+      |SELECT own.vec_id, own.label, oth.nearest_other,
+      |  round(own.own_cos, 4) AS own_cos, round(oth.other_cos, 4) AS other_cos,
+      |  round(oth.other_cos, 6) > round(own.own_cos, 6) AS suspect
+      |FROM own JOIN oth USING (vec_id) WHERE oth.rn = 1""".stripMargin.replace("\n", " ")
 }
