@@ -407,15 +407,25 @@ object Scrub {
     * dedup (q71) before they are mixed.
     *
     * Scale: grams are built by a codegen'd transform-over-sequence
-    * (no UDF), hashed to md5 in-place so raw text never shuffles;
-    * (source, gram) is deduped once (ONE exchange ∝ distinct grams);
-    * the self-join meets on the gram hash where each key occurs in at
-    * most |sources| rows — fan-out bounded by sources² PER GRAM, never
-    * docs². Output ≤ C(|sources|, 2) rows; per-source totals broadcast
-    * back for the Jaccard. */
+    * (no UDF), hashed to md5 in-place so raw text never shuffles; ONE
+    * gh-keyed aggregate turns the stream into per-gram SOURCE SETS
+    * (≤ |sources| entries each — collect_set's dedup subsumes the
+    * distinct), and the pair matrix comes from exploding each set's
+    * i<j combinations — bounded by sources² per gram, never docs², and
+    * with NO self-join: the first cut of this query joined the
+    * (source, gram) table to itself and re-executed the whole gram
+    * lineage once per consumer (4 scans, ~10 s at sf0.1 — the
+    * asymmetric a<b pushdown defeats exchange reuse). The per-gram
+    * sets are localCheckpoint'ed (the CC-rounds pattern — measured:
+    * exchange reuse does NOT fire across the three consumers even
+    * with identical aggregate subtrees, so without it the gram build
+    * runs once per consumer): one scan + one materialization, and
+    * both downstream aggregates read the checkpointed partitions.
+    * Output ≤ C(|sources|, 2) rows; per-source totals ride the same
+    * per-gram sets and broadcast back for the Jaccard. */
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
     val n = OverlapGramN
-    val sg = Tables.documents(s, d)
+    val byGram = Tables.documents(s, d)
       .withColumn("w", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
       .withColumn("grams", expr(
         s"""CASE WHEN size(w) >= $n
@@ -423,12 +433,17 @@ object Scrub {
            |  i -> md5(concat_ws(' ', slice(w, i, $n))))
            |ELSE cast(array() AS array<string>) END""".stripMargin.replace("\n", " ")))
       .select(col("source"), explode(col("grams")).as("gh"))
-      .distinct()
-    val counts = sg.groupBy("source").agg(count(lit(1)).as("n"))
-    sg.as("a").join(sg.as("b"), "gh")
-      .filter(col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .groupBy("gh").agg(sort_array(collect_set("source")).as("srcs"))
+      .localCheckpoint(true)
+    val counts = byGram.select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = byGram.select(explode(expr(
+      """flatten(transform(srcs,
+        |  (x, i) -> transform(slice(srcs, i + 2, size(srcs)),
+        |    y -> struct(x AS a, y AS b))))""".stripMargin.replace("\n", " "))).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
       .agg(count(lit(1)).as("shared"))
+    pairs
       .join(broadcast(counts.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
       .join(broadcast(counts.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
       .select(col("src_a"), col("src_b"), col("shared"),
