@@ -608,8 +608,13 @@ object SimilarityQueries {
     * in BOTH engines (the q20 convention): measured worst-case
     * own-vs-other margin on this corpus is 5e-4, so quantized
     * comparisons are cross-engine stable while raw ulps are not. */
-  def labelAudit(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
+  def labelAudit(s: SparkSession, d: String): DataFrame =
+    labelAuditFrom(Tables.embeddings(s, d))
+
+  /** [[labelAudit]] over an explicit (vec_id, label, embedding) frame —
+    * the unit the spec runs on planted label flips. */
+  def labelAuditFrom(embeddings: DataFrame): DataFrame = {
+    val emb = embeddings
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("e"))
     val cents = emb

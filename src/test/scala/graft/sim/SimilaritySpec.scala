@@ -2,6 +2,7 @@ package graft.sim
 
 import scala.util.Random
 
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
@@ -274,5 +275,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(ProductQuantization.ivfPqTopKIndexed(spark, dir)) === adcBefore,
       "compaction must not change ADC search results")
     assertListSideExchangeFree(spark, dir)
+  }
+
+  test("q96 label audit flags a planted label flip and points at the true label") {
+    val spark = SparkSpec.spark
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    // victim = the CLEAN audit's max-margin vector: its own-centroid
+    // cosine beats every other centroid by the widest gap, so after a
+    // flip (own := some wrong centroid, true centroid moves to the
+    // "other" side) suspect=true and nearest_other=true label follow
+    // from the margin alone — single-member centroid drift is noise
+    // against it. An arbitrary victim has no such guarantee: plenty of
+    // honest vectors sit nearer a foreign centroid (that is the point
+    // of the audit).
+    val clean = SimilarityQueries.labelAuditFrom(emb).collect()
+    val victim = clean.filter(r => !r.getBoolean(5))
+      .maxBy(r => r.getDouble(3) - r.getDouble(4))
+    val (vid, trueLabel) = (victim.getLong(0), victim.getInt(1))
+    val wrongLabel = (trueLabel + 1) % 10
+    val flipped = emb.withColumn("label",
+      when(col("vec_id") === vid, lit(wrongLabel)).otherwise(col("label")))
+    val audit = SimilarityQueries.labelAuditFrom(flipped)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getBoolean(5))).toMap
+    val (gotLabel, nearestOther, suspect) = audit(vid)
+    assert(gotLabel === wrongLabel)
+    assert(suspect, s"flipped vector $vid must be flagged suspect")
+    assert(nearestOther === trueLabel,
+      s"nearest other centroid should be the true label $trueLabel, got $nearestOther")
   }
 }
