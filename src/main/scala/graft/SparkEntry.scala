@@ -174,6 +174,10 @@ object SparkEntry {
     "q95_source_overlap"      -> ((s: SparkSession, d: String) => graft.text.Scrub.sourceOverlap(s, d)),
     // round-8: centroid-based label-noise audit over the embeddings
     "q96_label_audit"         -> ((s: SparkSession, d: String) => SimilarityQueries.labelAudit(s, d)),
+    // round-8: unigram entropy + type-token ratio quality signals
+    "q97_lexical_diversity"   -> ((s: SparkSession, d: String) => graft.text.TextQueries.lexicalDiversity(s, d)),
+    // round-8: equi-depth decile binning from exact bracket percentiles
+    "q98_equidepth_bins"      -> (RelationalQueries.equiDepthBins _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -276,5 +280,7 @@ object SparkEntry {
     "q94_naive_bayes"         -> graft.text.TextQueries.naiveBayesLangSql,
     "q95_source_overlap"      -> graft.text.Scrub.sourceOverlapSql,
     "q96_label_audit"         -> SimilarityQueries.labelAuditSql,
+    "q97_lexical_diversity"   -> graft.text.TextQueries.lexicalDiversitySql,
+    "q98_equidepth_bins"      -> RelationalQueries.equiDepthBinsSql,
   )
 }

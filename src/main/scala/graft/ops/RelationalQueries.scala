@@ -700,6 +700,42 @@ object RelationalQueries {
         round(col("delta") / (lit(1.4826) * col("mad")), 4).as("rz"))
   }
 
+  // ------------------------------------------------- equi-depth binning
+
+  val BinCount = 10
+
+  /** q98 — EQUI-DEPTH feature binning (quantile discretization): the
+    * GBDT/feature-store preprocessing step that replaces a skewed
+    * numeric with its decile index. Cut points are the exact interior
+    * percentiles from the bounded two-pass bracket
+    * ([[Quantiles.exactPercentiles]] — 2 jobs total), folded back as
+    * LITERALS so the binning itself is a pure map over the scan:
+    * Catalyst folds the 9 comparisons into codegen, nothing shuffles.
+    * bin = #{cuts < x} (strict >, so a value equal to a cut belongs to
+    * the bin below — the same convention in the oracle, and since both
+    * engines' interpolated percentiles are bit-identical, boundary
+    * rows cannot flip). NOT ntile: rank-based deciles break ties by
+    * row position (engine-dependent); value-based cuts are
+    * deterministic and broadcastable. */
+  def equiDepthBins(s: SparkSession, d: String): DataFrame = {
+    val ps = (1 until BinCount).map(_.toDouble / BinCount)
+    val cuts = Quantiles.exactPercentiles(lineitem(s, d), "l_extendedprice", ps)
+    val bin = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("l_extendedprice") > lit(c), 1).otherwise(0)
+    }
+    lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+      bin.cast("int").as("bin"))
+  }
+
+  val equiDepthBinsSql: String = {
+    val pts = (1 until BinCount).map(_.toDouble / BinCount).mkString("[", ", ", "]")
+    s"""WITH q AS (SELECT quantile_cont(l_extendedprice, $pts) AS qs FROM lineitem)
+       |SELECT l_orderkey, l_linenumber, l_extendedprice,
+       |  CAST(len(list_filter(q.qs, c -> l_extendedprice > c)) AS INT) AS bin
+       |FROM lineitem, q""".stripMargin.replace("\n", " ")
+  }
+
   val robustOutliersSql: String =
     """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type),
       |dev AS (SELECT e.event_id, e.event_type, e.value, e.value - med.med AS delta,

@@ -411,6 +411,42 @@ object TextQueries {
        |WHERE c12 >= $CollocMinSupport
        |ORDER BY pmi DESC, w1, w2 LIMIT $CollocTopN""".stripMargin.replace("\n", " ")
 
+  // --------------------------------------------------- lexical diversity
+
+  /** q97 — per-document LEXICAL DIVERSITY signals: unigram entropy and
+    * type-token ratio, the information-theoretic quality features next
+    * to q23's surface ratios (template spam has low entropy at normal
+    * length; keyboard mash has high TTR and high entropy; both slip
+    * past punctuation heuristics).
+    *
+    * Entropy uses the one-pass algebra H = ln n − (Σ c·ln c)/n — no
+    * second aggregation to normalize by n, no window; the identical
+    * expression tree in both engines keeps IEEE rounding aligned
+    * (round(…,4) on top). Two keyed hash aggregates total, both with
+    * map-side partials; zero-token docs drop out of the explode in
+    * both engines alike. */
+  def lexicalDiversity(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        round(log(sum(col("c")).cast("double")) -
+          sum(col("c") * log(col("c").cast("double"))) / sum(col("c")), 4)
+          .as("entropy"),
+        round(count(lit(1)).cast("double") / sum(col("c")), 4).as("ttr"))
+
+  val lexicalDiversitySql: String =
+    """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w FROM documents),
+      |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+      |  round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy,
+      |  round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS ttr
+      |FROM c GROUP BY doc_id""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------ multimodal
 
   /** Multimodal plumbing: treat payloads as opaque binary + typed
