@@ -178,6 +178,10 @@ object SparkEntry {
     "q97_lexical_diversity"   -> ((s: SparkSession, d: String) => graft.text.TextQueries.lexicalDiversity(s, d)),
     // round-8: equi-depth decile binning from exact bracket percentiles
     "q98_equidepth_bins"      -> (RelationalQueries.equiDepthBins _),
+    // round-8: grouped Pearson corr / covariance co-moments
+    "q99_comoment_stats"      -> (RelationalQueries.comomentStats _),
+    // round-8: MOSS winnowing fingerprints + excerpt-sharing pairs
+    "q100_winnow_pairs"       -> ((s: SparkSession, d: String) => graft.text.Scrub.winnowPairs(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -282,5 +286,7 @@ object SparkEntry {
     "q96_label_audit"         -> SimilarityQueries.labelAuditSql,
     "q97_lexical_diversity"   -> graft.text.TextQueries.lexicalDiversitySql,
     "q98_equidepth_bins"      -> RelationalQueries.equiDepthBinsSql,
+    "q99_comoment_stats"      -> RelationalQueries.comomentStatsSql,
+    "q100_winnow_pairs"       -> graft.text.Scrub.winnowPairsSql,
   )
 }

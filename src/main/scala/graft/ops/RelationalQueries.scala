@@ -736,6 +736,34 @@ object RelationalQueries {
        |FROM lineitem, q""".stripMargin.replace("\n", " ")
   }
 
+  // ---------------------------------------------- co-moment aggregates
+
+  /** q99 — grouped CO-MOMENT statistics: Pearson correlation and
+    * population covariance between a metric and an engineered feature
+    * (hour-of-day), per event type — the "is this feature worth
+    * anything" triage every feature pipeline runs before training.
+    * Both engines implement corr/covar as single-pass streaming
+    * co-moments (no materialized centered vectors), so the plan is ONE
+    * hash aggregate with map-side partials — the same shuffle as a
+    * plain count. round(…,4) absorbs the partial-merge order ulps. */
+  def comomentStats(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"), col("value"),
+        hour(col("ts")).cast("double").as("hr"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("value"), 4).as("mean_value"),
+        round(corr("value", "hr"), 4).as("corr_value_hour"),
+        round(covar_pop("value", "hr"), 4).as("covar_value_hour"))
+
+  val comomentStatsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(avg(value), 4) AS mean_value,
+      |  round(corr(value, CAST(hour(ts) AS DOUBLE)), 4) AS corr_value_hour,
+      |  round(covar_pop(value, CAST(hour(ts) AS DOUBLE)), 4) AS covar_value_hour
+      |FROM events GROUP BY event_type""".stripMargin.replace("\n", " ")
+
   val robustOutliersSql: String =
     """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type),
       |dev AS (SELECT e.event_id, e.event_type, e.value, e.value - med.med AS delta,

@@ -451,6 +451,78 @@ object Scrub {
           .as("jaccard"))
   }
 
+  // ------------------------------------------------ winnowing fingerprints
+
+  val WinnowGramN = 5  // word-gram width hashed per position
+  val WinnowWindow = 4 // consecutive hashes per selection window
+  val WinnowMinShared = 3 // pair report threshold
+
+  /** q100 — WINNOWING fingerprint selection (Schleimer/Wilkerson/Aiken,
+    * the MOSS algorithm): hash every word [[WinnowGramN]]-gram, slide a
+    * [[WinnowWindow]]-hash window, keep each window's MINIMUM — the
+    * guarantee is positional: any shared run of
+    * `WinnowWindow + WinnowGramN − 1` words between two documents
+    * yields at least one shared fingerprint, while storing only
+    * ~2/(w+1) of the hashes. That is the difference from MinHash
+    * (q17-q19), which estimates whole-document similarity and can miss
+    * a short plagiarized span inside two otherwise-different documents;
+    * winnowing is the containment/excerpt detector.
+    *
+    * Pipeline: per-position hashes and the window minima are codegen'd
+    * array HOFs (no UDF, no explode until the distinct fingerprints);
+    * pairs sharing ≥ [[WinnowMinShared]] prints come from the q95
+    * shape — per-fingerprint doc SETS, i<j combinations exploded from
+    * each set (bounded by the fingerprint's doc-frequency, which for
+    * random 64-bit gram hashes means near-dup cluster sizes, never the
+    * corpus), with the shared frontier localCheckpoint'ed for its two
+    * consumers (the q95 lesson: exchange reuse does not fire across
+    * consumer branches). Ties inside a window go to the smallest hash
+    * VALUE (not rightmost-position as in MOSS): with 64-bit md5 hashes
+    * real ties are ~2^-64, and value-min keeps the selection a pure
+    * `array_min` both engines compute identically. */
+  def winnowPairs(s: SparkSession, d: String): DataFrame = {
+    val (n, w) = (WinnowGramN, WinnowWindow)
+    val byPrint = Tables.documents(s, d)
+      .withColumn("ws", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
+      .withColumn("hs", expr(
+        s"""CASE WHEN size(ws) >= $n
+           |THEN transform(sequence(1, size(ws) - ${n - 1}),
+           |  i -> md5(concat_ws(' ', slice(ws, i, $n))))
+           |ELSE cast(array() AS array<string>) END""".stripMargin.replace("\n", " ")))
+      .withColumn("fps", expr(
+        s"""CASE WHEN size(hs) >= $w
+           |THEN array_distinct(transform(sequence(1, size(hs) - ${w - 1}),
+           |  i -> array_min(slice(hs, i, $w))))
+           |ELSE array_distinct(CASE WHEN size(hs) > 0 THEN array(array_min(hs))
+           |  ELSE cast(array() AS array<string>) END) END"""
+          .stripMargin.replace("\n", " ")))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .groupBy("fp").agg(sort_array(collect_set("doc_id")).as("docs"))
+      .localCheckpoint(true)
+    byPrint.select(explode(expr(
+      """flatten(transform(docs,
+        |  (x, i) -> transform(slice(docs, i + 2, size(docs)),
+        |    y -> struct(x AS a, y AS b))))""".stripMargin.replace("\n", " "))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+  }
+
+  val winnowPairsSql: String = {
+    val (n, w) = (WinnowGramN, WinnowWindow)
+    s"""WITH ws AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws FROM documents),
+       |hs AS (SELECT doc_id, CASE WHEN len(ws) >= $n
+       |  THEN [md5(array_to_string(ws[i:i+${n - 1}], ' ')) for i in range(1, len(ws) - ${n - 2})]
+       |  ELSE [] END AS hs FROM ws),
+       |fp AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(hs) >= $w
+       |  THEN [list_min(hs[i:i+${w - 1}]) for i in range(1, len(hs) - ${w - 2})]
+       |  WHEN len(hs) > 0 THEN [list_min(hs)] ELSE [] END) AS fp FROM hs),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM fp a JOIN fp b USING (fp) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared FROM pr WHERE n_shared >= $WinnowMinShared"""
+      .stripMargin.replace("\n", " ")
+  }
+
   val sourceOverlapSql: String = {
     val n = OverlapGramN
     s"""WITH ws AS (SELECT source, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
