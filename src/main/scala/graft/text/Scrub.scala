@@ -1,6 +1,7 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.Tables
@@ -395,6 +396,33 @@ object Scrub {
 
   // --------------------------------------------- source overlap matrix
 
+  /** One row per word n-gram position: (doc_id, extras…, tpos, n_tok,
+    * gh) with `gh = md5` of the n words starting at 0-based `tpos`
+    * (rows exist only for complete grams, tpos ≤ n_tok − n).
+    *
+    * Positional explode + window, NOT nested array HOFs, on purpose:
+    * Catalyst inlines a projected array into every downstream lambda
+    * (CollapseProject), and a lambda body re-evaluates its inlined
+    * children on EVERY invocation — `slice(w, i, n)` inside a
+    * transform re-runs the whole tokenizing split per position, and a
+    * second HOF level squares it (measured: the array-HOF winnowing
+    * ran 248 s at sf0.1; this shape runs the same math in ~2 s — see
+    * PERF_NOTES). Here split/tokenize run once per document, md5 once
+    * per gram, and both windows ride ONE doc_id exchange. */
+  private def gramHashRows(docs: DataFrame, n: Int,
+                           extras: Seq[String] = Nil): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id")
+    val cols: Seq[Column] = (col("doc_id") +: extras.map(col)) :+
+      posexplode(expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
+        .as(Seq("tpos", "tok"))
+    docs.select(cols: _*)
+      .withColumn("n_tok", count(lit(1)).over(byDoc))
+      .withColumn("gh", md5(concat_ws(" ",
+        collect_list("tok").over(byDoc.orderBy("tpos").rowsBetween(0, n - 1)))))
+      .filter(col("tpos") <= col("n_tok") - n)
+      .drop("tok")
+  }
+
   val OverlapGramN = 8
 
   /** q95 — cross-SOURCE contamination matrix: for every source pair,
@@ -406,33 +434,27 @@ object Scrub {
     * other, and its output decides which feeds need cross-source
     * dedup (q71) before they are mixed.
     *
-    * Scale: grams are built by a codegen'd transform-over-sequence
-    * (no UDF), hashed to md5 in-place so raw text never shuffles; ONE
-    * gh-keyed aggregate turns the stream into per-gram SOURCE SETS
+    * Scale: grams come from the positional [[gramHashRows]] base
+    * (tokenize once per doc, md5 once per gram, one doc_id exchange —
+    * NOT nested array HOFs, whose inlined-lambda re-evaluation made
+    * the first cut of this query O(len²) splits per doc); ONE gh-keyed
+    * aggregate turns the stream into per-gram SOURCE SETS
     * (≤ |sources| entries each — collect_set's dedup subsumes the
     * distinct), and the pair matrix comes from exploding each set's
     * i<j combinations — bounded by sources² per gram, never docs², and
-    * with NO self-join: the first cut of this query joined the
-    * (source, gram) table to itself and re-executed the whole gram
-    * lineage once per consumer (4 scans, ~10 s at sf0.1 — the
-    * asymmetric a<b pushdown defeats exchange reuse). The per-gram
-    * sets are localCheckpoint'ed (the CC-rounds pattern — measured:
-    * exchange reuse does NOT fire across the three consumers even
-    * with identical aggregate subtrees, so without it the gram build
-    * runs once per consumer): one scan + one materialization, and
-    * both downstream aggregates read the checkpointed partitions.
-    * Output ≤ C(|sources|, 2) rows; per-source totals ride the same
-    * per-gram sets and broadcast back for the Jaccard. */
+    * with NO self-join: a previous cut joined the (source, gram) table
+    * to itself and re-executed the whole gram lineage once per
+    * consumer (4 scans — the asymmetric a<b pushdown defeats exchange
+    * reuse). The per-gram sets are localCheckpoint'ed (the CC-rounds
+    * pattern — measured: exchange reuse does NOT fire across the
+    * consumers even with identical aggregate subtrees): one scan + one
+    * materialization, and both downstream aggregates read the
+    * checkpointed partitions. Output ≤ C(|sources|, 2) rows;
+    * per-source totals ride the same per-gram sets and broadcast back
+    * for the Jaccard. */
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
-    val n = OverlapGramN
-    val byGram = Tables.documents(s, d)
-      .withColumn("w", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
-      .withColumn("grams", expr(
-        s"""CASE WHEN size(w) >= $n
-           |THEN transform(sequence(1, size(w) - ${n - 1}),
-           |  i -> md5(concat_ws(' ', slice(w, i, $n))))
-           |ELSE cast(array() AS array<string>) END""".stripMargin.replace("\n", " ")))
-      .select(col("source"), explode(col("grams")).as("gh"))
+    val byGram = gramHashRows(Tables.documents(s, d), OverlapGramN, Seq("source"))
+      .select(col("source"), col("gh"))
       .groupBy("gh").agg(sort_array(collect_set("source")).as("srcs"))
       .localCheckpoint(true)
     val counts = byGram.select(explode(col("srcs")).as("source"))
@@ -468,37 +490,33 @@ object Scrub {
     * a short plagiarized span inside two otherwise-different documents;
     * winnowing is the containment/excerpt detector.
     *
-    * Pipeline: per-position hashes and the window minima are codegen'd
-    * array HOFs (no UDF, no explode until the distinct fingerprints);
-    * pairs sharing ≥ [[WinnowMinShared]] prints come from the q95
-    * shape — per-fingerprint doc SETS, i<j combinations exploded from
-    * each set (bounded by the fingerprint's doc-frequency, which for
-    * random 64-bit gram hashes means near-dup cluster sizes, never the
-    * corpus), with the shared frontier localCheckpoint'ed for its two
-    * consumers (the q95 lesson: exchange reuse does not fire across
-    * consumer branches). Ties inside a window go to the smallest hash
-    * VALUE (not rightmost-position as in MOSS): with 64-bit md5 hashes
-    * real ties are ~2^-64, and value-min keeps the selection a pure
-    * `array_min` both engines compute identically. */
+    * Pipeline: gram hashes come from the positional [[gramHashRows]]
+    * base and the window MINIMA from a second sliding window over the
+    * same doc_id exchange (the first, nested-array-HOF cut of this
+    * query measured 248 s at sf0.1: Catalyst inlines each projected
+    * array into the next lambda and re-evaluates it per invocation —
+    * tokenize × positions × positions; this shape is ~2 s). Pairs
+    * sharing ≥ [[WinnowMinShared]] prints come from the q95 shape —
+    * per-fingerprint doc SETS, i<j combinations exploded from each set
+    * (bounded by the fingerprint's doc-frequency, which for random
+    * 64-bit gram hashes means near-dup cluster sizes, never the
+    * corpus). Ties inside a window go to the smallest hash VALUE (not
+    * rightmost-position as in MOSS): with 64-bit md5 hashes real ties
+    * are ~2^-64, and value-min keeps the selection a pure sliding min
+    * both engines compute identically. */
   def winnowPairs(s: SparkSession, d: String): DataFrame = {
-    val (n, w) = (WinnowGramN, WinnowWindow)
-    val byPrint = Tables.documents(s, d)
-      .withColumn("ws", expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
-      .withColumn("hs", expr(
-        s"""CASE WHEN size(ws) >= $n
-           |THEN transform(sequence(1, size(ws) - ${n - 1}),
-           |  i -> md5(concat_ws(' ', slice(ws, i, $n))))
-           |ELSE cast(array() AS array<string>) END""".stripMargin.replace("\n", " ")))
-      .withColumn("fps", expr(
-        s"""CASE WHEN size(hs) >= $w
-           |THEN array_distinct(transform(sequence(1, size(hs) - ${w - 1}),
-           |  i -> array_min(slice(hs, i, $w))))
-           |ELSE array_distinct(CASE WHEN size(hs) > 0 THEN array(array_min(hs))
-           |  ELSE cast(array() AS array<string>) END) END"""
-          .stripMargin.replace("\n", " ")))
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val w = WinnowWindow
+    val byDoc = Window.partitionBy("doc_id")
+    val grams = gramHashRows(Tables.documents(s, d), WinnowGramN)
+    val byPrint = grams
+      .withColumn("n_gram", count(lit(1)).over(byDoc))
+      .withColumn("fp",
+        min("gh").over(byDoc.orderBy("tpos").rowsBetween(0, w - 1)))
+      // complete windows only — except short docs (< w grams), which
+      // keep their single all-gram minimum (the oracle's CASE arm)
+      .filter(col("tpos") <= col("n_gram") - w ||
+        (col("n_gram") < w && col("tpos") === 0))
       .groupBy("fp").agg(sort_array(collect_set("doc_id")).as("docs"))
-      .localCheckpoint(true)
     byPrint.select(explode(expr(
       """flatten(transform(docs,
         |  (x, i) -> transform(slice(docs, i + 2, size(docs)),
