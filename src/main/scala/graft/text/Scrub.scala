@@ -504,10 +504,16 @@ object Scrub {
     * rightmost-position as in MOSS): with 64-bit md5 hashes real ties
     * are ~2^-64, and value-min keeps the selection a pure sliding min
     * both engines compute identically. */
-  def winnowPairs(s: SparkSession, d: String): DataFrame = {
+  def winnowPairs(s: SparkSession, d: String): DataFrame =
+    winnowPairsFrom(Tables.documents(s, d))
+
+  /** [[winnowPairs]] over an explicit (doc_id, text) frame — the unit
+    * ScrubSpec drives with planted shared runs. */
+  def winnowPairsFrom(documents: DataFrame,
+                      minShared: Long = WinnowMinShared): DataFrame = {
     val w = WinnowWindow
     val byDoc = Window.partitionBy("doc_id")
-    val grams = gramHashRows(Tables.documents(s, d), WinnowGramN)
+    val grams = gramHashRows(documents, WinnowGramN)
     val byPrint = grams
       .withColumn("n_gram", count(lit(1)).over(byDoc))
       .withColumn("fp",
@@ -523,7 +529,7 @@ object Scrub {
         |    y -> struct(x AS a, y AS b))))""".stripMargin.replace("\n", " "))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= WinnowMinShared)
+      .filter(col("n_shared") >= minShared)
   }
 
   val winnowPairsSql: String = {

@@ -80,6 +80,30 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("Misra–Gries composes under groupBy: per-lang candidates cover per-lang heavies") {
+    val spark = SparkSpec.spark
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("w"))
+    val k = 16 // small capacity so the guarantee actually binds per lang
+    val got = toks.groupBy("lang")
+      .agg(Sketches.misraGries(k)(col("w")).as("mg"))
+      .select(col("lang"), col("mg._1").as("cands"), col("mg._2").as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[String](1).toSet, r.getLong(2))).toMap
+    val exact = toks.groupBy("lang", "w").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    exact.foreach { case (lang, rows) =>
+      val (cands, n) = got(lang)
+      assert(n === rows.map(_._3).sum)
+      val must = rows.collect { case (_, w, c) if c > n / (k + 1) => w }.toSet
+      assert(must.subsetOf(cands),
+        s"lang=$lang missed heavy keys: ${must -- cands}")
+    }
+  }
+
   test("q91 heavy hitters equal the brute-force exact answer (sf0.001)") {
     val spark = SparkSpec.spark
     import org.apache.spark.sql.functions._

@@ -71,6 +71,31 @@ class ScrubSpec extends AnyFunSuite {
     assert(kept.nonEmpty && kept.size < docs.length)
   }
 
+  test("winnowing guarantee: a shared w+n-1 word run yields a shared fingerprint") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def words(k: Int, tag: String) = Seq.fill(k)(s"$tag${rnd.nextInt(100000)}")
+    // the MINIMAL guaranteed-detectable span: one full window of grams
+    // = WinnowWindow + WinnowGramN - 1 words, embedded at different
+    // offsets in otherwise-unique text; docs 3/4 share nothing
+    val run = words(Scrub.WinnowWindow + Scrub.WinnowGramN - 1, "shared")
+    val docs = Seq(
+      (1L, (words(30, "a") ++ run ++ words(30, "b")).mkString(" ")),
+      (2L, (words(17, "c") ++ run ++ words(41, "d")).mkString(" ")),
+      (3L, words(60, "e").mkString(" ")),
+      (4L, words(60, "f").mkString(" "))
+    ).toDF("doc_id", "text")
+    // at threshold 1 the schema guarantee is unconditional: the one
+    // fully-shared window must select the same (content-determined) min
+    val pairs = Scrub.winnowPairsFrom(docs, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((1L, 2L)).exists(_ >= 1L),
+      s"shared run must yield >= 1 shared fingerprint, got $pairs")
+    assert(!pairs.keySet.exists { case (a, b) => a >= 3L || b >= 3L },
+      s"disjoint docs paired: ${pairs.keySet}")
+  }
+
   test("repetition metrics equal a driver-side recount (sf0.001)") {
     val spark = SparkSpec.spark
     val docs = graft.ops.Tables.documents(spark, sfDir)
