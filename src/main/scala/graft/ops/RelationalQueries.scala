@@ -679,22 +679,32 @@ object RelationalQueries {
     * Both medians come from the GROUPED two-pass bracket
     * ([[Quantiles.exactGroupPercentiles]], the q51 plan): bounded
     * per-group state, bit-identical linear interpolation to the
-    * oracle's quantile_cont — the deviations join the median back
-    * broadcast (|event_type| rows), so the whole thing is two bracket
-    * passes + two broadcast joins over one fact lineage. The filter
-    * literal 4.4478 (= 3·1.4826) is spelled identically in both
-    * engines — computing it as 3*1.4826 here and 4.4478 there would
-    * differ in the last ulp and flip boundary rows. */
+    * oracle's quantile_cont. The per-group medians/MADs are COLLECTED
+    * (bounded by |event_type| — the q05/q07 scalar-threshold pattern)
+    * and folded back as CASE literals rather than joined: joining
+    * keeps the first bracket's whole lineage under the second
+    * bracket's passes, and the plan audit measured NINE fact scans
+    * for what literals do in five (med pass1+2, mad pass1+2 over the
+    * literal-derived deviations, one output pass — the bracket's two
+    * passes per statistic are irreducible). The filter literal 4.4478
+    * (= 3·1.4826) is spelled identically in both engines — computing
+    * it as 3*1.4826 here and 4.4478 there would differ in the last
+    * ulp and flip boundary rows. */
   def robustOutliers(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).select(col("event_id"), col("event_type"), col("value"))
+    def caseFor(m: Map[String, Double]): Column =
+      m.toSeq.sortBy(_._1).foldLeft(lit(Double.NaN)) { case (acc, (g, x)) =>
+        when(col("event_type") === g, lit(x)).otherwise(acc)
+      }
     val med = Quantiles.exactGroupPercentiles(ev, "event_type", "value", Seq(0.5))
-      .select(col("event_type"), col("qval").as("med"))
-    val dev = ev.join(broadcast(med), "event_type")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val dev = ev
+      .withColumn("med", caseFor(med))
       .withColumn("delta", col("value") - col("med"))
       .withColumn("dev", abs(col("delta")))
     val mad = Quantiles.exactGroupPercentiles(dev, "event_type", "dev", Seq(0.5))
-      .select(col("event_type"), col("qval").as("mad"))
-    dev.join(broadcast(mad), "event_type")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    dev.withColumn("mad", caseFor(mad))
       .filter(col("mad") > 0.0 && col("dev") > lit(4.4478) * col("mad"))
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("delta") / (lit(1.4826) * col("mad")), 4).as("rz"))

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -286,15 +286,21 @@ object TextQueries {
     * left join and coalesce to the smoothed floor. Prediction = argmax
     * (row_number over score desc, lang asc tiebreak).
     *
-    * Scale: the model IS two hash aggregates (vocab·|classes| and
-    * |classes| rows — fact-dim again, never collected); scoring is the
-    * token stream × |classes| (a 5-way multiply, not a shuffle blowup)
-    * joined against the model tables; the argmax window partitions on
-    * doc_id, whose cardinality grows with the data. Only the RANK of
-    * class scores crosses the engine boundary, so ln/sum-order ulps
-    * (which differ across engines) are harmless: flipping an argmax
-    * needs two class scores within ~1e-13 relative, and real class
-    * scores differ by O(1) in log space.
+    * Scale: the model IS one hash aggregate — the (token, class) count
+    * table, vocab·|classes| rows, localCheckpoint'ed because THREE
+    * consumers derive from it (class totals, vocabulary size, the
+    * scoring join) and exchange reuse does not fire across consumer
+    * branches (the q95 lesson; the audit measured one token-stream
+    * scan per consumer without it). Class priors collapse to CASE
+    * literals from one bounded |classes|-row collect. Scoring is the
+    * token stream × |classes| (a 5-way multiply, not a shuffle
+    * blowup) joined against the model tables; the argmax window
+    * partitions on doc_id, whose cardinality grows with the data.
+    * Total fact scans: one to build the model, one to score. Only the
+    * RANK of class scores crosses the engine boundary, so
+    * ln/sum-order ulps (which differ across engines) are harmless:
+    * flipping an argmax needs two class scores within ~1e-13
+    * relative, and real class scores differ by O(1) in log space.
     *
     * On THIS corpus accuracy is ~47% (sf0.01): the synthetic generator
     * draws all languages from one shared vocabulary, so there is
@@ -308,12 +314,20 @@ object TextQueries {
         explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("w"))
     val cwl = toks.groupBy(col("w"), col("lang").as("l"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val ntl = cwl.groupBy("l").agg(sum("c").as("n_l"))
-    val v = toks.agg(countDistinct("w").as("v"))
-    val nDocs = docs.count()
-    val priors = docs.groupBy(col("lang").as("l"))
-      .agg(log(count(lit(1)).cast("double") / nDocs.toDouble).as("prior"))
-    val langs = docs.select(col("lang").as("l")).distinct()
+    val v = cwl.agg(countDistinct("w").as("v")) // (w,l) rows are distinct in w per l
+    val nl = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDocs = nl.values.sum
+    // priors as literals: only the argmax RANK crosses engines, so the
+    // driver-side Math.log vs the oracle's ln differing in the last ulp
+    // cannot flip anything two real class scores distinguish
+    val priorCase = nl.toSeq.sortBy(_._1).foldLeft(lit(Double.NaN)) {
+      case (acc, (l, n)) =>
+        when(col("l") === l, lit(math.log(n.toDouble / nDocs))).otherwise(acc)
+    }
+    val langs = s.createDataset(nl.keys.toSeq.sorted)(Encoders.STRING).toDF("l")
     val scored = toks
       .crossJoin(broadcast(langs))
       .join(cwl, Seq("w", "l"), "left")
@@ -322,8 +336,7 @@ object TextQueries {
       .groupBy(col("doc_id"), col("lang"), col("l"))
       .agg(sum(log((coalesce(col("c"), lit(0L)) + 1.0) / (col("n_l") + col("v"))))
         .as("ll"))
-      .join(broadcast(priors), "l")
-      .withColumn("score", col("ll") + col("prior"))
+      .withColumn("score", col("ll") + priorCase)
     val rank = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("l").asc)
     scored.withColumn("rn", row_number().over(rank))
