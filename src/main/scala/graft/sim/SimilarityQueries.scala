@@ -601,13 +601,19 @@ object SimilarityQueries {
     *
     * Scale: centroids are one (label, dim) hash aggregate — bounded at
     * |labels|·dim rows, reassembled with a sorted collect bounded at
-    * dim — and broadcast; scoring is a |labels|-way fan-out (a small
-    * multiply, not a shuffle) through the codegen'd [[cosineExpr]];
-    * the nearest-other argmax windows on vec_id (cardinality grows
-    * with data). Ranking and the suspect flag compare round(cos, 6)
-    * in BOTH engines (the q20 convention): measured worst-case
-    * own-vs-other margin on this corpus is 5e-4, so quantized
-    * comparisons are cross-engine stable while raw ulps are not. */
+    * dim, localCheckpoint'ed (tiny) and broadcast; scoring is a
+    * |labels|-way fan-out (a small multiply, not a shuffle) through
+    * the codegen'd [[cosineExpr]], and own-vs-nearest-other collapses
+    * into ONE conditional aggregate per vector — a struct max whose
+    * key is (round(cos,6), −label) reproduces the oracle's
+    * score-desc/label-asc argmax without the own/other split that
+    * re-executed the scoring lineage per branch (the plan audit
+    * counted four embedding scans; this shape does two: centroid
+    * build + scoring). Ranking and the suspect flag compare
+    * round(cos, 6) in BOTH engines (the q20 convention): measured
+    * worst-case own-vs-other margin on this corpus is 5e-4, so
+    * quantized comparisons are cross-engine stable while raw ulps are
+    * not. */
   def labelAudit(s: SparkSession, d: String): DataFrame =
     labelAuditFrom(Tables.embeddings(s, d))
 
@@ -623,21 +629,21 @@ object SimilarityQueries {
       .groupBy("c_label")
       .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), x -> x.cv)")
         .as("cent"))
-    val scored = emb.crossJoin(broadcast(cents))
+      .localCheckpoint(true)
+    emb.crossJoin(broadcast(cents))
       .withColumn("cos", cosineExpr("e", "cent"))
-    val own = scored.filter(col("label") === col("c_label"))
-      .select(col("vec_id"), col("label"), col("cos").as("own_cos"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(round(col("cos"), 6).desc, col("c_label").asc)
-    val other = scored.filter(col("label") =!= col("c_label"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_label").as("nearest_other"),
-        col("cos").as("other_cos"))
-    own.join(other, "vec_id")
-      .select(col("vec_id"), col("label"), col("nearest_other"),
-        round(col("own_cos"), 4).as("own_cos"),
-        round(col("other_cos"), 4).as("other_cos"),
-        (round(col("other_cos"), 6) > round(col("own_cos"), 6)).as("suspect"))
+      .groupBy("vec_id", "label")
+      .agg(
+        max(when(col("c_label") === col("label"), col("cos"))).as("own_raw"),
+        max(when(col("c_label") =!= col("label"), struct(
+          round(col("cos"), 6).as("c6"),
+          (-col("c_label")).as("nl"),
+          col("cos").as("raw")))).as("best"))
+      .select(col("vec_id"), col("label"),
+        (-col("best.nl")).as("nearest_other"),
+        round(col("own_raw"), 4).as("own_cos"),
+        round(col("best.raw"), 4).as("other_cos"),
+        (col("best.c6") > round(col("own_raw"), 6)).as("suspect"))
   }
 
   val labelAuditSql: String =

@@ -377,10 +377,13 @@ object TextQueries {
     *
     * Scale: bigrams come from the same codegen'd zip_with as q84 (no
     * self-join); counts are two keyed hash aggregates (vocab- and
-    * bigram-vocab-bounded, map-side partials); the support filter
-    * prunes the pair table BEFORE the marginal joins (the long tail of
-    * hapax bigrams — most of the table — never reaches a join); the
-    * two scalar totals broadcast; and the final top-N is
+    * bigram-vocab-bounded, map-side partials), each localCheckpoint'ed
+    * because each feeds multiple consumers (its scalar total + the
+    * marginal joins — without the checkpoint the plan audit counted
+    * five token-stream scans, one per consumer branch); the support
+    * filter prunes the pair table BEFORE the marginal joins (the long
+    * tail of hapax bigrams — most of the table — never reaches a
+    * join); the two scalar totals broadcast; and the final top-N is
     * TakeOrderedAndProject, never a global sort. The PMI expression is
     * structured identically to the oracle's so IEEE multiplication
     * order matches term-for-term (then round(…,4) belt-and-braces). */
@@ -389,12 +392,14 @@ object TextQueries {
       .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
     val uni = toksDf.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val n1 = uni.agg(sum("c").as("n1"))
     val bigrams = toksDf.select(explode(expr(
       "zip_with(slice(toks, 1, greatest(size(toks)-1, 0)), " +
         "slice(toks, 2, greatest(size(toks)-1, 0)), (a, b) -> struct(a, b))")).as("p"))
       .select(col("p.a").as("w1"), col("p.b").as("w2"))
     val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
     val n2 = c12.agg(sum("c12").as("n2"))
     c12.filter(col("c12") >= CollocMinSupport)
       .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
