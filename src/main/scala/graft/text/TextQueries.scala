@@ -244,7 +244,12 @@ object TextQueries {
         "zip_with(slice(toks, 1, greatest(size(toks)-1, 0)), " +
           "slice(toks, 2, greatest(size(toks)-1, 0)), (a, b) -> struct(a, b))")).as("p"))
       .select(col("doc_id"), col("p.a").as("w1"), col("p.b").as("w2"))
+    // the model table feeds THREE consumers (context totals, V, the
+    // probe join) and each would re-execute the bigram build without
+    // the checkpoint (the q90/q95 lesson — four corpus scans audited;
+    // two with it: model build + probe)
     val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     val v = c1.agg(count(lit(1)).as("v"))
     bigrams
