@@ -182,6 +182,10 @@ object SparkEntry {
     "q99_comoment_stats"      -> (RelationalQueries.comomentStats _),
     // round-8: MOSS winnowing fingerprints + excerpt-sharing pairs
     "q100_winnow_pairs"       -> ((s: SparkSession, d: String) => graft.text.Scrub.winnowPairs(s, d)),
+    // round-8: deterministic contrastive negative sampling
+    "q101_negative_pairs"     -> ((s: SparkSession, d: String) => SimilarityQueries.negativePairs(s, d)),
+    // round-8: per-language heavy hitters (grouped MG + exact recount)
+    "q102_grouped_heavy_hitters" -> (graft.ops.Sketches.groupedHeavyHitters _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -288,5 +292,7 @@ object SparkEntry {
     "q98_equidepth_bins"      -> RelationalQueries.equiDepthBinsSql,
     "q99_comoment_stats"      -> RelationalQueries.comomentStatsSql,
     "q100_winnow_pairs"       -> graft.text.Scrub.winnowPairsSql,
+    "q101_negative_pairs"     -> SimilarityQueries.negativePairsSql,
+    "q102_grouped_heavy_hitters" -> graft.ops.Sketches.groupedHeavyHittersSql,
   )
 }

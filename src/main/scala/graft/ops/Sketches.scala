@@ -252,4 +252,35 @@ object Sketches {
        |SELECT w, count(*) AS freq, n.n_tokens
        |FROM tok, n GROUP BY w, n.n_tokens
        |HAVING count(*) * $MgK > n.n_tokens""".stripMargin.replace("\n", " ")
+
+  /** q102 — per-GROUP heavy hitters: the q91 sketch-then-recount
+    * composition with the Misra–Gries summary as a grouped aggregate —
+    * one bounded summary PER LANGUAGE rides the same hash exchange a
+    * plain grouped count would (map-side partial summaries merge by
+    * the Agarwal rule, SketchesSpec-tested), so "top tokens per
+    * language over 100 TB" costs k keys per (task, language) on the
+    * wire instead of the per-language vocabularies. Candidates then
+    * recount exactly against the (lang, token) stream — a broadcast
+    * semi-join, ≤ k·|langs| keys — and the output keeps only exact
+    * frequencies above each language's n/k. */
+  def groupedHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("lang"),
+        explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("w"))
+    val sketch = toks.groupBy("lang")
+      .agg(misraGries(MgK)(col("w")).as("mg"))
+      .select(col("lang"), col("mg._2").as("n_lang"),
+        explode(col("mg._1")).as("w"))
+    toks.join(broadcast(sketch), Seq("lang", "w"))
+      .groupBy("lang", "w", "n_lang").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * MgK > col("n_lang"))
+      .select(col("lang"), col("w"), col("freq"), col("n_lang"))
+  }
+
+  val groupedHeavyHittersSql: String =
+    s"""WITH tok AS (SELECT lang, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w FROM documents),
+       |n AS (SELECT lang, count(*) AS n_lang FROM tok GROUP BY lang)
+       |SELECT tok.lang, w, count(*) AS freq, n.n_lang
+       |FROM tok JOIN n USING (lang) GROUP BY tok.lang, w, n.n_lang
+       |HAVING count(*) * $MgK > n.n_lang""".stripMargin.replace("\n", " ")
 }

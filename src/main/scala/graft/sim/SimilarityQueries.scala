@@ -590,6 +590,53 @@ object SimilarityQueries {
       "j -> CAST(e.embedding[j + 1] AS DOUBLE) * (CASE WHEN (m.mask >> j) & 1 = 1 THEN 1.0 ELSE -1.0 END))), 4) AS proj " +
       "FROM embeddings e CROSS JOIN m"
 
+  // ------------------------------------------- negative-pair sampling
+
+  val NegativesPerAnchor = 4
+
+  /** q101 — deterministic NEGATIVE sampling for contrastive training:
+    * every anchor vector gets [[NegativesPerAnchor]] pseudo-random
+    * partners, `neg_k(a) = md5(a ":" k) mod N` — the
+    * negatives-per-positive step of every embedding-model run
+    * (SimCLR/DPR-style), done WITHOUT RNG state: the same corpus
+    * snapshot always yields the same pairs (reproducible shuffling,
+    * the q60/q77 hash-key family), and the oracle recomputes them
+    * bit-for-bit. Self-collisions (neg = anchor, expected K/N of
+    * them) are filtered identically in both engines.
+    *
+    * Scale: the negative ids are a pure map over the anchor scan
+    * (explode of K literals, md5, mod); fetching each negative's row
+    * is ONE equi-join keyed on the id — shuffle ∝ K·N, never N².
+    * Labels ride along so the downstream filter "drop in-class
+    * negatives" (label_a = label_n) is visible in-row. */
+  def negativePairs(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val n = emb.count()
+    val hashUdf = udf { (sid: String) => Hashing.md5Lower64(sid) >>> 11 }
+    val negs = emb
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        explode(array((0 until NegativesPerAnchor).map(lit): _*)).as("k"))
+      .withColumn("neg_id",
+        hashUdf(concat(col("anchor_id").cast("string"), lit(":"), col("k").cast("string"))) % n)
+      .filter(col("neg_id") =!= col("anchor_id"))
+    negs.join(emb.select(col("vec_id").as("neg_id"), col("label").as("neg_label")),
+        "neg_id")
+      .select(col("anchor_id"), col("k"), col("neg_id"),
+        col("anchor_label"), col("neg_label"),
+        (col("anchor_label") === col("neg_label")).as("in_class"))
+  }
+
+  val negativePairsSql: String =
+    s"""WITH n AS (SELECT count(*) AS n FROM embeddings),
+       |negs AS (SELECT e.vec_id AS anchor_id, e.label AS anchor_label, k.k,
+       |  CAST((md5_number_lower(CAST(e.vec_id AS VARCHAR) || ':' || CAST(k.k AS VARCHAR)) >> 11) % n.n AS BIGINT) AS neg_id
+       |  FROM embeddings e CROSS JOIN n CROSS JOIN (SELECT unnest(range(0, $NegativesPerAnchor)) AS k) k)
+       |SELECT negs.anchor_id, CAST(negs.k AS INT) AS k, negs.neg_id,
+       |  negs.anchor_label, e2.label AS neg_label,
+       |  negs.anchor_label = e2.label AS in_class
+       |FROM negs JOIN embeddings e2 ON negs.neg_id = e2.vec_id
+       |WHERE negs.neg_id <> negs.anchor_id""".stripMargin.replace("\n", " ")
+
   // ---------------------------------------------------- label-noise audit
 
   /** q96 — LABEL-NOISE audit (confident-learning-lite): per-label
