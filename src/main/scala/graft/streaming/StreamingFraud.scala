@@ -355,6 +355,31 @@ object StreamingFraud {
         })
   }
 
+  /** Streaming twin of q91 — per-window heavy-hitter CANDIDATES over a
+    * token stream, the Misra–Gries summary as windowed aggregation
+    * state: ≤ k counters + the window's token total per open window
+    * (the same bounded-state posture as [[distinctUsersStream]]'s
+    * KMV), merging across micro-batches like any partial. Emits each
+    * window's candidate set and stream length; the exact-recount stage
+    * that turns candidates into exact answers is a per-batch batch
+    * join (q91's second pass) once the window closes — the sketch's
+    * no-miss guarantee (anything above n/(k+1) is in the summary,
+    * SketchesSpec) is what makes the deferred recount sound. Input
+    * schema: (ts: timestamp, w: string). */
+  def heavyHittersStream(tokens: DataFrame, window: String = "1 hour",
+                         watermark: String = "2 hours",
+                         k: Int = graft.ops.Sketches.MgK): DataFrame = {
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.ops.Sketches.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    tokens
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
+      .agg(mg(col("w")).as("mg"))
+      .select(col("window.start").as("window_start"),
+        col("mg._1").as("candidates"), col("mg._2").as("n_tokens"))
+  }
+
   /** File-source entry: watch a landing directory of claim CSVs (the
     * app.py upload loop), tag, and write per-micro-batch result CSVs. */
   def fileStream(spark: SparkSession, landingDir: String, outDir: String,

@@ -218,6 +218,38 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming heavy hitters: window candidates cover every heavy token across batches") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val tokens = input.toDF().toDF("ts", "w")
+    val k = 8
+    val query = StreamingFraud.heavyHittersStream(tokens, k = k)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode("update").start()
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    // one window: 'hot' appears 40 times split across TWO micro-batches,
+    // tail tokens once each — hot must survive the merge
+    val mk = (word: String, i: Int) => (t("2025-07-01 10:00:01"), s"$word$i")
+    try {
+      input.addData((1 to 20).map(_ => (t("2025-07-01 10:00:01"), "hot")) ++
+        (1 to 30).map(i => mk("tail_a", i)): _*)
+      query.processAllAvailable()
+      input.addData((1 to 20).map(_ => (t("2025-07-01 10:00:01"), "hot")) ++
+        (1 to 30).map(i => mk("tail_b", i)): _*)
+      query.processAllAvailable()
+      val rows = spark.sql("select window_start, candidates, n_tokens from hh")
+        .collect()
+      val last = rows.maxBy(_.getLong(2))
+      assert(last.getLong(2) === 100L)
+      val cands = last.getSeq[String](1).toSet
+      // hot freq 40 > 100/(k+1) ≈ 11 — the mergeable-summary guarantee
+      assert(cands.contains("hot"), s"missed the heavy token in $cands")
+      assert(cands.size <= k)
+    } finally query.stop()
+  }
+
   test("streaming KMV distinct-users: exact below k, merges across micro-batches") {
     val spark = SparkSpec.spark
     import spark.implicits._
