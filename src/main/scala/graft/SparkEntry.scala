@@ -186,6 +186,10 @@ object SparkEntry {
     "q101_negative_pairs"     -> ((s: SparkSession, d: String) => SimilarityQueries.negativePairs(s, d)),
     // round-8: per-language heavy hitters (grouped MG + exact recount)
     "q102_grouped_heavy_hitters" -> (graft.ops.Sketches.groupedHeavyHitters _),
+    // round-8: quality-aware exact-dedup survivor policy
+    "q103_dedup_keep_best"    -> (DedupQueries.dedupKeepBest _),
+    // round-8: hard-negative mining (nearest wrong-class vectors)
+    "q104_hard_negatives"     -> ((s: SparkSession, d: String) => SimilarityQueries.hardNegatives(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -294,5 +298,7 @@ object SparkEntry {
     "q100_winnow_pairs"       -> graft.text.Scrub.winnowPairsSql,
     "q101_negative_pairs"     -> SimilarityQueries.negativePairsSql,
     "q102_grouped_heavy_hitters" -> graft.ops.Sketches.groupedHeavyHittersSql,
+    "q103_dedup_keep_best"    -> DedupQueries.dedupKeepBestSql,
+    "q104_hard_negatives"     -> SimilarityQueries.hardNegativesSql,
   )
 }

@@ -46,6 +46,36 @@ object DedupQueries {
   val exactDedupSql: String =
     "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY md5(text)"
 
+  /** q103 — exact dedup with a QUALITY-AWARE survivor: where q16 keeps
+    * the smallest id (crawl order), production dedup keeps the BEST
+    * copy of each duplicate group — here the longest normalized text
+    * (n_chars), id as the deterministic tiebreak. The whole policy is
+    * one struct-max aggregate — `max(struct(n_chars, −doc_id))` orders
+    * by quality then by SMALLEST id — so survivor choice rides the
+    * same single exchange the q16 groupBy already pays: changing the
+    * keep policy costs nothing at 100 TB. Normalization strips
+    * non-alphanumerics (the q54/streaming-dedup fingerprint family) so
+    * formatting-only variants collapse into one group. */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+        .as("content_hash"))
+      .agg(
+        max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("best"),
+        count(lit(1)).as("n_copies"))
+      .select(col("content_hash"), (-col("best.nid")).as("keep_id"),
+        col("best.n_chars").as("keep_chars"), col("n_copies"))
+
+  val dedupKeepBestSql: String =
+    """WITH g AS (SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS content_hash,
+      |  doc_id, n_chars,
+      |  row_number() OVER (PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+      |    ORDER BY n_chars DESC, doc_id) AS rn,
+      |  count(*) OVER (PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) AS n_copies
+      |  FROM documents)
+      |SELECT content_hash, doc_id AS keep_id, n_chars AS keep_chars, n_copies
+      |FROM g WHERE rn = 1""".stripMargin.replace("\n", " ")
+
   /** text → the 32 LSH band values ("v0:v1" strings of consecutive
     * signature slots). One UDF call computes base hashes + the full
     * signature + band formatting — a single pass per row, no shuffle. */

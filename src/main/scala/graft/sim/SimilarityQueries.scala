@@ -637,6 +637,46 @@ object SimilarityQueries {
        |FROM negs JOIN embeddings e2 ON negs.neg_id = e2.vec_id
        |WHERE negs.neg_id <> negs.anchor_id""".stripMargin.replace("\n", " ")
 
+  /** q104 — HARD-negative mining: for each anchor, the top-k most
+    * similar vectors with a DIFFERENT label — the negatives that
+    * actually move a metric-learning loss (q101's random negatives are
+    * mostly easy; training on the nearest wrong-class examples is the
+    * standard curriculum). Same brute-force scoring spine as q20
+    * (broadcast anchors × fused cosine, round-6 quantized ranking) with
+    * the class filter pushed below the rank so easy negatives never
+    * enter the window; the IVF-indexed path (q78) swaps in for the
+    * crossJoin at corpus scale exactly as it does for q76. */
+  def hardNegatives(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("e").as("qe"))
+    val w = Window.partitionBy("qid")
+      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("cos", cosineExpr("qe", "e"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("qlabel"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  val hardNegativesSql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS qid, label AS qlabel, emb AS qe FROM e WHERE vec_id % 100 = 0),
+      |scored AS (SELECT q.qid, q.qlabel, e.vec_id, e.label,
+      |  list_cosine_similarity(q.qe, e.emb) AS cos
+      |  FROM e CROSS JOIN q WHERE e.label <> q.qlabel),
+      |ranked AS (SELECT qid, qlabel, vec_id, label, cos,
+      |  row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT qid, qlabel, vec_id AS neg_id, label AS neg_label, rank, round(cos, 4) AS cos
+      |FROM ranked WHERE rank <= 5""".stripMargin.replace("\n", " ")
+
   // ---------------------------------------------------- label-noise audit
 
   /** q96 — LABEL-NOISE audit (confident-learning-lite): per-label
