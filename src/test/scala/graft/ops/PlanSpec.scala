@@ -175,6 +175,27 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"q92 shuffles $exchanges times; expected 1:\n$p")
   }
 
+  test("final-plan fact scans stay fan-out-independent after the r8 audit fixes") {
+    // each of these queries once re-executed its fact lineage per
+    // consumer branch (the nested-HOF / no-cross-branch-exchange-reuse
+    // traps, PERF_NOTES); the fix moved shared frontiers into
+    // checkpoints or scalar literals. The FINAL plan's parquet-scan
+    // count is the tripwire: a regression re-inlines a lineage and the
+    // count jumps by the consumer fan-out.
+    val bounds = Map(
+      "q84_lm_score"         -> 1, // probe scan; model is checkpointed
+      "q90_pmi_collocations" -> 0, // both count tables checkpointed
+      "q93_robust_outliers"  -> 1, // med/mad folded to literals
+      "q94_naive_bayes"      -> 1, // score scan; model checkpointed
+      "q95_source_overlap"   -> 0, // per-gram sets checkpointed
+      "q96_label_audit"      -> 1) // score scan; centroids checkpointed
+    bounds.foreach { case (q, bound) =>
+      val scans = "Scan parquet".r.findAllIn(plan(q)).size
+      assert(scans <= bound,
+        s"$q final plan has $scans parquet scans (bound $bound) — consumer fan-out regression?")
+    }
+  }
+
   test("iterative CC job counts stay O(rounds), not O(rounds^2)") {
     val spark = SparkSpec.spark
     for ((q, bound) <- Seq("q45_dedup_clusters" -> 30, "q64_cc_largestar" -> 40)) {
