@@ -190,6 +190,8 @@ object SparkEntry {
     "q103_dedup_keep_best"    -> (DedupQueries.dedupKeepBest _),
     // round-8: hard-negative mining (nearest wrong-class vectors)
     "q104_hard_negatives"     -> ((s: SparkSession, d: String) => SimilarityQueries.hardNegatives(s, d)),
+    // round-8: canonical doc per near-dup cluster (q45 ∘ q103 policy)
+    "q105_cluster_reps"       -> ((s: SparkSession, d: String) => DedupQueries.clusterRepresentatives(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -300,5 +302,6 @@ object SparkEntry {
     "q102_grouped_heavy_hitters" -> graft.ops.Sketches.groupedHeavyHittersSql,
     "q103_dedup_keep_best"    -> DedupQueries.dedupKeepBestSql,
     "q104_hard_negatives"     -> SimilarityQueries.hardNegativesSql,
+    "q105_cluster_reps"       -> DedupQueries.clusterRepresentativesSql,
   )
 }

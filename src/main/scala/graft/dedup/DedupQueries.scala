@@ -353,6 +353,32 @@ object DedupQueries {
       "UNION SELECT a.src, r.lbl FROM adj a JOIN reach r ON r.doc_id = a.nb) " +
       "SELECT doc_id, min(lbl) AS cluster FROM reach GROUP BY doc_id"
 
+  /** q105 — cluster REPRESENTATIVE selection: after near-dup
+    * clustering (q45), each cluster keeps its best member — longest
+    * text, id tiebreak, the q103 policy applied at the CLUSTER grain
+    * (pair-greedy keep-lists like q28 drop by pair order; selecting
+    * per transitive cluster is what canonical-document pipelines
+    * actually ship). One struct-max aggregate over the cluster labels
+    * — the clustering's own exchange shape, nothing new shuffles. */
+  def clusterRepresentatives(s: SparkSession, d: String): DataFrame =
+    dedupClusters(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy("cluster")
+      .agg(
+        max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster"), (-col("best.nid")).as("rep_id"),
+        col("best.n_chars").as("rep_chars"), col("cluster_size"))
+
+  val clusterRepresentativesSql: String =
+    s"""WITH cl AS ($dedupClustersSql),
+       |j AS (SELECT cl.cluster, d.doc_id, d.n_chars,
+       |  row_number() OVER (PARTITION BY cl.cluster ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+       |  count(*) OVER (PARTITION BY cl.cluster) AS cluster_size
+       |  FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
+       |SELECT cluster, doc_id AS rep_id, n_chars AS rep_chars, cluster_size
+       |FROM j WHERE rn = 1""".stripMargin.replace("\n", " ")
+
   /** Connected components by alternating LARGE-STAR / SMALL-STAR
     * contraction (Kiveris et al., "Connected Components in MapReduce
     * and Beyond", SoCC '14) — the adversarial-diameter alternative to
