@@ -192,6 +192,8 @@ object SparkEntry {
     "q104_hard_negatives"     -> ((s: SparkSession, d: String) => SimilarityQueries.hardNegatives(s, d)),
     // round-8: canonical doc per near-dup cluster (q45 ∘ q103 policy)
     "q105_cluster_reps"       -> ((s: SparkSession, d: String) => DedupQueries.clusterRepresentatives(s, d)),
+    // round-8: epoch-repeated UPsampled mixture (the q73 gap), capped
+    "q106_upsampled_mixture"  -> (graft.text.CorpusOps.upsampledMixture _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -303,5 +305,6 @@ object SparkEntry {
     "q103_dedup_keep_best"    -> DedupQueries.dedupKeepBestSql,
     "q104_hard_negatives"     -> SimilarityQueries.hardNegativesSql,
     "q105_cluster_reps"       -> DedupQueries.clusterRepresentativesSql,
+    "q106_upsampled_mixture"  -> graft.text.CorpusOps.upsampledMixtureSql,
   )
 }

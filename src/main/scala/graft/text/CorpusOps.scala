@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -597,6 +597,77 @@ object CorpusOps {
     }
     keyed.filter(col("skey") <= thrCase).select("doc_id", "lang", "skey")
   }
+
+  /** Upsampling epoch cap: no document repeats more than this many
+    * times however small its language (the UniMax bound). */
+  val MaxUpsampleEpochs = 4L
+
+  /** q106 — UPSAMPLED mixture: the direction q73/q77/q89 leave out
+    * (they only subsample). Low-resource languages reach their target
+    * share by REPEATING documents — bounded by [[MaxUpsampleEpochs]]
+    * so no doc repeats unboundedly (the UniMax cap against memorizing
+    * tiny languages). Targets: α=0 temperature — every language gets
+    * an EQUAL share of the corpus size, Σn / |langs|, capped at E·n_l
+    * — which makes head languages subsample and tail languages repeat
+    * (on the test corpus: en 218→100 subsampled, de 70→100 with
+    * epoch-2 repeats — both directions exercise under the oracle).
+    *
+    * The repeat assignment needs NO per-document rank: every doc of
+    * language l gets ⌊T_l/n_l⌋ copies, and the (T_l mod n_l) docs with
+    * the SMALLEST sample keys get one extra — that boundary is the
+    * same grouped exact order statistic as q77/q89
+    * ([[graft.ops.Quantiles.exactGroupKthSmallest]], one grouped
+    * two-pass bracket for all languages), after which the emission is
+    * a pure map-side `explode(sequence(...))`: no window, no rank
+    * buffer, no shuffle beyond the bracket's own. Output grain is
+    * (doc_id, epoch) — exactly what a repeated-sampling data loader
+    * consumes. */
+  def upsampledMixture(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val hashUdf = udf { (sid: String) => graft.dedup.Hashing.md5Lower64(sid) >>> 11 }
+    val keyed = docs.select(col("doc_id"), col("lang"),
+      hashUdf(col("doc_id").cast("string")).as("skey"))
+    val nl = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val share = nl.values.sum / nl.size
+    val target = nl.map { case (l, n) =>
+      l -> math.min(MaxUpsampleEpochs * n, share)
+    }
+    val baseCopies = nl.map { case (l, n) => l -> target(l) / n }
+    val extraK = nl.map { case (l, n) => l -> target(l) % n }
+    val thr = graft.ops.Quantiles
+      .exactGroupKthSmallest(keyed, "lang", "skey",
+        extraK.filter(_._2 >= 1L),
+        knownCounts = Some(nl.filter { case (l, _) => extraK(l) >= 1L }))
+      .map { case (l, x) => l -> x.toLong }
+    def caseOf(m: Map[String, Long], default: Long): Column =
+      m.toSeq.sortBy(_._1).foldLeft(lit(default)) { case (acc, (l, x)) =>
+        when(col("lang") === l, lit(x)).otherwise(acc)
+      }
+    val copies = caseOf(baseCopies, 0L) +
+      when(col("skey") <= caseOf(thr, Long.MinValue), 1L).otherwise(0L)
+    keyed
+      .withColumn("n_copies", copies)
+      .filter(col("n_copies") >= 1L)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("sequence(1, n_copies)")).as("epoch_l"))
+      .select(col("doc_id"), col("lang"), col("epoch_l").cast("int").as("epoch"))
+  }
+
+  val upsampledMixtureSql: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |t AS (SELECT (SELECT sum(n) FROM c) // (SELECT count(*) FROM c) AS share),
+       |k AS (SELECT lang, n, least($MaxUpsampleEpochs * n, t.share) // n AS base,
+       |  least($MaxUpsampleEpochs * n, t.share) % n AS extra FROM c, t),
+       |r AS (SELECT doc_id, lang,
+       |  row_number() OVER (PARTITION BY lang
+       |    ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)) >> 11, doc_id) AS rnk
+       |  FROM documents),
+       |cp AS (SELECT r.doc_id, r.lang,
+       |  k.base + CASE WHEN r.rnk <= k.extra THEN 1 ELSE 0 END AS n_copies
+       |  FROM r JOIN k USING (lang))
+       |SELECT doc_id, lang, CAST(unnest(range(1, CAST(n_copies + 1 AS BIGINT))) AS INT) AS epoch
+       |FROM cp WHERE n_copies >= 1""".stripMargin.replace("\n", " ")
 
   val temperatureMixtureSql: String =
     s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
