@@ -151,6 +151,34 @@ class SamplingSpec extends AnyFunSuite {
       s"much-smaller language must keep a >= fraction: n=$nLo f=$fLo vs n=$nHi f=$fHi")
   }
 
+  test("q106 upsampling: per-lang totals hit the capped target, epochs bounded") {
+    val spark = SparkSpec.spark
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+    val nl = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val share = nl.values.sum / nl.size
+    val rows = CorpusOps.upsampledMixture(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byLang = rows.groupBy(_._2)
+    nl.foreach { case (l, n) =>
+      val target = math.min(CorpusOps.MaxUpsampleEpochs * n, share)
+      val got = byLang.get(l).map(_.length.toLong).getOrElse(0L)
+      assert(got === target, s"lang=$l emitted $got rows, target $target")
+      val maxEpoch = byLang.get(l).map(_.map(_._3).max).getOrElse(0)
+      val base = target / n
+      assert(maxEpoch === (base + (if (target % n > 0) 1 else 0)).toInt,
+        s"lang=$l max epoch $maxEpoch vs base $base extra ${target % n}")
+    }
+    // no document repeats beyond the UniMax cap
+    rows.groupBy(r => (r._1, r._2)).values.foreach { copies =>
+      assert(copies.length <= CorpusOps.MaxUpsampleEpochs,
+        s"doc repeated ${copies.length}x > cap")
+      // repeats are dense epochs 1..k, not arbitrary indices
+      assert(copies.map(_._3).sorted === (1 to copies.length),
+        s"epochs not dense: ${copies.map(_._3).sorted.mkString(",")}")
+    }
+  }
+
   test("q73 bounded aggregate equals the window formulation (sf0.001)") {
     val spark = SparkSpec.spark
     val docs = graft.ops.Tables.documents(spark, sfDir)
