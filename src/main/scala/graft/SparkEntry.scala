@@ -194,6 +194,10 @@ object SparkEntry {
     "q105_cluster_reps"       -> ((s: SparkSession, d: String) => DedupQueries.clusterRepresentatives(s, d)),
     // round-8: epoch-repeated UPsampled mixture (the q73 gap), capped
     "q106_upsampled_mixture"  -> (graft.text.CorpusOps.upsampledMixture _),
+    // round-8: per-source low-quality rate + lift (feed monitoring)
+    "q107_source_quality_lift" -> ((s: SparkSession, d: String) => graft.text.TextQueries.sourceQualityLift(s, d)),
+    // round-8: token-budget accounting over the split × lang grid
+    "q108_token_budget"       -> (graft.text.CorpusOps.tokenBudget _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -306,5 +310,7 @@ object SparkEntry {
     "q104_hard_negatives"     -> SimilarityQueries.hardNegativesSql,
     "q105_cluster_reps"       -> DedupQueries.clusterRepresentativesSql,
     "q106_upsampled_mixture"  -> graft.text.CorpusOps.upsampledMixtureSql,
+    "q107_source_quality_lift" -> graft.text.TextQueries.sourceQualityLiftSql,
+    "q108_token_budget"       -> graft.text.CorpusOps.tokenBudgetSql,
   )
 }

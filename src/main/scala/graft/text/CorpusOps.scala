@@ -541,6 +541,41 @@ object CorpusOps {
        |       ELSE 'test' END AS split
        |FROM b""".stripMargin.replace("\n", " ")
 
+  /** q108 — TOKEN-BUDGET accounting per (split, lang): the first query
+    * every pretraining run asks of a corpus — how many training tokens
+    * exist in each cell of the split × language grid (and at what
+    * docs/avg-length shape), using the q85 content-hash split and the
+    * q24 BPE-ish token count. Pure map + one |splits|·|langs|-bounded
+    * hash aggregate; scan-speed at any corpus size. */
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    val hex = "0123456789abcdef"
+    val bucket = ((expr(s"instr('$hex', substring(md5(text), 1, 1))") - 1) * 16 +
+      expr(s"instr('$hex', substring(md5(text), 2, 1))") - 1).cast("int")
+    val nTok = size(expr(
+      "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")).cast("long")
+    Tables.documents(s, d)
+      .select(
+        when(bucket < TrainBuckets, "train")
+          .when(bucket < TrainBuckets + ValBuckets, "val")
+          .otherwise("test").as("split"),
+        col("lang"), nTok.as("n_tok"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
+        round(avg("n_tok"), 4).as("avg_tokens"))
+  }
+
+  val tokenBudgetSql: String =
+    s"""WITH b AS (SELECT lang,
+       |  CAST((instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
+       |     + instr('0123456789abcdef', substring(md5(text), 2, 1)) - 1 AS INT) AS bucket,
+       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tok
+       |  FROM documents)
+       |SELECT CASE WHEN bucket < $TrainBuckets THEN 'train'
+       |  WHEN bucket < ${TrainBuckets + ValBuckets} THEN 'val'
+       |  ELSE 'test' END AS split, lang,
+       |  count(*) AS n_docs, sum(n_tok) AS tokens, round(avg(n_tok), 4) AS avg_tokens
+       |FROM b GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------- temperature resampling
 
   /** Denominator of the q89 budget: keep Σn / [[TempBudgetFrac]] docs. */

@@ -94,6 +94,45 @@ object TextQueries {
       "FROM documents"
   }
 
+  /** q107 — per-SOURCE quality drilldown: each ingest feed's low-quality
+    * rate and its LIFT over the corpus rate — the monitoring query that
+    * decides which feed gets throttled or re-filtered before the next
+    * crawl. One conditional aggregate over the scan (the q23 flag
+    * inlined so source rides along); the per-source table is bounded by
+    * |sources| and checkpointed for its two consumers (its own rows +
+    * the corpus totals), so the corpus is scanned once. Rate and lift
+    * expressions are structured identically to the oracle's. */
+  def sourceQualityLift(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    val stopPred = stopwords.map(w => s"t = '$w'").mkString(" OR ")
+    val nStop = size(expr(s"filter(split(text, ' '), t -> $stopPred)"))
+    val isLow = when(
+      nTok >= 20 && (nStop.cast("double") / greatest(nTok, lit(1))) < 0.6, 0L)
+      .otherwise(1L)
+    val perSource = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(isLow).as("lo"))
+      .localCheckpoint(true)
+    val tot = perSource.agg(sum("n").as("tn"), sum("lo").as("tl"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n"),
+        round(col("lo").cast("double") / col("n"), 4).as("low_rate"),
+        round((col("lo").cast("double") / col("n")) /
+          (col("tl").cast("double") / col("tn")), 4).as("lift"))
+  }
+
+  val sourceQualityLiftSql: String = {
+    val stopPred = stopwords.map(w => s"t = '$w'").mkString(" OR ")
+    val low = s"CASE WHEN len(regexp_extract_all(text, '[a-z0-9]+')) >= 20 AND " +
+      s"CAST(len(list_filter(string_split(text, ' '), t -> $stopPred)) AS DOUBLE) / " +
+      s"greatest(len(regexp_extract_all(text, '[a-z0-9]+')), 1) < 0.6 THEN 0 ELSE 1 END"
+    s"""WITH ps AS (SELECT source, count(*) AS n, sum($low) AS lo FROM documents GROUP BY source),
+       |tot AS (SELECT sum(n) AS tn, sum(lo) AS tl FROM ps)
+       |SELECT source, n, round(CAST(lo AS DOUBLE) / n, 4) AS low_rate,
+       |  round((CAST(lo AS DOUBLE) / n) / (CAST(tl AS DOUBLE) / tn), 4) AS lift
+       |FROM ps, tot""".stripMargin.replace("\n", " ")
+  }
+
   // ------------------------------------------------------------ token count
 
   /** Whitespace tokens + a BPE-ish regex segmentation (letters / digits /
