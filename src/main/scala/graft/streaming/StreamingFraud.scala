@@ -380,6 +380,42 @@ object StreamingFraud {
         col("mg._1").as("candidates"), col("mg._2").as("n_tokens"))
   }
 
+  /** Current best copy of one content group (q103's policy on a
+    * stream): longest text wins, smaller doc_id breaks ties. */
+  final case class BestDoc(fp: String, doc_id: Long, n_chars: Long, n_seen: Long)
+
+  /** Streaming twin of q103 — keep-BEST dedup as per-fingerprint state:
+    * `dropDuplicatesWithinWatermark` (the q16/streaming-exact twin)
+    * can only keep the FIRST arrival; the quality-aware policy needs a
+    * later, better duplicate to DISPLACE the survivor, which is
+    * genuinely stateful — one (doc_id, n_chars) pair per content
+    * fingerprint, updated by the same struct-ordering q103 applies in
+    * batch. Emits each group's current best per micro-batch (Update
+    * mode); n_seen carries the group's arrival count. Input schema:
+    * (doc_id, text, n_chars). */
+  def keepBestDedupStream(docs: DataFrame): Dataset[BestDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .selectExpr("md5(regexp_replace(lower(text), '[^a-z0-9]', '')) AS fp",
+        "doc_id", "n_chars")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        (fp: String, rows: Iterator[(String, Long, Long)],
+         st: GroupState[BestDoc]) => {
+          var s = st.getOption.getOrElse(BestDoc(fp, Long.MaxValue, -1L, 0L))
+          rows.foreach { case (_, id, nc) =>
+            val better = nc > s.n_chars || (nc == s.n_chars && id < s.doc_id)
+            s = BestDoc(fp,
+              if (better) id else s.doc_id,
+              if (better) nc else s.n_chars,
+              s.n_seen + 1)
+          }
+          st.update(s)
+          s
+        })
+  }
+
   /** File-source entry: watch a landing directory of claim CSVs (the
     * app.py upload loop), tag, and write per-micro-batch result CSVs. */
   def fileStream(spark: SparkSession, landingDir: String, outDir: String,

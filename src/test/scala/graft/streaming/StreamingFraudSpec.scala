@@ -218,6 +218,38 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming keep-best dedup: a later better duplicate displaces the survivor") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "n_chars")
+    val query = StreamingFraud.keepBestDedupStream(docs)
+      .writeStream.format("memory").queryName("bestdocs")
+      .outputMode("update").start()
+    try {
+      // batch 1: short copy of A arrives first; B is a singleton
+      input.addData((10L, "alpha beta", 10L), (20L, "other text", 10L))
+      query.processAllAvailable()
+      // batch 2: longer same-content copy of A (punctuation-only
+      // variant, same fingerprint) must displace doc 10; a shorter
+      // copy of B must NOT displace doc 20
+      input.addData((11L, "ALPHA, beta!!", 13L), (21L, "other text", 9L))
+      query.processAllAvailable()
+      val state = spark.sql("select fp, doc_id, n_chars, n_seen from bestdocs")
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .groupBy(_._1).map { case (fp, rows) =>
+          fp -> rows.map(_._2).maxBy(_._3) // latest update = highest n_seen
+        }
+      assert(state.size === 2, s"expected 2 content groups, got $state")
+      val byId = state.values.toSeq.sortBy(_._1)
+      assert(byId.contains((11L, 13L, 2L)),
+        s"longer duplicate 11 must displace 10: $state")
+      assert(byId.contains((20L, 10L, 2L)),
+        s"shorter duplicate 21 must not displace 20: $state")
+    } finally query.stop()
+  }
+
   test("streaming heavy hitters: window candidates cover every heavy token across batches") {
     val spark = SparkSpec.spark
     import spark.implicits._
