@@ -726,6 +726,11 @@ object SimilarityQueries {
           round(col("cos"), 6).as("c6"),
           (-col("c_label")).as("nl"),
           col("cos").as("raw")))).as("best"))
+      // a single-label input has no "other" centroid: the max over the
+      // empty when-branch is null here while the oracle's own⋈oth inner
+      // join drops the row — filter to the oracle's (inner-join)
+      // semantics so the degenerate case agrees cross-engine too
+      .filter(col("best").isNotNull)
       .select(col("vec_id"), col("label"),
         (-col("best.nl")).as("nearest_other"),
         round(col("own_raw"), 4).as("own_cos"),

@@ -546,7 +546,19 @@ object CorpusOps {
     * exist in each cell of the split × language grid (and at what
     * docs/avg-length shape), using the q85 content-hash split and the
     * q24 BPE-ish token count. Pure map + one |splits|·|langs|-bounded
-    * hash aggregate; scan-speed at any corpus size. */
+    * hash aggregate; scan-speed at any corpus size.
+    *
+    * FLOAT RULE (the q89/q96 discipline, VERDICT r8 task 1): no raw
+    * double crosses the engine compare. `round(avg(n_tok), 4)` failed
+    * the driver hash gate in r8 — an integer-ratio average lands on
+    * decimal rounding ties far more often than a cosine does, and
+    * Spark (BigDecimal HALF_UP on the shortest decimal repr) and
+    * DuckDB (binary-double rounding) disagree a ULP under a tie. The
+    * mean now ships as `avg_tok_x10k`: half-up-scaled BIGINT
+    * `(tokens·10⁴ + n_docs/2) div n_docs`, computed with the identical
+    * integer expression in both engines (all values non-negative, so
+    * floor-div + half-numerator IS half-up). Display divides by 1e4
+    * downstream; nothing fractional is ever hashed. */
   def tokenBudget(s: SparkSession, d: String): DataFrame = {
     val hex = "0123456789abcdef"
     val bucket = ((expr(s"instr('$hex', substring(md5(text), 1, 1))") - 1) * 16 +
@@ -560,8 +572,9 @@ object CorpusOps {
           .otherwise("test").as("split"),
         col("lang"), nTok.as("n_tok"))
       .groupBy("split", "lang")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"),
-        round(avg("n_tok"), 4).as("avg_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+      .withColumn("avg_tok_x10k",
+        expr("(tokens * 10000 + n_docs div 2) div n_docs"))
   }
 
   val tokenBudgetSql: String =
@@ -573,7 +586,8 @@ object CorpusOps {
        |SELECT CASE WHEN bucket < $TrainBuckets THEN 'train'
        |  WHEN bucket < ${TrainBuckets + ValBuckets} THEN 'val'
        |  ELSE 'test' END AS split, lang,
-       |  count(*) AS n_docs, sum(n_tok) AS tokens, round(avg(n_tok), 4) AS avg_tokens
+       |  count(*) AS n_docs, sum(n_tok) AS tokens,
+       |  CAST((sum(n_tok) * 10000 + count(*) // 2) // count(*) AS BIGINT) AS avg_tok_x10k
        |FROM b GROUP BY 1, 2""".stripMargin.replace("\n", " ")
 
   // ------------------------------------------- temperature resampling
@@ -623,10 +637,15 @@ object CorpusOps {
     val budget = nl.values.sum / TempBudgetFrac
     val quota = nl.map { case (l, n) => l -> math.min(n, budget * w(l) / sw) }
       .filter(_._2 >= 1L)
-    val thr = graft.ops.Quantiles
-      .exactGroupKthSmallest(keyed, "lang", "skey", quota,
-        knownCounts = Some(nl.filter { case (l, _) => quota.contains(l) }))
-      .map { case (l, x) => l -> x.toLong }
+    // every quota can round to 0 on a degenerate tiny corpus (budget <
+    // |langs|); the bracket requires a non-empty ks map, and an empty
+    // selection is the right answer — skip the jobs, emit nothing
+    val thr =
+      if (quota.isEmpty) Map.empty[String, Long]
+      else graft.ops.Quantiles
+        .exactGroupKthSmallest(keyed, "lang", "skey", quota,
+          knownCounts = Some(nl.filter { case (l, _) => quota.contains(l) }))
+        .map { case (l, x) => l -> x.toLong }
     val thrCase = quota.keys.toSeq.sorted.foldLeft(lit(Long.MinValue)) {
       case (acc, l) => when(col("lang") === l, lit(thr(l))).otherwise(acc)
     }
@@ -670,11 +689,15 @@ object CorpusOps {
     }
     val baseCopies = nl.map { case (l, n) => l -> target(l) / n }
     val extraK = nl.map { case (l, n) => l -> target(l) % n }
-    val thr = graft.ops.Quantiles
-      .exactGroupKthSmallest(keyed, "lang", "skey",
-        extraK.filter(_._2 >= 1L),
-        knownCounts = Some(nl.filter { case (l, _) => extraK(l) >= 1L }))
-      .map { case (l, x) => l -> x.toLong }
+    val extras = extraK.filter(_._2 >= 1L)
+    // all-zero extras (targets dividing evenly, or a single-language
+    // corpus where share == n) is legal: base copies only, no bracket
+    val thr =
+      if (extras.isEmpty) Map.empty[String, Long]
+      else graft.ops.Quantiles
+        .exactGroupKthSmallest(keyed, "lang", "skey", extras,
+          knownCounts = Some(nl.filter { case (l, _) => extraK(l) >= 1L }))
+        .map { case (l, x) => l -> x.toLong }
     def caseOf(m: Map[String, Long], default: Long): Column =
       m.toSeq.sortBy(_._1).foldLeft(lit(default)) { case (acc, (l, x)) =>
         when(col("lang") === l, lit(x)).otherwise(acc)
