@@ -179,9 +179,10 @@ object DedupQueries {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // exact shingle-set Jaccard per candidate pair — mirrors the
-    // oracle's shs CTE
+    // oracle's shs CTE; scaled-integer form so the threshold compare
+    // and the shipped double are engine-exact (FLOAT RULE)
     val jaccardUdf = udf { (ta: String, tb: String) =>
-      Hashing.exactJaccard(
+      Hashing.exactJaccardX10k(
         Hashing.wordShingles(ta, ShingleN).distinct,
         Hashing.wordShingles(tb, ShingleN).distinct)
     }
@@ -193,20 +194,26 @@ object DedupQueries {
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(jaccardUdf(col("text_a"), col("text_b")), 4).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+        jaccardUdf(col("text_a"), col("text_b")).as("jx"))
+      .filter(col("jx") >= math.round(minJaccard * 10000))
+      .select(col("doc_a"), col("doc_b"),
+        (col("jx").cast("double") / 10000.0).as("jaccard"))
   }
 
   val minHashJaccardPairsSql: String = {
-    val jac = "CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE) / " +
-      "(len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss)))"
+    // scaled-integer jaccard: identical half-up arithmetic to
+    // Hashing.exactJaccardX10k (greatest(,1) = the union==0 → 0 branch)
+    val jx = "(CAST(len(list_intersect(x.ss, y.ss)) AS BIGINT) * 10000 " +
+      "+ (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))) // 2) " +
+      "// greatest(len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss)), 1)"
     (s"""WITH $bandsCtes,
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
-        |shs AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh)
-        |SELECT doc_a, doc_b, round($jac, 4) AS jaccard
-        |FROM cand JOIN shs x ON x.doc_id = cand.doc_a JOIN shs y ON y.doc_id = cand.doc_b
-        |WHERE round($jac, 4) >= $MinJaccard""").stripMargin.replace("\n", " ")
+        |shs AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+        |jj AS (SELECT doc_a, doc_b, $jx AS jx
+        |  FROM cand JOIN shs x ON x.doc_id = cand.doc_a JOIN shs y ON y.doc_id = cand.doc_b)
+        |SELECT doc_a, doc_b, CAST(jx AS DOUBLE) / 10000.0 AS jaccard
+        |FROM jj WHERE jx >= ${math.round(MinJaccard * 10000)}""").stripMargin.replace("\n", " ")
   }
 
   /** text → [simhash blocks 0..3] (md5-token-hash SimHash, 16-bit
@@ -538,8 +545,9 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // scaled-integer jaccard (FLOAT RULE — engine-exact threshold + cell)
     val jaccardUdf = udf { (ta: String, tb: String) =>
-      Hashing.exactJaccard(
+      Hashing.exactJaccardX10k(
         Hashing.charShingles(ta, CharGramN),
         Hashing.charShingles(tb, CharGramN))
     }
@@ -548,8 +556,10 @@ object DedupQueries {
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(jaccardUdf(col("text_a"), col("text_b")), 4).as("jaccard"))
-      .filter(col("jaccard") >= minJ)
+        jaccardUdf(col("text_a"), col("text_b")).as("jx"))
+      .filter(col("jx") >= math.round(minJ * 10000))
+      .select(col("doc_a"), col("doc_b"),
+        (col("jx").cast("double") / 10000.0).as("jaccard"))
   }
 
   /** text -> 10 LSH band values over the char-shingle MinHash signature
@@ -585,15 +595,18 @@ object DedupQueries {
        |  FROM csig GROUP BY doc_id, perm // $CharBandRows)""".stripMargin
 
   val charNgramJaccardPairsSql: String = {
-    val jac = "CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE) / " +
-      "(len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss)))"
+    // scaled-integer jaccard — identical to Hashing.exactJaccardX10k
+    val jx = "(CAST(len(list_intersect(x.ss, y.ss)) AS BIGINT) * 10000 " +
+      "+ (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))) // 2) " +
+      "// greatest(len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss)), 1)"
     (s"""WITH ${charBandsCtes},
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM cbands a JOIN cbands b ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
-        |cshs AS (SELECT doc_id, list_distinct(shingles) AS ss FROM csh)
-        |SELECT doc_a, doc_b, round($jac, 4) AS jaccard
-        |FROM cand JOIN cshs x ON x.doc_id = cand.doc_a JOIN cshs y ON y.doc_id = cand.doc_b
-        |WHERE round($jac, 4) >= $CharGramMinJ""").stripMargin.replace("\n", " ")
+        |cshs AS (SELECT doc_id, list_distinct(shingles) AS ss FROM csh),
+        |jj AS (SELECT doc_a, doc_b, $jx AS jx
+        |  FROM cand JOIN cshs x ON x.doc_id = cand.doc_a JOIN cshs y ON y.doc_id = cand.doc_b)
+        |SELECT doc_a, doc_b, CAST(jx AS DOUBLE) / 10000.0 AS jaccard
+        |FROM jj WHERE jx >= ${math.round(CharGramMinJ * 10000)}""").stripMargin.replace("\n", " ")
   }
 
   // ------------------------------------------------- fuzzy record linkage
@@ -726,15 +739,18 @@ object DedupQueries {
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val"))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("corpus_id"))
       .distinct()
+    // scaled-integer jaccard so the verdict threshold is engine-exact
+    // (FLOAT RULE): a pair sitting a ULP under round(j,4) == 0.5 would
+    // otherwise flip near_dup/new between Spark and the oracle
     val jaccardUdf = udf { (ta: String, tb: String) =>
-      Hashing.exactJaccard(
+      Hashing.exactJaccardX10k(
         Hashing.wordShingles(ta, ShingleN).distinct,
         Hashing.wordShingles(tb, ShingleN).distinct)
     }
     val nearDup = cand
       .join(docs.select(col("doc_id"), col("text").as("text_a")), "doc_id")
       .join(docs.select(col("doc_id").as("corpus_id"), col("text").as("text_b")), "corpus_id")
-      .filter(round(jaccardUdf(col("text_a"), col("text_b")), 4) >= MinJaccard)
+      .filter(jaccardUdf(col("text_a"), col("text_b")) >= math.round(MinJaccard * 10000))
       .select("doc_id").distinct()
     docs.filter(isNew).select("doc_id")
       .join(exactDup.withColumn("e", lit(1)), Seq("doc_id"), "left")
@@ -746,8 +762,10 @@ object DedupQueries {
   }
 
   val incrementalDedupSql: String = {
-    val jac = "CAST(len(list_intersect(x.ss, y.ss)) AS DOUBLE) / " +
-      "(len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss)))"
+    // scaled-integer jaccard threshold — identical to exactJaccardX10k
+    val jx = "(CAST(len(list_intersect(x.ss, y.ss)) AS BIGINT) * 10000 " +
+      "+ (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))) // 2) " +
+      "// greatest(len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss)), 1)"
     (s"""WITH $bandsCtes,
         |bh AS (SELECT doc_id, md5(text) AS h FROM documents),
         |exact_dup AS (SELECT DISTINCT b.doc_id FROM bh b JOIN bh c ON b.h = c.h
@@ -758,7 +776,7 @@ object DedupQueries {
         |shs AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
         |near_dup AS (SELECT DISTINCT cand.doc_id FROM cand
         |  JOIN shs x ON x.doc_id = cand.doc_id JOIN shs y ON y.doc_id = cand.corpus_id
-        |  WHERE round($jac, 4) >= $MinJaccard)
+        |  WHERE $jx >= ${math.round(MinJaccard * 10000)})
         |SELECT d.doc_id, CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
         |  WHEN n.doc_id IS NOT NULL THEN 'near_dup' ELSE 'new' END AS verdict
         |FROM documents d LEFT JOIN exact_dup e ON e.doc_id = d.doc_id
@@ -954,15 +972,17 @@ object DedupQueries {
       .join(s.table(bandTbl).withColumnRenamed("doc_id", "corpus_id"), "band_key")
       .select("doc_id", "corpus_id")
       .distinct()
+    // same engine-exact scaled-integer threshold as q71 (q75 ≡ q71
+    // output contract, so the verify stages must quantize identically)
     val jaccardUdf = udf { (ta: String, tb: String) =>
-      Hashing.exactJaccard(
+      Hashing.exactJaccardX10k(
         Hashing.wordShingles(ta, ShingleN).distinct,
         Hashing.wordShingles(tb, ShingleN).distinct)
     }
     val nearDup = cand
       .join(batch.select(col("doc_id"), col("text").as("text_a")), "doc_id")
       .join(docs.select(col("doc_id").as("corpus_id"), col("text").as("text_b")), "corpus_id")
-      .filter(round(jaccardUdf(col("text_a"), col("text_b")), 4) >= MinJaccard)
+      .filter(jaccardUdf(col("text_a"), col("text_b")) >= math.round(MinJaccard * 10000))
       .select("doc_id").distinct()
     batch.select("doc_id")
       .join(exactDup.withColumn("e", lit(1)), Seq("doc_id"), "left")

@@ -155,6 +155,19 @@ object Hashing {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** [[exactJaccard]] as half-up integer ten-thousandths. Compared
+    * jaccard cells ship k/10⁴ (k from THIS integer arithmetic, mirrored
+    * in the oracle SQL) instead of round(double, 4): an integer-ratio
+    * double lands on decimal rounding ties where Spark and DuckDB
+    * round() disagree a ULP apart — the q108 failure mode (see
+    * [[graft.text.CorpusOps.tokenBudget]]'s FLOAT RULE). */
+  def exactJaccardX10k(a: Array[String], b: Array[String]): Long = {
+    val sa = a.toSet; val sb = b.toSet
+    val inter = sa.intersect(sb).size.toLong
+    val union = sa.size + sb.size - inter
+    if (union == 0L) 0L else (inter * 10000L + union / 2) / union
+  }
+
   /** 64-bit SimHash over md5-lower token hashes: sign of the per-bit
     * weighted sum, strict `> 0` for a set bit (ties → 0). */
   def simHash64(tokens: Array[String]): Long = {

@@ -306,18 +306,31 @@ object RelationalQueries {
         col("o_orderkey"), col("o_custkey"),
         rank().over(w).as("rnk"),
         dense_rank().over(w).as("drnk"),
-        round(percent_rank().over(w), 6).as("prnk"),
+        count(lit(1)).over(Window.partitionBy("o_custkey")).as("np"),
         ntile(4).over(w).as("quartile"),
         lead(col("o_orderkey"), 1).over(w).as("next_order"))
+      // percent_rank = (rnk−1)/(np−1) is an int ratio → rebuilt as
+      // k/10⁶ half-up integer arithmetic (FLOAT RULE); the built-in's
+      // round(…,6) lands on exact decimal ties whenever np−1 divides a
+      // power of 10. greatest(,1) reproduces the single-row-partition
+      // prnk = 0 definition.
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("rnk"), col("drnk"),
+        (expr("(CAST(rnk - 1 AS BIGINT) * 1000000 + greatest(np - 1, 1) div 2) div greatest(np - 1, 1)")
+          .cast("double") / 1000000.0).as("prnk"),
+        col("quartile"), col("next_order"))
   }
 
   val windowRanksSql: String =
-    "SELECT o_orderkey, o_custkey, " +
+    "WITH r AS (SELECT o_orderkey, o_custkey, " +
       "CAST(rank() OVER w AS INT) AS rnk, CAST(dense_rank() OVER w AS INT) AS drnk, " +
-      "round(percent_rank() OVER w, 6) AS prnk, CAST(ntile(4) OVER w AS INT) AS quartile, " +
+      "count(*) OVER (PARTITION BY o_custkey) AS np, CAST(ntile(4) OVER w AS INT) AS quartile, " +
       "lead(o_orderkey, 1) OVER w AS next_order " +
       "FROM orders WHERE o_custkey % 10 = 0 " +
-      "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+      "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) " +
+      "SELECT o_orderkey, o_custkey, rnk, drnk, " +
+      "CAST((CAST(rnk - 1 AS BIGINT) * 1000000 + greatest(np - 1, 1) // 2) // greatest(np - 1, 1) AS DOUBLE) / 1000000.0 AS prnk, " +
+      "quartile, next_order FROM r"
 
   /** Beyond-reference: ROLLUP over (lang, source) — hierarchical
     * subtotals in one pass (Expand + single hash aggregate; no
@@ -325,11 +338,20 @@ object RelationalQueries {
   def rollupStats(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .rollup("lang", "source")
-      .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 4).as("avg_chars"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("chars_sum"))
+      // mean chars as k/10⁴ half-up integer arithmetic — round(avg(int))
+      // is the q108 cross-engine tie shape (FLOAT RULE)
+      .select(col("lang"), col("source"), col("n_docs"),
+        (expr("(chars_sum * 10000 + n_docs div 2) div n_docs")
+          .cast("double") / 10000.0).as("avg_chars"))
 
   val rollupStatsSql: String =
-    "SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars " +
-      "FROM documents GROUP BY ROLLUP (lang, source)"
+    "WITH c AS (SELECT lang, source, count(*) AS n_docs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS chars_sum " +
+      "FROM documents GROUP BY ROLLUP (lang, source)) " +
+      "SELECT lang, source, n_docs, " +
+      "CAST((chars_sum * 10000 + n_docs // 2) // n_docs AS DOUBLE) / 10000.0 AS avg_chars FROM c"
 
   /** Beyond-reference: PIVOT — language counts per source as columns.
     * The pivot value list is EXPLICIT (en/de/es/fr/zh), so the schema

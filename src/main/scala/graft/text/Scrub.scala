@@ -234,8 +234,11 @@ object Scrub {
     val stopPred = Seq("the", "a", "of", "and", "is", "to")
       .map(w => s"t = '$w'").mkString(" OR ")
     val nStop = size(expr(s"filter(split(text, ' '), t -> $stopPred)"))
+    // q23's quality cut in integer space (5·n_stop < 3·n_tok ⟺
+    // ratio < 0.6) so this inlined gate matches the oracle's
+    // (now integer-exact) qualitySql row-for-row at ties (FLOAT RULE)
     val isGood = nTok >= 20 &&
-      (nStop.cast("double") / greatest(nTok, lit(1))) < 0.6
+      nStop.cast("long") * 5 < nTok.cast("long") * 3
     val contaminated = decontaminate(s, d).select("doc_id").distinct()
     docs
       .withColumn("fp", md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
@@ -281,8 +284,12 @@ object Scrub {
       .agg(
         count(lit(1)).as("n_chunks"),
         sum(when(col("n_docs") === 1, 1).otherwise(0)).as("n_kept"))
+      // kept_frac ships as k/10⁴ from half-up integer arithmetic —
+      // round(int-ratio, 4) is the cross-engine tie trap (FLOAT RULE,
+      // see CorpusOps.tokenBudget)
       .select(col("doc_id"), col("n_chunks"), col("n_kept"),
-        round(col("n_kept").cast("double") / col("n_chunks"), 4).as("kept_frac"))
+        (expr("(n_kept * 10000 + n_chunks div 2) div n_chunks")
+          .cast("double") / 10000.0).as("kept_frac"))
   }
 
   val chunkDedupSql: String =
@@ -290,7 +297,7 @@ object Scrub {
       "df AS (SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY chunk_hash) " +
       "SELECT c.doc_id, count(*) AS n_chunks, " +
       "CAST(sum(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
-      "round(CAST(sum(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS kept_frac " +
+      "CAST((sum(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) * 10000 + count(*) // 2) // count(*) AS DOUBLE) / 10000.0 AS kept_frac " +
       "FROM chunks c JOIN df USING (chunk_hash) GROUP BY c.doc_id"
 
   // ------------------------------------------------- repetition metrics
@@ -311,6 +318,9 @@ object Scrub {
     val dupMass = aggregate(counts, lit(0), (acc, n) => acc + when(n > lit(1), n).otherwise(lit(0)))
     val maxFreq = aggregate(counts, lit(0), (acc, n) => greatest(acc, n))
     val nTok = size(toks)
+    // the three ratios ship as k/10⁴ from half-up integer arithmetic
+    // (FLOAT RULE): int/int ratios under round() are the cross-engine
+    // tie trap. BIGINT casts keep num·10⁴ exact for book-length docs.
     Tables.documents(s, d)
       // separate projection: tokenization runs ONCE per row (CollapseProject
       // declines to inline a non-cheap alias referenced 5×)
@@ -319,10 +329,20 @@ object Scrub {
       .select(
         col("doc_id"),
         nTok.as("n_tok"),
-        round(dupMass.cast("double") / greatest(nTok, lit(1)), 4).as("dup_frac"),
-        round(maxFreq.cast("double") / greatest(nTok, lit(1)), 4).as("top_frac"),
-        round(size(dist).cast("double") / greatest(nTok, lit(1)), 4).as("distinct_ratio"),
-        when(dupMass.cast("double") / greatest(nTok, lit(1)) > 0.5, "repetitive")
+        dupMass.as("dup_mass"),
+        maxFreq.as("max_freq"),
+        size(dist).as("n_distinct"))
+      .select(
+        col("doc_id"),
+        col("n_tok"),
+        (expr("(CAST(dup_mass AS BIGINT) * 10000 + greatest(n_tok, 1) div 2) div greatest(n_tok, 1)")
+          .cast("double") / 10000.0).as("dup_frac"),
+        (expr("(CAST(max_freq AS BIGINT) * 10000 + greatest(n_tok, 1) div 2) div greatest(n_tok, 1)")
+          .cast("double") / 10000.0).as("top_frac"),
+        (expr("(CAST(n_distinct AS BIGINT) * 10000 + greatest(n_tok, 1) div 2) div greatest(n_tok, 1)")
+          .cast("double") / 10000.0).as("distinct_ratio"),
+        // verdict compares in integer space too: 2·dup_mass > n_tok
+        when(expr("2 * CAST(dup_mass AS BIGINT) > n_tok"), "repetitive")
           .otherwise("ok").as("verdict"))
   }
 
@@ -335,10 +355,10 @@ object Scrub {
       s"list_max($counts) AS max_freq, " +
       s"len(list_distinct($toks)) AS n_distinct FROM documents) " +
       "SELECT doc_id, CAST(n_tok AS INT) AS n_tok, " +
-      "round(CAST(coalesce(dup_mass, 0) AS DOUBLE) / greatest(n_tok, 1), 4) AS dup_frac, " +
-      "round(CAST(coalesce(max_freq, 0) AS DOUBLE) / greatest(n_tok, 1), 4) AS top_frac, " +
-      "round(CAST(n_distinct AS DOUBLE) / greatest(n_tok, 1), 4) AS distinct_ratio, " +
-      "CASE WHEN CAST(coalesce(dup_mass, 0) AS DOUBLE) / greatest(n_tok, 1) > 0.5 THEN 'repetitive' ELSE 'ok' END AS verdict " +
+      "CAST((CAST(coalesce(dup_mass, 0) AS BIGINT) * 10000 + greatest(n_tok, 1) // 2) // greatest(n_tok, 1) AS DOUBLE) / 10000.0 AS dup_frac, " +
+      "CAST((CAST(coalesce(max_freq, 0) AS BIGINT) * 10000 + greatest(n_tok, 1) // 2) // greatest(n_tok, 1) AS DOUBLE) / 10000.0 AS top_frac, " +
+      "CAST((CAST(n_distinct AS BIGINT) * 10000 + greatest(n_tok, 1) // 2) // greatest(n_tok, 1) AS DOUBLE) / 10000.0 AS distinct_ratio, " +
+      "CASE WHEN 2 * CAST(coalesce(dup_mass, 0) AS BIGINT) > n_tok THEN 'repetitive' ELSE 'ok' END AS verdict " +
       "FROM c"
   }
 
@@ -377,8 +397,10 @@ object Scrub {
       .agg(
         count(lit(1)).as("n_grams"),
         count(when(col("ndocs") >= 2, 1)).as("n_shared"))
+      // boiler_frac as k/10⁴ half-up integer arithmetic (FLOAT RULE)
       .select(col("doc_id"), col("n_grams"), col("n_shared"),
-        round(col("n_shared").cast("double") / col("n_grams"), 4).as("boiler_frac"))
+        (expr("(n_shared * 10000 + n_grams div 2) div n_grams")
+          .cast("double") / 10000.0).as("boiler_frac"))
   }
 
   val boilerplateSql: String = {
@@ -390,7 +412,7 @@ object Scrub {
        |df AS (SELECT gh, count(*) AS ndocs FROM gh GROUP BY gh)
        |SELECT g.doc_id, count(*) AS n_grams,
        |  count(*) FILTER (WHERE ndocs >= 2) AS n_shared,
-       |  round(count(*) FILTER (WHERE ndocs >= 2) * 1.0 / count(*), 4) AS boiler_frac
+       |  CAST((count(*) FILTER (WHERE ndocs >= 2) * 10000 + count(*) // 2) // count(*) AS DOUBLE) / 10000.0 AS boiler_frac
        |FROM gh g JOIN df USING (gh) GROUP BY g.doc_id""".stripMargin.replace("\n", " ")
   }
 
@@ -468,9 +490,10 @@ object Scrub {
     pairs
       .join(broadcast(counts.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
       .join(broadcast(counts.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      // jaccard as k/10⁴ half-up integer arithmetic (FLOAT RULE)
       .select(col("src_a"), col("src_b"), col("shared"),
-        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4)
-          .as("jaccard"))
+        (expr("(shared * 10000 + (na + nb - shared) div 2) div (na + nb - shared)")
+          .cast("double") / 10000.0).as("jaccard"))
   }
 
   // ------------------------------------------------ winnowing fingerprints
@@ -558,7 +581,7 @@ object Scrub {
        |pr AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
        |  FROM gr a JOIN gr b USING (gh) WHERE a.source < b.source GROUP BY 1, 2)
        |SELECT src_a, src_b, shared,
-       |  round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 4) AS jaccard
+       |  CAST((shared * 10000 + (ca.n + cb.n - shared) // 2) // (ca.n + cb.n - shared) AS DOUBLE) / 10000.0 AS jaccard
        |FROM pr JOIN cnt ca ON pr.src_a = ca.source
        |JOIN cnt cb ON pr.src_b = cb.source""".stripMargin.replace("\n", " ")
   }

@@ -73,25 +73,38 @@ object TextQueries {
     val stopPred = stopwords.map(w => s"t = '$w'").mkString(" OR ")
     val nStop = size(expr(s"filter(split(text, ' '), t -> $stopPred)"))
     val alnum = length(regexp_replace(col("text"), "[^a-z0-9]", ""))
+    // ratios ship as k/10⁴ half-up integer arithmetic and the quality
+    // cut compares in integer space (5·n_stop < 3·n_tok ⟺ ratio < 0.6)
+    // — round(int-ratio, 4) and double-vs-0.6 compares are the
+    // cross-engine tie traps (FLOAT RULE, see CorpusOps.tokenBudget)
     Tables.documents(s, d).select(
       col("doc_id"),
       nTok.as("n_tok"),
       nStop.as("n_stop"),
-      round(nStop.cast("double") / greatest(nTok, lit(1)), 4).as("stop_ratio"),
-      round(alnum.cast("double") / greatest(nTok, lit(1)), 4).as("avg_wlen"),
-      when(nTok >= 20 && (nStop.cast("double") / greatest(nTok, lit(1))) < 0.6, "good")
+      alnum.as("alnum"))
+    .select(
+      col("doc_id"),
+      col("n_tok"),
+      col("n_stop"),
+      (expr("(CAST(n_stop AS BIGINT) * 10000 + greatest(n_tok, 1) div 2) div greatest(n_tok, 1)")
+        .cast("double") / 10000.0).as("stop_ratio"),
+      (expr("(CAST(alnum AS BIGINT) * 10000 + greatest(n_tok, 1) div 2) div greatest(n_tok, 1)")
+        .cast("double") / 10000.0).as("avg_wlen"),
+      when(expr("n_tok >= 20 AND 5 * CAST(n_stop AS BIGINT) < 3 * n_tok"), "good")
         .otherwise("low").as("quality"))
   }
 
   val qualitySql: String = {
     val stopPred = stopwords.map(w => s"t = '$w'").mkString(" OR ")
-    "SELECT doc_id, " +
+    "WITH c AS (SELECT doc_id, " +
       "len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tok, " +
       s"len(list_filter(string_split(text, ' '), t -> $stopPred)) AS n_stop, " +
-      s"round(CAST(len(list_filter(string_split(text, ' '), t -> $stopPred)) AS DOUBLE) / greatest(len(regexp_extract_all(text, '[a-z0-9]+')), 1), 4) AS stop_ratio, " +
-      "round(CAST(length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS DOUBLE) / greatest(len(regexp_extract_all(text, '[a-z0-9]+')), 1), 4) AS avg_wlen, " +
-      s"CASE WHEN len(regexp_extract_all(text, '[a-z0-9]+')) >= 20 AND CAST(len(list_filter(string_split(text, ' '), t -> $stopPred)) AS DOUBLE) / greatest(len(regexp_extract_all(text, '[a-z0-9]+')), 1) < 0.6 THEN 'good' ELSE 'low' END AS quality " +
-      "FROM documents"
+      "length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS alnum FROM documents) " +
+      "SELECT doc_id, n_tok, n_stop, " +
+      "CAST((n_stop * 10000 + greatest(n_tok, 1) // 2) // greatest(n_tok, 1) AS DOUBLE) / 10000.0 AS stop_ratio, " +
+      "CAST((alnum * 10000 + greatest(n_tok, 1) // 2) // greatest(n_tok, 1) AS DOUBLE) / 10000.0 AS avg_wlen, " +
+      "CASE WHEN n_tok >= 20 AND 5 * n_stop < 3 * n_tok THEN 'good' ELSE 'low' END AS quality " +
+      "FROM c"
   }
 
   /** q107 — per-SOURCE quality drilldown: each ingest feed's low-quality
@@ -106,31 +119,43 @@ object TextQueries {
     val nTok = size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
     val stopPred = stopwords.map(w => s"t = '$w'").mkString(" OR ")
     val nStop = size(expr(s"filter(split(text, ' '), t -> $stopPred)"))
+    // q23's quality cut in integer space (FLOAT RULE)
     val isLow = when(
-      nTok >= 20 && (nStop.cast("double") / greatest(nTok, lit(1))) < 0.6, 0L)
+      expr("n_tok_ >= 20 AND 5 * CAST(n_stop_ AS BIGINT) < 3 * n_tok_"), 0L)
       .otherwise(1L)
     val perSource = Tables.documents(s, d)
+      .withColumn("n_tok_", nTok).withColumn("n_stop_", nStop)
       .groupBy("source")
       .agg(count(lit(1)).as("n"), sum(isLow).as("lo"))
       .localCheckpoint(true)
     val tot = perSource.agg(sum("n").as("tn"), sum("lo").as("tl"))
+    // both rates quantize to half-up ten-thousandths in integer space,
+    // and lift is the ratio OF THE QUANTIZED rates (lrx/trx, itself
+    // half-up-quantized): two-stage quantization keeps every operand
+    // ≤ 10⁸ — no 128-bit product like lo·tn·10⁴ at corpus scale — and
+    // both engines run the identical integer expressions
     perSource.crossJoin(broadcast(tot))
       .select(col("source"), col("n"),
-        round(col("lo").cast("double") / col("n"), 4).as("low_rate"),
-        round((col("lo").cast("double") / col("n")) /
-          (col("tl").cast("double") / col("tn")), 4).as("lift"))
+        expr("(lo * 10000 + n div 2) div n").as("lrx"),
+        expr("greatest((tl * 10000 + tn div 2) div tn, 1)").as("trx"))
+      .select(col("source"), col("n"),
+        (col("lrx").cast("double") / 10000.0).as("low_rate"),
+        (expr("(lrx * 10000 + trx div 2) div trx")
+          .cast("double") / 10000.0).as("lift"))
   }
 
   val sourceQualityLiftSql: String = {
     val stopPred = stopwords.map(w => s"t = '$w'").mkString(" OR ")
     val low = s"CASE WHEN len(regexp_extract_all(text, '[a-z0-9]+')) >= 20 AND " +
-      s"CAST(len(list_filter(string_split(text, ' '), t -> $stopPred)) AS DOUBLE) / " +
-      s"greatest(len(regexp_extract_all(text, '[a-z0-9]+')), 1) < 0.6 THEN 0 ELSE 1 END"
+      s"5 * len(list_filter(string_split(text, ' '), t -> $stopPred)) < " +
+      s"3 * len(regexp_extract_all(text, '[a-z0-9]+')) THEN 0 ELSE 1 END"
     s"""WITH ps AS (SELECT source, count(*) AS n, sum($low) AS lo FROM documents GROUP BY source),
-       |tot AS (SELECT sum(n) AS tn, sum(lo) AS tl FROM ps)
-       |SELECT source, n, round(CAST(lo AS DOUBLE) / n, 4) AS low_rate,
-       |  round((CAST(lo AS DOUBLE) / n) / (CAST(tl AS DOUBLE) / tn), 4) AS lift
-       |FROM ps, tot""".stripMargin.replace("\n", " ")
+       |tot AS (SELECT sum(n) AS tn, sum(lo) AS tl FROM ps),
+       |r AS (SELECT source, n, (lo * 10000 + n // 2) // n AS lrx,
+       |  greatest((tl * 10000 + tn // 2) // tn, 1) AS trx FROM ps, tot)
+       |SELECT source, n, CAST(lrx AS DOUBLE) / 10000.0 AS low_rate,
+       |  CAST((lrx * 10000 + trx // 2) // trx AS DOUBLE) / 10000.0 AS lift
+       |FROM r""".stripMargin.replace("\n", " ")
   }
 
   // ------------------------------------------------------------ token count
@@ -170,16 +195,27 @@ object TextQueries {
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg(size(split(trim(col("text")), "\\s+"))), 4).as("avg_tokens"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("tok_sum"),
         expr("percentile(n_chars, 0.5D)").as("p50_chars"),
         expr("percentile(n_chars, 0.95D)").as("p95_chars"))
+      // mean tokens as k/10⁴ half-up integer arithmetic — round(avg(int))
+      // was the exact q108 failure shape (FLOAT RULE). p50/p95 stay raw:
+      // both engines interpolate the same int order statistics with the
+      // same (n−1)·p formula, so the doubles are bit-identical un-rounded.
+      .select(col("lang"), col("n_docs"),
+        (expr("(tok_sum * 10000 + n_docs div 2) div n_docs")
+          .cast("double") / 10000.0).as("avg_tokens"),
+        col("p50_chars"), col("p95_chars"))
 
   val corpusStatsSql: String =
-    "SELECT lang, count(*) AS n_docs, " +
-      "round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens, " +
+    "WITH c AS (SELECT lang, count(*) AS n_docs, " +
+      "CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS tok_sum, " +
       "quantile_cont(n_chars, 0.5) AS p50_chars, " +
       "quantile_cont(n_chars, 0.95) AS p95_chars " +
-      "FROM documents GROUP BY lang"
+      "FROM documents GROUP BY lang) " +
+      "SELECT lang, n_docs, " +
+      "CAST((tok_sum * 10000 + n_docs // 2) // n_docs AS DOUBLE) / 10000.0 AS avg_tokens, " +
+      "p50_chars, p95_chars FROM c"
 
   // ------------------------------------------------------------- sampling
 
@@ -498,15 +534,21 @@ object TextQueries {
         count(lit(1)).as("n_types"),
         round(log(sum(col("c")).cast("double")) -
           sum(col("c") * log(col("c").cast("double"))) / sum(col("c")), 4)
-          .as("entropy"),
-        round(count(lit(1)).cast("double") / sum(col("c")), 4).as("ttr"))
+          .as("entropy"))
+      // ttr = types/tokens is an int ratio → ships as k/10⁴ half-up
+      // integer arithmetic (FLOAT RULE); entropy's log terms have full
+      // mantissas, so its round(…,4) stays tie-free
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("entropy"))
+      .withColumn("ttr",
+        expr("(n_types * 10000 + n_tokens div 2) div n_tokens")
+          .cast("double") / 10000.0)
 
   val lexicalDiversitySql: String =
     """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w FROM documents),
       |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w)
       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
       |  round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy,
-      |  round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS ttr
+      |  CAST((count(*) * 10000 + sum(c) // 2) // sum(c) AS DOUBLE) / 10000.0 AS ttr
       |FROM c GROUP BY doc_id""".stripMargin.replace("\n", " ")
 
   // ------------------------------------------------------------ multimodal
