@@ -198,6 +198,10 @@ object SparkEntry {
     "q107_source_quality_lift" -> ((s: SparkSession, d: String) => graft.text.TextQueries.sourceQualityLift(s, d)),
     // round-8: token-budget accounting over the split × lang grid
     "q108_token_budget"       -> (graft.text.CorpusOps.tokenBudget _),
+    // round-9: hard-negative mining over the PERSISTED IVF index
+    // (probe-all ≡ q104 ⇒ same oracle; class filter map-side on the
+    // label-carrying bucketed lists)
+    "q109_hard_negatives_ivf" -> ((s: SparkSession, d: String) => SimilarityQueries.hardNegativesIvf(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -312,5 +316,7 @@ object SparkEntry {
     "q106_upsampled_mixture"  -> graft.text.CorpusOps.upsampledMixtureSql,
     "q107_source_quality_lift" -> graft.text.TextQueries.sourceQualityLiftSql,
     "q108_token_budget"       -> graft.text.CorpusOps.tokenBudgetSql,
+    // probe-all IVF hard negatives ≡ brute force — same oracle as q104
+    "q109_hard_negatives_ivf" -> SimilarityQueries.hardNegativesSql,
   )
 }

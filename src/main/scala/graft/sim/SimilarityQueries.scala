@@ -261,15 +261,19 @@ object SimilarityQueries {
     emb.filter(col("vec_id") % CentStride === CentOffset)
       .select(col("vec_id").as("cent_id"), col("e").as("ce"))
 
-  /** Nearest-centroid list assignment: (cent_id, vec_id, e). */
+  /** Nearest-centroid list assignment: (cent_id, vec_id, …extras, e).
+    * Any column of `emb` beyond (vec_id, e) — e.g. the label column the
+    * filtered-ANN index stores — rides along unchanged, so metadata
+    * lands in the lists without a second corpus join. */
   def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(round(col("ccos"), 6).desc, col("cent_id"))
+    val extras = emb.columns.filterNot(Set("vec_id", "e"))
     emb.crossJoin(broadcast(cents))
       .withColumn("ccos", cosineExpr("e", "ce"))
       .withColumn("arank", row_number().over(wAssign))
       .filter(col("arank") === 1)
-      .select(col("cent_id"), col("vec_id"), col("e"))
+      .select((Seq("cent_id", "vec_id") ++ extras :+ "e").map(col): _*)
   }
 
   /** The registered queries' deterministic query subset. */
@@ -389,36 +393,39 @@ object SimilarityQueries {
     *
     *  - `ivf_cents_<tag>`: the codebook (cent_id, ce) — nlist·dim
     *    doubles, broadcast at probe time, plain parquet.
-    *  - `ivf_lists_<tag>`: list assignments (cent_id, vec_id, e),
-    *    bucketed+sorted by `cent_id` — the search join reads it
+    *  - `ivf_lists3_<tag>`: list assignments (cent_id, vec_id, label,
+    *    e), bucketed+sorted by `cent_id` — the search join reads it
     *    pre-partitioned on the probe key with no exchange and no
-    *    re-assignment (SimilaritySpec asserts the plan).
-    *  - `ivf_codes_<tag>`: the IVF-PQ leg — the same assignments with
+    *    re-assignment (SimilaritySpec asserts the plan). The label
+    *    column is the filtered-ANN discipline: attribute filters (the
+    *    q109 wrong-class cut) evaluate map-side ON the bucketed scan,
+    *    instead of a corpus-wide metadata join at probe time.
+    *  - `ivf_codes3_<tag>`: the IVF-PQ leg — the same assignments with
     *    the vector REPLACED by its PQ codes (cent_id, vec_id, codes),
     *    bucketed the same way. At 100 TB this table is ~64× smaller
     *    than the lists and is what q81's ADC probe actually scans.
     *
-    * Files live under [[graft.ops.DurableIndex.root]]/ivf2-<tag> keyed
-    * by the embeddings snapshot (the `2` versions the 3-table LAYOUT:
-    * dirs written by the pre-codes layout are simply ignored); a fresh
+    * Files live under [[graft.ops.DurableIndex.root]]/ivf3-<tag> keyed
+    * by the embeddings snapshot (the `3` versions the LAYOUT — r8's
+    * `2` lacked the label column; its dirs are simply ignored); a fresh
     * session re-registers them as EXTERNAL bucketed tables via DDL
     * (bucket metadata lives in the catalog, not the files). */
   def ivfIndex(s: SparkSession, d: String): (String, String) = {
     import graft.ops.DurableIndex
     val tag = DurableIndex.snapshotTag(d, "embeddings.parquet")
-    val centTbl = s"ivf_cents_$tag"
-    val listTbl = s"ivf_lists_$tag"
+    val centTbl = s"ivf_cents3_$tag"
+    val listTbl = s"ivf_lists3_$tag"
     val codeTbl = ivfCodesTable(s, d)
     DurableIndex.locked(tag) {
       if (!s.catalog.tableExists(centTbl) || !s.catalog.tableExists(listTbl) ||
           !s.catalog.tableExists(codeTbl)) {
-        val loc = DurableIndex.root.resolve(s"ivf2-$tag")
+        val loc = DurableIndex.root.resolve(s"ivf3-$tag")
         if (DurableIndex.complete(loc)) {
           s.sql(s"CREATE TABLE IF NOT EXISTS $centTbl " +
             "(cent_id BIGINT, ce ARRAY<DOUBLE>) USING PARQUET " +
             s"LOCATION '${loc.resolve("cents")}'")
           s.sql(s"CREATE TABLE IF NOT EXISTS $listTbl " +
-            "(cent_id BIGINT, vec_id BIGINT, e ARRAY<DOUBLE>) USING PARQUET " +
+            "(cent_id BIGINT, vec_id BIGINT, label INT, e ARRAY<DOUBLE>) USING PARQUET " +
             s"CLUSTERED BY (cent_id) SORTED BY (cent_id) " +
             s"INTO $IvfIndexBuckets BUCKETS LOCATION '${loc.resolve("lists")}'")
           s.sql(s"CREATE TABLE IF NOT EXISTS $codeTbl " +
@@ -428,7 +435,8 @@ object SimilarityQueries {
         } else {
           java.nio.file.Files.createDirectories(loc)
           val emb = Tables.embeddings(s, d)
-            .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+            .select(col("vec_id"), col("label"),
+              col("embedding").cast("array<double>").as("e"))
           val cents = ivfCentroids(emb)
           cents.write.mode("overwrite")
             .option("path", loc.resolve("cents").toString)
@@ -439,7 +447,7 @@ object SimilarityQueries {
             .bucketBy(IvfIndexBuckets, "cent_id").sortBy("cent_id")
             .saveAsTable(listTbl)
           assigned.select("cent_id", "vec_id")
-            .join(ProductQuantization.pqCodes(emb), "vec_id")
+            .join(ProductQuantization.pqCodes(emb.select("vec_id", "e")), "vec_id")
             .select("cent_id", "vec_id", "codes")
             .write.mode("overwrite")
             .option("path", loc.resolve("codes").toString)
@@ -454,7 +462,7 @@ object SimilarityQueries {
 
   /** Name of the index's PQ-code table (the q81 probe target). */
   private[sim] def ivfCodesTable(s: SparkSession, d: String): String =
-    s"ivf_codes_${graft.ops.DurableIndex.snapshotTag(d, "embeddings.parquet")}"
+    s"ivf_codes3_${graft.ops.DurableIndex.snapshotTag(d, "embeddings.parquet")}"
 
   /** q78 — IVF top-k against the PERSISTED index: same output (and
     * oracle) as [[ivfTopK]], but the codebook and lists are read from
@@ -485,10 +493,13 @@ object SimilarityQueries {
     * grow, the codebook is retrained offline when drift warrants a new
     * index version). Append uses the SAME bucket spec so the new files
     * carry bucket ids and the search plan stays exchange-free
-    * (SimilaritySpec asserts after an append). Cost ∝ batch. */
+    * (SimilaritySpec asserts after an append). Cost ∝ batch.
+    * `newVecs` is (vec_id, label, e) — the label lands in the lists
+    * like every indexed row's (filtered-ANN metadata). */
   def appendToIvfIndex(s: SparkSession, d: String, newVecs: DataFrame): Unit = {
     val (centTbl, listTbl) = ivfIndex(s, d)
-    val assigned = ivfAssign(newVecs, s.table(centTbl))
+    val assigned = ivfAssign(newVecs.select("vec_id", "label", "e"),
+      s.table(centTbl))
     assigned.write.mode("append")
       .bucketBy(IvfIndexBuckets, "cent_id").sortBy("cent_id")
       .saveAsTable(listTbl)
@@ -497,7 +508,7 @@ object SimilarityQueries {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     assigned.select("cent_id", "vec_id")
-      .join(ProductQuantization.pqEncode(newVecs,
+      .join(ProductQuantization.pqEncode(newVecs.select("vec_id", "e"),
         ProductQuantization.pqCodebook(emb)), "vec_id")
       .select("cent_id", "vec_id", "codes")
       .write.mode("append")
@@ -517,7 +528,7 @@ object SimilarityQueries {
     import graft.ops.DurableIndex
     val tag = DurableIndex.snapshotTag(d, "embeddings.parquet")
     val (_, listTbl) = ivfIndex(s, d)
-    val loc = DurableIndex.root.resolve(s"ivf2-$tag")
+    val loc = DurableIndex.root.resolve(s"ivf3-$tag")
     DurableIndex.locked(tag) {
       DurableIndex.compactBucketedTable(
         s, listTbl, loc.resolve("lists"), "cent_id", IvfIndexBuckets)
@@ -644,8 +655,10 @@ object SimilarityQueries {
     * standard curriculum). Same brute-force scoring spine as q20
     * (broadcast anchors × fused cosine, round-6 quantized ranking) with
     * the class filter pushed below the rank so easy negatives never
-    * enter the window; the IVF-indexed path (q78) swaps in for the
-    * crossJoin at corpus scale exactly as it does for q76. */
+    * enter the window. This exact plan is the oracle baseline; the
+    * corpus-scale path is [[hardNegativesIvf]] (q109), which runs the
+    * same mining over the persisted IVF index and equals this output
+    * under probe-all (SimilaritySpec asserts it). */
   def hardNegatives(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
@@ -659,6 +672,51 @@ object SimilarityQueries {
       .filter(col("label") =!= col("qlabel"))
       .withColumn("cos", cosineExpr("qe", "e"))
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("qlabel"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** q109 — HARD-negative mining over the PERSISTED IVF index (the
+    * r8 verdict's gap: q104's corpus-scale story was a docstring, not a
+    * checked plan). Same output contract and oracle as [[hardNegatives]]:
+    * with probe-all the probed lists cover every vector, so the
+    * wrong-class top-k is IDENTICAL to the brute-force crossJoin
+    * (asserted in SimilaritySpec, the q76/q72 discipline); production
+    * sets nProbe ≪ nlist and pays nProbe lists per anchor instead of
+    * the corpus.
+    *
+    * The class filter stays BELOW the rank and evaluates MAP-SIDE on
+    * the bucketed list scan: the index stores each vector's label
+    * (filtered-ANN metadata, layout 3), so no corpus-wide label join
+    * happens at probe time — the per-anchor cost is probed-list rows,
+    * filtered before they ever reach the top-k. A contrastive run
+    * mines negatives for EVERY anchor; this is the plan that survives
+    * that at 100 TB. */
+  def hardNegativesIvf(s: SparkSession, d: String, k: Int = 5,
+                       nProbe: Int = Int.MaxValue): DataFrame = {
+    val (centTbl, listTbl) = ivfIndex(s, d)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("e").as("qe"))
+    val cents = s.table(centTbl)
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(round(col("qcos"), 6).desc, col("cent_id"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("qcos", cosineExpr("qe", "ce"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nProbe)
+      .select(col("qid"), col("qlabel"), col("qe"), col("cent_id"))
+    val wTop = Window.partitionBy("qid")
+      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+    probes.join(s.table(listTbl), "cent_id")
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("cos", cosineExpr("qe", "e"))
+      .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select(col("qid"), col("qlabel"), col("vec_id").as("neg_id"),
         col("label").as("neg_label"), col("rank"),

@@ -137,6 +137,30 @@ class SimilaritySpec extends AnyFunSuite {
       SimilarityQueries.knnLabelIvf(spark, sfDir).collect().toSet)
   }
 
+  test("q109: probe-all IVF hard negatives equal brute-force q104; class filter is pre-rank") {
+    val spark = SparkSpec.spark
+    val sfDir = "/root/testdata/sf0.01"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4),
+          r.getDouble(5))).toSet
+    // probe-all over the persisted label-carrying lists ≡ the exact
+    // brute-force mining — the q76/q78 discipline, now for q104
+    assert(rows(SimilarityQueries.hardNegativesIvf(spark, sfDir)) ===
+      rows(SimilarityQueries.hardNegatives(spark, sfDir)),
+      "probe-all IVF hard negatives must equal q104 brute force")
+    // restricted probing still returns k wrong-class rows per anchor
+    // (the class filter runs BELOW the rank: ranks stay dense 1..k)
+    val narrow = SimilarityQueries
+      .hardNegativesIvf(spark, sfDir, nProbe = SimilarityQueries.NProbe)
+      .collect()
+    assert(narrow.forall(r => r.getInt(1) != r.getInt(3)),
+      "a same-class vector survived the pre-rank filter")
+    val byAnchor = narrow.groupBy(_.getLong(0))
+    assert(byAnchor.values.forall(_.map(_.getInt(4)).sorted.sameElements(1 to 5)),
+      "ranks must stay dense 1..k after the pre-rank class filter")
+  }
+
   test("IVF index append: frozen-codebook assignment, appended vectors found, no rebuild") {
     val spark = SparkSpec.spark
     import spark.implicits._
@@ -157,7 +181,8 @@ class SimilaritySpec extends AnyFunSuite {
       (300L + j, baseMap(qid).map(x => x + 0.01f * rng.nextFloat()), 0)
     }
     val toD = (df: org.apache.spark.sql.DataFrame) =>
-      df.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      df.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
     SimilarityQueries.appendToIvfIndex(spark, dir,
       toD(extra.toDF("vec_id", "embedding", "label")))
     // expected: the SAME frozen codebook (stride over the base file),
@@ -248,7 +273,8 @@ class SimilaritySpec extends AnyFunSuite {
       .write.parquet(s"$dir/embeddings.parquet")
     SimilarityQueries.ivfIndex(spark, dir)
     val toD = (df: org.apache.spark.sql.DataFrame) =>
-      df.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      df.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
     // three nightly appends — each lands its own file set per table
     for (r <- 0 until 3) {
       val extra = (0 until 10).map(j => (400L + 10 * r + j, vec(), 0))
@@ -256,7 +282,7 @@ class SimilaritySpec extends AnyFunSuite {
         toD(extra.toDF("vec_id", "embedding", "label")))
     }
     val tag = graft.ops.DurableIndex.snapshotTag(dir, "embeddings.parquet")
-    val loc = graft.ops.DurableIndex.root.resolve(s"ivf2-$tag")
+    val loc = graft.ops.DurableIndex.root.resolve(s"ivf3-$tag")
     def files(name: String) =
       graft.ops.DurableIndex.dataFiles(loc.resolve(name)).size
     def rows(df: org.apache.spark.sql.DataFrame) =
