@@ -145,6 +145,43 @@ object TopKAggregator {
   def minKByStr(k: Int) = udaf(new MinKByStr(k),
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[StrEntry]())
 
+  type ScoredEntry = (Double, Long, Double, Int) // (score, id, payload, tag)
+
+  /** Bounded k-LARGEST by (score desc, id asc), carrying a double
+    * payload and an int tag through the buffer — the neighbor-search
+    * accumulator for the q20 family (q20/q104/q109). The per-anchor
+    * `row_number` window those queries shipped with partitions the
+    * CORPUS per anchor — a full shuffle + sort of N·|anchors| rows for
+    * a k-row answer; this buffer holds ≤ k rows per anchor per task and
+    * map-side partials collapse each task's contribution before the
+    * exchange. score is the round-6-quantized cosine (ranking stays
+    * oracle-stable), payload the raw cosine for display rounding, tag
+    * any small int riding to the output (q104's neighbor label). */
+  final class TopKByScore(k: Int)
+      extends Aggregator[ScoredEntry, List[ScoredEntry], Seq[ScoredEntry]] {
+    private def lt(a: ScoredEntry, b: ScoredEntry): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def insert(buf: List[ScoredEntry], e: ScoredEntry): List[ScoredEntry] = {
+      val (head, tail) = buf.span(x => lt(x, e))
+      val merged = head ::: e :: tail
+      if (merged.length > k) merged.take(k) else merged
+    }
+    override def zero: List[ScoredEntry] = Nil
+    override def reduce(b: List[ScoredEntry], a: ScoredEntry): List[ScoredEntry] = insert(b, a)
+    override def merge(b1: List[ScoredEntry], b2: List[ScoredEntry]): List[ScoredEntry] =
+      b2.foldLeft(b1)(insert)
+    override def finish(r: List[ScoredEntry]): Seq[ScoredEntry] = r
+    override def bufferEncoder: Encoder[List[ScoredEntry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[ScoredEntry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Untyped column form of [[TopKByScore]]:
+    * agg(topKByScore(k)(score, id, payload, tag)). */
+  def topKByScore(k: Int) = udaf(new TopKByScore(k),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[ScoredEntry]())
+
   /** Top-3 customers by account balance per nation — the Aggregator in
     * a registered query. Output exploded to flat rows; rank recovered
     * from the (already sorted) buffer position. */

@@ -41,21 +41,30 @@ object SimilarityQueries {
 
   /** Brute-force exact cosine top-k for a deterministic query subset
     * (vec_id % 100 = 0). Ranking ties broken on round(cos,6) then
-    * neighbor id so results are engine-reproducible. */
+    * neighbor id so results are engine-reproducible.
+    *
+    * The rank is a BOUNDED aggregate ([[graft.ops.TopKAggregator
+    * .TopKByScore]]), not a per-anchor `row_number` window: the window
+    * form shuffles and sorts the full |corpus|·|anchors| score stream
+    * per anchor for a k-row answer, while the buffer holds ≤ k rows per
+    * anchor per task and reduces map-side before the exchange
+    * (VERDICT r8 item 4 — the q60/q73 fix applied to the neighbor
+    * family). Rank = buffer position; ordering (round-6 cos desc,
+    * vec_id asc) is unchanged, so the oracle is byte-identical. */
   def cosineTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val queries = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
-    val w = Window.partitionBy("qid")
-      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
     emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", cosineExpr("qe", "e"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"),
-        round(col("cos"), 4).as("cos"))
+      .groupBy("qid")
+      .agg(graft.ops.TopKAggregator.topKByScore(k)(
+        round(col("cos"), 6), col("vec_id"), col("cos"), lit(0)).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("rk", "e")))
+      .select(col("qid"), col("e._2").as("neighbor_id"),
+        (col("rk") + 1).as("rank"), round(col("e._3"), 4).as("cos"))
   }
 
   val cosineTopKSql: String =
@@ -666,16 +675,18 @@ object SimilarityQueries {
     val queries = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("e").as("qe"))
-    val w = Window.partitionBy("qid")
-      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+    // bounded per-anchor top-k (see cosineTopK) — the neighbor label
+    // rides the buffer's tag slot, so no re-join to recover it
     emb.crossJoin(broadcast(queries))
       .filter(col("label") =!= col("qlabel"))
       .withColumn("cos", cosineExpr("qe", "e"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("qlabel"), col("vec_id").as("neg_id"),
-        col("label").as("neg_label"), col("rank"),
-        round(col("cos"), 4).as("cos"))
+      .groupBy("qid", "qlabel")
+      .agg(graft.ops.TopKAggregator.topKByScore(k)(
+        round(col("cos"), 6), col("vec_id"), col("cos"), col("label")).as("top"))
+      .select(col("qid"), col("qlabel"), posexplode(col("top")).as(Seq("rk", "e")))
+      .select(col("qid"), col("qlabel"), col("e._2").as("neg_id"),
+        col("e._4").as("neg_label"), (col("rk") + 1).as("rank"),
+        round(col("e._3"), 4).as("cos"))
   }
 
   /** q109 — HARD-negative mining over the PERSISTED IVF index (the
@@ -711,16 +722,19 @@ object SimilarityQueries {
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= nProbe)
       .select(col("qid"), col("qlabel"), col("qe"), col("cent_id"))
-    val wTop = Window.partitionBy("qid")
-      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+    // bounded per-anchor top-k over the probed, pre-filtered list rows
+    // (see cosineTopK) — every-anchor mining never sorts a per-anchor
+    // partition even under probe-all
     probes.join(s.table(listTbl), "cent_id")
       .filter(col("label") =!= col("qlabel"))
       .withColumn("cos", cosineExpr("qe", "e"))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("qlabel"), col("vec_id").as("neg_id"),
-        col("label").as("neg_label"), col("rank"),
-        round(col("cos"), 4).as("cos"))
+      .groupBy("qid", "qlabel")
+      .agg(graft.ops.TopKAggregator.topKByScore(k)(
+        round(col("cos"), 6), col("vec_id"), col("cos"), col("label")).as("top"))
+      .select(col("qid"), col("qlabel"), posexplode(col("top")).as(Seq("rk", "e")))
+      .select(col("qid"), col("qlabel"), col("e._2").as("neg_id"),
+        col("e._4").as("neg_label"), (col("rk") + 1).as("rank"),
+        round(col("e._3"), 4).as("cos"))
   }
 
   val hardNegativesSql: String =

@@ -137,6 +137,18 @@ class SimilaritySpec extends AnyFunSuite {
       SimilarityQueries.knnLabelIvf(spark, sfDir).collect().toSet)
   }
 
+  test("q20/q104 plans contain no window operator (bounded per-anchor top-k)") {
+    val spark = SparkSpec.spark
+    import org.apache.spark.sql.execution.window.WindowExec
+    val sfDir = "/root/testdata/sf0.001"
+    for ((name, df) <- Seq(
+        "q20" -> SimilarityQueries.cosineTopK(spark, sfDir),
+        "q104" -> SimilarityQueries.hardNegatives(spark, sfDir))) {
+      val windows = df.queryExecution.executedPlan.collect { case w: WindowExec => w }
+      assert(windows.isEmpty, s"$name: per-anchor window sort in plan: $windows")
+    }
+  }
+
   test("q109: probe-all IVF hard negatives equal brute-force q104; class filter is pre-rank") {
     val spark = SparkSpec.spark
     val sfDir = "/root/testdata/sf0.01"
