@@ -384,6 +384,24 @@ object StreamingFraud {
     * stream): longest text wins, smaller doc_id breaks ties. */
   final case class BestDoc(fp: String, doc_id: Long, n_chars: Long, n_seen: Long)
 
+  /** The state-store provider a production deployment of the stateful
+    * twins runs on. Per-fingerprint dedup state grows with DISTINCT
+    * content forever — `NoTimeout` is inherent to dedup semantics, not
+    * an oversight — so the store choice is what makes the query
+    * survivable: the default HDFS-backed provider keeps every key on
+    * the executor HEAP (state size caps at executor memory and GC
+    * degrades long before that), while RocksDB keeps state off-heap on
+    * local disk with block-cache reads and incremental/changelog
+    * checkpointing — state bounded by SSD, not heap. Session conf:
+    * `spark.sql.streaming.stateStore.providerClass` = this, set BEFORE
+    * the query starts (StreamingFraudSpec runs the displacement
+    * scenario under it). The bounded-MEMORY alternative when even SSD
+    * state is unwanted: the [[crawlDedupStream]] path, which keeps
+    * verdict state in the durable bucketed corpus index (foreachBatch
+    * append) and no per-key store at all. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Streaming twin of q103 — keep-BEST dedup as per-fingerprint state:
     * `dropDuplicatesWithinWatermark` (the q16/streaming-exact twin)
     * can only keep the FIRST arrival; the quality-aware policy needs a
@@ -392,7 +410,7 @@ object StreamingFraud {
     * fingerprint, updated by the same struct-ordering q103 applies in
     * batch. Emits each group's current best per micro-batch (Update
     * mode); n_seen carries the group's arrival count. Input schema:
-    * (doc_id, text, n_chars). */
+    * (doc_id, text, n_chars). State posture: [[RocksDbProvider]]. */
   def keepBestDedupStream(docs: DataFrame): Dataset[BestDoc] = {
     import docs.sparkSession.implicits._
     docs

@@ -250,6 +250,51 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming keep-best dedup runs on the RocksDB state store (production posture)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, StreamingFraud.RocksDbProvider)
+    try {
+      val input = MemoryStream[(Long, String, Long)]
+      val docs = input.toDF().toDF("doc_id", "text", "n_chars")
+      val query = StreamingFraud.keepBestDedupStream(docs)
+        .writeStream.format("memory").queryName("bestdocs_rocks")
+        .outputMode("update").start()
+      try {
+        input.addData((10L, "alpha beta", 10L), (20L, "other text", 10L))
+        query.processAllAvailable()
+        input.addData((11L, "ALPHA, beta!!", 13L), (21L, "other text", 9L))
+        query.processAllAvailable()
+        // same displacement semantics as the default-provider test —
+        // the store swap must be behaviorally invisible
+        val state = spark.sql("select fp, doc_id, n_chars, n_seen from bestdocs_rocks")
+          .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+          .groupBy(_._1).map { case (fp, rows) =>
+            fp -> rows.map(_._2).maxBy(_._3)
+          }
+        val byId = state.values.toSeq.sortBy(_._1)
+        assert(byId.contains((11L, 13L, 2L)) && byId.contains((20L, 10L, 2L)),
+          s"displacement semantics must hold under RocksDB: $state")
+        // and the store in use really is RocksDB: the state operator's
+        // progress carries rocksdb-prefixed custom metrics only when
+        // that provider actually served the batches
+        import scala.jdk.CollectionConverters._
+        val metricKeys = query.lastProgress.stateOperators
+          .flatMap(_.customMetrics.keySet.asScala)
+        assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+          s"no rocksdb state metrics in progress: ${metricKeys.mkString(", ")}")
+      } finally query.stop()
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+    }
+  }
+
   test("streaming heavy hitters: window candidates cover every heavy token across batches") {
     val spark = SparkSpec.spark
     import spark.implicits._
