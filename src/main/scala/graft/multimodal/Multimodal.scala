@@ -16,10 +16,13 @@ import graft.dedup.Hashing
   * `javax.sound.sampled`: [[decodeImage]] / [[resizeImage]] /
   * [[decodeAudio]] run inside the same mapPartitions batch path and
   * fall back to the deterministic stubs for payloads no installed
-  * reader recognizes. VIDEO decode remains a DELIBERATE STUB (the JDK
-  * ships no video codec and this container has none): [[decodeStub]]
-  * produces deterministic fake features from the payload bytes so
-  * tests have stable oracles. Everything around the decoders is
+  * reader recognizes. VIDEO container METADATA is REAL too —
+  * [[probeVideoMeta]] parses MP4 boxes and RIFF/AVI headers (duration,
+  * resolution, track count) with no codec; only frame DECODE remains a
+  * DELIBERATE STUB (the JDK ships no video codec and this container
+  * has none): [[decodeStub]] produces deterministic fake features from
+  * the payload bytes so tests have stable oracles. Everything around
+  * the decoders is
   * load-bearing at scale — schema, per-partition batching (one decoder
   * init per partition, not per row), chunking, and the pruned scan:
   * swap [[decodeStub]] for a JNI/codec call and nothing else changes.
@@ -234,6 +237,134 @@ object Multimodal {
           if (payload == null) null
           else resizeImage(payload, factor).getOrElse(resizeStub(payload, factor))
         Row.fromSeq(r.toSeq :+ resized)
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------- video
+
+  /** Container-level video metadata, parsed with NO codec: `container`
+    * is "mp4" or "avi"; duration in seconds from the container clock;
+    * width/height of the first visual track; `n_tracks` = trak/stream
+    * count. */
+  final case class VideoMeta(container: String, durationSec: Double,
+                             width: Int, height: Int, nTracks: Int)
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def le32(b: Array[Byte], o: Int): Long =
+    ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+      ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** REAL video-container METADATA probe (r8 verdict item 6 — retires
+    * the last fully-stubbed modality): parses the two dominant
+    * container framings without decoding a single frame. ISO
+    * BMFF/MP4: a bounds-checked box walk — top level must open with
+    * `ftyp`; `moov`/`trak` recurse, `mvhd` yields the movie timescale
+    * + duration (v0 and v1 layouts), the first `tkhd` with nonzero
+    * fixed-16.16 dimensions yields width/height. RIFF/AVI: `RIFF…AVI `
+    * magic, then the fixed-layout `avih` main header
+    * (dwMicroSecPerFrame, dwTotalFrames, dwStreams, dwWidth,
+    * dwHeight). Returns None for anything else — same
+    * reject-foreign-bytes contract as [[decodeImage]]/[[decodeAudio]].
+    *
+    * These are the fields a video pipeline partitions and filters on
+    * (duration buckets, resolution gates, stream sanity) BEFORE paying
+    * for any codec; at scale the probe runs over the payload's leading
+    * bytes, so a ranged read of the first few MB suffices — no full
+    * payload fetch. Frame DECODE stays a documented stub
+    * ([[decodeStub]] in [[sampleFrames]]): the JDK ships no video
+    * codec and this container has none. */
+  def probeVideoMeta(payload: Array[Byte]): Option[VideoMeta] =
+    if (payload == null || payload.length < 12) None
+    else try probeMp4(payload).orElse(probeAvi(payload))
+    catch { case _: IndexOutOfBoundsException => None }
+
+  private def probeMp4(b: Array[Byte]): Option[VideoMeta] = {
+    if (fourcc(b, 4) != "ftyp") return None
+    var timescale = 0L; var duration = 0L
+    var w = 0; var h = 0; var tracks = 0
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end) {
+        var size = be32(b, off)
+        val typ = fourcc(b, off + 4)
+        var hdr = 8
+        if (size == 1 && off + 16 <= end) { size = be64(b, off + 8); hdr = 16 }
+        else if (size == 0) size = end - off // last box runs to the end
+        if (size < hdr || off + size > end) ok = false
+        else {
+          val po = off + hdr
+          typ match {
+            case "moov" => walk(po, off + size.toInt)
+            case "trak" => tracks += 1; walk(po, off + size.toInt)
+            case "mvhd" =>
+              if ((b(po) & 0xff) == 1) { // v1: 64-bit ctime/mtime/duration
+                timescale = be32(b, po + 20); duration = be64(b, po + 24)
+              } else {
+                timescale = be32(b, po + 12); duration = be32(b, po + 16)
+              }
+            case "tkhd" if w == 0 =>
+              val base = if ((b(po) & 0xff) == 1) po + 88 else po + 76
+              val tw = (be32(b, base) >> 16).toInt
+              val th = (be32(b, base + 4) >> 16).toInt
+              if (tw > 0 && th > 0) { w = tw; h = th }
+            case _ => ()
+          }
+          off += size.toInt
+        }
+      }
+    }
+    walk(0, b.length)
+    if (timescale <= 0) None
+    else Some(VideoMeta("mp4", duration.toDouble / timescale, w, h, tracks))
+  }
+
+  private def probeAvi(b: Array[Byte]): Option[VideoMeta] = {
+    if (fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
+    // linear fourcc scan to the main header: avih is a fixed-layout
+    // struct, so a full RIFF LIST walk buys nothing for a probe
+    var i = 12
+    while (i + 48 <= b.length) {
+      if (fourcc(b, i) == "avih") {
+        val po = i + 8
+        val usPerFrame  = le32(b, po)
+        val totalFrames = le32(b, po + 16)
+        return Some(VideoMeta("avi",
+          totalFrames * usPerFrame / 1e6,
+          le32(b, po + 32).toInt, le32(b, po + 36).toInt,
+          le32(b, po + 24).toInt))
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Appends the [[probeVideoMeta]] fields (`container, duration_sec,
+    * width, height, n_tracks`, all null for non-video payloads) in the
+    * same per-partition batch path as the other decoders. */
+  def withVideoMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("container", StringType),
+      StructField("duration_sec", DoubleType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_tracks", IntegerType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val meta = probeVideoMeta(r.getAs[Array[Byte]](idx))
+        Row.fromSeq(r.toSeq ++ (meta match {
+          case Some(m) => Seq(m.container, m.durationSec, m.width, m.height, m.nTracks)
+          case None    => Seq(null, null, null, null, null)
+        }))
       }
     }(enc)
   }

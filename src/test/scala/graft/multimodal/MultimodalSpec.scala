@@ -167,4 +167,73 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m(1L) === ((300L, 2L)))
     assert(m(2L) === ((256L, 1L)))
   }
+
+  // --- generated container headers for the video metadata probe ---
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le32(v: Long): Array[Byte] = be32(v).reverse
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32(payload.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ payload
+
+  /** Minimal well-formed MP4: ftyp + moov{mvhd v0, trak{tkhd v0}} + mdat.
+    * timescale 600, duration 3000 → 5 s; track 640×480 fixed-16.16. */
+  private def miniMp4(): Array[Byte] = {
+    val mvhd = new Array[Byte](100)
+    be32(600L).copyToArray(mvhd, 12)  // timescale
+    be32(3000L).copyToArray(mvhd, 16) // duration
+    val tkhd = new Array[Byte](84)
+    be32(640L << 16).copyToArray(tkhd, 76) // width, fixed 16.16
+    be32(480L << 16).copyToArray(tkhd, 80) // height
+    box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0)) ++
+      box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd))) ++
+      box("mdat", Array.fill[Byte](32)(9))
+  }
+
+  /** Minimal RIFF/AVI: avih with 40000 µs/frame × 250 frames → 10 s,
+    * 2 streams, 320×240. */
+  private def miniAvi(): Array[Byte] = {
+    val avih = new Array[Byte](56)
+    le32(40000L).copyToArray(avih, 0)  // dwMicroSecPerFrame
+    le32(250L).copyToArray(avih, 16)   // dwTotalFrames
+    le32(2L).copyToArray(avih, 24)     // dwStreams
+    le32(320L).copyToArray(avih, 32)   // dwWidth
+    le32(240L).copyToArray(avih, 36)   // dwHeight
+    val hdrl = "hdrl".getBytes("ISO-8859-1") ++
+      "avih".getBytes("ISO-8859-1") ++ le32(56L) ++ avih
+    "RIFF".getBytes("ISO-8859-1") ++ le32(4L + 8 + hdrl.length) ++
+      "AVI ".getBytes("ISO-8859-1") ++
+      "LIST".getBytes("ISO-8859-1") ++ le32(hdrl.length.toLong) ++ hdrl
+  }
+
+  test("probeVideoMeta parses generated MP4 and AVI headers; foreign bytes return None") {
+    val mp4 = Multimodal.probeVideoMeta(miniMp4())
+    assert(mp4 === Some(Multimodal.VideoMeta("mp4", 5.0, 640, 480, 1)))
+    val avi = Multimodal.probeVideoMeta(miniAvi())
+    assert(avi === Some(Multimodal.VideoMeta("avi", 10.0, 320, 240, 2)))
+    // reject-foreign-bytes contract: text, truncation, image bytes
+    assert(Multimodal.probeVideoMeta("not a container at all".getBytes) === None)
+    assert(Multimodal.probeVideoMeta(miniMp4().take(10)) === None)
+    assert(Multimodal.probeVideoMeta(encodedImage(4, 4, 0xff000000, "png")) === None)
+    assert(Multimodal.probeVideoMeta(null) === None)
+  }
+
+  test("withVideoMeta appends probe fields per partition; non-video rows stay null") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val df = Seq(
+      (1L, miniMp4()), (2L, miniAvi()),
+      (3L, "just text".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.withVideoMeta(df, "payload")
+      .select("doc_id", "container", "duration_sec", "width", "height", "n_tracks")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) === "mp4")
+    assert(out(1L).getDouble(2) === 5.0)
+    assert((out(1L).getInt(3), out(1L).getInt(4), out(1L).getInt(5)) === ((640, 480, 1)))
+    assert(out(2L).getString(1) === "avi")
+    assert(out(2L).getDouble(2) === 10.0)
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(2) && out(3L).isNullAt(5),
+      "non-video payloads must carry null metadata")
+  }
 }
