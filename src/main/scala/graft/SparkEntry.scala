@@ -202,6 +202,9 @@ object SparkEntry {
     // (probe-all ≡ q104 ⇒ same oracle; class filter map-side on the
     // label-carrying bucketed lists)
     "q109_hard_negatives_ivf" -> ((s: SparkSession, d: String) => SimilarityQueries.hardNegativesIvf(s, d)),
+    // round-9: distributed Lloyd's k-means codebook refinement — the
+    // real trainer behind the IVF stride-seed stand-in
+    "q110_kmeans_assign"      -> ((s: SparkSession, d: String) => graft.sim.KMeans.kmeansAssign(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -318,5 +321,6 @@ object SparkEntry {
     "q108_token_budget"       -> graft.text.CorpusOps.tokenBudgetSql,
     // probe-all IVF hard negatives ≡ brute force — same oracle as q104
     "q109_hard_negatives_ivf" -> SimilarityQueries.hardNegativesSql,
+    "q110_kmeans_assign"      -> graft.sim.KMeans.kmeansAssignSql,
   )
 }

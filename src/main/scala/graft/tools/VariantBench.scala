@@ -71,11 +71,51 @@ object VariantBench {
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
 
+  /** The r9 q20-family experiment: per-anchor top-k via the unbounded
+    * row_number WINDOW (what q20 shipped with through r8) vs the
+    * bounded [[graft.ops.TopKAggregator.TopKByScore]] buffer the
+    * registered query now uses. Same output, different state bound:
+    * the window sorts |corpus| rows per anchor, the buffer holds ≤ k
+    * per anchor per task. Timed at 1× and 3× volume for the record. */
+  def topKWindowFrom(embd: DataFrame, k: Int = 5): DataFrame = {
+    val queries = embd.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val w = Window.partitionBy("qid")
+      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+    embd.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", SimilarityQueries.cosineExpr("qe", "e"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** The bounded-aggregate formulation over an explicit frame (the
+    * registered q20 body, parameterized for the inflated input). */
+  def topKAggFrom(embd: DataFrame, k: Int = 5): DataFrame = {
+    val queries = embd.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    embd.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", SimilarityQueries.cosineExpr("qe", "e"))
+      .groupBy("qid")
+      .agg(graft.ops.TopKAggregator.topKByScore(k)(
+        round(col("cos"), 6), col("vec_id"), col("cos"), lit(0)).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("rk", "e")))
+      .select(col("qid"), col("e._2").as("neighbor_id"),
+        (col("rk") + 1).as("rank"), round(col("e._3"), 4).as("cos"))
+  }
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_window"        -> ((s, d) => SimilarityQueries.ivfTopK(s, d)),
     "ivf_struct_max"    -> ((s, d) => ivfStructMaxFrom(emb(s, d))),
     "ivf_window_3x"     -> ((s, d) => SimilarityQueries.ivfTopKFrom(inflatedEmb(s, d, 3))),
     "ivf_struct_max_3x" -> ((s, d) => ivfStructMaxFrom(inflatedEmb(s, d, 3))),
+    "topk_window"       -> ((s, d) => topKWindowFrom(emb(s, d))),
+    "topk_agg"          -> ((s, d) => topKAggFrom(emb(s, d))),
+    "topk_window_3x"    -> ((s, d) => topKWindowFrom(inflatedEmb(s, d, 3))),
+    "topk_agg_3x"       -> ((s, d) => topKAggFrom(inflatedEmb(s, d, 3))),
   )
 
   def main(args: Array[String]): Unit = {
