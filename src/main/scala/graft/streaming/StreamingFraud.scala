@@ -380,6 +380,26 @@ object StreamingFraud {
         col("mg._1").as("candidates"), col("mg._2").as("n_tokens"))
   }
 
+  /** Streaming twin of q108 — the token-budget grid as a STATEFUL
+    * aggregation: each micro-batch's documents fold their counts into
+    * the running (split × lang) totals, Update mode emits the touched
+    * cells — the live dashboard face of the batch accounting a crawl
+    * watches while filling a budget. Split/bucket/token expressions are
+    * the SAME columns q85/q108 use ([[graft.text.CorpusOps.splitCol]]),
+    * so the streaming grid converges to the batch answer exactly
+    * (StreamingFraudSpec asserts ≡ batch after the final batch). State
+    * is |splits|·|langs| sum/count cells — bounded, no watermark
+    * needed, the cheapest stateful query in the repo. The mean stays
+    * OUT of the state (sums and counts compose across batches; a
+    * stored mean would not) — derive avg_tok_x10k downstream the q108
+    * way. Input schema: (text, lang). */
+  def tokenBudgetStream(docs: DataFrame): DataFrame =
+    docs
+      .select(graft.text.CorpusOps.splitCol.as("split"), col("lang"),
+        graft.text.CorpusOps.nTokCol.as("n_tok"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+
   /** Current best copy of one content group (q103's policy on a
     * stream): longest text wins, smaller doc_id breaks ties. */
   final case class BestDoc(fp: String, doc_id: Long, n_chars: Long, n_seen: Long)

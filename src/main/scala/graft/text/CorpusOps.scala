@@ -518,17 +518,30 @@ object CorpusOps {
     * bit-for-bit (which is what the oracle checks). The nibble
     * arithmetic (instr on the hex alphabet) instead of conv() keeps the
     * expression portable to engines without a base-conversion builtin. */
-  def deterministicSplit(s: SparkSession, d: String): DataFrame = {
+  /** The q85 content-hash bucket (first md5 byte of `text`, 0..255)
+    * and split label as reusable columns — shared by q85/q108 and the
+    * streaming token-budget twin so every consumer buckets
+    * identically. */
+  private[graft] def bucketCol: Column = {
     val hex = "0123456789abcdef"
-    val bucket = ((expr(s"instr('$hex', substring(md5(text), 1, 1))") - 1) * 16 +
+    ((expr(s"instr('$hex', substring(md5(text), 1, 1))") - 1) * 16 +
       expr(s"instr('$hex', substring(md5(text), 2, 1))") - 1).cast("int")
+  }
+  private[graft] def splitCol: Column =
+    when(bucketCol < TrainBuckets, "train")
+      .when(bucketCol < TrainBuckets + ValBuckets, "val")
+      .otherwise("test")
+
+  /** The q24/q108 BPE-ish token count of `text` as a column. */
+  private[graft] def nTokCol: Column =
+    size(expr(
+      "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")).cast("long")
+
+  def deterministicSplit(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
-      bucket.as("bucket"),
-      when(bucket < TrainBuckets, "train")
-        .when(bucket < TrainBuckets + ValBuckets, "val")
-        .otherwise("test").as("split"))
-  }
+      bucketCol.as("bucket"),
+      splitCol.as("split"))
 
   val deterministicSplitSql: String =
     s"""WITH b AS (SELECT doc_id,
@@ -559,23 +572,13 @@ object CorpusOps {
     * integer expression in both engines (all values non-negative, so
     * floor-div + half-numerator IS half-up). Display divides by 1e4
     * downstream; nothing fractional is ever hashed. */
-  def tokenBudget(s: SparkSession, d: String): DataFrame = {
-    val hex = "0123456789abcdef"
-    val bucket = ((expr(s"instr('$hex', substring(md5(text), 1, 1))") - 1) * 16 +
-      expr(s"instr('$hex', substring(md5(text), 2, 1))") - 1).cast("int")
-    val nTok = size(expr(
-      "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")).cast("long")
+  def tokenBudget(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(
-        when(bucket < TrainBuckets, "train")
-          .when(bucket < TrainBuckets + ValBuckets, "val")
-          .otherwise("test").as("split"),
-        col("lang"), nTok.as("n_tok"))
+      .select(splitCol.as("split"), col("lang"), nTokCol.as("n_tok"))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
       .withColumn("avg_tok_x10k",
         expr("(tokens * 10000 + n_docs div 2) div n_docs"))
-  }
 
   val tokenBudgetSql: String =
     s"""WITH b AS (SELECT lang,

@@ -250,6 +250,50 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming token budget: two micro-batches converge to a driver-side recount") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val input = MemoryStream[(String, String)]
+    val stream = input.toDF().toDF("text", "lang")
+    val query = StreamingFraud.tokenBudgetStream(stream)
+      .writeStream.format("memory").queryName("tokbudget")
+      .outputMode("update").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      // independent driver-side recount: Scala md5 split + Scala regex
+      // token count — NOT the Spark expressions under test
+      val tokRe = java.util.regex.Pattern.compile("[a-z]+|[0-9]+|[^a-z0-9\\s]")
+      def nTok(t: String): Long = {
+        val m = tokRe.matcher(t); var n = 0L; while (m.find()) n += 1; n
+      }
+      def split(t: String): String = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val b = md.digest(t.getBytes("UTF-8"))(0) & 0xff
+        if (b < graft.text.CorpusOps.TrainBuckets) "train"
+        else if (b < graft.text.CorpusOps.TrainBuckets + graft.text.CorpusOps.ValBuckets) "val"
+        else "test"
+      }
+      val expect = docs.groupBy(d => (split(d._1), d._2)).map { case (k, ds) =>
+        k -> ((ds.length.toLong, ds.map(d => nTok(d._1)).sum))
+      }
+      // Update mode re-emits a cell on every touch: keep the LAST row
+      // per (split, lang) — n_docs grows monotonically within a cell
+      val got = spark.sql("select split, lang, n_docs, tokens from tokbudget")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).maxBy(_._1) }
+      assert(got === expect, "streaming grid must converge to the batch answer")
+    } finally query.stop()
+  }
+
   test("streaming keep-best dedup runs on the RocksDB state store (production posture)") {
     val spark = SparkSpec.spark
     import spark.implicits._
