@@ -205,6 +205,8 @@ object SparkEntry {
     // round-9: distributed Lloyd's k-means codebook refinement — the
     // real trainer behind the IVF stride-seed stand-in
     "q110_kmeans_assign"      -> ((s: SparkSession, d: String) => graft.sim.KMeans.kmeansAssign(s, d)),
+    // round-9: curriculum-ordered sequence packing (q84 LM order ∘ q55)
+    "q111_curriculum_pack"    -> (graft.text.CorpusOps.curriculumPack _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -322,5 +324,6 @@ object SparkEntry {
     // probe-all IVF hard negatives ≡ brute force — same oracle as q104
     "q109_hard_negatives_ivf" -> SimilarityQueries.hardNegativesSql,
     "q110_kmeans_assign"      -> graft.sim.KMeans.kmeansAssignSql,
+    "q111_curriculum_pack"    -> graft.text.CorpusOps.curriculumPackSql,
   )
 }

@@ -55,6 +55,49 @@ object CorpusOps {
       s"CAST(cum_before % $PackBudget AS BIGINT) AS offset FROM c"
   }
 
+  /** q111 — CURRICULUM-ordered sequence packing: [[sequencePack]]'s
+    * cumulative layout, but documents stream through each language in
+    * LM-quality order (q84's bigram cross-entropy ascending — most
+    * fluent/typical text first) instead of doc_id order, so a data
+    * loader reading shards sequentially gets the easy→hard curriculum
+    * ordering curriculum-training recipes prescribe. Docs too short to
+    * have a bigram score (score null) pack LAST — explicit NULLS LAST
+    * in both engines, doc_id tiebreak, so the order is total and
+    * engine-identical (the score cell itself is round-4 of a log
+    * average — the audited tie-free class).
+    *
+    * Scale: the q84 model build + probe (fact-dim joins, checkpointed
+    * model tables) feeds the same one-window-per-language pack as q55;
+    * the q63 (lang, bucket) bounded-partition variant composes the
+    * same way when language partitions outgrow one task. */
+  def curriculumPack(s: SparkSession, d: String): DataFrame = {
+    val scores = graft.text.TextQueries.lmScore(s, d).select("doc_id", "score")
+    val nTok = size(split(trim(col("text")), "\\s+"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score").asc_nulls_last, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), nTok.as("n_tok"))
+      .join(scores, Seq("doc_id"), "left")
+      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("score"),
+        (col("cum_before") / PackBudget).cast("long").as("shard"),
+        (col("cum_before") % PackBudget).as("offset"))
+  }
+
+  val curriculumPackSql: String = {
+    val nTok = "len(string_split_regex(trim(text), '\\s+'))"
+    val cum = "coalesce(sum(n_tok) OVER (PARTITION BY lang " +
+      "ORDER BY score ASC NULLS LAST, doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    s"WITH lm AS (${graft.text.TextQueries.lmScoreSql}), " +
+      s"t AS (SELECT d.doc_id, d.lang, CAST($nTok AS INT) AS n_tok, lm.score " +
+      "FROM documents d LEFT JOIN lm ON lm.doc_id = d.doc_id), " +
+      s"c AS (SELECT doc_id, lang, n_tok, score, $cum AS cum_before FROM t) " +
+      s"SELECT doc_id, lang, n_tok, score, CAST(cum_before // $PackBudget AS BIGINT) AS shard, " +
+      s"CAST(cum_before % $PackBudget AS BIGINT) AS offset FROM c"
+  }
+
   /** Documents per (lang, bucket) packing cell for [[sequencePackBucketed]]. */
   val PackBucketDocs = 500L
 
