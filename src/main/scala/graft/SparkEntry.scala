@@ -207,6 +207,8 @@ object SparkEntry {
     "q110_kmeans_assign"      -> ((s: SparkSession, d: String) => graft.sim.KMeans.kmeansAssign(s, d)),
     // round-9: curriculum-ordered sequence packing (q84 LM order ∘ q55)
     "q111_curriculum_pack"    -> (graft.text.CorpusOps.curriculumPack _),
+    // round-9: ANN recall eval — production-nProbe IVF vs exact top-k
+    "q112_ann_recall"         -> ((s: SparkSession, d: String) => SimilarityQueries.annRecall(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -325,5 +327,6 @@ object SparkEntry {
     "q109_hard_negatives_ivf" -> SimilarityQueries.hardNegativesSql,
     "q110_kmeans_assign"      -> graft.sim.KMeans.kmeansAssignSql,
     "q111_curriculum_pack"    -> graft.text.CorpusOps.curriculumPackSql,
+    "q112_ann_recall"         -> SimilarityQueries.annRecallSql,
   )
 }

@@ -329,6 +329,42 @@ object SimilarityQueries {
       "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, vec_id) AS rank FROM scored) " +
       "SELECT qid, vec_id AS neighbor_id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5"
 
+  /** q112 — ANN QUALITY EVAL as a registered operator: per-anchor
+    * overlap of the nProbe-restricted IVF search (q44 at the
+    * production setting) against the exact brute-force top-k (q20) —
+    * `n_hits` of k, and the first approximate rank that is a true
+    * neighbor. This is the recall measurement every ANN deployment
+    * runs before trusting an index (the spec's ad-hoc recall asserts,
+    * promoted to an oracle-checked query). Output is integer-only by
+    * construction (FLOAT RULE: recall@k = n_hits/k and MRR = 1/rank
+    * are the tie-prone int-ratios — ship the integers, derive the
+    * ratios downstream).
+    *
+    * Scale: both inputs are k-rows-per-anchor tables (the searches
+    * themselves are the graded plans); the eval is one (qid,
+    * neighbor_id)-keyed join + a |queries|-bounded aggregate —
+    * negligible next to either search at any corpus size. */
+  def annRecall(s: SparkSession, d: String, k: Int = 5,
+                nProbe: Int = NProbe): DataFrame = {
+    val exact  = cosineTopK(s, d, k).select(col("qid"), col("neighbor_id"))
+    val approx = ivfTopK(s, d, k, nProbe)
+      .select(col("qid"), col("neighbor_id"), col("rank"))
+    approx
+      .join(exact.withColumn("hit", lit(1)), Seq("qid", "neighbor_id"), "left")
+      .groupBy("qid")
+      .agg(
+        sum(coalesce(col("hit"), lit(0))).as("n_hits"),
+        min(when(col("hit") === 1, col("rank"))).as("first_hit_rank"))
+  }
+
+  val annRecallSql: String =
+    s"""WITH ex AS ($cosineTopKSql), ap AS ($ivfTopKSql)
+       |SELECT ap.qid,
+       |  CAST(sum(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(min(CASE WHEN ex.neighbor_id IS NOT NULL THEN ap.rank END) AS INT) AS first_hit_rank
+       |FROM ap LEFT JOIN ex ON ex.qid = ap.qid AND ex.neighbor_id = ap.neighbor_id
+       |GROUP BY ap.qid""".stripMargin.replace("\n", " ")
+
   // --------------------------------------------------- semantic dedup
 
   /** The ε-ball radius for q88. Corpus-calibrated, as SemDeDup's ε
