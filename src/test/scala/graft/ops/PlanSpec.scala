@@ -196,6 +196,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q110 k-means launches O(iterations) jobs (checkpointed codebook rounds)") {
+    val spark = SparkSpec.spark
+    // 2 Lloyd rounds + final assign: each round is one assignment scan
+    // into a bounded centroid aggregate materialized by localCheckpoint —
+    // measured 16 jobs total (~6-7 AQE stage-jobs per round), FIXED in
+    // nlist. A per-cluster driver loop would cost ≥ 3·nlist ≈ 42 jobs
+    // even at sf0.001's 14 centroids; 20 is the tripwire between the
+    // two shapes.
+    val jobs = countJobs {
+      graft.SparkEntry.queries("q110_kmeans_assign")(spark, sfDir).collect()
+    }
+    info(s"q110 jobs: $jobs")
+    assert(jobs <= 20, s"q110 launched $jobs jobs — per-cluster loop regression?")
+  }
+
   test("iterative CC job counts stay O(rounds), not O(rounds^2)") {
     val spark = SparkSpec.spark
     for ((q, bound) <- Seq("q45_dedup_clusters" -> 30, "q64_cc_largestar" -> 40)) {
