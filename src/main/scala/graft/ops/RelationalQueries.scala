@@ -187,13 +187,24 @@ object RelationalQueries {
 
   /** Beyond-reference: top-1-per-group via ranking window (deterministic
     * tie-break), the scalable replacement for per-group sort+head. */
-  def windowTopN(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  def windowTopN(s: SparkSession, d: String): DataFrame =
+    // argmax-per-key as a lexicographic struct-max AGGREGATE, not a
+    // row_number window: per-customer order counts grow with the data,
+    // and the window sorts every partition for a 1-row answer while the
+    // codegen'd HashAggregate reduces map-side to one struct per key
+    // before the exchange (unlike the r4 ivfAssign case — bounded
+    // nlist-sized partitions, ObjectHashAggregate array buffers — this
+    // is a plain declarative max over (price, -orderkey): rank-1 over
+    // an UNBOUNDED per-key stream, the regime where the aggregate wins;
+    // see PERF_NOTES §q20-family). Ties: highest price, then smallest
+    // orderkey — the negated key makes lexicographic max reproduce the
+    // oracle's ORDER BY price DESC, orderkey ASC exactly.
     orders(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("o_custkey"), col("o_orderkey").as("top_orderkey"), col("o_totalprice"))
-  }
+      .groupBy("o_custkey")
+      .agg(max(struct(col("o_totalprice").as("p"),
+        (-col("o_orderkey")).as("no"))).as("m"))
+      .select(col("o_custkey"), (-col("m.no")).as("top_orderkey"),
+        col("m.p").as("o_totalprice"))
 
   val windowTopNSql: String =
     "SELECT o_custkey, o_orderkey AS top_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t WHERE rn = 1"

@@ -196,6 +196,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q14 argmax-per-key: partial aggregate before the exchange, no window") {
+    val p = plan("q14_window_topn")
+    assert(!p.contains("Window"), s"row_number window crept back into q14:\n$p")
+    // struct-max plans as SortAggregate (struct buffers aren't
+    // hash-aggregable) — fine: the property that scales is the PARTIAL
+    // max below the exchange, so one struct per key crosses the wire
+    // instead of every order row; the sort it pays is task-local by
+    // key, not the window's full-shuffle-then-sort
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(o_custkey")
+    assert(exchangeIdx > 0, p)
+    assert(p.indexOf("partial_max", exchangeIdx) > 0,
+      s"no map-side partial below the exchange:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1, p)
+  }
+
   test("q110 k-means launches O(iterations) jobs (checkpointed codebook rounds)") {
     val spark = SparkSpec.spark
     // 2 Lloyd rounds + final assign: each round is one assignment scan
