@@ -209,6 +209,9 @@ object SparkEntry {
     "q111_curriculum_pack"    -> (graft.text.CorpusOps.curriculumPack _),
     // round-9: ANN recall eval — production-nProbe IVF vs exact top-k
     "q112_ann_recall"         -> ((s: SparkSession, d: String) => SimilarityQueries.annRecall(s, d)),
+    // round-9: search over the TRAINED codebook (probe-all ≡ exact ⇒
+    // q20's oracle; restricted-probe recall measured in KMeansSpec)
+    "q113_ivf_trained"        -> ((s: SparkSession, d: String) => graft.sim.KMeans.ivfTopKTrained(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -328,5 +331,7 @@ object SparkEntry {
     "q110_kmeans_assign"      -> graft.sim.KMeans.kmeansAssignSql,
     "q111_curriculum_pack"    -> graft.text.CorpusOps.curriculumPackSql,
     "q112_ann_recall"         -> SimilarityQueries.annRecallSql,
+    // probe-all over any codebook scans every list — exact ⇒ q20 oracle
+    "q113_ivf_trained"        -> SimilarityQueries.cosineTopKSql,
   )
 }

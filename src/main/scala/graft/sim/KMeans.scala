@@ -89,6 +89,29 @@ object KMeans {
   def kmeansAssign(s: SparkSession, d: String, iters: Int = Iters): DataFrame =
     kmeansAssignFrom(embFrame(s, d), iters)
 
+  /** q113 — IVF top-k SEARCHING OVER THE TRAINED CODEBOOK: q110's
+    * Lloyd centroids plugged into the exact [[SimilarityQueries
+    * .ivfSearch]] machinery q44/q78 run — the full train→index→search
+    * arc in one registered plan. Probe-all makes the output identical
+    * to brute force WHATEVER the codebook (every list is scanned), so
+    * the q20 oracle checks the composition end-to-end; the codebook's
+    * effect at a fixed production nProbe is MEASURED in KMeansSpec
+    * against the stride seed (the q76/q78 discipline: oracle the
+    * exhaustive setting, measure the restricted one). Measured result
+    * on the synthetic corpus: WORSE recall than the stride seed (0.48
+    * vs 0.64 at nProbe=4) — the test embeddings are structureless, so
+    * Lloyd rounds drift centroids toward the global mean; on clustered
+    * data (every real encoder's space — the KMeansSpec blob test) the
+    * trained centroids align with the clusters, which is when you'd
+    * deploy this. Recorded as-is rather than tuned away. */
+  def ivfTopKTrained(s: SparkSession, d: String, k: Int = 5,
+                     nProbe: Int = Int.MaxValue): DataFrame = {
+    val emb = embFrame(s, d)
+    val cents = codebook(s, d)
+    SimilarityQueries.ivfSearch(SimilarityQueries.ivfQueries(emb),
+      SimilarityQueries.ivfAssign(emb, cents), cents, k, nProbe)
+  }
+
   val kmeansAssignSql: String = {
     import SimilarityQueries.{CentStride, CentOffset}
     // one ASSIGN CTE pair from codebook `cin`, producing assignment
