@@ -308,6 +308,73 @@ object StreamingFraud {
       }
       .start()
 
+  /** Driver-held streaming k-means model: cent_id → (centroid,
+    * weight). Same footprint as the broadcast codebook every IVF probe
+    * already ships (nlist·dim doubles) — the model living on the
+    * driver IS the classic streaming-k-means posture; executors only
+    * ever see it broadcast. */
+  final class KMeansStreamHandle(
+      @volatile private[streaming] var model: Map[Long, (Array[Double], Double)]) {
+    def centroids: Map[Long, Array[Double]] =
+      model.map { case (k, (c, _)) => k -> c }
+    def weights: Map[Long, Double] =
+      model.map { case (k, (_, w)) => k -> w }
+  }
+
+  /** Streaming twin of q110 — MICRO-BATCH Lloyd's (the classic
+    * streaming k-means): each batch assigns its vectors against the
+    * current codebook (the same broadcast-assign
+    * [[graft.sim.SimilarityQueries.ivfAssign]] plan q44/q110 use), and
+    * the per-centroid batch sums fold into the model with the standard
+    * decayed-mean rule — `w' = α·w + n_b`, `c' = (α·w·c + Σ_b) / w'` —
+    * so `decay = 1` is the exact running mean over everything seen
+    * (batch-boundary-invariant, spec-checked against a driver recount)
+    * and `decay < 1` forgets old data with a geometric horizon (the
+    * drift-tracking production setting). Per-batch cost: one
+    * batch-sized assign + an nlist·dim-bounded aggregate collected to
+    * the driver; no per-key streaming state at all, so nothing grows.
+    * Emits (vec_id, cent_id) assignments per batch via `sink`. Input
+    * schema: (vec_id, e: array<double>). */
+  def kmeansStream(spark: SparkSession, vecs: DataFrame,
+                   init: Map[Long, Array[Double]],
+                   decay: Double = 1.0,
+                   sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : (org.apache.spark.sql.streaming.StreamingQuery, KMeansStreamHandle) = {
+    val handle = new KMeansStreamHandle(init.map { case (k, c) => k -> (c, 0.0) })
+    val query = vecs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import spark.implicits._
+        val cents = handle.model.toSeq
+          .map { case (k, (c, _)) => (k, c.toSeq) }
+          .toDF("cent_id", "ce")
+        val assigned = graft.sim.SimilarityQueries
+          .ivfAssign(batch.select("vec_id", "e"), cents)
+          .persist()
+        try {
+          val stats = assigned
+            .select(col("cent_id"), posexplode(col("e")).as(Seq("pos", "v")))
+            .groupBy("cent_id", "pos")
+            .agg(sum("v").as("s"), count(lit(1)).as("n"))
+            .collect()
+            .groupBy(_.getLong(0))
+          handle.model = handle.model.map { case (k, (c, w)) =>
+            stats.get(k) match {
+              case Some(rows) =>
+                val n = rows.head.getLong(3).toDouble
+                val sums = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+                val w2 = decay * w + n
+                val c2 = c.indices.map(j => (decay * w * c(j) + sums(j)) / w2).toArray
+                k -> (c2, w2)
+              case None => k -> (c, decay * w) // untouched centroid decays
+            }
+          }
+          sink(assigned.select("vec_id", "cent_id"), batchId)
+        } finally { assigned.unpersist(); () }
+      }
+      .start()
+    (query, handle)
+  }
+
   /** Per-user decayed-activity state: the score AS OF `anchor_us` (the
     * user's latest event time so far). */
   final case class UserActivity(

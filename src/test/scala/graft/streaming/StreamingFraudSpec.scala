@@ -250,6 +250,44 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming k-means: decay=1 over two micro-batches equals the exact blob means") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(17)
+    val dim = graft.sim.SimilarityQueries.Dim
+    val centers = Array.fill(3)(Array.fill(dim)(rng.nextGaussian()))
+    val members = for (b <- 0 until 3; j <- 0 until 30) yield {
+      val v = centers(b).map(x => x + 0.05 * rng.nextGaussian())
+      ((b * 30 + j).toLong, v.toSeq, b)
+    }
+    // seed with one member of each blob; interleave blobs across batches
+    val init = Map(0L -> members(0)._2.toArray,
+      1L -> members(30)._2.toArray, 2L -> members(60)._2.toArray)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val vecs = input.toDF().toDF("vec_id", "e")
+    val (query, handle) = StreamingFraud.kmeansStream(spark, vecs, init)
+    try {
+      val (b1, b2) = members.map(m => (m._1, m._2)).splitAt(45)
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      // with w0 = 0 the seed vector has no weight, and stable
+      // assignments make the decay=1 running mean EQUAL the exact
+      // all-data blob mean regardless of the batch boundary
+      val byBlob = members.groupBy(_._3)
+      assert(handle.weights.values.toSeq.sorted === Seq(30.0, 30.0, 30.0))
+      for ((cid, c) <- handle.centroids) {
+        val blob = byBlob(cid.toInt).map(_._2)
+        val mean = Array.tabulate(dim)(j => blob.map(_(j)).sum / blob.length)
+        val maxErr = c.zip(mean).map { case (a, b) => math.abs(a - b) }.max
+        assert(maxErr < 1e-9,
+          s"centroid $cid deviates from the exact blob mean by $maxErr")
+      }
+    } finally query.stop()
+  }
+
   test("streaming token budget: two micro-batches converge to a driver-side recount") {
     val spark = SparkSpec.spark
     import spark.implicits._
