@@ -212,6 +212,9 @@ object SparkEntry {
     // round-9: search over the TRAINED codebook (probe-all ≡ exact ⇒
     // q20's oracle; restricted-probe recall measured in KMeansSpec)
     "q113_ivf_trained"        -> ((s: SparkSession, d: String) => graft.sim.KMeans.ivfTopKTrained(s, d)),
+    // round-9: per-shard manifest over the packed layout (the loader's
+    // index artifact)
+    "q114_shard_manifest"     -> (graft.text.CorpusOps.shardManifest _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -333,5 +336,6 @@ object SparkEntry {
     "q112_ann_recall"         -> SimilarityQueries.annRecallSql,
     // probe-all over any codebook scans every list — exact ⇒ q20 oracle
     "q113_ivf_trained"        -> SimilarityQueries.cosineTopKSql,
+    "q114_shard_manifest"     -> graft.text.CorpusOps.shardManifestSql,
   )
 }

@@ -98,6 +98,43 @@ object CorpusOps {
       s"CAST(cum_before % $PackBudget AS BIGINT) AS offset FROM c"
   }
 
+  /** q114 — SHARD MANIFEST over the packed layout: per (lang, shard),
+    * the document count, token count, id range, and a `full` flag —
+    * defined as "a later shard exists for this language", since a
+    * document straddling the budget boundary carries its remaining
+    * tokens forward and only each language's LAST shard can be
+    * short. This is the artifact a training data
+    * loader actually indexes — it reads manifests, not directories —
+    * and the first thing an ops check diffs between two corpus builds.
+    * One bounded aggregate over q55's window output; the manifest is
+    * |langs|·|shards| rows, ~6 orders smaller than the corpus. */
+  def shardManifest(s: SparkSession, d: String): DataFrame = {
+    val packed = sequencePack(s, d)
+    val m = packed
+      .groupBy("lang", "shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+    val maxShard = m.groupBy("lang").agg(max("shard").as("max_shard"))
+    m.join(broadcast(maxShard), "lang")
+      .select(col("lang"), col("shard"), col("n_docs"), col("n_tokens"),
+        col("first_doc"), col("last_doc"),
+        (col("shard") < col("max_shard")).as("full"))
+  }
+
+  val shardManifestSql: String =
+    s"""WITH p AS ($sequencePackSql),
+       |m AS (SELECT lang, shard, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |  FROM p GROUP BY lang, shard),
+       |mx AS (SELECT lang, max(shard) AS max_shard FROM m GROUP BY lang)
+       |SELECT m.lang, m.shard, m.n_docs, m.n_tokens, m.first_doc, m.last_doc,
+       |  m.shard < mx.max_shard AS full
+       |FROM m JOIN mx ON mx.lang = m.lang""".stripMargin.replace("\n", " ")
+
   /** Documents per (lang, bucket) packing cell for [[sequencePackBucketed]]. */
   val PackBucketDocs = 500L
 
