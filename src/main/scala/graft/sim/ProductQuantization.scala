@@ -93,20 +93,24 @@ object ProductQuantization {
 
   /** ADC rank over per-query candidates (qid, vec_id, codes): the
     * approximate distance is [[NumSubs]] table lookups per candidate,
-    * rank by ascending adc (ties: round(adc,6) then vec_id). */
-  private def adcTopK(cand: DataFrame, dtab: DataFrame, k: Int): DataFrame = {
-    val wTop = Window.partitionBy("qid")
-      .orderBy(round(col("adc"), 6), col("vec_id"))
+    * rank by ascending adc (ties: round(adc,6) then vec_id) — as the
+    * BOUNDED k-smallest aggregate, not a per-anchor window (the q20
+    * family rule): negating the quantized distance turns the existing
+    * k-largest [[graft.ops.TopKAggregator.TopKByScore]] buffer into
+    * min-k, and −0.0 == 0.0 keeps zero-distance ties on the id
+    * tiebreak exactly like the ascending sort did. */
+  private def adcTopK(cand: DataFrame, dtab: DataFrame, k: Int): DataFrame =
     cand.join(broadcast(dtab), "qid")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("adc", expr(
         s"aggregate(sequence(0, ${NumSubs - 1}), 0D, " +
           "(acc, j) -> acc + dtab[codes[j]][j])"))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"),
-        round(col("adc"), 4).as("adc_dist"))
-  }
+      .groupBy("qid")
+      .agg(graft.ops.TopKAggregator.topKByScore(k)(
+        -round(col("adc"), 6), col("vec_id"), col("adc"), lit(0)).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("rk", "e")))
+      .select(col("qid"), col("e._2").as("neighbor_id"),
+        (col("rk") + 1).as("rank"), round(col("e._3"), 4).as("adc_dist"))
 
   /** q79 — PQ ADC top-k: exact queries against the COMPRESSED store
     * (every query scans every code — the flat-PQ baseline). Output

@@ -293,7 +293,15 @@ object SimilarityQueries {
   /** Probe + search over ANY (qid, qe) query set and ANY
     * (cent_id, vec_id, e) list table — the list side is pluggable
     * (inline [[ivfAssign]], persisted [[ivfIndex]]) so the nightly /
-    * streaming paths reuse the exact search semantics. */
+    * streaming paths reuse the exact search semantics.
+    *
+    * The probe-selection window is nlist-bounded (fine); the top-k
+    * over probed rows is the BOUNDED aggregate (q20's
+    * [[graft.ops.TopKAggregator.TopKByScore]]): probed candidates per
+    * anchor grow ~nProbe·N/nlist with the corpus even at production
+    * settings, so the rank stage must never sort a per-anchor
+    * partition. Output unchanged (rank = buffer position, same
+    * round-6/id ordering). */
   def ivfSearch(queries: DataFrame, assigned: DataFrame, cents: DataFrame,
                 k: Int, nProbe: Int): DataFrame = {
     val wProbe = Window.partitionBy("qid")
@@ -303,15 +311,15 @@ object SimilarityQueries {
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= nProbe)
       .select(col("qid"), col("qe"), col("cent_id"))
-    val wTop = Window.partitionBy("qid")
-      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
     probes.join(assigned, "cent_id")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", cosineExpr("qe", "e"))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rank"),
-        round(col("cos"), 4).as("cos"))
+      .groupBy("qid")
+      .agg(graft.ops.TopKAggregator.topKByScore(k)(
+        round(col("cos"), 6), col("vec_id"), col("cos"), lit(0)).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("rk", "e")))
+      .select(col("qid"), col("e._2").as("neighbor_id"),
+        (col("rk") + 1).as("rank"), round(col("e._3"), 4).as("cos"))
   }
 
   val ivfTopKSql: String =
