@@ -59,12 +59,22 @@ object RelationalQueries {
     "SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey HAVING count(*) > (SELECT CAST(count(*) AS DOUBLE) / count(DISTINCT c_nationkey) FROM customer)"
 
   /** A1+J1 fused: the reference's `nunique→isin` flag pattern
-    * (run_pipeline.py:24-26) as ONE window aggregate — no driver collect,
-    * no broadcast list, one shuffle on the partition key. */
+    * (run_pipeline.py:24-26), distributed with no driver collect.
+    * Shape (r9): a count-distinct AGGREGATE at the key grain plus a
+    * broadcast join-back — NOT the collect_set window this shipped
+    * with through r8. The partition key has FIXED cardinality
+    * (25 nations), so the window funneled the whole customer table
+    * through 25 tasks however large the data — the one remaining
+    * bounded-key window outside the reference's golden path. The
+    * aggregate takes map-side partials (tiny exchange of partial
+    * rows), its 25-row result broadcasts, and the fact side never
+    * shuffles at all; each scan reads only its two columns. */
   def windowFlag(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("c_nationkey")
+    val nseg = customer(s, d)
+      .groupBy("c_nationkey")
+      .agg(countDistinct("c_mktsegment").as("n_seg"))
     customer(s, d)
-      .withColumn("n_seg", size(collect_set(col("c_mktsegment")).over(w)))
+      .join(broadcast(nseg), "c_nationkey")
       .select(
         col("c_custkey"),
         when(col("n_seg") > 1, "MultiSegment").otherwise("Normal").as("flag"))

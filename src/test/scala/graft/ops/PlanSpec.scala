@@ -196,6 +196,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q04 flag join-back: fact side unshuffled, no fixed-cardinality window") {
+    val p = plan("q04_window_flag")
+    assert(!p.contains("Window"),
+      s"25-key window funnel crept back into q04:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only exchanges allowed are the dim-side aggregate's partial
+    // exchange + the broadcast itself — the probe-side customer scan
+    // must stream map-side
+    assert(!p.contains("Exchange hashpartitioning(c_custkey"), p)
+  }
+
   test("q14 argmax-per-key: partial aggregate before the exchange, no window") {
     val p = plan("q14_window_topn")
     assert(!p.contains("Window"), s"row_number window crept back into q14:\n$p")
