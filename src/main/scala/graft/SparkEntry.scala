@@ -215,6 +215,8 @@ object SparkEntry {
     // round-9: per-shard manifest over the packed layout (the loader's
     // index artifact)
     "q114_shard_manifest"     -> (graft.text.CorpusOps.shardManifest _),
+    // round-9: surface-vs-embedding dedup disagreement audit
+    "q115_dedup_crosscheck"   -> ((s: SparkSession, d: String) => DedupQueries.dedupCrossCheck(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -337,5 +339,6 @@ object SparkEntry {
     // probe-all over any codebook scans every list — exact ⇒ q20 oracle
     "q113_ivf_trained"        -> SimilarityQueries.cosineTopKSql,
     "q114_shard_manifest"     -> graft.text.CorpusOps.shardManifestSql,
+    "q115_dedup_crosscheck"   -> DedupQueries.dedupCrossCheckSql,
   )
 }

@@ -700,6 +700,60 @@ object DedupQueries {
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""").stripMargin.replace("\n", " ")
   }
 
+  /** q115 — CROSS-SIGNAL dedup audit: which documents the SURFACE
+    * near-dup detector (q19's banded MinHash + exact-Jaccard pairs)
+    * and the EMBEDDING detector (q88's SemDeDup ε-ball, via the 1:1
+    * doc_id ↔ vec_id alignment of the test tables) disagree on. A
+    * pipeline that runs both families — every serious corpus build
+    * does — watches exactly this: `surface_only` rows are
+    * paraphrase-blind encoder misses (or an ε set too tight),
+    * `semantic_only` rows are either true paraphrases the
+    * shingle/banding layer cannot see or an over-aggressive ε; the
+    * audit is where those thresholds get tuned from.
+    *
+    * Scale: both inputs are the already-bounded pair/drop outputs
+    * (band-bucket joins and IVF-cell pairs — never all-pairs); the
+    * audit itself is two id-keyed semi-join-shaped left joins off the
+    * document scan. Output is integer/boolean-only. */
+  def dedupCrossCheck(s: SparkSession, d: String): DataFrame = {
+    val pairs = minHashJaccardPairs(s, d)
+    val surfIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("surface_dup", lit(true))
+    val sem = graft.sim.SimilarityQueries.semanticDedup(s, d)
+    val semIds = sem.select(col("vec_id").as("doc_id"))
+      .union(sem.select(col("dup_of").as("doc_id")))
+      .distinct().withColumn("semantic_dup", lit(true))
+    Tables.documents(s, d).select("doc_id")
+      .join(surfIds, Seq("doc_id"), "left")
+      .join(semIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("surface_dup"), lit(false)).as("surface_dup"),
+        coalesce(col("semantic_dup"), lit(false)).as("semantic_dup"))
+      .withColumn("verdict",
+        when(col("surface_dup") && col("semantic_dup"), "both")
+          .when(col("surface_dup"), "surface_only")
+          .when(col("semantic_dup"), "semantic_only")
+          .otherwise("neither"))
+  }
+
+  val dedupCrossCheckSql: String =
+    s"""WITH pr AS ($minHashJaccardPairsSql),
+       |surf AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT doc_a AS doc_id FROM pr UNION ALL SELECT doc_b FROM pr)),
+       |sd AS (${graft.sim.SimilarityQueries.semanticDedupSql}),
+       |sem AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT vec_id AS doc_id FROM sd UNION ALL SELECT dup_of FROM sd))
+       |SELECT d.doc_id,
+       |  surf.doc_id IS NOT NULL AS surface_dup,
+       |  sem.doc_id IS NOT NULL AS semantic_dup,
+       |  CASE WHEN surf.doc_id IS NOT NULL AND sem.doc_id IS NOT NULL THEN 'both'
+       |    WHEN surf.doc_id IS NOT NULL THEN 'surface_only'
+       |    WHEN sem.doc_id IS NOT NULL THEN 'semantic_only'
+       |    ELSE 'neither' END AS verdict
+       |FROM documents d LEFT JOIN surf ON surf.doc_id = d.doc_id
+       |LEFT JOIN sem ON sem.doc_id = d.doc_id""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------- incremental dedup
 
   val IncBatchMod = 5
