@@ -217,6 +217,8 @@ object SparkEntry {
     "q114_shard_manifest"     -> (graft.text.CorpusOps.shardManifest _),
     // round-9: surface-vs-embedding dedup disagreement audit
     "q115_dedup_crosscheck"   -> ((s: SparkSession, d: String) => DedupQueries.dedupCrossCheck(s, d)),
+    // round-9: integer fixed-point PageRank over the near-dup graph
+    "q116_pagerank"           -> ((s: SparkSession, d: String) => DedupQueries.pageRank(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -340,5 +342,6 @@ object SparkEntry {
     "q113_ivf_trained"        -> SimilarityQueries.cosineTopKSql,
     "q114_shard_manifest"     -> graft.text.CorpusOps.shardManifestSql,
     "q115_dedup_crosscheck"   -> DedupQueries.dedupCrossCheckSql,
+    "q116_pagerank"           -> DedupQueries.pageRankSql,
   )
 }

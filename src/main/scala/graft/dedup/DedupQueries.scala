@@ -754,6 +754,84 @@ object DedupQueries {
        |FROM documents d LEFT JOIN surf ON surf.doc_id = d.doc_id
        |LEFT JOIN sem ON sem.doc_id = d.doc_id""".stripMargin.replace("\n", " ")
 
+  // ------------------------------------------------------- link analysis
+
+  /** PageRank fixed-point scale: ranks travel as integer units of
+    * 10⁻¹², so both engines do BIGINT arithmetic end-to-end. */
+  val PrScale   = 1000000000000L
+  val PrDampNum = 85L // damping 0.85 as an integer ratio
+  val PrDampDen = 100L
+  val PrIters   = 3
+
+  /** q116 — PAGERANK over the near-dup graph (q19's verified pairs as
+    * undirected edges): link analysis joins CC (q45/q64) in the graph
+    * family — where CC answers "which docs form one duplicate
+    * cluster", PageRank ranks how CENTRAL a document is inside the
+    * near-dup web, the signal that picks canonical pages out of
+    * template farms (a hub shared by many variants outranks its
+    * satellites).
+    *
+    * INTEGER fixed-point by construction (FLOAT RULE, iterative
+    * flavor): ranks are BIGINT units of 10⁻¹², each edge contributes
+    * `pr·85 div (100·deg)`, and the teleport term is
+    * `(S·15 div 100) div N` — floor division loses a bounded trickle
+    * of mass (documented; identically in both engines) but every
+    * intermediate is exactly reproducible cross-engine, where a
+    * double formulation would compound sum-order ULPs per iteration.
+    * Dangling nodes (no near-dup partners) keep teleport mass only —
+    * the standard simplification, identical in both engines.
+    *
+    * Scale shape: the pair table is the banding output (bounded by
+    * near-dup volume, never corpus²); each of the [[PrIters]] rounds
+    * is one src-keyed join + one dst-keyed aggregate + an id-keyed
+    * left join back to the node set, localCheckpoint'ed so plan depth
+    * stays O(1) per round (the CC-rounds discipline). */
+  def pageRank(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    val pairs = minHashJaccardPairs(s, d).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true) // band+verify runs once, not once per round
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = docs.count()
+    val base = (PrScale * (PrDampDen - PrDampNum) / PrDampDen) / n
+    var pr = docs.select(col("doc_id"), lit(PrScale / n).as("pr"))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(pr.withColumnRenamed("doc_id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"),
+          expr(s"pr * $PrDampNum div ($PrDampDen * deg)").as("c"))
+        .groupBy("dst").agg(sum("c").as("in_mass"))
+      pr = docs
+        .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(base) + coalesce(col("in_mass"), lit(0L))).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("doc_id"), col("pr").as("pr_x1e12"))
+  }
+
+  val pageRankSql: String = {
+    def iter(i: Int): String = {
+      val prev = if (i == 1) "p0" else s"p${i - 1}"
+      s"""c$i AS (SELECT e.dst, sum(($prev.pr * $PrDampNum) // ($PrDampDen * dg.deg)) AS m
+         |  FROM e JOIN $prev ON $prev.doc_id = e.src JOIN dg ON dg.src = e.src GROUP BY e.dst),
+         |p$i AS (SELECT d.doc_id,
+         |  ((${PrScale} * ${PrDampDen - PrDampNum}) // $PrDampDen) // nn.n + coalesce(c$i.m, 0) AS pr
+         |  FROM documents d CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = d.doc_id)""".stripMargin
+    }
+    (s"""WITH prs AS ($minHashJaccardPairsSql),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+        |  UNION ALL SELECT doc_b, doc_a FROM prs),
+        |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |p0 AS (SELECT doc_id, $PrScale // nn.n AS pr FROM documents, nn),
+        |${(1 to PrIters).map(iter).mkString(", ")}
+        |SELECT doc_id, CAST(pr AS BIGINT) AS pr_x1e12 FROM p$PrIters""")
+      .stripMargin.replace("\n", " ")
+  }
+
   // ------------------------------------------------- incremental dedup
 
   val IncBatchMod = 5

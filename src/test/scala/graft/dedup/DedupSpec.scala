@@ -360,4 +360,35 @@ class DedupSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(pairs(persisted) === pairs(DedupQueries.minHashBands(spark, sfDir)))
   }
+
+  test("pageRank equals driver-side integer fixed-point iteration (sf0.001)") {
+    val spark = SparkSpec.spark
+    import DedupQueries.{PrScale, PrDampNum, PrDampDen, PrIters}
+    val ids = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    val pairs = DedupQueries.minHashJaccardPairs(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "test corpus must contain near-dup edges")
+    // driver-side replica: same integer floor-division algebra, so the
+    // distributed result must match EXACTLY (no tolerance)
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    val n = ids.length.toLong
+    val base = (PrScale * (PrDampDen - PrDampNum) / PrDampDen) / n
+    var pr = ids.map(_ -> PrScale / n).toMap
+    for (_ <- 1 to PrIters) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d) =>
+        in(d) += pr(s) * PrDampNum / (PrDampDen * deg(s))
+      }
+      pr = ids.map(i => i -> (base + in(i))).toMap
+    }
+    val got = DedupQueries.pageRank(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === pr)
+    // hubs outrank satellites: some node gained mass beyond teleport,
+    // and no node fell below the teleport floor
+    assert(got.values.max > base && got.values.min >= base)
+  }
 }
