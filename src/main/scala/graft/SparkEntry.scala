@@ -219,6 +219,9 @@ object SparkEntry {
     "q115_dedup_crosscheck"   -> ((s: SparkSession, d: String) => DedupQueries.dedupCrossCheck(s, d)),
     // round-9: integer fixed-point PageRank over the near-dup graph
     "q116_pagerank"           -> ((s: SparkSession, d: String) => DedupQueries.pageRank(s, d)),
+    // round-9: HLL-style register sketches (fixed-size mergeable distinct)
+    "q117_hll_distinct"       -> ((s: SparkSession, d: String) => graft.ops.Sketches.hllDistinct(s, d)),
+    "q118_hll_source_union"   -> ((s: SparkSession, d: String) => graft.ops.Sketches.hllSourceUnion(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -343,5 +346,7 @@ object SparkEntry {
     "q114_shard_manifest"     -> graft.text.CorpusOps.shardManifestSql,
     "q115_dedup_crosscheck"   -> DedupQueries.dedupCrossCheckSql,
     "q116_pagerank"           -> DedupQueries.pageRankSql,
+    "q117_hll_distinct"       -> graft.ops.Sketches.hllDistinctSql,
+    "q118_hll_source_union"   -> graft.ops.Sketches.hllSourceUnionSql,
   )
 }

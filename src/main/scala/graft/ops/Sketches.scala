@@ -283,4 +283,142 @@ object Sketches {
        |SELECT tok.lang, w, count(*) AS freq, n.n_lang
        |FROM tok JOIN n USING (lang) GROUP BY tok.lang, w, n.n_lang
        |HAVING count(*) * $MgK > n.n_lang""".stripMargin.replace("\n", " ")
+
+  // --------------------------------------- HLL-style register sketch
+
+  /** 2^[[HllP]] registers; the estimate's standard error is
+    * 1.04/√m ≈ 6.5% at m = 256. */
+  val HllP = 8
+  val HllM = 256
+  /** Bits left in the 53-bit hash after the register index — the rank
+    * window; ranks are 1..[[HllW]]+1. */
+  val HllW = 45
+  /** 2^50 — the fixed-point scale of the harmonic denominator. Each
+    * register contributes 2^50 >> rank (empty register: rank 0 →
+    * full 2^50), so the denominator Σ 2^(50−rank) is EXACT integer
+    * arithmetic in both engines: a power of two shifted right by at
+    * most [[HllW]]+1 < 50 bits never truncates. */
+  val HllScale = 1125899906842624L
+
+  /** q117 — DISTINCT-token cardinality per language via an HLL-style
+    * register sketch. KMV (q65) already answers "how many distinct"
+    * with a bottom-k; registers answer it with a FIXED 2^p-slot
+    * vector whose merge is elementwise max — the property that lets
+    * per-partition (or per-source, per-day, per-shard) sketches
+    * combine into any union WITHOUT re-touching raw tokens, which is
+    * how distinct counting actually runs at 100 TB (q118 exercises
+    * exactly that merge).
+    *
+    * The plan is two bounded hash aggregates: (lang, register)
+    * max-rank — map-side partial max caps the exchange at
+    * |langs|·[[HllM]] rows per task however many tokens scanned —
+    * then a |langs|-row rollup emitting integer cells only:
+    * registers used, Σ ranks, and the harmonic denominator in
+    * [[HllScale]] fixed point. The float estimate
+    * α·m²·2^50/denom_x2p50 is display-side (SketchesSpec computes it
+    * and checks it against the exact distinct count); nothing
+    * fractional crosses the engine compare. */
+  def hllDistinct(s: SparkSession, d: String): DataFrame = {
+    val h53 = udf { (w: String) => Hashing.md5Lower64(w) >>> 11 }
+    val regs = Tables.documents(s, d)
+      .select(col("lang"),
+        explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("w"))
+      .select(col("lang"), h53(col("w")).as("h"))
+      .select(col("lang"),
+        (col("h") % HllM).as("reg"),
+        shiftright(col("h"), HllP).as("v"))
+      .select(col("lang"), col("reg"),
+        when(col("v") === 0L, lit(HllW + 1))
+          .otherwise(lit(HllW + 1) - length(bin(col("v")))).as("rank"))
+      .groupBy("lang", "reg").agg(max("rank").as("mrank"))
+    regs.groupBy("lang").agg(
+      count(lit(1)).as("m_used"),
+      sum("mrank").as("sum_rank"),
+      (sum(expr(s"shiftright(${HllScale}L, cast(mrank AS INT))")) +
+        (lit(HllM) - count(lit(1))) * HllScale).as("denom_x2p50"))
+  }
+
+  val hllDistinctSql: String =
+    s"""WITH tok AS (SELECT lang, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w FROM documents),
+       |h AS (SELECT lang, md5_number_lower(w) >> 11 AS h53 FROM tok),
+       |rk AS (SELECT lang, h53 % $HllM AS reg,
+       |  CASE WHEN h53 >> $HllP = 0 THEN ${HllW + 1}
+       |       ELSE ${HllW + 1} - length(bin(h53 >> $HllP)) END AS rank FROM h),
+       |mr AS (SELECT lang, reg, max(rank) AS mrank FROM rk GROUP BY lang, reg)
+       |SELECT lang, count(*) AS m_used, CAST(sum(mrank) AS BIGINT) AS sum_rank,
+       |  CAST(sum($HllScale >> mrank) + ($HllM - count(*)) * $HllScale AS BIGINT) AS denom_x2p50
+       |FROM mr GROUP BY lang""".stripMargin.replace("\n", " ")
+
+  /** q118 — cross-SOURCE distinct-token overlap from merged register
+    * sketches: build ONE (source, register) max-rank table from the
+    * single token scan, then every source-pair's union denominator is
+    * an elementwise max over two 256-slot vectors — the raw corpus is
+    * never touched again, and |A∩B| ≈ E(A) + E(B) − E(A∪B) falls out
+    * by inclusion–exclusion driver-side. This is the sketch-merge
+    * pattern that replaces the quadratic "distinct tokens of A
+    * intersect B" joins at 100 TB: per-source sketches are a few KB,
+    * so even all-pairs over thousands of sources is a broadcast-size
+    * problem (here: |sources|·[[HllM]] = 5120 sketch rows feed 190
+    * pair rows).
+    *
+    * All emitted cells are integers of the q117 fixed-point algebra;
+    * empty registers take rank 0 through the grid left-join so both
+    * engines materialize the identical dense vectors. */
+  def hllSourceUnion(s: SparkSession, d: String): DataFrame = {
+    val h53 = udf { (w: String) => Hashing.md5Lower64(w) >>> 11 }
+    val regs = Tables.documents(s, d)
+      .select(col("source"),
+        explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("w"))
+      .select(col("source"), h53(col("w")).as("h"))
+      .select(col("source"),
+        (col("h") % HllM).as("reg"),
+        shiftright(col("h"), HllP).as("v"))
+      .select(col("source"), col("reg"),
+        when(col("v") === 0L, lit(HllW + 1))
+          .otherwise(lit(HllW + 1) - length(bin(col("v")))).as("rank"))
+      .groupBy("source", "reg").agg(max("rank").as("mrank"))
+      .localCheckpoint(true) // one token scan feeds every pair below
+    val srcs = regs.select("source").distinct()
+    val grid = srcs
+      .crossJoin(s.range(HllM).select(col("id").as("reg")))
+      .join(regs, Seq("source", "reg"), "left")
+      .select(col("source"), col("reg"),
+        coalesce(col("mrank"), lit(0L)).as("mrank"))
+    val a = grid.select(col("source").as("src_a"), col("reg"),
+      col("mrank").as("rank_a"))
+    val b = grid.select(col("source").as("src_b"), col("reg"),
+      col("mrank").as("rank_b"))
+    a.join(b, "reg").filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(
+        sum(when(col("rank_a") > 0, 1L).otherwise(0L)).as("m_used_a"),
+        sum(when(col("rank_b") > 0, 1L).otherwise(0L)).as("m_used_b"),
+        sum(when(greatest(col("rank_a"), col("rank_b")) > 0, 1L)
+          .otherwise(0L)).as("m_used_union"),
+        sum(expr(s"shiftright(${HllScale}L, cast(rank_a AS INT))")).as("denom_a_x2p50"),
+        sum(expr(s"shiftright(${HllScale}L, cast(rank_b AS INT))")).as("denom_b_x2p50"),
+        sum(expr(s"shiftright(${HllScale}L, cast(greatest(rank_a, rank_b) AS INT))"))
+          .as("denom_union_x2p50"))
+  }
+
+  val hllSourceUnionSql: String =
+    s"""WITH tok AS (SELECT source, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w FROM documents),
+       |h AS (SELECT source, md5_number_lower(w) >> 11 AS h53 FROM tok),
+       |rk AS (SELECT source, h53 % $HllM AS reg,
+       |  CASE WHEN h53 >> $HllP = 0 THEN ${HllW + 1}
+       |       ELSE ${HllW + 1} - length(bin(h53 >> $HllP)) END AS rank FROM h),
+       |mr AS (SELECT source, reg, max(rank) AS mrank FROM rk GROUP BY source, reg),
+       |grid AS (SELECT s.source, g.reg, coalesce(mr.mrank, 0) AS mrank
+       |  FROM (SELECT DISTINCT source FROM mr) s
+       |  CROSS JOIN (SELECT unnest(range($HllM)) AS reg) g
+       |  LEFT JOIN mr ON mr.source = s.source AND mr.reg = g.reg)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  CAST(sum(CASE WHEN a.mrank > 0 THEN 1 ELSE 0 END) AS BIGINT) AS m_used_a,
+       |  CAST(sum(CASE WHEN b.mrank > 0 THEN 1 ELSE 0 END) AS BIGINT) AS m_used_b,
+       |  CAST(sum(CASE WHEN greatest(a.mrank, b.mrank) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS m_used_union,
+       |  CAST(sum($HllScale >> a.mrank) AS BIGINT) AS denom_a_x2p50,
+       |  CAST(sum($HllScale >> b.mrank) AS BIGINT) AS denom_b_x2p50,
+       |  CAST(sum($HllScale >> greatest(a.mrank, b.mrank)) AS BIGINT) AS denom_union_x2p50
+       |FROM grid a JOIN grid b ON a.reg = b.reg AND a.source < b.source
+       |GROUP BY a.source, b.source""".stripMargin.replace("\n", " ")
 }

@@ -248,4 +248,13 @@ class PlanSpec extends AnyFunSuite {
         s"$q launched $jobs jobs (bound $bound) — lineage/recompute regression?")
     }
   }
+
+  test("q117 HLL: one token scan, registers max-merged map-side before the exchange") {
+    val p = plan("q117_hll_distinct")
+    // the whole point of a register sketch is that ONE corpus scan
+    // produces per-task partial vectors; a second scan or a
+    // partial-less exchange would ship raw token rows
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert(p.contains("partial_max"), p)
+  }
 }

@@ -118,4 +118,96 @@ class SketchesSpec extends AnyFunSuite {
     assert(got === expect)
     assert(got.forall(_._2 * Sketches.MgK > n))
   }
+
+  // driver-side replica of the q117/q118 register algebra
+  private def driverRegisters(tokens: Iterable[String]): Array[Long] = {
+    val regs = Array.fill(Sketches.HllM)(0L)
+    tokens.foreach { w =>
+      val h = graft.dedup.Hashing.md5Lower64(w) >>> 11
+      val reg = (h % Sketches.HllM).toInt
+      val v = h >>> Sketches.HllP
+      val rank =
+        if (v == 0L) Sketches.HllW + 1
+        else Sketches.HllW + 1 - v.toBinaryString.length
+      if (rank > regs(reg)) regs(reg) = rank.toLong
+    }
+    regs
+  }
+  private def denom(regs: Array[Long]): Long =
+    regs.map(r => Sketches.HllScale >> r.toInt).sum
+  /** Standard HLL estimate with the small-range correction, from the
+    * integer cells the queries emit — the display-side math the
+    * docstring promises. */
+  private def estimate(mUsed: Long, denomX2p50: Long): Double = {
+    val m = Sketches.HllM.toDouble
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val e = alpha * m * m * Sketches.HllScale / denomX2p50
+    val zeros = Sketches.HllM - mUsed
+    if (e < 2.5 * m && zeros > 0) m * math.log(m / zeros) else e
+  }
+
+  test("q117 register cells equal the driver-side replica exactly (sf0.001)") {
+    val spark = SparkSpec.spark
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    def toks(t: String): Seq[String] =
+      "[a-z0-9]+".r.findAllIn(t).toSeq
+    val expect = docs.groupBy(_._1).map { case (lang, ds) =>
+      val regs = driverRegisters(ds.flatMap(d => toks(d._2)))
+      lang -> (regs.count(_ > 0).toLong, regs.sum, denom(regs))
+    }
+    val got = Sketches.hllDistinct(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expect)
+  }
+
+  test("q117 estimate lands within 3 standard errors of exact distinct") {
+    val spark = SparkSpec.spark
+    import org.apache.spark.sql.functions._
+    val exact = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("w"))
+      .groupBy("lang").agg(countDistinct("w").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Sketches.hllDistinct(spark, sfDir).collect()
+    assert(rows.length === exact.size)
+    rows.foreach { r =>
+      val (lang, mUsed, dn) = (r.getString(0), r.getLong(1), r.getLong(3))
+      val est = estimate(mUsed, dn)
+      val tol = 3 * 1.04 / math.sqrt(Sketches.HllM.toDouble)
+      assert(math.abs(est - exact(lang)) <= tol * exact(lang),
+        s"lang=$lang est=$est exact=${exact(lang)}")
+    }
+  }
+
+  test("q118 union denominators equal a sketch built on the union corpus") {
+    val spark = SparkSpec.spark
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    def toks(t: String): Seq[String] = "[a-z0-9]+".r.findAllIn(t).toSeq
+    val bySrc = docs.groupBy(_._1)
+      .map { case (s, ds) => s -> driverRegisters(ds.flatMap(d => toks(d._2))) }
+    val rows = Sketches.hllSourceUnion(spark, sfDir).collect()
+    val srcs = bySrc.keys.toSeq.sorted
+    assert(rows.length === srcs.size * (srcs.size - 1) / 2)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      // merge = elementwise max — identical to sketching A∪B's tokens
+      // directly, which is the property the whole design rests on
+      val merged = bySrc(a).zip(bySrc(b)).map { case (x, y) => math.max(x, y) }
+      val direct = driverRegisters(
+        docs.filter(d => d._1 == a || d._1 == b).flatMap(d => toks(d._2)))
+      assert(merged.toSeq === direct.toSeq, s"merge != direct for ($a,$b)")
+      assert(r.getLong(2) === bySrc(a).count(_ > 0).toLong)
+      assert(r.getLong(3) === bySrc(b).count(_ > 0).toLong)
+      assert(r.getLong(4) === merged.count(_ > 0).toLong)
+      assert(r.getLong(5) === denom(bySrc(a)))
+      assert(r.getLong(6) === denom(bySrc(b)))
+      assert(r.getLong(7) === denom(merged))
+    }
+  }
 }
