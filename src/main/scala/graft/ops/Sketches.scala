@@ -318,18 +318,25 @@ object Sketches {
     * α·m²·2^50/denom_x2p50 is display-side (SketchesSpec computes it
     * and checks it against the exact distinct count); nothing
     * fractional crosses the engine compare. */
-  def hllDistinct(s: SparkSession, d: String): DataFrame = {
+  /** (key, reg, rank) token-register rows from a (key, text) frame —
+    * the shared front half of q117/q118 and the streaming twin, so
+    * every consumer hashes and ranks identically. */
+  def tokenRegisters(docs: DataFrame, key: String): DataFrame = {
     val h53 = udf { (w: String) => Hashing.md5Lower64(w) >>> 11 }
-    val regs = Tables.documents(s, d)
-      .select(col("lang"),
+    docs
+      .select(col(key),
         explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("w"))
-      .select(col("lang"), h53(col("w")).as("h"))
-      .select(col("lang"),
+      .select(col(key), h53(col("w")).as("h"))
+      .select(col(key),
         (col("h") % HllM).as("reg"),
         shiftright(col("h"), HllP).as("v"))
-      .select(col("lang"), col("reg"),
+      .select(col(key), col("reg"),
         when(col("v") === 0L, lit(HllW + 1))
           .otherwise(lit(HllW + 1) - length(bin(col("v")))).as("rank"))
+  }
+
+  def hllDistinct(s: SparkSession, d: String): DataFrame = {
+    val regs = tokenRegisters(Tables.documents(s, d), "lang")
       .groupBy("lang", "reg").agg(max("rank").as("mrank"))
     regs.groupBy("lang").agg(
       count(lit(1)).as("m_used"),
@@ -365,17 +372,7 @@ object Sketches {
     * empty registers take rank 0 through the grid left-join so both
     * engines materialize the identical dense vectors. */
   def hllSourceUnion(s: SparkSession, d: String): DataFrame = {
-    val h53 = udf { (w: String) => Hashing.md5Lower64(w) >>> 11 }
-    val regs = Tables.documents(s, d)
-      .select(col("source"),
-        explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("w"))
-      .select(col("source"), h53(col("w")).as("h"))
-      .select(col("source"),
-        (col("h") % HllM).as("reg"),
-        shiftright(col("h"), HllP).as("v"))
-      .select(col("source"), col("reg"),
-        when(col("v") === 0L, lit(HllW + 1))
-          .otherwise(lit(HllW + 1) - length(bin(col("v")))).as("rank"))
+    val regs = tokenRegisters(Tables.documents(s, d), "source")
       .groupBy("source", "reg").agg(max("rank").as("mrank"))
       .localCheckpoint(true) // one token scan feeds every pair below
     val srcs = regs.select("source").distinct()

@@ -467,6 +467,24 @@ object StreamingFraud {
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
 
+  /** Streaming twin of q117 — distinct-token registers as a STATEFUL
+    * aggregation: each micro-batch's tokens max-fold into the running
+    * (lang, register) table, Update mode emits the touched cells. This
+    * is the one streaming distinct counter whose state CANNOT grow
+    * with the data: |langs|·2^8 max cells forever, no watermark, no
+    * timeout — registers only ratchet upward, so late or replayed data
+    * is harmless (max is idempotent), where the KMV twin
+    * ([[distinctUsersStream]]) holds k values per window and exact
+    * distinct state would hold the vocabulary. Register/rank columns
+    * are [[graft.ops.Sketches.tokenRegisters]] — the SAME expressions
+    * the batch q117 folds, so the stream converges to the batch
+    * register table exactly (StreamingFraudSpec); fold to the q117
+    * rollup (m_used, Σrank, harmonic denominator) downstream. Input
+    * schema: (text, lang). */
+  def hllRegistersStream(docs: DataFrame): DataFrame =
+    graft.ops.Sketches.tokenRegisters(docs, "lang")
+      .groupBy("lang", "reg").agg(max("rank").as("mrank"))
+
   /** Current best copy of one content group (q103's policy on a
     * stream): longest text wins, smaller doc_id breaks ties. */
   final case class BestDoc(fp: String, doc_id: Long, n_chars: Long, n_seen: Long)

@@ -332,6 +332,44 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming HLL registers: two micro-batches converge to the batch register table") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("text", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val input = MemoryStream[(String, String)]
+    val stream = input.toDF().toDF("text", "lang")
+    val query = StreamingFraud.hllRegistersStream(stream)
+      .writeStream.format("memory").queryName("hllregs")
+      .outputMode("update").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      // batch ground truth: the SAME register pipeline over the full
+      // corpus — max-only state means the stream must land on it exactly
+      val expect = graft.ops.Sketches
+        .tokenRegisters(graft.ops.Tables.documents(spark, sfDir), "lang")
+        .groupBy("lang", "reg")
+        .agg(org.apache.spark.sql.functions.max("rank").as("mrank"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+      // Update mode re-emits a cell on every ratchet: keep the MAX per
+      // (lang, reg) — the register's final value
+      val got = spark.sql("select lang, reg, mrank from hllregs")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).max }
+      assert(got === expect,
+        "streaming registers must converge to the batch sketch")
+    } finally query.stop()
+  }
+
   test("streaming keep-best dedup runs on the RocksDB state store (production posture)") {
     val spark = SparkSpec.spark
     import spark.implicits._
