@@ -222,6 +222,8 @@ object SparkEntry {
     // round-9: HLL-style register sketches (fixed-size mergeable distinct)
     "q117_hll_distinct"       -> ((s: SparkSession, d: String) => graft.ops.Sketches.hllDistinct(s, d)),
     "q118_hll_source_union"   -> ((s: SparkSession, d: String) => graft.ops.Sketches.hllSourceUnion(s, d)),
+    // round-9: DSIR-shaped importance scoring (integer fixed-point ratios)
+    "q119_importance_score"   -> (graft.text.CorpusOps.importanceScore _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -348,5 +350,6 @@ object SparkEntry {
     "q116_pagerank"           -> DedupQueries.pageRankSql,
     "q117_hll_distinct"       -> graft.ops.Sketches.hllDistinctSql,
     "q118_hll_source_union"   -> graft.ops.Sketches.hllSourceUnionSql,
+    "q119_importance_score"   -> graft.text.CorpusOps.importanceScoreSql,
   )
 }

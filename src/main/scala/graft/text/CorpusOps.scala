@@ -825,4 +825,81 @@ object CorpusOps {
        |  FROM documents)
        |SELECT r.doc_id, r.lang, r.skey
        |FROM r JOIN k USING (lang) WHERE r.rnk <= k.k""".stripMargin.replace("\n", " ")
+
+  // --------------------------------------------- importance weighting
+
+  /** Hashed-bigram feature space of the importance scorer. */
+  val ImpBuckets = 4096L
+  /** The target domain the scorer measures affinity to. */
+  val ImpTargetLang = "en"
+  /** 2^20 — fixed-point scale of the per-bucket ratio terms. */
+  val ImpScale = 1048576L
+
+  /** q119 — IMPORTANCE scoring for data selection, the DSIR shape
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): hash every document's word bigrams into
+    * [[ImpBuckets]] buckets, estimate the target-domain and raw-corpus
+    * bucket distributions, and score each document by how much its
+    * buckets look like the target. Here the target sample is the
+    * `lang = '[[ImpTargetLang]]'` slice; production points it at any
+    * curated exemplar set.
+    *
+    * DELIBERATE deviation from the paper, under the FLOAT RULE: DSIR
+    * sums log-likelihood ratios; cross-engine `ln` is not correctly
+    * rounded, so this scorer sums INTEGER fixed-point ratio terms
+    * instead — per bucket, ((ct+1)·2^20) div (cr+1), add-1 smoothed —
+    * which is monotone in the same per-bucket evidence and exactly
+    * reproducible in both engines (ranking differs from log-DSIR where
+    * a doc trades many weak buckets against one strong one; the
+    * docstring states it so the trade is a choice, not a surprise).
+    * Selection-by-quota over the score composes with the q77 grouped
+    * threshold exactly as the mixtures do.
+    *
+    * Scale shape: BOTH distributions come from ONE bigram-stream
+    * aggregate (count(*) and a conditional count in the same grouped
+    * pass — no second corpus scan for the target slice), bounded at
+    * [[ImpBuckets]] rows and broadcast back onto the bigram stream;
+    * scoring is a per-doc hash aggregate. Two corpus scans total,
+    * nothing driver-side, no window. */
+  def importanceScore(s: SparkSession, d: String): DataFrame = {
+    val h = udf { (g: String) =>
+      (graft.dedup.Hashing.md5Lower64(g) >>> 11) % ImpBuckets
+    }
+    val docs = Tables.documents(s, d)
+    val bk = docs
+      .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "zip_with(slice(toks, 1, greatest(size(toks)-1, 0)), " +
+          "slice(toks, 2, greatest(size(toks)-1, 0)), (a, b) -> concat(a, ' ', b))"))
+        .as("g"))
+      .select(col("doc_id"), col("lang"), h(col("g")).as("b"))
+    val cnt = bk.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === ImpTargetLang, 1L).otherwise(0L)).as("ct"))
+    val sc = bk.join(broadcast(cnt), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr(s"((ct + 1) * $ImpScale) div (cr + 1)")).as("score"))
+    docs.select("doc_id", "lang")
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score"), lit(0L)).as("score_x2p20"))
+  }
+
+  val importanceScoreSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+       |bg AS (SELECT doc_id, lang,
+       |  unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS p FROM t),
+       |bk AS (SELECT doc_id, lang,
+       |  (md5_number_lower(p[1] || ' ' || p[2]) >> 11) % $ImpBuckets AS b FROM bg),
+       |cnt AS (SELECT b, count(*) AS cr,
+       |  sum(CASE WHEN lang = '$ImpTargetLang' THEN 1 ELSE 0 END) AS ct
+       |  FROM bk GROUP BY b),
+       |sc AS (SELECT bk.doc_id, count(*) AS n_bigrams,
+       |  sum(((cnt.ct + 1) * $ImpScale) // (cnt.cr + 1)) AS score
+       |  FROM bk JOIN cnt USING (b) GROUP BY bk.doc_id)
+       |SELECT d.doc_id, d.lang, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(coalesce(sc.score, 0) AS BIGINT) AS score_x2p20
+       |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin.replace("\n", " ")
 }

@@ -201,4 +201,44 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
     assert(got === expect)
   }
+
+  test("q119 importance scores equal a driver-side replica exactly (sf0.001)") {
+    val spark = SparkSpec.spark
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bigrams(t: String): Seq[String] = {
+      val toks = "[a-z0-9]+".r.findAllIn(t).toSeq
+      toks.zip(toks.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    def bucket(g: String): Long =
+      (graft.dedup.Hashing.md5Lower64(g) >>> 11) % CorpusOps.ImpBuckets
+    val all = docs.flatMap { case (id, lang, t) =>
+      bigrams(t).map(g => (id, lang, bucket(g)))
+    }
+    val cr = all.groupBy(_._3).map { case (b, xs) => b -> xs.length.toLong }
+    val ct = all.filter(_._2 == CorpusOps.ImpTargetLang)
+      .groupBy(_._3).map { case (b, xs) => b -> xs.length.toLong }
+    val expect = docs.map { case (id, lang, t) =>
+      val bs = bigrams(t).map(bucket)
+      val score = bs.map { b =>
+        ((ct.getOrElse(b, 0L) + 1) * CorpusOps.ImpScale) / (cr(b) + 1)
+      }.sum
+      id -> ((lang, bs.length.toLong, score))
+    }.toMap
+    val got = CorpusOps.importanceScore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expect)
+    // the scorer's purpose: target-domain docs rank above the rest on
+    // the per-bigram mean (sum/n normalizes away length)
+    val mean = (p: ((String, Long, Long)) => Boolean) => {
+      val xs = got.values.filter(v => p(v) && v._2 > 0)
+      xs.map(v => v._3.toDouble / v._2).sum / xs.size
+    }
+    val en = mean(v => v._1 == CorpusOps.ImpTargetLang)
+    val rest = mean(v => v._1 != CorpusOps.ImpTargetLang)
+    assert(en > rest,
+      s"target-domain mean $en must exceed off-domain mean $rest")
+  }
 }
