@@ -224,6 +224,7 @@ object SparkEntry {
     "q118_hll_source_union"   -> ((s: SparkSession, d: String) => graft.ops.Sketches.hllSourceUnion(s, d)),
     // round-9: DSIR-shaped importance scoring (integer fixed-point ratios)
     "q119_importance_score"   -> (graft.text.CorpusOps.importanceScore _),
+    "q120_dsir_select"        -> (graft.text.CorpusOps.dsirSelect _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -351,5 +352,6 @@ object SparkEntry {
     "q117_hll_distinct"       -> graft.ops.Sketches.hllDistinctSql,
     "q118_hll_source_union"   -> graft.ops.Sketches.hllSourceUnionSql,
     "q119_importance_score"   -> graft.text.CorpusOps.importanceScoreSql,
+    "q120_dsir_select"        -> graft.text.CorpusOps.dsirSelectSql,
   )
 }

@@ -902,4 +902,37 @@ object CorpusOps {
        |SELECT d.doc_id, d.lang, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        |  CAST(coalesce(sc.score, 0) AS BIGINT) AS score_x2p20
        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin.replace("\n", " ")
+
+  /** Per-language keep count of the q120 selection. */
+  val DsirSelectK = 25
+
+  /** q120 — the DSIR SELECTION step: keep each language's
+    * [[DsirSelectK]] most target-like documents by q119 score (score
+    * desc, doc_id tiebreak — the deterministic stand-in for the
+    * paper's Gumbel-noise resampling, which the FLOAT RULE and
+    * snapshot reproducibility both argue against). The rank is the
+    * bounded [[graft.ops.TopKAggregator.TopKByScore]] buffer — ≤ k
+    * rows per language per task, map-side reduced, no per-language
+    * sort of the scored corpus anywhere (the q60/q73/q20 discipline;
+    * scores are < 2^53 so the buffer's double slot carries the BIGINT
+    * exactly). Composes q119's two corpus scans with one bounded
+    * aggregate — the full select-for-training pipeline in one lazy
+    * plan. */
+  def dsirSelect(s: SparkSession, d: String): DataFrame =
+    importanceScore(s, d)
+      .groupBy("lang")
+      .agg(graft.ops.TopKAggregator.topKByScore(DsirSelectK)(
+        col("score_x2p20").cast("double"), col("doc_id"),
+        col("score_x2p20").cast("double"), lit(0)).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("rk", "e")))
+      .select(col("lang"), (col("rk") + 1).as("rank"),
+        col("e._2").as("doc_id"), col("e._3").cast("long").as("score_x2p20"))
+
+  val dsirSelectSql: String =
+    s"""WITH imp AS ($importanceScoreSql),
+       |r AS (SELECT lang, doc_id, score_x2p20,
+       |  row_number() OVER (PARTITION BY lang
+       |    ORDER BY score_x2p20 DESC, doc_id) AS rnk FROM imp)
+       |SELECT lang, CAST(rnk AS INT) AS rank, doc_id, score_x2p20
+       |FROM r WHERE rnk <= $DsirSelectK""".stripMargin.replace("\n", " ")
 }

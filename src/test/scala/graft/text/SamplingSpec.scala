@@ -241,4 +241,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(en > rest,
       s"target-domain mean $en must exceed off-domain mean $rest")
   }
+
+  test("q120 selection equals the rank-window formulation, with no window in the plan") {
+    val spark = SparkSpec.spark
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score_x2p20").desc, col("doc_id"))
+    val expect = CorpusOps.importanceScore(spark, sfDir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= CorpusOps.DsirSelectK)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("score_x2p20"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val got = CorpusOps.dsirSelect(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expect)
+    val plan = CorpusOps.dsirSelect(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
 }
