@@ -225,6 +225,8 @@ object SparkEntry {
     // round-9: DSIR-shaped importance scoring (integer fixed-point ratios)
     "q119_importance_score"   -> (graft.text.CorpusOps.importanceScore _),
     "q120_dsir_select"        -> (graft.text.CorpusOps.dsirSelect _),
+    // round-9: degree-oriented triangle counting on the near-dup graph
+    "q121_triangles"          -> ((s: SparkSession, d: String) => DedupQueries.triangleCounts(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -353,5 +355,6 @@ object SparkEntry {
     "q118_hll_source_union"   -> graft.ops.Sketches.hllSourceUnionSql,
     "q119_importance_score"   -> graft.text.CorpusOps.importanceScoreSql,
     "q120_dsir_select"        -> graft.text.CorpusOps.dsirSelectSql,
+    "q121_triangles"          -> DedupQueries.triangleCountsSql,
   )
 }

@@ -832,6 +832,85 @@ object DedupQueries {
       .stripMargin.replace("\n", " ")
   }
 
+  /** q121 — TRIANGLE counts over the near-dup graph: the third graph
+    * signal next to CC (q45/q64, "which docs form one cluster") and
+    * PageRank (q116, "which doc is the hub") — triangles measure how
+    * COHESIVE a neighborhood is. A template farm shows as a dense
+    * near-clique (every variant near-dups every other → many
+    * triangles); a chain of pairwise-similar revisions shows none —
+    * the signal that separates "one document, many copies" from
+    * "drifting lineage" when choosing how aggressively to collapse a
+    * cluster.
+    *
+    * Algorithm is compact-forward with DEGREE-ORDERED orientation
+    * (Latapy 2008; the standard distributed-triangle trick): orient
+    * every edge toward the higher (degree, id) endpoint and count each
+    * triangle at its lowest-ordered vertex. The wedge join then fans
+    * out per vertex over OUT-degree in the orientation, which the
+    * degree order caps at O(√m) — a hub of degree h contributes
+    * O(h) wedges instead of O(h²), so the skew a template farm would
+    * inject into a naive id-ordered wedge join is structurally
+    * bounded (Σ wedges ≤ O(m^1.5) on any graph). The oracle counts
+    * the same triangles with the naive a<b<c three-way join — output
+    * (per-doc participation) is orientation-invariant, so the scale
+    * algorithm and the readable formulation share one answer.
+    *
+    * Scale shape: the edge table is the banding output (near-dup
+    * volume, never corpus²), localCheckpoint'ed once and reused by
+    * the degree build, both wedge sides, and the closing probe. */
+  def triangleCounts(s: SparkSession, d: String): DataFrame =
+    triangleCountsFromPairs(
+      minHashJaccardPairs(s, d).select("doc_a", "doc_b")
+        .localCheckpoint(true)) // band+verify runs once, feeds all four uses
+
+  /** [[triangleCounts]] over an explicit (doc_a, doc_b) edge frame —
+    * the unit the spec runs on planted cliques/chains/stars, where the
+    * test corpus's near-dup graph is too sparse to exercise the wedge
+    * join. */
+  def triangleCountsFromPairs(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("doc_a").as("v"))
+      .union(pairs.select(col("doc_b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orient each edge toward the higher (deg, id) endpoint
+    val e = pairs
+      .join(deg.select(col("v").as("doc_a"), col("deg").as("da")), "doc_a")
+      .join(deg.select(col("v").as("doc_b"), col("deg").as("db")), "doc_b")
+      .select(
+        when(struct(col("da"), col("doc_a")) < struct(col("db"), col("doc_b")),
+          struct(col("doc_a").as("src"), col("doc_b").as("dst")))
+          .otherwise(struct(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .as("e"),
+        when(struct(col("da"), col("doc_a")) < struct(col("db"), col("doc_b")),
+          struct(col("da").as("ds"), col("db").as("dd")))
+          .otherwise(struct(col("db").as("ds"), col("da").as("dd")))
+          .as("o"))
+      .select(col("e.src"), col("e.dst"), col("o.ds"), col("o.dd"))
+    // wedges at the lowest-ordered vertex: two out-edges of u, the
+    // (deg, id)-smaller head first so the closing edge is oriented
+    val w1 = e.select(col("src").as("u"), col("dst").as("v"),
+      col("dd").as("dv"))
+    val w2 = e.select(col("src").as("u"), col("dst").as("w"),
+      col("dd").as("dw"))
+    val wedges = w1.join(w2, "u")
+      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+    val tris = wedges.join(
+      e.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val triangleCountsSql: String =
+    s"""WITH prs AS ($minHashJaccardPairsSql),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM prs),
+       |tri AS (SELECT e1.a, e1.b, e2.b AS c
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |m AS (SELECT a AS doc_id FROM tri
+       |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+       |SELECT doc_id, count(*) AS n_triangles
+       |FROM m GROUP BY doc_id""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------- incremental dedup
 
   val IncBatchMod = 5

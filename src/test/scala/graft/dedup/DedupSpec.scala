@@ -391,4 +391,43 @@ class DedupSpec extends AnyFunSuite {
     // and no node fell below the teleport floor
     assert(got.values.max > base && got.values.min >= base)
   }
+
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val vs = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tris = for {
+      a <- vs; b <- vs if a < b && es((a, b))
+      c <- vs if b < c && es((b, c)) && es((a, c))
+    } yield Seq(a, b, c)
+    tris.flatten.groupBy(identity).map { case (v, xs) => v -> xs.length.toLong }
+  }
+
+  test("triangle counts on planted clique/chain/star equal brute force") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    // K5 on 1..5 (each vertex in C(4,2)=6 triangles), a 3-chain 10-11-12
+    // (none), a 4-star around 20 (none), one wedge-closing edge 10-12
+    // (one triangle) — exercises hubs, tails, and the closing probe
+    val edges: Seq[(Long, Long)] =
+      (for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)) ++
+        Seq((10L, 11L), (11L, 12L), (10L, 12L),
+          (20L, 21L), (20L, 22L), (20L, 23L), (20L, 24L))
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val got = DedupQueries.triangleCountsFromPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === bruteTriangles(edges))
+    assert(got(1L) === 6L && got(10L) === 1L && !got.contains(20L))
+  }
+
+  test("q121 equals brute force over the emitted near-dup pairs (sf0.001 + sf0.01)") {
+    val spark = SparkSpec.spark
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val pairs = DedupQueries.minHashJaccardPairs(spark, dir)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val got = DedupQueries.triangleCounts(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === bruteTriangles(pairs), s"dir=$dir")
+    }
+  }
 }
