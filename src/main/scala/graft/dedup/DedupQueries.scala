@@ -791,15 +791,18 @@ object DedupQueries {
     val pairs = minHashJaccardPairs(s, d).select("doc_a", "doc_b")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true) // band+verify runs once, not once per round
+    // degree rides each edge row, joined ONCE before the loop — the
+    // first job-count pin caught deg (an aggregate over the edge set)
+    // and the edge⋈deg join being re-run inside every round
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "src")
+      .localCheckpoint(true) // band+verify runs once, not once per round
     val n = docs.count()
     val base = (PrScale * (PrDampDen - PrDampNum) / PrDampDen) / n
     var pr = docs.select(col("doc_id"), lit(PrScale / n).as("pr"))
     for (_ <- 1 to PrIters) {
-      val contrib = edges
+      val contrib = edgesDeg
         .join(pr.withColumnRenamed("doc_id", "src"), "src")
-        .join(deg, "src")
         .select(col("dst"),
           expr(s"pr * $PrDampNum div ($PrDampDen * deg)").as("c"))
         .groupBy("dst").agg(sum("c").as("in_mass"))

@@ -107,6 +107,46 @@ object VariantBench {
         (col("rk") + 1).as("rank"), round(col("e._3"), 4).as("cos"))
   }
 
+  /** Planted skew graph for the q121 orientation A/B: one hub of
+    * degree `hubDeg` with the LOWEST id (the id-orientation's worst
+    * case — every star edge points out of the hub, so the naive wedge
+    * join enumerates C(hubDeg, 2) pairs), plus `nCliques` disjoint
+    * 6-cliques so the triangle-bearing part of the work is identical
+    * in both variants. */
+  def hubGraph(s: SparkSession, hubDeg: Int, nCliques: Int): DataFrame = {
+    import s.implicits._
+    val star = (1 to hubDeg).map(i => (0L, i.toLong))
+    val cliques = (0 until nCliques).flatMap { c =>
+      val base = 1000000L + c * 6
+      for (a <- 0 until 6; b <- (a + 1) until 6)
+        yield (base + a, base + b)
+    }
+    (star ++ cliques).toDF("doc_a", "doc_b").repartition(32)
+  }
+
+  /** The naive id-oriented wedge join q121 deliberately avoids: edges
+    * stay a<b, wedges enumerate at the lowest ID — a low-id hub
+    * contributes C(deg, 2) wedge rows. Same output as
+    * [[graft.dedup.DedupQueries.triangleCountsFromPairs]]. */
+  def triIdOriented(pairs: DataFrame): DataFrame = {
+    val w1 = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val w2 = pairs.select(col("doc_a").as("u"), col("doc_b").as("w"))
+    val wedges = w1.join(w2, "u").filter(col("v") < col("w"))
+    wedges
+      .join(pairs.select(col("doc_a").as("v"), col("doc_b").as("w")),
+        Seq("v", "w"))
+      .select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Exact per-language distinct tokens — the shape q117's register
+    * sketch replaces: the distinct shuffles every (lang, token) pair. */
+  def exactDistinctTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("w"))
+      .groupBy("lang").agg(countDistinct("w").as("n"))
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ivf_window"        -> ((s, d) => SimilarityQueries.ivfTopK(s, d)),
     "ivf_struct_max"    -> ((s, d) => ivfStructMaxFrom(emb(s, d))),
@@ -116,6 +156,11 @@ object VariantBench {
     "topk_agg"          -> ((s, d) => topKAggFrom(emb(s, d))),
     "topk_window_3x"    -> ((s, d) => topKWindowFrom(inflatedEmb(s, d, 3))),
     "topk_agg_3x"       -> ((s, d) => topKAggFrom(inflatedEmb(s, d, 3))),
+    "tri_id_hub"        -> ((s, _) => triIdOriented(hubGraph(s, 5000, 200))),
+    "tri_degree_hub"    -> ((s, _) =>
+      graft.dedup.DedupQueries.triangleCountsFromPairs(hubGraph(s, 5000, 200))),
+    "hll_registers"     -> ((s, d) => graft.ops.Sketches.hllDistinct(s, d)),
+    "exact_distinct"    -> ((s, d) => exactDistinctTokens(s, d)),
   )
 
   def main(args: Array[String]): Unit = {

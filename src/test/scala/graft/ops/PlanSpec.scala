@@ -257,4 +257,20 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size === 1, p)
     assert(p.contains("partial_max"), p)
   }
+
+  test("q116 PageRank job count stays O(rounds) — lineage truncated per round") {
+    val spark = SparkSpec.spark
+    val jobs = countJobs {
+      graft.SparkEntry.queries("q116_pagerank")(spark, sfDir).collect()
+    }
+    info(s"q116 jobs: $jobs")
+    // measured 32: ~2/3 is the band+verify frontend feeding the edge
+    // checkpoint (the same frontend under q45's 30-job bound); the
+    // loop itself is ~3 jobs/round (AQE stages of the eager
+    // checkpoint). Un-truncated lineage or a deg/join recompute inside
+    // the loop (the shape this pin caught at 36 before the edgesDeg
+    // hoist) grows the count with PrIters² — pin just above measured
+    assert(jobs <= 34,
+      s"q116 launched $jobs jobs — per-round checkpoint regression?")
+  }
 }
