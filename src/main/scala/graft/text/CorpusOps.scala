@@ -669,7 +669,7 @@ object CorpusOps {
        |SELECT CASE WHEN bucket < $TrainBuckets THEN 'train'
        |  WHEN bucket < ${TrainBuckets + ValBuckets} THEN 'val'
        |  ELSE 'test' END AS split, lang,
-       |  count(*) AS n_docs, sum(n_tok) AS tokens,
+       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
        |  CAST((sum(n_tok) * 10000 + count(*) // 2) // count(*) AS BIGINT) AS avg_tok_x10k
        |FROM b GROUP BY 1, 2""".stripMargin.replace("\n", " ")
 
