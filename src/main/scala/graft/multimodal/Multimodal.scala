@@ -336,8 +336,17 @@ object Multimodal {
         val po = i + 8
         val usPerFrame  = le32(b, po)
         val totalFrames = le32(b, po + 16)
+        // header fields are attacker-controlled u32s: a Long×Long
+        // product of two near-2^32 values overflows into a garbage
+        // (possibly negative) duration instead of the documented
+        // reject-foreign-bytes None. Duration math runs in Double
+        // (exact enough for a probe, cannot overflow) and implausible
+        // headers — zero/over-a-minute frame interval or an
+        // over-2^31 frame count — are rejected outright.
+        if (usPerFrame <= 0 || usPerFrame > 60_000_000L ||
+            totalFrames < 0 || totalFrames > Int.MaxValue) return None
         return Some(VideoMeta("avi",
-          totalFrames * usPerFrame / 1e6,
+          totalFrames.toDouble * usPerFrame.toDouble / 1e6,
           le32(b, po + 32).toInt, le32(b, po + 36).toInt,
           le32(b, po + 24).toInt))
       }

@@ -22,12 +22,25 @@ import org.apache.spark.sql.functions._
   */
 object TopKAggregator {
 
+  /** Total order over double sort keys, matching Spark's SQL ordering
+    * (`SQLOrderingUtil.compareDoubles`): `-0.0 == 0.0`, and NaN sorts
+    * as the LARGEST double. The naive `a > b || a == b` pair is NOT a
+    * total order when NaN appears (both comparisons are false), which
+    * made insertion position arrival-order-dependent — a zero-norm
+    * embedding's NaN cosine would silently de-determinize the q20
+    * family. With this compare the buffers reproduce the replaced
+    * `row_number` window's ordering for every double, NaN included. */
+  private def cmpScore(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
   type Entry = (Double, Long) // (score, id)
 
   /** Insert `e` into `buf` (desc by score, asc by id), keep ≤ k. */
   private def insert(buf: List[Entry], e: Entry, k: Int): List[Entry] = {
-    def lt(a: Entry, b: Entry): Boolean = // a ranks before b
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    def lt(a: Entry, b: Entry): Boolean = { // a ranks before b
+      val c = cmpScore(a._1, b._1)
+      c > 0 || (c == 0 && a._2 < b._2)
+    }
     val (head, tail) = buf.span(x => lt(x, e))
     val merged = head ::: e :: tail
     if (merged.length > k) merged.take(k) else merged
@@ -90,8 +103,10 @@ object TopKAggregator {
     * position. Memory O(k) per group per task, no sort, no window. */
   final class MinKBy(k: Int)
       extends Aggregator[KeyedEntry, List[KeyedEntry], Seq[KeyedEntry]] {
-    private def lt(a: KeyedEntry, b: KeyedEntry): Boolean =
-      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def lt(a: KeyedEntry, b: KeyedEntry): Boolean = {
+      val c = cmpScore(a._1, b._1)
+      c < 0 || (c == 0 && a._2 < b._2)
+    }
     private def insert(buf: List[KeyedEntry], e: KeyedEntry): List[KeyedEntry] = {
       val (head, tail) = buf.span(x => lt(x, e))
       val merged = head ::: e :: tail
@@ -159,8 +174,10 @@ object TopKAggregator {
     * any small int riding to the output (q104's neighbor label). */
   final class TopKByScore(k: Int)
       extends Aggregator[ScoredEntry, List[ScoredEntry], Seq[ScoredEntry]] {
-    private def lt(a: ScoredEntry, b: ScoredEntry): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def lt(a: ScoredEntry, b: ScoredEntry): Boolean = {
+      val c = cmpScore(a._1, b._1)
+      c > 0 || (c == 0 && a._2 < b._2)
+    }
     private def insert(buf: List[ScoredEntry], e: ScoredEntry): List[ScoredEntry] = {
       val (head, tail) = buf.span(x => lt(x, e))
       val merged = head ::: e :: tail

@@ -99,11 +99,18 @@ object CorpusOps {
   }
 
   /** q114 — SHARD MANIFEST over the packed layout: per (lang, shard),
-    * the document count, token count, id range, and a `full` flag —
-    * defined as "a later shard exists for this language", since a
+    * the document count, token count, id range, and a `has_successor`
+    * flag — literally "a later shard exists for this language". It is
+    * the honest name for what the predicate computes (ADVICE r9): a
+    * final shard landing EXACTLY on the PackBudget boundary is full in
+    * the byte sense but has no successor, so a `full` column defined
+    * this way would misstate that edge for the manifest's ops-diff
+    * use. Loaders that need byte-fullness should compare `n_tokens`
+    * against the budget; `has_successor` answers the question the
+    * diff actually asks — "is this the shard still being appended
+    * to?". Only each language's last shard can be short, because a
     * document straddling the budget boundary carries its remaining
-    * tokens forward and only each language's LAST shard can be
-    * short. This is the artifact a training data
+    * tokens forward. This is the artifact a training data
     * loader actually indexes — it reads manifests, not directories —
     * and the first thing an ops check diffs between two corpus builds.
     * One bounded aggregate over q55's window output; the manifest is
@@ -121,9 +128,11 @@ object CorpusOps {
     m.join(broadcast(maxShard), "lang")
       .select(col("lang"), col("shard"), col("n_docs"), col("n_tokens"),
         col("first_doc"), col("last_doc"),
-        (col("shard") < col("max_shard")).as("full"))
+        (col("shard") < col("max_shard")).as("has_successor"))
   }
 
+  // `has_successor`, not `full`: a boundary-exact final shard would be
+  // byte-full yet flagged false — see the scaladoc above.
   val shardManifestSql: String =
     s"""WITH p AS ($sequencePackSql),
        |m AS (SELECT lang, shard, count(*) AS n_docs,
@@ -132,7 +141,7 @@ object CorpusOps {
        |  FROM p GROUP BY lang, shard),
        |mx AS (SELECT lang, max(shard) AS max_shard FROM m GROUP BY lang)
        |SELECT m.lang, m.shard, m.n_docs, m.n_tokens, m.first_doc, m.last_doc,
-       |  m.shard < mx.max_shard AS full
+       |  m.shard < mx.max_shard AS has_successor
        |FROM m JOIN mx ON mx.lang = m.lang""".stripMargin.replace("\n", " ")
 
   /** Documents per (lang, bucket) packing cell for [[sequencePackBucketed]]. */
