@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{FusedCosine, GraftFunctions}
+import graft.functions.{FusedCosine, GraftFunctions, Md5LowerLong}
 import graft.plans.AsOfJoinStrategy
 
 /** The single `spark.sql.extensions` entry point for the library:
@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fused_cosine"),
       new ExpressionInfo(classOf[FusedCosine].getCanonicalName, "fused_cosine"),
       GraftFunctions.fusedCosineBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier("md5_lower64"),
+      new ExpressionInfo(classOf[Md5LowerLong].getCanonicalName, "md5_lower64"),
+      GraftFunctions.md5LowerLongBuilder _))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

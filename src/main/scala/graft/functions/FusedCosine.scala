@@ -102,6 +102,25 @@ object GraftFunctions {
     FusedCosine(exprs(0), exprs(1))
   }
 
+  /** Lower-64-bits-of-md5 as a native codegen'd LONG (bit-identical to
+    * DuckDB `md5_number_lower`); see [[Md5LowerLong]] for why this
+    * beats both a Scala UDF and built-in `md5` + hex parsing. */
+  def md5Lower64(c: Column): Column =
+    GraftSqlShim.column(Md5LowerLong(GraftSqlShim.expression(c)))
+
+  /** The 53-bit sample-key family: `md5Lower64(c) >>> 11`. */
+  def md5Lower53(c: Column): Column =
+    org.apache.spark.sql.functions.shiftrightunsigned(md5Lower64(c), 11)
+
+  /** `length(bin(c))` for c > 0, without the string render. */
+  def bitLength64(c: Column): Column =
+    GraftSqlShim.column(LongBitLength(GraftSqlShim.expression(c)))
+
+  private[graft] def md5LowerLongBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, s"md5_lower64 expects 1 argument, got ${exprs.length}")
+    Md5LowerLong(exprs(0))
+  }
+
   /** Register `fused_cosine` in an existing session (SQL/`expr` use). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -87,9 +87,10 @@ object Sketches {
     * aggregate — no distinct() shuffle, no full key set anywhere;
     * relative error ~ 1/√(k-1) ≈ 3% at k=1024. */
   def kmvDistinct(s: SparkSession, d: String): DataFrame = {
-    val h63 = udf { (k: Long) => Hashing.md5Lower64(k.toString) & Long.MaxValue }
     Tables.lineitem(s, d)
-      .select(h63(col("l_partkey")).as("h"))
+      .select(graft.functions.GraftFunctions
+        .md5Lower64(col("l_partkey").cast("string"))
+        .bitwiseAND(Long.MaxValue).as("h"))
       .agg(minKDistinct(KmvK)(col("h")).as("ks"))
       .select(
         size(col("ks")).cast("long").as("k_used"),
@@ -127,19 +128,22 @@ object Sketches {
     * At 100 TB the grid stays 4096 cells whatever the key cardinality —
     * this is the frequency twin of the KMV cardinality sketch. */
   def countMinFreq(s: SparkSession, d: String): DataFrame = {
-    val bucket = udf { (r: Int, key: Long) =>
-      Hashing.md5Lower64(s"$r:$key") & (CmWidth - 1)
-    }
-    def rowsFor(key: org.apache.spark.sql.Column) = explode(array(
-      (0 until CmDepth).map(i =>
-        struct(lit(i).as("r"), bucket(lit(i), key).as("b"))): _*)).as("e")
+    // row hash = md5("$r:$key") & (width-1), via the native
+    // Md5LowerLong expression (row index r is a compile-time literal,
+    // so each depth's hash is one codegen'd call — no UDF in the scan).
+    def rowsFor(keyName: String) = explode(array(
+      (0 until CmDepth).map { i =>
+        val h = graft.functions.GraftFunctions.md5Lower64(
+          concat(lit(s"$i:"), col(keyName).cast("string")))
+        struct(lit(i).as("r"), h.bitwiseAND(CmWidth - 1L).as("b"))
+      }: _*)).as("e")
     val grid = Tables.lineitem(s, d)
-      .select(rowsFor(col("l_suppkey")))
+      .select(rowsFor("l_suppkey"))
       .select(col("e.r").as("r"), col("e.b").as("b"))
       .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
     val probes = s.range(1, 21).select(col("id").as("suppkey"))
     val est = probes
-      .select(col("suppkey"), rowsFor(col("suppkey")))
+      .select(col("suppkey"), rowsFor("suppkey"))
       .select(col("suppkey"), col("e.r").as("r"), col("e.b").as("b"))
       .join(grid, Seq("r", "b"), "left")
       .groupBy("suppkey")
@@ -322,17 +326,22 @@ object Sketches {
     * the shared front half of q117/q118 and the streaming twin, so
     * every consumer hashes and ranks identically. */
   def tokenRegisters(docs: DataFrame, key: String): DataFrame = {
-    val h53 = udf { (w: String) => Hashing.md5Lower64(w) >>> 11 }
+    // per-TOKEN hash — the hottest hash site in the repo; the native
+    // Md5LowerLong expression hashes the UTF-8 bytes in-row inside
+    // whole-stage codegen (PERF_NOTES r10 has the UDF/builtin-md5
+    // variant measurements that picked it).
     docs
       .select(col(key),
         explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("w"))
-      .select(col(key), h53(col("w")).as("h"))
+      .select(col(key),
+        graft.functions.GraftFunctions.md5Lower53(col("w")).as("h"))
       .select(col(key),
         (col("h") % HllM).as("reg"),
         shiftright(col("h"), HllP).as("v"))
       .select(col(key), col("reg"),
         when(col("v") === 0L, lit(HllW + 1))
-          .otherwise(lit(HllW + 1) - length(bin(col("v")))).as("rank"))
+          .otherwise(lit(HllW + 1) -
+            graft.functions.GraftFunctions.bitLength64(col("v"))).as("rank"))
   }
 
   def hllDistinct(s: SparkSession, d: String): DataFrame = {

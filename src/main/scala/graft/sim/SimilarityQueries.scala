@@ -676,12 +676,12 @@ object SimilarityQueries {
   def negativePairs(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
     val n = emb.count()
-    val hashUdf = udf { (sid: String) => Hashing.md5Lower64(sid) >>> 11 }
     val negs = emb
       .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
         explode(array((0 until NegativesPerAnchor).map(lit): _*)).as("k"))
       .withColumn("neg_id",
-        hashUdf(concat(col("anchor_id").cast("string"), lit(":"), col("k").cast("string"))) % n)
+        graft.functions.GraftFunctions.md5Lower53(
+          concat(col("anchor_id").cast("string"), lit(":"), col("k").cast("string"))) % n)
       .filter(col("neg_id") =!= col("anchor_id"))
     negs.join(emb.select(col("vec_id").as("neg_id"), col("label").as("neg_label")),
         "neg_id")

@@ -206,9 +206,9 @@ object StreamingFraud {
     * exactly. Input schema: (ts, user_id). */
   def distinctUsersStream(events: DataFrame, window: String = "1 hour",
                           watermark: String = "2 hours"): DataFrame = {
-    val h63 = udf { (k: Long) =>
-      graft.dedup.Hashing.md5Lower64(k.toString) & Long.MaxValue
-    }
+    val h63 = graft.functions.GraftFunctions
+      .md5Lower64(col("user_id").cast("string"))
+      .bitwiseAND(Long.MaxValue)
     val kmv = org.apache.spark.sql.functions.udaf(
       new graft.ops.Sketches.MinKDistinct(graft.ops.Sketches.KmvK),
       org.apache.spark.sql.Encoders.scalaLong)
@@ -216,7 +216,7 @@ object StreamingFraud {
     events
       .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
-      .agg(kmv(h63(col("user_id"))).as("ks"))
+      .agg(kmv(h63).as("ks"))
       .select(
         col("window.start").as("window_start"),
         size(col("ks")).cast("long").as("k_used"),

@@ -533,9 +533,7 @@ object CorpusOps {
     * languages; PlanSpec now pins the fixed job count. */
   def quotaSampleThreshold(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val hashUdf = udf { (sid: String) => graft.dedup.Hashing.md5Lower64(sid) >>> 11 }
-    val keyed = docs.select(col("doc_id"), col("lang"),
-      hashUdf(col("doc_id").cast("string")).as("skey"))
+    val keyed = docs.select(col("doc_id"), col("lang"), sampleKeyCol.as("skey"))
     val nl = docs.groupBy("lang").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = MixTargets.filter { case (l, _, _) => nl.contains(l) }
@@ -620,6 +618,13 @@ object CorpusOps {
     when(bucketCol < TrainBuckets, "train")
       .when(bucketCol < TrainBuckets + ValBuckets, "val")
       .otherwise("test")
+
+  /** The 53-bit reproducible-shuffle sample key, `md5Lower64(doc_id
+    * string) >>> 11`, as the native codegen'd
+    * [[graft.functions.Md5LowerLong]] column; shared by q77/q89/q106
+    * so every sampler keys identically. */
+  private def sampleKeyCol: Column =
+    graft.functions.GraftFunctions.md5Lower53(col("doc_id").cast("string"))
 
   /** The q24/q108 BPE-ish token count of `text` as a column. */
   private[graft] def nTokCol: Column =
@@ -719,9 +724,7 @@ object CorpusOps {
     * boundary-collision caveat as q77, caught by the same guards. */
   def temperatureMixture(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val hashUdf = udf { (sid: String) => graft.dedup.Hashing.md5Lower64(sid) >>> 11 }
-    val keyed = docs.select(col("doc_id"), col("lang"),
-      hashUdf(col("doc_id").cast("string")).as("skey"))
+    val keyed = docs.select(col("doc_id"), col("lang"), sampleKeyCol.as("skey"))
     val nl = docs.groupBy("lang").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val w = nl.map { case (l, n) => l -> isqrt(n) }
@@ -770,9 +773,7 @@ object CorpusOps {
     * consumes. */
   def upsampledMixture(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val hashUdf = udf { (sid: String) => graft.dedup.Hashing.md5Lower64(sid) >>> 11 }
-    val keyed = docs.select(col("doc_id"), col("lang"),
-      hashUdf(col("doc_id").cast("string")).as("skey"))
+    val keyed = docs.select(col("doc_id"), col("lang"), sampleKeyCol.as("skey"))
     val nl = docs.groupBy("lang").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val share = nl.values.sum / nl.size

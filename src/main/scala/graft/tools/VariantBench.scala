@@ -139,6 +139,48 @@ object VariantBench {
       .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** q117's register build with the per-token digest bound ONCE via
+    * the transform-lambda (vs the plain hex-parse column, where
+    * projection collapse inlines md5 into all 14 nibble references). */
+  def hllDistinctBound(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Sketches._
+    val regs = Tables.documents(s, d)
+      .select(col("lang"),
+        explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("w"))
+      .select(col("lang"), graft.functions.Md5Cols.lower53Bound("w").as("h"))
+      .select(col("lang"), (col("h") % HllM).as("reg"), shiftright(col("h"), HllP).as("v"))
+      .select(col("lang"), col("reg"),
+        when(col("v") === 0L, lit(HllW + 1))
+          .otherwise(lit(HllW + 1) - length(bin(col("v")))).as("rank"))
+      .groupBy("lang", "reg").agg(max("rank").as("mrank"))
+    regs.groupBy("lang").agg(
+      count(lit(1)).as("m_used"),
+      sum("mrank").as("sum_rank"),
+      (sum(expr(s"shiftright(${HllScale}L, cast(mrank AS INT))")) +
+        (lit(HllM) - count(lit(1))) * HllScale).as("denom_x2p50"))
+  }
+
+  /** The historic Scala-UDF register build, kept for the measurement
+    * record (PERF_NOTES r9/r10). */
+  def hllDistinctUdf(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Sketches._
+    val h53 = udf { (w: String) => graft.dedup.Hashing.md5Lower64(w) >>> 11 }
+    val regs = Tables.documents(s, d)
+      .select(col("lang"),
+        explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("w"))
+      .select(col("lang"), h53(col("w")).as("h"))
+      .select(col("lang"), (col("h") % HllM).as("reg"), shiftright(col("h"), HllP).as("v"))
+      .select(col("lang"), col("reg"),
+        when(col("v") === 0L, lit(HllW + 1))
+          .otherwise(lit(HllW + 1) - length(bin(col("v")))).as("rank"))
+      .groupBy("lang", "reg").agg(max("rank").as("mrank"))
+    regs.groupBy("lang").agg(
+      count(lit(1)).as("m_used"),
+      sum("mrank").as("sum_rank"),
+      (sum(expr(s"shiftright(${HllScale}L, cast(mrank AS INT))")) +
+        (lit(HllM) - count(lit(1))) * HllScale).as("denom_x2p50"))
+  }
+
   /** Exact per-language distinct tokens — the shape q117's register
     * sketch replaces: the distinct shuffles every (lang, token) pair. */
   def exactDistinctTokens(s: SparkSession, d: String): DataFrame =
@@ -160,6 +202,8 @@ object VariantBench {
     "tri_degree_hub"    -> ((s, _) =>
       graft.dedup.DedupQueries.triangleCountsFromPairs(hubGraph(s, 5000, 200))),
     "hll_registers"     -> ((s, d) => graft.ops.Sketches.hllDistinct(s, d)),
+    "hll_reg_bind"      -> ((s, d) => hllDistinctBound(s, d)),
+    "hll_reg_udf"       -> ((s, d) => hllDistinctUdf(s, d)),
     "exact_distinct"    -> ((s, d) => exactDistinctTokens(s, d)),
   )
 
