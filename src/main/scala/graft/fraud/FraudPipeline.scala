@@ -42,6 +42,24 @@ object FraudPipeline {
     FraudModel(params, net)
   }
 
+  /** E3 at corpus scale: identical feature fit/transform, but the
+    * autoencoder trains with [[Trainer.fitDistributed]] over the
+    * feature column AS AN RDD — the corpus never materializes on the
+    * driver (the `collect()` in [[train]] is the documented
+    * reference-parity path; this is its 100 TB shape). Epoch-loss
+    * parity with the driver trainer is pinned by
+    * DistributedTrainerParitySpec. */
+  def trainDistributed(spark: SparkSession, claims: DataFrame,
+                       cfg: Trainer.Config = Trainer.Config(epochs = 200)): FraudModel = {
+    val params = FeaturePipeline.fit(claims)
+    val feats = FeaturePipeline
+      .transform(claims, params, fixedOrigin = Some(params.trainDateOrigin))
+      .select("features").rdd
+      .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    val net = Trainer.fitDistributed(feats, MLP.autoencoderDims(params.featureDim), cfg)
+    FraudModel(params, net)
+  }
+
   /** Appends `ReconstructionError` by scoring `features` against the
     * broadcast net (one UDF call per row over a ~9K-param model — the
     * only non-codegen expression in the plan, M4/M5). */

@@ -166,26 +166,67 @@ object Trainer {
     * treeAggregate (partial gradients combine in log depth; the driver
     * only ever sees ~9K doubles). */
   def fitDistributed(data: RDD[Array[Double]], dims: Array[Int],
-                     cfg: Config = Config(epochs = 200)): MLP = {
+                     cfg: Config = Config(epochs = 200)): MLP =
+    fitDistributedWithLoss(data, dims, cfg)._1
+
+  /** [[fitDistributed]] also returning the per-epoch mean training
+    * loss (pre-step MSE, the number the backprop pass computes anyway)
+    * — the trajectory [[fitFullBatch]] parity-checks. The loss rides
+    * in the same treeAggregate as the gradient: zero extra passes. */
+  def fitDistributedWithLoss(data: RDD[Array[Double]], dims: Array[Int],
+                             cfg: Config = Config(epochs = 200)): (MLP, Array[Double]) = {
     var mlp = MLP.init(dims, cfg.seed)
     val flat = flatten(mlp)
     val adam = new Adam(flat.length, cfg)
+    val losses = new Array[Double](cfg.epochs)
     val sc = data.sparkContext
-    for (_ <- 1 to cfg.epochs) {
+    for (e <- 0 until cfg.epochs) {
       val bc = sc.broadcast(mlp)
-      val (grad, n) = data.treeAggregate((new Array[Double](flat.length), 0L))(
-        seqOp = { case ((g, c), x) => backprop(bc.value, x, g); (g, c + 1) },
-        combOp = { case ((g1, c1), (g2, c2)) =>
+      val (grad, n, lsum) = data.treeAggregate(
+        (new Array[Double](flat.length), 0L, 0.0))(
+        seqOp = { case ((g, c, l), x) =>
+          val mse = backprop(bc.value, x, g); (g, c + 1, l + mse) },
+        combOp = { case ((g1, c1, l1), (g2, c2, l2)) =>
           var i = 0
           while (i < g1.length) { g1(i) += g2(i); i += 1 }
-          (g1, c1 + c2)
+          (g1, c1 + c2, l1 + l2)
         })
       bc.destroy()
       var i = 0
       while (i < grad.length) { grad(i) /= math.max(n, 1L); i += 1 }
+      losses(e) = lsum / math.max(n, 1L)
       adam.step(flat, grad)
       mlp = unflatten(flat, mlp)
     }
-    mlp
+    (mlp, losses)
+  }
+
+  /** Driver-local FULL-batch Adam with per-epoch mean loss — the
+    * sequential reference [[fitDistributedWithLoss]] must reproduce:
+    * identical math (same init, same Adam, same average-gradient
+    * step), with single-threaded left-to-right summation where the
+    * distributed pass sums per-partition then tree-combines. Any
+    * trajectory divergence beyond floating-point reassociation noise
+    * is a distribution bug, which is exactly what the parity spec
+    * asserts against. */
+  def fitFullBatch(data: Array[Array[Double]], dims: Array[Int],
+                   cfg: Config = Config(epochs = 200)): (MLP, Array[Double]) = {
+    require(data.nonEmpty, "empty training set")
+    var mlp = MLP.init(dims, cfg.seed)
+    val flat = flatten(mlp)
+    val adam = new Adam(flat.length, cfg)
+    val losses = new Array[Double](cfg.epochs)
+    for (e <- 0 until cfg.epochs) {
+      val grad = new Array[Double](flat.length)
+      var lsum = 0.0
+      var k = 0
+      while (k < data.length) { lsum += backprop(mlp, data(k), grad); k += 1 }
+      var g = 0
+      while (g < grad.length) { grad(g) /= data.length; g += 1 }
+      losses(e) = lsum / data.length
+      adam.step(flat, grad)
+      mlp = unflatten(flat, mlp)
+    }
+    (mlp, losses)
   }
 }
