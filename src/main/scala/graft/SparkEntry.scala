@@ -227,6 +227,7 @@ object SparkEntry {
     "q120_dsir_select"        -> (graft.text.CorpusOps.dsirSelect _),
     // round-9: degree-oriented triangle counting on the near-dup graph
     "q121_triangles"          -> ((s: SparkSession, d: String) => DedupQueries.triangleCounts(s, d)),
+    "q122_video_frames"       -> ((s: SparkSession, d: String) => graft.multimodal.Multimodal.videoFrames(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -356,5 +357,6 @@ object SparkEntry {
     "q119_importance_score"   -> graft.text.CorpusOps.importanceScoreSql,
     "q120_dsir_select"        -> graft.text.CorpusOps.dsirSelectSql,
     "q121_triangles"          -> DedupQueries.triangleCountsSql,
+    "q122_video_frames"       -> graft.multimodal.Multimodal.videoFramesSql,
   )
 }

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -16,13 +16,16 @@ import graft.dedup.Hashing
   * `javax.sound.sampled`: [[decodeImage]] / [[resizeImage]] /
   * [[decodeAudio]] run inside the same mapPartitions batch path and
   * fall back to the deterministic stubs for payloads no installed
-  * reader recognizes. VIDEO container METADATA is REAL too —
-  * [[probeVideoMeta]] parses MP4 boxes and RIFF/AVI headers (duration,
-  * resolution, track count) with no codec; only frame DECODE remains a
-  * DELIBERATE STUB (the JDK ships no video codec and this container
-  * has none): [[decodeStub]] produces deterministic fake features from
-  * the payload bytes so tests have stable oracles. Everything around
-  * the decoders is
+  * reader recognizes. VIDEO is REAL for the codec-free slice of the
+  * format space: [[probeVideoMeta]] parses MP4 boxes and RIFF/AVI
+  * headers (duration, resolution, track count), and MJPEG-in-AVI
+  * frames decode END-TO-END — [[extractAviFrames]] walks the movi
+  * chunks and each frame is a JPEG the JDK codec takes
+  * ([[withVideoFrames]], oracle-checked by q122 with a
+  * [[buildMjpegAvi]]-written container). Inter-frame codecs (H.264
+  * etc.) remain out of scope — the JDK ships no such codec —
+  * and fall back to [[decodeStub]]'s deterministic fake features, so
+  * tests keep stable oracles. Everything around the decoders is
   * load-bearing at scale — schema, per-partition batching (one decoder
   * init per partition, not per row), chunking, and the pruned scan:
   * swap [[decodeStub]] for a JNI/codec call and nothing else changes.
@@ -419,4 +422,217 @@ object Multimodal {
       }
     }(enc)
   }
+
+  // ------------------------------------ MJPEG-in-AVI: real frame decode
+
+  /** Quality-1.0 JPEG of a SOLID-GRAY frame — the deterministic frame
+    * generator for the real-decode video path (q122): a constant image
+    * is DC-only so quality 1.0 (all quant steps 1) loses nothing, and
+    * gray makes Cb=Cr=128 so the YCbCr round-trip is the identity.
+    * Decode therefore returns EXACTLY `gray` at every pixel
+    * (MultimodalSpec pins it, including odd dimensions), which is what
+    * lets a SQL oracle predict real JPEG-decode output. */
+  def encodeSolidGrayJpeg(w: Int, h: Int, gray: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && gray >= 0 && gray <= 255)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+    try wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    finally wr.dispose()
+    bos.toByteArray
+  }
+
+  private def le32Bytes(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Minimal well-formed MJPEG-in-AVI container writer: RIFF('AVI '
+    * LIST('hdrl' avih LIST('strl' strh['vids'/'MJPG'] strf[BITMAPINFO
+    * 'MJPG'])) LIST('movi' ('00dc' jpeg)…)). Every structure the
+    * readers here rely on is standard layout — [[probeAvi]] reads the
+    * avih fields at their documented offsets, [[extractAviFrames]]
+    * walks the movi chunks — and the header carries a real stream
+    * description so common players accept the file too. */
+  def buildMjpegAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+                    usPerFrame: Int = 40000): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def cc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc(id) ++ le32Bytes(body.length.toLong) ++ body ++ pad
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(kind) ++ body)
+    // AVIMAINHEADER (56 bytes): usPerFrame, maxBytesPerSec, padding,
+    // flags, totalFrames, initialFrames, streams, suggestedBuf, w, h,
+    // reserved[4]
+    val maxFrame = if (frames.isEmpty) 0L else frames.map(_.length).max.toLong
+    val avih = chunk("avih",
+      le32Bytes(usPerFrame.toLong) ++ le32Bytes(0) ++ le32Bytes(0) ++
+        le32Bytes(0) ++ le32Bytes(frames.length.toLong) ++ le32Bytes(0) ++
+        le32Bytes(1) ++ le32Bytes(maxFrame) ++
+        le32Bytes(w.toLong) ++ le32Bytes(h.toLong) ++
+        Array.fill(16)(0.toByte))
+    // AVISTREAMHEADER (56 bytes): 'vids'/'MJPG', flags, prio+lang,
+    // initial, scale, rate, start, length, suggestedBuf, quality,
+    // sampleSize, rcFrame
+    val strh = chunk("strh",
+      cc("vids") ++ cc("MJPG") ++ le32Bytes(0) ++ le32Bytes(0) ++
+        le32Bytes(0) ++ le32Bytes(usPerFrame.toLong) ++ le32Bytes(1000000L) ++
+        le32Bytes(0) ++ le32Bytes(frames.length.toLong) ++ le32Bytes(maxFrame) ++
+        le32Bytes(0xffffffffL) ++ le32Bytes(0) ++
+        le32Bytes(0) ++ le32Bytes((h.toLong << 16) | w.toLong))
+    // BITMAPINFOHEADER (40 bytes), biCompression = 'MJPG'
+    val strf = chunk("strf",
+      le32Bytes(40) ++ le32Bytes(w.toLong) ++ le32Bytes(h.toLong) ++
+        Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++ cc("MJPG") ++
+        le32Bytes(w.toLong * h * 3) ++ Array.fill(16)(0.toByte))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi",
+      frames.iterator.map(f => chunk("00dc", f)).foldLeft(Array.empty[Byte])(_ ++ _))
+    val body = cc("AVI ") ++ hdrl ++ movi
+    out.write(cc("RIFF")); out.write(le32Bytes(body.length.toLong)); out.write(body)
+    out.toByteArray
+  }
+
+  /** Frame payloads of an AVI 'movi' list, in stream order: the
+    * `##dc`/`##db` (compressed / uncompressed DIB) chunk bodies. Walks
+    * top-level RIFF chunks to the movi LIST, then its sub-chunks, all
+    * bounds-checked with even-byte padding — the standard framing.
+    * Empty for anything that is not a plausible AVI (the
+    * reject-foreign-bytes contract of the other decoders). */
+  def extractAviFrames(payload: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    val b = payload
+    if (b == null || b.length < 12 ||
+        fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+      return IndexedSeq.empty
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val riffEnd = math.min(b.length.toLong, 8L + le32(b, 4)).toInt
+    def isFrameId(o: Int): Boolean = {
+      val c0 = b(o).toChar; val c1 = b(o + 1).toChar
+      val c2 = b(o + 2).toChar; val c3 = b(o + 3).toChar
+      c0.isDigit && c1.isDigit && c2 == 'd' && (c3 == 'c' || c3 == 'b')
+    }
+    def walkMovi(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val size = le32(b, off + 4)
+        val next = off + 8 + size + (size & 1L)
+        if (size < 0 || off + 8 + size > end) return // corrupt: stop, keep what we have
+        if (isFrameId(off))
+          frames += java.util.Arrays.copyOfRange(b, off + 8, off + 8 + size.toInt)
+        off = next.toInt
+      }
+    }
+    var off = 12
+    while (off + 8 <= riffEnd) {
+      val size = le32(b, off + 4)
+      val next = off + 8 + size + (size & 1L)
+      if (size < 0 || off + 8 + size > riffEnd) return frames.toIndexedSeq
+      if (fourcc(b, off) == "LIST" && size >= 4 && fourcc(b, off + 8) == "movi")
+        walkMovi(off + 12, (off + 8 + size).toInt)
+      off = next.toInt
+    }
+    frames.toIndexedSeq
+  }
+
+  /** REAL per-frame video decode over an AVI payload column: container
+    * probe → movi frame extraction → [[decodeImage]] per frame (JDK
+    * JPEG codec — the MJPEG case), [[decodeStub]] fallback for frames
+    * no installed reader takes (a DIB/raw codec would slot in there).
+    * Output grain = (video row × frame): the input row's columns plus
+    * `frame_idx` and the [[FeatureDim]]-float `frame_features`. Same
+    * mapPartitions batch shape as every other decoder here — one
+    * decoder init per partition, bounded memory per row (one frame
+    * decoded at a time), schema/explode plumbing identical at any
+    * payload size. */
+  def withVideoFrames(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("frame_features", featureSchema)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val frames =
+          if (payload == null) IndexedSeq.empty else extractAviFrames(payload)
+        frames.iterator.zipWithIndex.map { case (fb, i) =>
+          val feats = decodeImage(fb).getOrElse(decodeStub(fb))
+          Row.fromSeq(r.toSeq ++ Seq(i, feats.toSeq))
+        }
+      }
+    }(enc)
+  }
+
+  /** Videos generated for q122: one per `doc_id < `[[VideoDocs]]. */
+  val VideoDocs = 16L
+
+  /** Deterministic frame gray level for (video, frame). */
+  def grayOf(id: Long, frame: Int): Int = ((id * 31 + frame * 7) % 251).toInt
+
+  /** q122 — REAL video frame decode, oracle-checked: for each of
+    * [[VideoDocs]] doc ids, an MJPEG-in-AVI payload is synthesized
+    * executor-side (solid-gray quality-1.0 JPEG frames, dimensions and
+    * gray levels pure functions of (doc_id, frame_idx)), then run
+    * through the full REAL pipeline — [[probeVideoMeta]] container
+    * probe, [[extractAviFrames]] movi walk, [[decodeImage]] JPEG
+    * decode per frame. Because the solid-gray round-trip is EXACT
+    * (see [[encodeSolidGrayJpeg]]), the DuckDB oracle predicts every
+    * decoded cell with integer arithmetic: a single wrong bit anywhere
+    * in container writing, chunk framing, or codec output moves
+    * `mean_gray` or a dimension and the hash gate goes red. Payloads
+    * are bounded (≤8 tiny frames each) so the generation cost is
+    * noise; the decode path itself is the same mapPartitions batch
+    * loop a 100 TB corpus of real AVIs would stream through. */
+  def videoFrames(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.ops.Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") < VideoDocs)
+    val genSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val genEnc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(genSchema)
+    val videos = docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = (4 + id % 5).toInt
+        val w = (16 + (id % 4) * 8).toInt
+        val frames = (0 until n).map(i => encodeSolidGrayJpeg(w, 16, grayOf(id, i)))
+        Row(id, buildMjpegAvi(frames, w, 16))
+      }
+    }(genEnc)
+    withVideoFrames(withVideoMeta(videos, "payload"), "payload")
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        element_at(col("frame_features"), 1).cast("int").as("frame_w"),
+        element_at(col("frame_features"), 2).cast("int").as("frame_h"),
+        element_at(col("frame_features"), 4).cast("int").as("mean_gray"),
+        col("width").as("header_w"), // container header, vs decoded frame_w
+        round(col("duration_sec") * 1000).cast("int").as("duration_ms"))
+  }
+
+  val videoFramesSql: String =
+    s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < $VideoDocs),
+       |f AS (SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS n_frames,
+       |  CAST(16 + (doc_id % 4) * 8 AS INT) AS w FROM ids),
+       |e AS (SELECT doc_id, n_frames, w, unnest(range(0, n_frames)) AS i FROM f)
+       |SELECT doc_id, CAST(i AS INT) AS frame_idx, w AS frame_w,
+       |  16 AS frame_h, CAST((doc_id * 31 + i * 7) % 251 AS INT) AS mean_gray,
+       |  w AS header_w, n_frames * 40 AS duration_ms
+       |FROM e""".stripMargin.replace("\n", " ")
 }

@@ -236,4 +236,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L).isNullAt(1) && out(3L).isNullAt(2) && out(3L).isNullAt(5),
       "non-video payloads must carry null metadata")
   }
+
+  test("solid-gray quality-1.0 JPEG round-trips EXACTLY (the q122 oracle premise)") {
+    for (w <- Seq(16, 24, 17); h <- Seq(16, 9); v <- Seq(0, 1, 31, 128, 250, 255)) {
+      val jpeg = Multimodal.encodeSolidGrayJpeg(w, h, v)
+      val f = Multimodal.decodeImage(jpeg).get
+      assert(f(0) == w.toFloat && f(1) == h.toFloat, s"dims $w x $h")
+      assert(f(3) == v.toFloat && f(4) == v.toFloat && f(5) == v.toFloat,
+        s"w=$w h=$h gray=$v decoded (${f(3)}, ${f(4)}, ${f(5)})")
+    }
+  }
+
+  test("MJPEG/AVI round-trip: build → probe → extract → decode recovers every frame") {
+    val frames = (0 until 7).map(i => Multimodal.encodeSolidGrayJpeg(32, 16, 20 * i))
+    val avi = Multimodal.buildMjpegAvi(frames, 32, 16, usPerFrame = 40000)
+    val meta = Multimodal.probeVideoMeta(avi)
+    assert(meta === Some(Multimodal.VideoMeta("avi", 7 * 0.04, 32, 16, 1)))
+    val back = Multimodal.extractAviFrames(avi)
+    assert(back.length == 7)
+    back.zipWithIndex.foreach { case (fb, i) =>
+      assert(java.util.Arrays.equals(fb, frames(i)), s"frame $i bytes differ")
+      val f = Multimodal.decodeImage(fb).get
+      assert(f(3) == (20 * i).toFloat, s"frame $i gray")
+    }
+    // reject-foreign-bytes contract
+    assert(Multimodal.extractAviFrames("plain text".getBytes).isEmpty)
+    assert(Multimodal.extractAviFrames(avi.take(30)).isEmpty)
+    assert(Multimodal.extractAviFrames(null).isEmpty)
+    // odd-sized frame exercises the even-padding rule
+    val odd = frames.map(f => if (f.length % 2 == 0) f :+ 0xd9.toByte else f)
+    val avi2 = Multimodal.buildMjpegAvi(odd, 32, 16)
+    Multimodal.extractAviFrames(avi2).zip(odd).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "padded chunk body must round-trip")
+    }
+  }
+
+  test("withVideoFrames decodes per-frame features through the real pipeline") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val aviA = Multimodal.buildMjpegAvi(
+      (0 until 3).map(i => Multimodal.encodeSolidGrayJpeg(24, 16, 50 + i)), 24, 16)
+    val df = Seq((1L, aviA), (2L, "not video".getBytes)).toDF("doc_id", "payload")
+    val out = Multimodal.withVideoFrames(df, "payload")
+      .select(col("doc_id"), col("frame_idx"),
+        element_at(col("frame_features"), 4).as("mean_r"))
+      .collect()
+    assert(out.length == 3, "non-AVI rows contribute no frames")
+    out.foreach { r =>
+      assert(r.getLong(0) == 1L)
+      assert(r.getFloat(2) == (50 + r.getInt(1)).toFloat)
+    }
+  }
 }
