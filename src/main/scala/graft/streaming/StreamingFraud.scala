@@ -396,29 +396,67 @@ object StreamingFraud {
     * state to the global max timestamp and it matches q92's one-pass
     * aggregate on the same rows to float tolerance. Input schema:
     * (ts: timestamp, user_id, value). */
+  /** Default idle-state TTL for [[decayedActivityStream]]: ~12·τ at
+    * the default τ = 30 days, where the retained score has decayed to
+    * e^−12 ≈ 6e−6 of itself — numerically indistinguishable from a
+    * fresh user, so dropping the state changes nothing a reader could
+    * observe beyond float dust (the TTL spec pins the restart). */
+  val ActivityIdleTtlDays: Double = 365.0
+
   def decayedActivityStream(events: DataFrame,
-                            tauDays: Double = graft.ops.RelationalQueries.DecayTauDays): Dataset[UserActivity] = {
+                            tauDays: Double = graft.ops.RelationalQueries.DecayTauDays,
+                            idleTtlDays: Double = ActivityIdleTtlDays): Dataset[UserActivity] = {
     import events.sparkSession.implicits._
     val tauUs = tauDays * 86400e6
-    events
-      .selectExpr("user_id", "unix_micros(ts) AS t_us", "value")
-      .as[(Long, Long, Double)]
+    val withTtl = idleTtlDays > 0
+    val ttlMs = (idleTtlDays * 86400e3).toLong
+    // The per-user state is O(1), but the USER SET is not: without a
+    // TTL an open-world id space (the 100 TB reality) accretes state
+    // forever. EventTimeTimeout reclaims users idle past the TTL; the
+    // score a reaped user carried had already decayed below e^(-ttl/τ)
+    // of itself, so a re-appearing user restarting from zero is the
+    // documented approximation (and with NoTimeout semantics available
+    // via idleTtlDays = 0 for a closed user universe).
+    val src = if (withTtl)
+      events.withWatermark("ts", s"${math.max(1L, ttlMs / 1000)} seconds")
+    else events
+    val timeoutConf =
+      if (withTtl) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src
+      // `ts` itself must ride through to the grouped input: the
+      // event-time-timeout checker requires the watermarked COLUMN in
+      // the stateful operator's child output — an expression derived
+      // from it (unix_micros alias) drops the watermark metadata
+      .selectExpr("user_id", "ts", "unix_micros(ts) AS t_us", "value")
+      .as[(Long, java.sql.Timestamp, Long, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
-        (uid: Long, rows: Iterator[(Long, Long, Double)], st: GroupState[UserActivity]) => {
-          var s = st.getOption.getOrElse(UserActivity(uid, 0L, 0.0, 0L))
-          rows.foreach { case (_, t, v) =>
-            if (s.n_events == 0L) s = UserActivity(uid, t, v, 1L)
-            else {
-              val a = math.max(s.anchor_us, t)
-              s = UserActivity(uid, a,
-                s.score * math.exp(-(a - s.anchor_us) / tauUs) +
-                  v * math.exp(-(a - t).toDouble / tauUs),
-                s.n_events + 1)
+      .mapGroupsWithState(timeoutConf)(
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+         st: GroupState[UserActivity]) => {
+          if (withTtl && st.hasTimedOut) {
+            val last = st.get
+            st.remove() // reap: re-emit the final reading as the tombstone
+            last
+          } else {
+            var s = st.getOption.getOrElse(UserActivity(uid, 0L, 0.0, 0L))
+            rows.foreach { case (_, _, t, v) =>
+              if (s.n_events == 0L) s = UserActivity(uid, t, v, 1L)
+              else {
+                val a = math.max(s.anchor_us, t)
+                s = UserActivity(uid, a,
+                  s.score * math.exp(-(a - s.anchor_us) / tauUs) +
+                    v * math.exp(-(a - t).toDouble / tauUs),
+                  s.n_events + 1)
+              }
             }
+            st.update(s)
+            if (withTtl)
+              st.setTimeoutTimestamp(
+                math.max(s.anchor_us / 1000 + ttlMs,
+                  st.getCurrentWatermarkMs() + 1))
+            s
           }
-          st.update(s)
-          s
         })
   }
 

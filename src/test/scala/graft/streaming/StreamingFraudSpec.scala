@@ -218,6 +218,38 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming decayed activity: idle users are reaped at the TTL and restart fresh") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val query = StreamingFraud.decayedActivityStream(events, idleTtlDays = 10.0)
+      .writeStream.format("memory").queryName("activity_ttl")
+      .outputMode("update").start()
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    try {
+      input.addData((t("2025-01-01 00:00:00"), 1L, 5.0),
+        (t("2025-01-02 00:00:00"), 1L, 3.0))
+      query.processAllAvailable()
+      // advance the watermark far past user 1's 10-day TTL (two
+      // batches: the watermark computed from batch N applies in N+1)
+      input.addData((t("2025-06-01 00:00:00"), 2L, 1.0))
+      query.processAllAvailable()
+      input.addData((t("2025-06-02 00:00:00"), 2L, 1.0))
+      query.processAllAvailable()
+      // user 1 re-appears AFTER the reap: state must restart at 1,
+      // not resume at 3 — the evidence the timeout actually removed it
+      input.addData((t("2025-06-03 00:00:00"), 1L, 7.0))
+      query.processAllAvailable()
+      val u1 = spark.sql(
+        "select n_events, score from activity_ttl where user_id = 1 and anchor_us = unix_micros(timestamp'2025-06-03 00:00:00')")
+        .collect()
+      assert(u1.length == 1 && u1(0).getLong(0) == 1L && u1(0).getDouble(1) == 7.0,
+        s"expected a fresh n_events=1 state, got ${u1.toSeq}")
+    } finally query.stop()
+  }
+
   test("streaming keep-best dedup: a later better duplicate displaces the survivor") {
     val spark = SparkSpec.spark
     import spark.implicits._
