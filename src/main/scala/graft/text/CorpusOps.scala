@@ -428,12 +428,10 @@ object CorpusOps {
     * round(1218533959177.93652…, 6) flips the last bit; Spark's
     * BigDecimal path doesn't). */
   def weightedSample(s: SparkSession, d: String): DataFrame = {
-    val hashUdf = udf { (text: String) =>
-      graft.dedup.Hashing.md5Lower64(text) >>> 11
-    }
     Tables.documents(s, d)
       .withColumn("skey",
-        hashUdf(col("text")).cast("double") / col("n_chars"))
+        graft.functions.GraftFunctions.md5Lower53(col("text"))
+          .cast("double") / col("n_chars"))
       .groupBy("lang")
       .agg(graft.ops.TopKAggregator.minKBy(SampleK)(
         col("skey"), col("doc_id"), col("n_chars")).as("top"))
@@ -872,9 +870,9 @@ object CorpusOps {
     * scoring is a per-doc hash aggregate. Two corpus scans total,
     * nothing driver-side, no window. */
   def importanceScore(s: SparkSession, d: String): DataFrame = {
-    val h = udf { (g: String) =>
-      (graft.dedup.Hashing.md5Lower64(g) >>> 11) % ImpBuckets
-    }
+    // per-BIGRAM hash — volume ≈ token count; native expression, no UDF
+    def h(g: Column): Column =
+      graft.functions.GraftFunctions.md5Lower53(g) % ImpBuckets
     val docs = Tables.documents(s, d)
     val bk = docs
       .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))

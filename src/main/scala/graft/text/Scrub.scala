@@ -161,10 +161,10 @@ object Scrub {
       (String, String), (org.apache.spark.broadcast.Broadcast[Array[Long]], Int)]()
 
   def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
-    val gh64 = udf { (gram: String) => graft.dedup.Hashing.md5Lower64(gram) }
     def grams = Tables.documents(s, d)
       .select(col("doc_id"), explode(gramsUdf(col("text"))).as("gram"))
-      .select(col("doc_id"), gh64(col("gram")).as("gh"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.md5Lower64(col("gram")).as("gh"))
     val isBench = col("doc_id") % BenchStride === BenchOffset
     val benchGh = grams.filter(isBench).select("gh").distinct()
     val (bc, numBits) = sketchCache.computeIfAbsent((s.sparkContext.applicationId, d), _ => {

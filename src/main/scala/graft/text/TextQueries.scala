@@ -231,14 +231,13 @@ object TextQueries {
     * engines and retries — a requirement for auditable training sets.
     * Pure filter: no shuffle, pushes nothing but compute per row. */
   def stratifiedSample(s: SparkSession, d: String): DataFrame = {
-    val hashUdf = udf { (text: String) =>
-      ((graft.dedup.Hashing.md5Lower64(text) >>> 3) % 100L).toInt
-    }
     val rate = SampleRates.foldRight(lit(DefaultRate): Column) {
       case ((l, r), acc) => when(col("lang") === l, r).otherwise(acc)
     }
     Tables.documents(s, d)
-      .withColumn("bucket", hashUdf(col("text")))
+      .withColumn("bucket",
+        (shiftrightunsigned(graft.functions.GraftFunctions.md5Lower64(col("text")), 3)
+          % 100L).cast("int"))
       .filter(col("bucket") < rate)
       .select("doc_id", "lang", "bucket")
   }
