@@ -228,6 +228,17 @@ object SparkEntry {
     // round-9: degree-oriented triangle counting on the near-dup graph
     "q121_triangles"          -> ((s: SparkSession, d: String) => DedupQueries.triangleCounts(s, d)),
     "q122_video_frames"       -> ((s: SparkSession, d: String) => graft.multimodal.Multimodal.videoFrames(s, d)),
+    // round-10: exact substring-SPAN dedup (Lee et al. 2022 grain —
+    // arbitrary-alignment repeats via duplicated-8-gram islands)
+    "q123_substring_spans"    -> (Scrub.substringSpans _),
+    // round-10: the Gopher rule suite (document-shape quality gates)
+    "q124_gopher_rules"       -> (TextQueries.gopherRules _),
+    // round-10: MERGEABLE grouped quantile sketch (bottom-k hash
+    // sample) — the shard-merge complement of q61's exact brackets
+    "q125_sample_quantiles"   -> (graft.ops.Quantiles.sampleQuantiles _),
+    // round-10: z-order layout manifest (write-side 2-D clustering;
+    // file min/max boxes a rect scan prunes on)
+    "q126_zorder_layout"      -> ((s: SparkSession, d: String) => graft.ops.Layout.zorderLayout(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -358,5 +369,9 @@ object SparkEntry {
     "q120_dsir_select"        -> graft.text.CorpusOps.dsirSelectSql,
     "q121_triangles"          -> DedupQueries.triangleCountsSql,
     "q122_video_frames"       -> graft.multimodal.Multimodal.videoFramesSql,
+    "q123_substring_spans"    -> Scrub.substringSpansSql,
+    "q124_gopher_rules"       -> TextQueries.gopherRulesSql,
+    "q125_sample_quantiles"   -> graft.ops.Quantiles.sampleQuantilesSql,
+    "q126_zorder_layout"      -> graft.ops.Layout.zorderLayoutSql,
   )
 }

@@ -329,4 +329,67 @@ object Quantiles {
       s"round(unnest(quantile_cont(l_extendedprice, $pts)), 4) AS qval " +
       "FROM lineitem"
   }
+
+  // ---------------------------------- mergeable bottom-k sample sketch
+
+  val SampleQK = 64
+
+  /** q125 — MERGEABLE grouped quantile sketch via a bottom-k hash
+    * sample: the k docs with the smallest md5 sample keys per language
+    * are a uniform without-replacement sample, and the union of two
+    * partitions' bottom-k IS the bottom-k of their union — so the
+    * sketch merges associatively like KMV (q65), which the bracket
+    * plan behind q61/q51 is not (its pass-2 exact recount needs the
+    * full column again). This is the shape for federated/incremental
+    * quantiles at 100 TB: each shard ships ≤ k (key, value) pairs,
+    * any subset of shards merges driver-free, and a new day's data
+    * folds into yesterday's sketch without rescanning it.
+    *
+    * The estimate is the sample's own ceil-rank order statistic
+    * (rank ⌈m·p⌉ of m sampled values — integer arithmetic, FLOAT
+    * RULE), so rank error is the classic bottom-k bound O(1/√k).
+    * Where q61 answers EXACTLY by re-scanning, this answers
+    * approximately but mergeably — both live in the registry so the
+    * trade is measured, not asserted.
+    *
+    * Plan shape: one scan, ONE lang-keyed [[TopKAggregator.MinKBy]]
+    * aggregate (map-side partials hold ≤ k rows per lang per task —
+    * no window, no per-lang sort; the row_number rewrite funnels each
+    * language's whole partition through one task). Sample keys are
+    * the 53-bit md5 slice of "bq:"+doc_id — keyed on the ID, not the
+    * text, so duplicate texts keep independent keys, and
+    * exactly-representable in the aggregator's Double. */
+  def sampleQuantiles(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    sampleQuantilesFrom(Tables.documents(s, d))
+
+  /** [[sampleQuantiles]] over an explicit (doc_id, lang, n_chars)
+    * frame — the unit SampleQuantilesSpec drives. */
+  def sampleQuantilesFrom(documents: DataFrame): DataFrame = {
+    val k = SampleQK
+    documents
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        graft.functions.GraftFunctions
+          .md5Lower53(concat(lit("bq:"), col("doc_id").cast("string")))
+          .cast("double").as("skey"))
+      .groupBy("lang")
+      .agg(graft.ops.TopKAggregator.minKBy(k)(
+        col("skey"), col("doc_id"), col("n_chars")).as("smp"))
+      .select(col("lang"), sort_array(expr("transform(smp, e -> e._3)")).as("v"))
+      .select(col("lang"),
+        size(col("v")).cast("long").as("n_sample"),
+        element_at(col("v"),
+          expr("CAST((size(v) * 50 + 99) div 100 AS INT)")).as("est_p50"),
+        element_at(col("v"),
+          expr("CAST((size(v) * 90 + 99) div 100 AS INT)")).as("est_p90"))
+  }
+
+  val sampleQuantilesSql: String =
+    s"""WITH h AS (SELECT lang, doc_id, n_chars,
+       |  CAST(md5_number_lower('bq:' || CAST(doc_id AS VARCHAR)) >> 11 AS DOUBLE) AS skey FROM documents),
+       |r AS (SELECT lang, n_chars, row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS rn FROM h),
+       |s AS (SELECT lang, list_sort(list(n_chars)) AS v, count(*) AS m FROM r WHERE rn <= $SampleQK GROUP BY lang)
+       |SELECT lang, CAST(m AS BIGINT) AS n_sample,
+       |  v[CAST((m * 50 + 99) // 100 AS INT)] AS est_p50,
+       |  v[CAST((m * 90 + 99) // 100 AS INT)] AS est_p90
+       |FROM s""".stripMargin.replace("\n", " ")
 }

@@ -570,6 +570,79 @@ object Scrub {
       .stripMargin.replace("\n", " ")
   }
 
+  // ------------------------------------- exact substring-span dedup
+
+  val SpanGramN = 8
+
+  /** q123 — exact substring-SPAN dedup, the grain between exact-doc
+    * (q16) and fixed-chunk (q54) dedup: every MAXIMAL run of token
+    * positions covered by a word [[SpanGramN]]-gram that occurs more
+    * than once anywhere in the corpus (another document or elsewhere
+    * in the same one). This is the operation of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better"),
+    * which removes repeated ≥50-token substrings at ARBITRARY
+    * alignment: any repeated run of ≥ N tokens contains a repeated
+    * N-gram, so the maximal merged coverage of duplicated N-grams is
+    * exactly the maximal repeated-substring spans at N-token
+    * resolution — found with hash joins instead of the paper's
+    * monolithic suffix array, which has no bounded-memory distributed
+    * form. Output: (doc_id, span_start, span_end, span_len), token
+    * positions 0-based inclusive.
+    *
+    * Plan shape: positional grams from [[gramHashRows]] (tokenize
+    * once per doc, md5 once per gram — NOT nested array HOFs, see the
+    * q95 scaladoc), ONE gh-keyed count finds grams with ≥ 2
+    * occurrences, the start positions join back on the same key (the
+    * aggregate output is already hash-partitioned by gh, so only the
+    * probe side pays a new exchange), and span merging is
+    * gaps-and-islands on START positions alone — two grams' coverages
+    * touch iff their starts differ by ≤ N, so `span_end = max(start)
+    * + N − 1` without ever exploding the N-fold per-position coverage
+    * (and without its distinct's extra exchange). Both windows ride
+    * ONE doc_id exchange; post-join volume is duplicated starts only,
+    * ∝ how much duplication exists, never corpus × positions. */
+  def substringSpans(s: SparkSession, d: String): DataFrame =
+    substringSpansFrom(Tables.documents(s, d))
+
+  /** [[substringSpans]] over an explicit (doc_id, text) frame — the
+    * unit SubstringSpansSpec drives with planted repeats. */
+  def substringSpansFrom(documents: DataFrame): DataFrame = {
+    val n = SpanGramN
+    val grams = gramHashRows(documents, n).select("doc_id", "tpos", "gh")
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1).select("gh")
+    val starts = grams.join(dup, "gh").select("doc_id", "tpos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("tpos")
+    starts
+      .withColumn("brk",
+        when(col("tpos") - lag("tpos", 1).over(byDoc) > n, 1).otherwise(0))
+      .withColumn("grp", sum("brk").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "grp")
+      .agg(
+        min("tpos").cast("long").as("span_start"),
+        (max("tpos") + (n - 1)).cast("long").as("span_end"),
+        (max("tpos") - min("tpos") + n).cast("long").as("span_len"))
+      .select("doc_id", "span_start", "span_end", "span_len")
+  }
+
+  val substringSpansSql: String = {
+    val n = SpanGramN
+    s"""WITH ws AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+       |g AS (SELECT doc_id, i - 1 AS tpos, md5(array_to_string(w[i:i+${n - 1}], ' ')) AS gh
+       |  FROM ws, unnest(generate_series(1, len(w) - ${n - 1})) AS s(i)),
+       |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
+       |st AS (SELECT g.doc_id, g.tpos FROM g JOIN dup USING (gh)),
+       |lg AS (SELECT doc_id, tpos, CASE WHEN tpos - lag(tpos) OVER (PARTITION BY doc_id ORDER BY tpos) > $n
+       |  THEN 1 ELSE 0 END AS brk FROM st),
+       |il AS (SELECT doc_id, tpos, sum(brk) OVER (PARTITION BY doc_id ORDER BY tpos
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM lg)
+       |SELECT doc_id, CAST(min(tpos) AS BIGINT) AS span_start,
+       |  CAST(max(tpos) + ${n - 1} AS BIGINT) AS span_end,
+       |  CAST(max(tpos) - min(tpos) + $n AS BIGINT) AS span_len
+       |FROM il GROUP BY doc_id, grp""".stripMargin.replace("\n", " ")
+  }
+
   val sourceOverlapSql: String = {
     val n = OverlapGramN
     s"""WITH ws AS (SELECT source, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),

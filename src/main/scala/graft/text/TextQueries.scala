@@ -603,4 +603,78 @@ object TextQueries {
        |  md5(substring(text, CAST(i * $fb + 1 AS INT), $fb)) AS frame_md5
        |FROM e""".stripMargin.replace("\n", " ")
   }
+
+  // ------------------------------------------------ Gopher rule filter
+
+  /** The Gopher/MassiveText repetition-free rule stopword set (Rae et
+    * al. 2021 §A.1.1 use 8 common English words; widened here with
+    * 'a'/'of'-class members so the rule discriminates on the synthetic
+    * corpus's small vocabulary). */
+  private val gopherStop =
+    Seq("the", "a", "and", "of", "to", "in", "is", "be", "that", "have")
+
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+
+  /** q124 — the Gopher quality RULE SUITE (Rae et al. 2021, §A.1.1),
+    * the document-shape complement of q23's ratio scoring: per doc,
+    * one boolean per rule (emitted as BIGINT 0/1 — the repo's
+    * cross-engine type convention) plus the conjunction:
+    *
+    *   r_nwords  — word count in [[[GopherMinWords]], [[GopherMaxWords]]]
+    *   r_wordlen — mean word length in [3, 10] characters, compared in
+    *               integer space (3·n ≤ Σlen ≤ 10·n — FLOAT RULE)
+    *   r_stop    — ≥ 2 DISTINCT stopwords present
+    *   r_alpha   — ≥ 80% of words contain a letter (5·n_alpha ≥ 4·n)
+    *
+    * Plan shape: one positional explode (tokenize once per doc — the
+    * 4-HOF alternative re-runs the split per collapsed lambda), ONE
+    * doc_id-keyed hash aggregate computes every rule's integer inputs
+    * map-side-partial, rules are plain integer comparisons on the
+    * aggregate output. explode_outer keeps empty docs (they fail
+    * r_nwords rather than vanish). */
+  def gopherRules(s: SparkSession, d: String): DataFrame =
+    gopherRulesFrom(Tables.documents(s, d))
+
+  /** [[gopherRules]] over an explicit (doc_id, text) frame — the unit
+    * GopherSpec drives with rule-boundary docs. */
+  def gopherRulesFrom(documents: DataFrame): DataFrame = {
+    documents
+      .select(col("doc_id"),
+        explode_outer(expr("filter(split(text, '\\\\s+'), x -> x <> '')")).as("tok"))
+      .groupBy("doc_id")
+      .agg(
+        count(col("tok")).as("n_words"),
+        coalesce(sum(length(col("tok"))), lit(0L)).as("sum_len"),
+        countDistinct(when(col("tok").isInCollection(gopherStop), col("tok"))).as("n_stop"),
+        count(when(col("tok").rlike("[a-z]"), 1)).as("n_alpha"))
+      .select(
+        col("doc_id"), col("n_words"),
+        col("n_words").between(GopherMinWords, GopherMaxWords).cast("long").as("r_nwords"),
+        (col("sum_len") >= col("n_words") * 3 &&
+          col("sum_len") <= col("n_words") * 10).cast("long").as("r_wordlen"),
+        (col("n_stop") >= 2).cast("long").as("r_stop"),
+        (col("n_alpha") * 5 >= col("n_words") * 4).cast("long").as("r_alpha"))
+      .withColumn("keep",
+        (col("r_nwords") === 1 && col("r_wordlen") === 1 &&
+          col("r_stop") === 1 && col("r_alpha") === 1).cast("long"))
+  }
+
+  val gopherRulesSql: String = {
+    val stops = gopherStop.map(w => s"'$w'").mkString(", ")
+    s"""WITH ws AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+       |s AS (SELECT doc_id, len(w) AS n_words,
+       |  coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS sum_len,
+       |  len(list_distinct(list_filter(w, x -> x IN ($stops)))) AS n_stop,
+       |  len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha FROM ws)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_words BETWEEN $GopherMinWords AND $GopherMaxWords AS BIGINT) AS r_nwords,
+       |  CAST(sum_len >= n_words * 3 AND sum_len <= n_words * 10 AS BIGINT) AS r_wordlen,
+       |  CAST(n_stop >= 2 AS BIGINT) AS r_stop,
+       |  CAST(n_alpha * 5 >= n_words * 4 AS BIGINT) AS r_alpha,
+       |  CAST(n_words BETWEEN $GopherMinWords AND $GopherMaxWords
+       |    AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+       |    AND n_stop >= 2 AND n_alpha * 5 >= n_words * 4 AS BIGINT) AS keep
+       |FROM s""".stripMargin.replace("\n", " ")
+  }
 }

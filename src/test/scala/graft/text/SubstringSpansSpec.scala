@@ -1,0 +1,89 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** q123 exact substring-span dedup: planted-repeat unit cases plus a
+  * brute-force equivalence sweep over the real sf0.001 corpus. */
+class SubstringSpansSpec extends AnyFunSuite {
+  private val N = Scrub.SpanGramN
+
+  private def spans(rows: Seq[(Long, String)]): Set[(Long, Long, Long, Long)] = {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    Scrub.substringSpansFrom(rows.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+  }
+
+  // distinct filler words (w0 w1 w2 ...) so nothing repeats by accident
+  private def filler(prefix: String, n: Int): Seq[String] =
+    (0 until n).map(i => s"$prefix$i")
+
+  test("a shared run at different offsets is found at its own offset in each doc") {
+    val shared = filler("dup", 12) // 12 tokens => one maximal span of 12
+    val a = (filler("a", 5) ++ shared ++ filler("b", 7)).mkString(" ")
+    val b = (filler("c", 9) ++ shared ++ filler("d", 3)).mkString(" ")
+    val got = spans(Seq(1L -> a, 2L -> b, 3L -> filler("e", 30).mkString(" ")))
+    assert(got === Set(
+      (1L, 5L, 16L, 12L),  // doc 1: tokens 5..16
+      (2L, 9L, 20L, 12L))) // doc 2: tokens 9..20
+  }
+
+  test("a repeat WITHIN one doc is found twice; doc with no repeats yields nothing") {
+    val run = filler("r", N) // exactly one gram long
+    val text = (run ++ filler("x", 6) ++ run).mkString(" ")
+    val got = spans(Seq(1L -> text))
+    assert(got === Set((1L, 0L, N - 1L, N.toLong), (1L, N + 6L, 2L * N + 5L, N.toLong)))
+  }
+
+  test("overlapping duplicated grams merge into one maximal span") {
+    // a 10-token shared run has 3 duplicated 8-grams with overlapping
+    // coverage — they must merge to ONE [off, off+9] span, not three
+    val shared = filler("m", 10)
+    val a = (shared ++ filler("p", 20)).mkString(" ")
+    val b = (filler("q", 20) ++ shared).mkString(" ")
+    val got = spans(Seq(1L -> a, 2L -> b))
+    assert(got === Set((1L, 0L, 9L, 10L), (2L, 20L, 29L, 10L)))
+  }
+
+  test("two runs separated by more than one gram length stay separate spans") {
+    val r1 = filler("s", N)
+    val r2 = filler("t", N)
+    val gap = filler("g", N + 1) // starts differ by > N => no merge
+    val a = (r1 ++ gap ++ r2).mkString(" ")
+    val b = (r2 ++ filler("u", 3) ++ r1).mkString(" ")
+    val got = spans(Seq(1L -> a, 2L -> b))
+    assert(got((1L, 0L, N - 1L, N.toLong)) && got((1L, 2L * N + 1L, 3L * N, N.toLong)))
+    assert(got.count(_._1 == 1L) == 2)
+  }
+
+  test("matches brute-force coverage islands on the sf0.001 corpus") {
+    val spark = SparkSpec.spark
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").filter(_.nonEmpty))
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, w) <- docs; i <- 0 to w.length - N)
+      counts.updateWith(w.slice(i, i + N).mkString(" "))(c => Some(c.getOrElse(0) + 1))
+    val truth = (for ((id, w) <- docs.toSeq) yield {
+      val covered = (for {
+        i <- 0 to w.length - N if counts(w.slice(i, i + N).mkString(" ")) > 1
+        p <- i until i + N
+      } yield p).distinct.sorted
+      // islands over covered positions
+      val grouped = covered.foldLeft(List.empty[List[Int]]) {
+        case (acc @ (h :: t), p) if h.head == p - 1 => (p :: h) :: t
+        case (acc, p)                               => List(p) :: acc
+      }
+      grouped.map(g => (id, g.last.toLong, g.head.toLong, g.size.toLong))
+    }).flatten.toSet
+    val spark2 = SparkSpec.spark
+    val got = Scrub.substringSpans(spark2, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === truth)
+    assert(got.nonEmpty, "sf0.001 must contain real near-dup substring spans")
+  }
+}
