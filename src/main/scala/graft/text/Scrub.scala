@@ -431,8 +431,8 @@ object Scrub {
     * ran 248 s at sf0.1; this shape runs the same math in ~2 s — see
     * PERF_NOTES). Here split/tokenize run once per document, md5 once
     * per gram, and both windows ride ONE doc_id exchange. */
-  private def gramHashRows(docs: DataFrame, n: Int,
-                           extras: Seq[String] = Nil): DataFrame = {
+  private[graft] def gramHashRows(docs: DataFrame, n: Int,
+                                  extras: Seq[String] = Nil): DataFrame = {
     val byDoc = Window.partitionBy("doc_id")
     val cols: Seq[Column] = (col("doc_id") +: extras.map(col)) :+
       posexplode(expr("filter(split(text, '\\\\s+'), x -> x <> '')"))
@@ -591,16 +591,22 @@ object Scrub {
     *
     * Plan shape: positional grams from [[gramHashRows]] (tokenize
     * once per doc, md5 once per gram — NOT nested array HOFs, see the
-    * q95 scaladoc), ONE gh-keyed count finds grams with ≥ 2
-    * occurrences, the start positions join back on the same key (the
-    * aggregate output is already hash-partitioned by gh, so only the
-    * probe side pays a new exchange), and span merging is
-    * gaps-and-islands on START positions alone — two grams' coverages
-    * touch iff their starts differ by ≤ N, so `span_end = max(start)
-    * + N − 1` without ever exploding the N-fold per-position coverage
-    * (and without its distinct's extra exchange). Both windows ride
-    * ONE doc_id exchange; post-join volume is duplicated starts only,
-    * ∝ how much duplication exists, never corpus × positions. */
+    * q95 scaladoc), then ONE count-over-gh window marks grams with
+    * ≥ 2 occurrences, and span merging is gaps-and-islands on START
+    * positions alone — two grams' coverages touch iff their starts
+    * differ by ≤ N, so `span_end = max(start) + N − 1` without ever
+    * exploding the N-fold per-position coverage (and without its
+    * distinct's extra exchange). The occurrence window was MEASURED
+    * against the dup-aggregate + join-back alternative (VariantBench
+    * span_window / span_checkpoint / span_rescan, sf0.1: 1.09 vs 1.42
+    * vs 1.98 s): agg+join consumes the gram frame twice — Catalyst
+    * re-runs the tokenize+md5 lineage per consumer (2 parquet scans),
+    * and checkpointing the frame still pays materialization + TWO
+    * gh exchanges (aggregate + probe); the window pays ONE gh
+    * exchange of the gram stream and nothing else. Both island
+    * windows ride ONE doc_id exchange; post-filter volume is
+    * duplicated starts only, ∝ how much duplication exists, never
+    * corpus × positions. */
   def substringSpans(s: SparkSession, d: String): DataFrame =
     substringSpansFrom(Tables.documents(s, d))
 
@@ -609,9 +615,17 @@ object Scrub {
   def substringSpansFrom(documents: DataFrame): DataFrame = {
     val n = SpanGramN
     val grams = gramHashRows(documents, n).select("doc_id", "tpos", "gh")
-    val dup = grams.groupBy("gh").agg(count(lit(1)).as("occ"))
-      .filter(col("occ") > 1).select("gh")
-    val starts = grams.join(dup, "gh").select("doc_id", "tpos")
+    val byGh = Window.partitionBy("gh")
+    spanIslands(
+      grams.withColumn("occ", count(lit(1)).over(byGh))
+        .filter(col("occ") > 1).select("doc_id", "tpos"))
+  }
+
+  /** Gaps-and-islands tail shared by the q123 variants: duplicated
+    * START positions → maximal merged spans (starts whose difference
+    * is ≤ N have touching N-token coverages). */
+  private[graft] def spanIslands(starts: DataFrame): DataFrame = {
+    val n = SpanGramN
     val byDoc = Window.partitionBy("doc_id").orderBy("tpos")
     starts
       .withColumn("brk",

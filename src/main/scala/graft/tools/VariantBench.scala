@@ -189,7 +189,27 @@ object VariantBench {
         explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("w"))
       .groupBy("lang").agg(countDistinct("w").as("n"))
 
+  /** q123 A/B (sf0.1: window 1.09 s, checkpoint 1.42, rescan 1.98 —
+    * the window shape is the registered one): the agg+join shape
+    * consumes the gram frame twice (dup-count aggregate + join
+    * probe), so Catalyst re-runs the tokenize+md5 lineage per
+    * consumer (2 parquet scans); `span_checkpoint` materializes the
+    * grams once but still pays TWO gh exchanges; the count-over-gh
+    * window pays ONE scan and ONE gh exchange, no join. */
+  private def spanGrams(s: SparkSession, d: String) =
+    graft.text.Scrub.gramHashRows(Tables.documents(s, d),
+      graft.text.Scrub.SpanGramN).select("doc_id", "tpos", "gh")
+
+  def spanRescanFrom(grams: DataFrame): DataFrame = {
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1).select("gh")
+    graft.text.Scrub.spanIslands(grams.join(dup, "gh").select("doc_id", "tpos"))
+  }
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "span_rescan"       -> ((s, d) => spanRescanFrom(spanGrams(s, d))),
+    "span_checkpoint"   -> ((s, d) => spanRescanFrom(spanGrams(s, d).localCheckpoint(true))),
+    "span_window"       -> ((s, d) => graft.text.Scrub.substringSpans(s, d)),
     "ivf_window"        -> ((s, d) => SimilarityQueries.ivfTopK(s, d)),
     "ivf_struct_max"    -> ((s, d) => ivfStructMaxFrom(emb(s, d))),
     "ivf_window_3x"     -> ((s, d) => SimilarityQueries.ivfTopKFrom(inflatedEmb(s, d, 3))),
