@@ -239,6 +239,15 @@ object SparkEntry {
     // round-10: z-order layout manifest (write-side 2-D clustering;
     // file min/max boxes a rect scan prunes on)
     "q126_zorder_layout"      -> ((s: SparkSession, d: String) => graft.ops.Layout.zorderLayout(s, d)),
+    // round-10: sample-based range-partition planning (the
+    // RangePartitioner/distributed-sort split-point computation as a
+    // first-class op, on the q125 mergeable bottom-k sample)
+    "q127_range_partition_plan" -> ((s: SparkSession, d: String) => graft.ops.Layout.rangePartitionPlan(s, d)),
+    // round-10: incremental span decontamination (q123's islands, new
+    // batch vs corpus — the nightly-crawl admission cut)
+    "q128_incremental_spans"  -> (Scrub.incrementalSpans _),
+    // round-10: near-dup cluster × train/val/test leakage audit
+    "q129_split_leakage"      -> ((s: SparkSession, d: String) => DedupQueries.splitLeakage(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -373,5 +382,8 @@ object SparkEntry {
     "q124_gopher_rules"       -> TextQueries.gopherRulesSql,
     "q125_sample_quantiles"   -> graft.ops.Quantiles.sampleQuantilesSql,
     "q126_zorder_layout"      -> graft.ops.Layout.zorderLayoutSql,
+    "q127_range_partition_plan" -> graft.ops.Layout.rangePartitionPlanSql,
+    "q128_incremental_spans"  -> Scrub.incrementalSpansSql,
+    "q129_split_leakage"      -> DedupQueries.splitLeakageSql,
   )
 }

@@ -754,6 +754,49 @@ object DedupQueries {
        |FROM documents d LEFT JOIN surf ON surf.doc_id = d.doc_id
        |LEFT JOIN sem ON sem.doc_id = d.doc_id""".stripMargin.replace("\n", " ")
 
+  /** q129 — SPLIT-LEAKAGE audit: near-dup clusters (q45) crossed with
+    * the deterministic content-hash split (q85). A cluster whose
+    * members land in ≥ 2 of train/val/test is eval CONTAMINATION —
+    * the model sees a near-copy of a held-out doc during training, so
+    * held-out loss reads better than it is. Splitting by content hash
+    * prevents EXACT-dup leakage by construction (identical text ⇒
+    * identical bucket) but near-dups hash apart — which is exactly
+    * why the split must be audited at the CLUSTER grain, and why real
+    * pipelines split by cluster representative instead. Output: one
+    * row per cluster with per-split member counts and the leaky flag.
+    *
+    * Scale: cluster labels come from the O(log n)-round contraction
+    * behind q45; this audit adds one doc_id equi-join and one
+    * cluster-keyed aggregate — output bounded by |clusters|. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val splits = graft.text.CorpusOps.deterministicSplit(s, d)
+      .select("doc_id", "split")
+    dedupClusters(s, d).join(splits, "doc_id")
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("split") === "train", 1)).as("n_train"),
+        count(when(col("split") === "val", 1)).as("n_val"),
+        count(when(col("split") === "test", 1)).as("n_test"))
+      .withColumn("leaky",
+        (when(col("n_train") > 0, 1).otherwise(0) +
+          when(col("n_val") > 0, 1).otherwise(0) +
+          when(col("n_test") > 0, 1).otherwise(0)) >= 2)
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH cl AS ($dedupClustersSql),
+       |sp AS (${graft.text.CorpusOps.deterministicSplitSql})
+       |SELECT cl.cluster, count(*) AS n_docs,
+       |  count(*) FILTER (WHERE sp.split = 'train') AS n_train,
+       |  count(*) FILTER (WHERE sp.split = 'val') AS n_val,
+       |  count(*) FILTER (WHERE sp.split = 'test') AS n_test,
+       |  CAST(count(*) FILTER (WHERE sp.split = 'train') > 0 AS INT)
+       |    + CAST(count(*) FILTER (WHERE sp.split = 'val') > 0 AS INT)
+       |    + CAST(count(*) FILTER (WHERE sp.split = 'test') > 0 AS INT) >= 2 AS leaky
+       |FROM cl JOIN sp ON sp.doc_id = cl.doc_id
+       |GROUP BY cl.cluster""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------- link analysis
 
   /** PageRank fixed-point scale: ranks travel as integer units of

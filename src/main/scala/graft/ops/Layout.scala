@@ -74,6 +74,67 @@ object Layout {
         min("x").as("min_x"), max("x").as("max_x"),
         min("y").as("min_y"), max("y").as("max_y"))
 
+  // ------------------------------------- range-partition planning
+
+  val RpPartitions = 8
+  val RpSampleK = 256
+
+  /** q127 — sample-based RANGE-PARTITION planning, the 1-D sort-layout
+    * complement of [[zorderLayout]] and exactly what Spark's own
+    * RangePartitioner (and every distributed sort) does before a
+    * shuffle: bound P−1 split points from a bounded sample so each
+    * range partition gets ≈ 1/P of the rows, WITHOUT a full sort or a
+    * full pass collecting exact quantiles. Output is the plan manifest:
+    * per partition its row count and key min/max — the footer stats a
+    * sorted-layout reader range-prunes on.
+    *
+    * The sample is the q125 mergeable bottom-k ([[TopKAggregator
+    * .MinKBy]], ≤ k rows per task map-side, union-mergeable — at
+    * 100 TB each input split contributes a bounded partial and the
+    * boundaries come from one k-row reduce); split points are the
+    * sample's ceil-rank order statistics at i/P. Assignment is a
+    * broadcast of the ONE-row boundary array back over the scan
+    * (crossJoin with a broadcast scalar side — the repo convention),
+    * `part_id = |{b : b ≤ key}|`, so values equal to a boundary go
+    * RIGHT (lower-inclusive ranges, deterministic under ties). The
+    * spec asserts the plan balances within 2× of ideal. */
+  def rangePartitionPlan(s: SparkSession, d: String): DataFrame =
+    rangePartitionPlanFrom(Tables.documents(s, d))
+
+  /** [[rangePartitionPlan]] over an explicit (doc_id, n_chars) frame. */
+  def rangePartitionPlanFrom(documents: DataFrame): DataFrame = {
+    val (p, k) = (RpPartitions, RpSampleK)
+    val keyed = documents.select(col("doc_id"), col("n_chars"),
+      graft.functions.GraftFunctions
+        .md5Lower53(concat(lit("rp:"), col("doc_id").cast("string")))
+        .cast("double").as("skey"))
+    val bounds = keyed
+      .agg(TopKAggregator.minKBy(k)(col("skey"), col("doc_id"), col("n_chars")).as("smp"))
+      .select(sort_array(expr("transform(smp, e -> e._3)")).as("v"))
+      .select(expr(
+        s"transform(sequence(1, ${p - 1}), i -> element_at(v, CAST((size(v) * i + ${p - 1}) div $p AS INT)))")
+        .as("bnds"))
+    keyed.crossJoin(broadcast(bounds))
+      .select(col("n_chars"),
+        expr("CAST(size(filter(bnds, b -> b <= n_chars)) AS BIGINT)").as("part_id"))
+      .groupBy("part_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("n_chars").as("min_key"), max("n_chars").as("max_key"))
+  }
+
+  val rangePartitionPlanSql: String = {
+    val (p, k) = (RpPartitions, RpSampleK)
+    s"""WITH h AS (SELECT doc_id, n_chars,
+       |  CAST(md5_number_lower('rp:' || CAST(doc_id AS VARCHAR)) >> 11 AS DOUBLE) AS skey FROM documents),
+       |r AS (SELECT n_chars, row_number() OVER (ORDER BY skey, doc_id) AS rn FROM h),
+       |v AS (SELECT list_sort(list(n_chars)) AS v, count(*) AS m FROM r WHERE rn <= $k),
+       |b AS (SELECT [v[CAST((m * i + ${p - 1}) // $p AS INT)] for i in range(1, $p)] AS bnds FROM v),
+       |a AS (SELECT d.n_chars, len(list_filter(b.bnds, x -> x <= d.n_chars)) AS part_id FROM documents d, b)
+       |SELECT CAST(part_id AS BIGINT) AS part_id, count(*) AS n_rows,
+       |  min(n_chars) AS min_key, max(n_chars) AS max_key
+       |FROM a GROUP BY 1""".stripMargin.replace("\n", " ")
+  }
+
   val zorderLayoutSql: String = {
     val z = mortonExpr("x", "y", "//")
     s"""WITH c AS (SELECT CAST(user_id // $XDiv AS BIGINT) AS x,

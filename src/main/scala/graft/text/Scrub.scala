@@ -640,6 +640,57 @@ object Scrub {
       .select("doc_id", "span_start", "span_end", "span_len")
   }
 
+  /** q128 — INCREMENTAL span decontamination, q123's nightly-crawl
+    * twin (the span-grain member of the q71/q75 incremental family):
+    * which token runs of the NEW batch (the q71 `doc_id % 5 == 4`
+    * convention) already exist in the CORPUS (all other docs). The
+    * answer is what a crawl-ingest pipeline cuts before admission —
+    * content the corpus already has, at arbitrary alignment, without
+    * the batch having to match any whole doc or chunk.
+    *
+    * Same one-scan/one-gh-exchange shape as q123 (measured there —
+    * VariantBench span_*): the occurrence window just counts CORPUS
+    * occurrences only (`sum(corp)`), and the island stage keeps
+    * batch-side starts with ≥ 1. A batch gram repeated only WITHIN
+    * the batch does not mark (admission dedup of the batch against
+    * itself is q123 on the batch alone). */
+  def incrementalSpans(s: SparkSession, d: String): DataFrame =
+    incrementalSpansFrom(Tables.documents(s, d))
+
+  /** [[incrementalSpans]] over an explicit (doc_id, text) frame. */
+  def incrementalSpansFrom(documents: DataFrame): DataFrame = {
+    import graft.dedup.DedupQueries.{IncBatchMod, IncBatchRem}
+    val grams = gramHashRows(documents, SpanGramN)
+      .select(col("doc_id"), col("tpos"), col("gh"),
+        when(col("doc_id") % IncBatchMod === IncBatchRem, 0)
+          .otherwise(1).as("corp"))
+    val byGh = Window.partitionBy("gh")
+    spanIslands(
+      grams.withColumn("n_corp", sum("corp").over(byGh))
+        .filter(col("corp") === 0 && col("n_corp") >= 1)
+        .select("doc_id", "tpos"))
+  }
+
+  val incrementalSpansSql: String = {
+    val n = SpanGramN
+    val (m, r) = (graft.dedup.DedupQueries.IncBatchMod,
+      graft.dedup.DedupQueries.IncBatchRem)
+    s"""WITH ws AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+       |g AS (SELECT doc_id, i - 1 AS tpos, md5(array_to_string(w[i:i+${n - 1}], ' ')) AS gh,
+       |  CASE WHEN doc_id % $m = $r THEN 0 ELSE 1 END AS corp
+       |  FROM ws, unnest(generate_series(1, len(w) - ${n - 1})) AS s(i)),
+       |cw AS (SELECT doc_id, tpos, corp, sum(corp) OVER (PARTITION BY gh) AS n_corp FROM g),
+       |st AS (SELECT doc_id, tpos FROM cw WHERE corp = 0 AND n_corp >= 1),
+       |lg AS (SELECT doc_id, tpos, CASE WHEN tpos - lag(tpos) OVER (PARTITION BY doc_id ORDER BY tpos) > $n
+       |  THEN 1 ELSE 0 END AS brk FROM st),
+       |il AS (SELECT doc_id, tpos, sum(brk) OVER (PARTITION BY doc_id ORDER BY tpos
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM lg)
+       |SELECT doc_id, CAST(min(tpos) AS BIGINT) AS span_start,
+       |  CAST(max(tpos) + ${n - 1} AS BIGINT) AS span_end,
+       |  CAST(max(tpos) - min(tpos) + $n AS BIGINT) AS span_len
+       |FROM il GROUP BY doc_id, grp""".stripMargin.replace("\n", " ")
+  }
+
   val substringSpansSql: String = {
     val n = SpanGramN
     s"""WITH ws AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),

@@ -430,4 +430,29 @@ class DedupSpec extends AnyFunSuite {
       assert(got === bruteTriangles(pairs), s"dir=$dir")
     }
   }
+
+  test("q129 equals the driver-side composition of q45 clusters and q85 splits (sf0.01)") {
+    val spark = SparkSpec.spark
+    val dir = "/root/testdata/sf0.01"
+    val clusters = DedupQueries.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val splits = graft.text.CorpusOps.deterministicSplit(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val truth = clusters.groupBy(_._2).map { case (cluster, members) =>
+      // keys is a SET — map through toSeq or equal split labels collapse
+      val ss = members.keys.toSeq.map(splits)
+      val (tr, va, te) = (ss.count(_ == "train").toLong,
+        ss.count(_ == "val").toLong, ss.count(_ == "test").toLong)
+      cluster -> ((members.size.toLong, tr, va, te,
+        Seq(tr, va, te).count(_ > 0) >= 2))
+    }
+    val got = DedupQueries.splitLeakage(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got === truth)
+    // the content-hash split CANNOT leak exact dups, but near-dups
+    // hash apart — the audit must catch real cases on this corpus
+    assert(got.values.exists(_._5), "corpus must contain leaky near-dup clusters")
+    assert(got.values.count(_._5) < got.size, "not everything can leak")
+  }
 }

@@ -36,6 +36,49 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("range-partition plan balances within 2x of ideal and covers disjoint ranges (sf0.01)") {
+    val spark = SparkSpec.spark
+    val rows = Layout.rangePartitionPlan(spark, "/root/testdata/sf0.01")
+      .collect().sortBy(_.getAs[Long]("part_id"))
+    assert(rows.map(_.getAs[Long]("part_id")).toSeq ==
+      (0L until Layout.RpPartitions.toLong))
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    val ideal = total.toDouble / Layout.RpPartitions
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_rows")
+      assert(n >= ideal / 2 && n <= ideal * 2, s"unbalanced partition: $r (ideal $ideal)")
+    }
+    // ranges are disjoint and ordered: each partition's min exceeds
+    // the previous partition's max
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("min_key") > a.getAs[Long]("max_key"), s"overlap: $a / $b")
+    }
+  }
+
+  test("range-partition boundaries are lower-inclusive and repartition-invariant") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    // 80 distinct values: sample = population (K=256 > 80), so the
+    // plan must equal the exact ceil-rank reference computed here
+    val vals = (0L until 80L).map(i => 1000L + 7L * i) // distinct, unordered ties impossible
+    val docs = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("doc_id", "n_chars")
+    val sorted = vals.sorted
+    val p = Layout.RpPartitions
+    val bnds = (1 until p).map(i => sorted((sorted.size * i + p - 1) / p - 1))
+    val expected = vals.groupBy(v => bnds.count(_ <= v).toLong).map { case (pid, vs) =>
+      pid -> ((vs.size.toLong, vs.min, vs.max))
+    }
+    val plan = Layout.rangePartitionPlanFrom(docs).collect()
+      .map(r => r.getAs[Long]("part_id") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("min_key"), r.getAs[Long]("max_key")))).toMap
+    assert(plan === expected)
+    assert(plan.keySet === (0L until p.toLong).toSet)
+    val shuffled = Layout.rangePartitionPlanFrom(docs.repartition(7)).collect()
+      .map(r => r.getAs[Long]("part_id") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("min_key"), r.getAs[Long]("max_key")))).toMap
+    assert(shuffled === plan)
+  }
+
   test("a rect query prunes to a fraction of the files the linear layout touches (sf0.01)") {
     val spark = SparkSpec.spark
     val d = "/root/testdata/sf0.01"

@@ -60,6 +60,27 @@ class SubstringSpansSpec extends AnyFunSuite {
     assert(got.count(_._1 == 1L) == 2)
   }
 
+  test("incremental spans flag batch-vs-corpus repeats only, at batch offsets") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    import graft.dedup.DedupQueries.{IncBatchMod, IncBatchRem}
+    val shared = filler("dup", 10)
+    val batchOnly = filler("bo", N)
+    // ids 4, 9 are batch (doc_id % 5 == 4); 1, 2 corpus
+    assert(IncBatchMod == 5 && IncBatchRem == 4, "update planted ids if the split changes")
+    val docs = Seq(
+      1L -> (filler("c", 6) ++ shared).mkString(" "),               // corpus holds the run
+      2L -> filler("d", 30).mkString(" "),                          // unrelated corpus
+      4L -> (filler("a", 3) ++ shared ++ batchOnly).mkString(" "),  // batch: corpus run at 3..12
+      9L -> (batchOnly ++ filler("e", 9)).mkString(" "))            // batch: repeat exists ONLY in batch
+    val got = Scrub.incrementalSpansFrom(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // doc 4's shared run flagged at ITS offsets; the batch-internal
+    // repeat (docs 4 and 9 both contain batchOnly) is NOT flagged, and
+    // corpus docs never appear in the output
+    assert(got === Set((4L, 3L, 12L, 10L)))
+  }
+
   test("matches brute-force coverage islands on the sf0.001 corpus") {
     val spark = SparkSpec.spark
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
