@@ -77,7 +77,10 @@ object Bench {
         () => { graft.dedup.DedupQueries.corpusIndex(spark, sfDir); () }),
       "ivf" -> timeIndexBuild(
         "ivf3-" + graft.ops.DurableIndex.snapshotTag(sfDir, "embeddings.parquet"),
-        () => { graft.sim.SimilarityQueries.ivfIndex(spark, sfDir); () }))
+        () => { graft.sim.SimilarityQueries.ivfIndex(spark, sfDir); () }),
+      "span_grams" -> timeIndexBuild(
+        "spangrams-" + graft.ops.DurableIndex.snapshotTag(sfDir, "documents.parquet"),
+        () => { graft.text.Scrub.spanGramIndex(spark, sfDir); () }))
     // 1-minute loadavg, sampled per query as well as before/after the
     // run: a loaded machine inflates full-run times up to 10x per query
     // (VERDICT r6 — every apparent r6 "regression" was load noise), so

@@ -248,6 +248,9 @@ object SparkEntry {
     "q128_incremental_spans"  -> (Scrub.incrementalSpans _),
     // round-10: near-dup cluster × train/val/test leakage audit
     "q129_split_leakage"      -> ((s: SparkSession, d: String) => DedupQueries.splitLeakage(s, d)),
+    // round-10: q128 against the PERSISTED distinct-gram index
+    // (membership ≡ n_corp >= 1 ⇒ same oracle; probe-side-only cost)
+    "q130_incremental_spans_indexed" -> (Scrub.incrementalSpansIndexedQuery _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -385,5 +388,7 @@ object SparkEntry {
     "q127_range_partition_plan" -> graft.ops.Layout.rangePartitionPlanSql,
     "q128_incremental_spans"  -> Scrub.incrementalSpansSql,
     "q129_split_leakage"      -> DedupQueries.splitLeakageSql,
+    // identical output contract to q128 — same oracle
+    "q130_incremental_spans_indexed" -> Scrub.incrementalSpansSql,
   )
 }

@@ -282,6 +282,28 @@ object StreamingFraud {
       }
       .start()
 
+  /** Streaming twin of q128/q130 — span DECONTAMINATION of a document
+    * stream at admission time: each micro-batch's docs probe the
+    * persisted corpus gram index ([[graft.text.Scrub.spanGramIndex]] —
+    * distinct corpus 8-gram md5s, bucketed) and emit the maximal token
+    * runs the corpus already contains, before the doc is admitted.
+    * Same foreachBatch shape as [[incrementalDedupStream]] and for the
+    * same reason: the island merge is a per-doc window over the
+    * micro-batch's own rows — per-batch cost ∝ batch, index side read
+    * pre-partitioned, no streaming state at all (the corpus membership
+    * IS the state, and it lives in the index files). Output per batch
+    * is row-identical to batch q128 on the same docs
+    * (StreamingFraudSpec). */
+  def spanDecontamStream(spark: SparkSession, corpusDir: String,
+                         docs: DataFrame,
+                         sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.text.Scrub.incrementalSpansIndexed(
+          spark, corpusDir, batch.select("doc_id", "text")), batchId)
+      }
+      .start()
+
   /** Streaming twin of q76 — k-NN label propagation of a VECTOR STREAM
     * against the persisted IVF index ([[graft.sim.SimilarityQueries
     * .ivfIndex]]): each micro-batch's (vec_id, embedding) rows probe

@@ -671,6 +671,69 @@ object Scrub {
         .select("doc_id", "tpos"))
   }
 
+  /** Durable DISTINCT-gram index of the q128 corpus side — the
+    * span-decontamination member of the persisted-index family
+    * (q75 dedup corpus / q78 IVF): one bucketed+sorted parquet table
+    * of the corpus's distinct 8-gram md5s, snapshot-tagged and
+    * build-once-locked via [[graft.ops.DurableIndex]]. Membership is
+    * all the probe needs (q128's `n_corp >= 1`), so the index stores
+    * ONE 32-byte string per distinct corpus gram — no doc ids, no
+    * positions — and a nightly crawl pays gram-extraction + a
+    * semi-join ∝ the BATCH, never re-touching the corpus. */
+  def spanGramIndex(s: SparkSession, d: String): String = {
+    import graft.dedup.DedupQueries.{IncBatchMod, IncBatchRem, IndexBuckets}
+    val tag = graft.ops.DurableIndex.snapshotTag(d, "documents.parquet")
+    val tbl = s"span_corpus_grams_$tag"
+    graft.ops.DurableIndex.locked(s"spangrams-$tag") {
+      if (!s.catalog.tableExists(tbl)) {
+        val loc = graft.ops.DurableIndex.root.resolve(s"spangrams-$tag")
+        if (graft.ops.DurableIndex.complete(loc)) {
+          // reuse: redeclare the external bucketed table over the files
+          s.sql(s"CREATE TABLE IF NOT EXISTS $tbl (gh STRING) USING PARQUET " +
+            s"CLUSTERED BY (gh) SORTED BY (gh) INTO $IndexBuckets BUCKETS " +
+            s"LOCATION '${loc.resolve("grams")}'")
+          ()
+        } else {
+          java.nio.file.Files.createDirectories(loc)
+          val corpus = Tables.documents(s, d)
+            .filter(col("doc_id") % IncBatchMod =!= IncBatchRem)
+          gramHashRows(corpus, SpanGramN).select("gh").distinct()
+            .write.mode("overwrite")
+            .option("path", loc.resolve("grams").toString)
+            .bucketBy(IndexBuckets, "gh").sortBy("gh")
+            .saveAsTable(tbl)
+          graft.ops.DurableIndex.markComplete(loc)
+        }
+      }
+    }
+    tbl
+  }
+
+  /** q130 — q128 against the PERSISTED gram index: the batch's grams
+    * left-semi-join the bucketed table (index side read
+    * pre-partitioned, probe side pays the only exchange — the q75
+    * posture), then the unchanged island merge. Membership ≡
+    * `n_corp >= 1`, so output is row-identical to q128 for the same
+    * batch → same oracle, and the streaming twin
+    * ([[graft.streaming.StreamingFraud.spanDecontamStream]]) runs
+    * THIS per micro-batch. */
+  def incrementalSpansIndexed(s: SparkSession, d: String,
+                              batch: DataFrame): DataFrame = {
+    val tbl = spanGramIndex(s, d)
+    spanIslands(
+      gramHashRows(batch.select("doc_id", "text"), SpanGramN)
+        .join(s.table(tbl), Seq("gh"), "left_semi")
+        .select("doc_id", "tpos"))
+  }
+
+  /** q130's registered form: the q71-convention batch slice probed
+    * against the index. */
+  def incrementalSpansIndexedQuery(s: SparkSession, d: String): DataFrame = {
+    import graft.dedup.DedupQueries.{IncBatchMod, IncBatchRem}
+    incrementalSpansIndexed(s, d, Tables.documents(s, d)
+      .filter(col("doc_id") % IncBatchMod === IncBatchRem))
+  }
+
   val incrementalSpansSql: String = {
     val n = SpanGramN
     val (m, r) = (graft.dedup.DedupQueries.IncBatchMod,

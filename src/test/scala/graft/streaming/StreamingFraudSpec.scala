@@ -571,6 +571,43 @@ class StreamingFraudSpec extends AnyFunSuite {
     assert(got.asScala.toSet === expect)
   }
 
+  test("streaming span decontamination: 2 micro-batches match the batch q128 spans") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.col
+    import graft.dedup.DedupQueries
+
+    val batchDocs = graft.ops.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % DedupQueries.IncBatchMod === DedupQueries.IncBatchRem)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(batchDocs.length >= 2, "need at least 2 docs to form 2 micro-batches")
+    val (first, second) = batchDocs.splitAt(batchDocs.length / 2)
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val query = graft.streaming.StreamingFraud.spanDecontamStream(spark, sfDir, docs,
+      (spans, _) => spans.collect().foreach(r =>
+        got.add((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))))
+    try {
+      input.addData(first.toSeq)
+      query.processAllAvailable()
+      input.addData(second.toSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // island merge is per-doc and docs never straddle micro-batches,
+    // so the union over batches must equal the one-shot batch answer
+    val expect = graft.text.Scrub.incrementalSpans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet === expect)
+    assert(got.size === expect.size)
+  }
+
   test("crawl loop with write-back: a doc repeated across micro-batches is new once, dup after") {
     val spark = SparkSpec.spark
     import spark.implicits._

@@ -81,6 +81,17 @@ class SubstringSpansSpec extends AnyFunSuite {
     assert(got === Set((4L, 3L, 12L, 10L)))
   }
 
+  test("indexed incremental spans (q130) emit exactly q128's rows at 2 SFs") {
+    val spark = SparkSpec.spark
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val inline = rows(Scrub.incrementalSpans(spark, dir))
+      val indexed = rows(Scrub.incrementalSpansIndexedQuery(spark, dir))
+      assert(indexed === inline, s"dir=$dir")
+    }
+  }
+
   test("matches brute-force coverage islands on the sf0.001 corpus") {
     val spark = SparkSpec.spark
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
