@@ -251,6 +251,14 @@ object SparkEntry {
     // round-10: q128 against the PERSISTED distinct-gram index
     // (membership ≡ n_corp >= 1 ⇒ same oracle; probe-side-only cost)
     "q130_incremental_spans_indexed" -> (Scrub.incrementalSpansIndexedQuery _),
+    // round-10: cohort retention (activation analytics over events)
+    "q131_cohort_retention"   -> (RelationalQueries.cohortRetention _),
+    // round-10: order-insensitive bucketed table checksum (the
+    // anti-entropy / replication-verification primitive)
+    "q132_table_checksum"     -> (graft.ops.Sketches.tableChecksum _),
+    // round-10: CMS inner-product join-size estimate vs exact (the
+    // CBO statistics primitive, measured on a many-to-many join)
+    "q133_join_cardinality"   -> (graft.ops.Sketches.joinCardinality _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -390,5 +398,8 @@ object SparkEntry {
     "q129_split_leakage"      -> DedupQueries.splitLeakageSql,
     // identical output contract to q128 — same oracle
     "q130_incremental_spans_indexed" -> Scrub.incrementalSpansSql,
+    "q131_cohort_retention"   -> RelationalQueries.cohortRetentionSql,
+    "q132_table_checksum"     -> graft.ops.Sketches.tableChecksumSql,
+    "q133_join_cardinality"   -> graft.ops.Sketches.joinCardinalitySql,
   )
 }

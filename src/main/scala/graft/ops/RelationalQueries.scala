@@ -826,4 +826,44 @@ object RelationalQueries {
       |  round(d.delta / (1.4826 * mad.mad), 4) AS rz
       |FROM dev d JOIN mad USING (event_type)
       |WHERE mad.mad > 0 AND d.dev > 4.4478 * mad.mad""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------- cohort retention
+
+  /** q131 — COHORT RETENTION over the event stream, the classic
+    * activation-analytics shape: users are cohorted by their FIRST
+    * `signup` event's day, and each (cohort_day, day_offset) cell
+    * counts the distinct cohort members with ANY activity that many
+    * days later (pre-signup activity excluded). Users who never sign
+    * up are outside every cohort. The reference has nothing like it;
+    * a training-data platform runs the same query over ingest/
+    * labeling activity.
+    *
+    * Plan shape: ONE user-keyed aggregate pins each user's cohort day
+    * (map-side min partials over the filtered anchor events), joined
+    * back onto the events — both sides partitioned by user_id, so the
+    * join reuses the aggregate's exchange — then one distinct + count
+    * keyed on the bounded (cohort, offset, user) triple. No windows;
+    * the cohort table is |users|-sized. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr("CAST(day(ts) AS BIGINT)").as("day"),
+        col("event_type"))
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(cohorts, "user_id")
+      .filter(col("day") >= col("cohort_day"))
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH ev AS (SELECT user_id, CAST(date_part('day', ts) AS BIGINT) AS day, event_type FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+      |a AS (SELECT DISTINCT c.cohort_day, ev.day - c.cohort_day AS day_offset, ev.user_id
+      |  FROM ev JOIN c USING (user_id) WHERE ev.day >= c.cohort_day)
+      |SELECT cohort_day, day_offset, count(*) AS n_users
+      |FROM a GROUP BY 1, 2""".stripMargin.replace("\n", " ")
 }

@@ -210,4 +210,50 @@ class SketchesSpec extends AnyFunSuite {
       assert(r.getLong(7) === denom(merged))
     }
   }
+
+  test("q132 checksum equals the driver fold, ignores order, and localizes a dropped row") {
+    val spark = SparkSpec.spark
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val got = cells(Sketches.tableChecksum(spark, sfDir))
+    // driver-side fold over the same stable rendering
+    val rows = Tables.orders(spark, sfDir)
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus").collect()
+      .map(r => graft.dedup.Hashing.md5Lower64(
+        s"ck:|${r.getLong(0)}|${r.getLong(1)}|${r.getString(2)}") & Long.MaxValue)
+    val truth = rows.groupBy(_ % Sketches.CkBuckets).map { case (b, hs) =>
+      b -> ((hs.length.toLong, hs.reduce(_ ^ _)))
+    }
+    assert(got === truth)
+    // order/partitioning invariance is the point of the XOR fold
+    val shuffled = cells(Sketches.tableChecksum(spark, sfDir))
+    assert(shuffled === got)
+    // dropping one row flips EXACTLY its own bucket: count -1, xor ^ h
+    val h0 = rows.head
+    val without = rows.tail.groupBy(_ % Sketches.CkBuckets).map { case (b, hs) =>
+      b -> ((hs.length.toLong, hs.reduce(_ ^ _)))
+    }
+    val diff = truth.keySet.filter(b => truth.get(b) != without.get(b))
+    assert(diff === Set(h0 % Sketches.CkBuckets))
+    assert(without(h0 % Sketches.CkBuckets) ===
+      ((truth(h0 % Sketches.CkBuckets)._1 - 1, truth(h0 % Sketches.CkBuckets)._2 ^ h0)))
+  }
+
+  test("q133 CMS join estimate bounds the exact size from above, within 10% (2 SFs)") {
+    val spark = SparkSpec.spark
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val r = Sketches.joinCardinality(spark, dir).head()
+      val (exact, est) = (r.getLong(0), r.getLong(1))
+      // exact replica: driver-side key-count dot product
+      val li = Tables.lineitem(spark, dir)
+        .selectExpr("l_partkey", "l_returnflag", "l_quantity").collect()
+      val ca = li.filter(_.getString(1) == "R").groupBy(_.getLong(0)).view.mapValues(_.length.toLong)
+      val cb = li.filter(_.getDouble(2) > 30).groupBy(_.getLong(0)).view.mapValues(_.length.toLong)
+      val trueSize = ca.keys.map(k => ca(k) * cb.getOrElse(k, 0L)).sum
+      assert(exact === trueSize, s"dir=$dir")
+      // CMS inner product NEVER underestimates (all contributions positive)
+      assert(est >= exact, s"dir=$dir")
+      assert(est - exact <= exact / 10, s"dir=$dir: est $est vs exact $exact")
+    }
+  }
 }
