@@ -196,6 +196,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q123/q128 span queries: ONE parquet scan, no join (the measured window shape)") {
+    // the agg+join formulation re-ran the tokenize+md5 lineage per
+    // consumer (2 scans) and was measured 45% slower (PERF_NOTES r10)
+    for (q <- Seq("q123_substring_spans", "q128_incremental_spans")) {
+      val p = plan(q)
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"$q has $scans parquet scans — agg+join regression?")
+      assert(!p.contains("Join"), s"$q plan grew a join:\n$p")
+    }
+  }
+
+  test("q131 cohort join-back reuses the user_id exchange (2 exchanges total)") {
+    val p = plan("q131_cohort_retention")
+    // user_id exchange (agg + join both sides aligned) + the final
+    // (cohort, offset) distinct/count exchange pair
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"q131 has $exchanges exchanges:\n$p")
+  }
+
   test("q04 flag join-back: fact side unshuffled, no fixed-cardinality window") {
     val p = plan("q04_window_flag")
     assert(!p.contains("Window"),

@@ -92,6 +92,39 @@ class SubstringSpansSpec extends AnyFunSuite {
     }
   }
 
+  test("q130 probe never shuffles the persisted span-gram index") {
+    val spark = SparkSpec.spark
+    val saved = Seq(
+      "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"),
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Scrub.incrementalSpansIndexedQuery(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      def isIndexScan(p: SparkPlan) = p match {
+        case sc: FileSourceScanExec =>
+          sc.tableIdentifier.exists(_.table.startsWith("span_corpus_grams"))
+        case _ => false
+      }
+      def paths(p: SparkPlan, acc: List[SparkPlan]): Seq[List[SparkPlan]] = {
+        val here = p :: acc
+        if (isIndexScan(p)) Seq(here) else p.children.flatMap(c => paths(c, here))
+      }
+      val scanPaths = paths(plan, Nil)
+      assert(scanPaths.nonEmpty, "expected a scan of the bucketed span-gram index")
+      scanPaths.foreach { path =>
+        val belowJoin = path.takeWhile(!_.isInstanceOf[BaseJoinExec])
+        val shuffles = belowJoin.filter(_.isInstanceOf[ShuffleExchangeExec])
+        assert(shuffles.isEmpty,
+          s"index side shuffled before the semi-join: ${shuffles.map(_.nodeName)}")
+      }
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("matches brute-force coverage islands on the sf0.001 corpus") {
     val spark = SparkSpec.spark
     val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
