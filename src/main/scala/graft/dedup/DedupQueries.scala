@@ -784,7 +784,9 @@ object DedupQueries {
           when(col("n_test") > 0, 1).otherwise(0)) >= 2)
   }
 
-  val splitLeakageSql: String =
+  // lazy: composing CorpusOps' SQL during DedupQueries' own init opens
+  // the init cycle described at [[IncBatchMod]] — defer until first use
+  lazy val splitLeakageSql: String =
     s"""WITH cl AS ($dedupClustersSql),
        |sp AS (${graft.text.CorpusOps.deterministicSplitSql})
        |SELECT cl.cluster, count(*) AS n_docs,
@@ -959,8 +961,14 @@ object DedupQueries {
 
   // ------------------------------------------------- incremental dedup
 
-  val IncBatchMod = 5
-  val IncBatchRem = 4
+  // `final val` (no type ascription) = compile-time constants, inlined
+  // at every use site: builder-authored SQL strings in OTHER objects
+  // interpolate these, and a plain val read during an object-init
+  // cycle (DedupQueries → splitLeakageSql → CorpusOps → Scrub →
+  // back into mid-init DedupQueries) silently yields 0 — which baked
+  // `doc_id % 0 = 0` into q128's oracle in the r10 full-registry run.
+  final val IncBatchMod = 5
+  final val IncBatchRem = 4
 
   /** q71 — INCREMENTAL dedup: deduplicate a NEW batch against an
     * EXISTING corpus, the shape a nightly crawl actually runs (the
@@ -1047,7 +1055,7 @@ object DedupQueries {
     * 100 TB size it so each bucket's band file set is a few hundred MB
     * (the shuffle paid once at write time replaces a corpus-side
     * shuffle on EVERY nightly run). */
-  val IndexBuckets = 8
+  final val IndexBuckets = 8 // final: inlined into cross-object SQL (see IncBatchMod)
 
   /** Root for persisted indexes — shared machinery in
     * [[graft.ops.DurableIndex]] (snapshot tagging, build locking,

@@ -734,7 +734,10 @@ object Scrub {
       .filter(col("doc_id") % IncBatchMod === IncBatchRem))
   }
 
-  val incrementalSpansSql: String = {
+  // lazy + `final` constants on the DedupQueries side: this val reads
+  // another object's members, and during the r10 init cycle a strict
+  // val here baked `% 0` into the oracle (see DedupQueries.IncBatchMod)
+  lazy val incrementalSpansSql: String = {
     val n = SpanGramN
     val (m, r) = (graft.dedup.DedupQueries.IncBatchMod,
       graft.dedup.DedupQueries.IncBatchRem)

@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Canary for the r10 object-init-cycle corruption: a strict val SQL
+  * string that interpolates ANOTHER object's plain val can bake a 0
+  * when the init graph re-enters a mid-initialization object (the
+  * DedupQueries → splitLeakageSql → CorpusOps → Scrub →
+  * DedupQueries.IncBatchMod cycle produced `doc_id % 0 = 0` in the
+  * full-registry Verify run while every targeted run was green). The
+  * constants are now `final` (compile-time inlined) and the
+  * cycle-opening vals lazy; this asserts the invariant on every
+  * registered oracle so a future cycle cannot ship silently. */
+class OracleSqlSpec extends AnyFunSuite {
+
+  test("no oracle SQL carries an init-order-zeroed constant") {
+    val bads = Seq("% 0 ", "% 0)", "% 0=", "% 0 =", " div 0", "// 0 ", "INTO 0 BUCKETS")
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      bads.foreach(b => assert(!sql.contains(b), s"$name oracle contains '$b': $sql"))
+      assert(sql.trim.nonEmpty, s"$name oracle is empty")
+    }
+    // the two cycle-prone compositions, pinned to their true literals
+    assert(SparkEntry.oracleSql("q128_incremental_spans").contains("% 5 = 4"))
+    assert(SparkEntry.oracleSql("q130_incremental_spans_indexed").contains("% 5 = 4"))
+    assert(SparkEntry.oracleSql("q129_split_leakage").contains("< 205"))
+  }
+
+  test("every registered query has an oracle and vice versa") {
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+  }
+}
