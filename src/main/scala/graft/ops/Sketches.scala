@@ -491,24 +491,33 @@ object Sketches {
   val JcWidth = 1 << 16
 
   def joinCardinality(s: SparkSession, d: String): DataFrame = {
-    def cmsOf(df: DataFrame, keyName: String): DataFrame = df
+    // Both slices ride ONE projected fact frame with membership flags,
+    // so each grain (bucket, key) costs one scan with conditional
+    // aggregates — the first cut built each slice's sketch and each
+    // slice's key counts separately (4 fact scans; at 100 TB that is
+    // 4× the I/O for identical arithmetic). The two grids then need
+    // no join at all: a bucket row carries both sides' counters.
+    val li = Tables.lineitem(s, d).select(
+      col("l_partkey").as("k"),
+      (col("l_returnflag") === "R").as("ina"),
+      (col("l_quantity") > 30).as("inb"))
+      .filter(col("ina") || col("inb"))
+    val grid = li
       .select(explode(array(
         (0 until CmDepth).map { i =>
           val h = graft.functions.GraftFunctions.md5Lower64(
-            concat(lit(s"$i:"), col(keyName).cast("string")))
-          struct(lit(i).as("r"), h.bitwiseAND(JcWidth - 1L).as("b"))
+            concat(lit(s"$i:"), col("k").cast("string")))
+          struct(lit(i).as("r"), h.bitwiseAND(JcWidth - 1L).as("b"),
+            col("ina"), col("inb"))
         }: _*)).as("e"))
-      .select(col("e.r").as("r"), col("e.b").as("b"))
-      .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
-    val li = Tables.lineitem(s, d)
-    val a = li.filter(col("l_returnflag") === "R").select(col("l_partkey").as("k"))
-    val b = li.filter(col("l_quantity") > 30).select(col("l_partkey").as("k"))
-    val est = cmsOf(a, "k").withColumnRenamed("cnt", "ca")
-      .join(cmsOf(b, "k").withColumnRenamed("cnt", "cb"), Seq("r", "b"))
+      .select(col("e.r").as("r"), col("e.b").as("b"), col("e.ina"), col("e.inb"))
+      .groupBy("r", "b")
+      .agg(count(when(col("ina"), 1)).as("ca"), count(when(col("inb"), 1)).as("cb"))
+    val est = grid.filter(col("ca") > 0 && col("cb") > 0)
       .groupBy("r").agg(sum(col("ca") * col("cb")).as("dot"))
       .agg(min("dot").as("est_rows"))
-    val exact = a.groupBy("k").agg(count(lit(1)).as("ca"))
-      .join(b.groupBy("k").agg(count(lit(1)).as("cb")), "k")
+    val exact = li.groupBy("k")
+      .agg(count(when(col("ina"), 1)).as("ca"), count(when(col("inb"), 1)).as("cb"))
       .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_rows"))
     exact.crossJoin(est) // two 1-row sides
       .select(col("exact_rows"), col("est_rows"),

@@ -215,6 +215,14 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"q131 has $exchanges exchanges:\n$p")
   }
 
+  test("q133 builds both CMS grids and both exact counts from ONE scan per grain") {
+    val p = plan("q133_join_cardinality")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"q133 has $scans fact scans — per-slice rebuild regression?")
+    // membership disjunction reaches the scan
+    assert(p.contains("PushedFilters: [Or(EqualTo(l_returnflag,R),GreaterThan(l_quantity,30.0))]"), p)
+  }
+
   test("q04 flag join-back: fact side unshuffled, no fixed-cardinality window") {
     val p = plan("q04_window_flag")
     assert(!p.contains("Window"),
