@@ -259,6 +259,9 @@ object SparkEntry {
     // round-10: CMS inner-product join-size estimate vs exact (the
     // CBO statistics primitive, measured on a many-to-many join)
     "q133_join_cardinality"   -> (graft.ops.Sketches.joinCardinality _),
+    // round-10: cluster-safe split — q129's fix (split by near-dup
+    // cluster representative; leakage zero by construction)
+    "q134_cluster_safe_split" -> (graft.text.CorpusOps.clusterSafeSplit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -401,5 +404,6 @@ object SparkEntry {
     "q131_cohort_retention"   -> RelationalQueries.cohortRetentionSql,
     "q132_table_checksum"     -> graft.ops.Sketches.tableChecksumSql,
     "q133_join_cardinality"   -> graft.ops.Sketches.joinCardinalitySql,
+    "q134_cluster_safe_split" -> graft.text.CorpusOps.clusterSafeSplitSql,
   )
 }

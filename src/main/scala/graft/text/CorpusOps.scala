@@ -635,6 +635,47 @@ object CorpusOps {
       bucketCol.as("bucket"),
       splitCol.as("split"))
 
+  /** q134 — CLUSTER-SAFE deterministic split, the production fix for
+    * the leakage q129 measures: every doc is assigned the split of
+    * its near-dup cluster REPRESENTATIVE (the cluster's min doc_id,
+    * q45's label), bucketed by the representative's text through the
+    * SAME q85 content hash. Near-dups of one cluster therefore land
+    * in ONE split by construction — q129's audit run over THIS split
+    * is zero leaky clusters (ClusterSplitSpec) — while exact dups
+    * were already safe (identical text ⇒ identical bucket). The
+    * ~80/10/10 proportions survive because representatives are an
+    * unbiased hash sample of texts.
+    *
+    * Scale: the representative table is |clusters|-sized (one
+    * equi-join against documents to fetch rep texts, one broadcast-
+    * friendly join back onto the doc→cluster map); the expensive
+    * input — the cluster labels — is q45's O(log n) contraction,
+    * shared machinery, not a new cost. */
+  def clusterSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val clusters = graft.dedup.DedupQueries.dedupClusters(s, d)
+    val reps = Tables.documents(s, d)
+      .join(clusters.select(col("cluster")).distinct()
+        .withColumnRenamed("cluster", "doc_id"), "doc_id")
+      .select(col("doc_id").as("cluster"), bucketCol.as("bucket"),
+        splitCol.as("split"))
+    clusters.join(reps, "cluster")
+      .select(col("doc_id"), col("cluster"), col("bucket"), col("split"))
+  }
+
+  // lazy: composes DedupQueries SQL — strict cross-object vals opened
+  // the r10 init cycle (see DedupQueries.IncBatchMod)
+  lazy val clusterSafeSplitSql: String =
+    s"""WITH cl AS (${graft.dedup.DedupQueries.dedupClustersSql}),
+       |reps AS (SELECT d.doc_id AS cluster,
+       |  CAST((instr('0123456789abcdef', substring(md5(d.text), 1, 1)) - 1) * 16
+       |     + instr('0123456789abcdef', substring(md5(d.text), 2, 1)) - 1 AS INT) AS bucket
+       |  FROM documents d JOIN (SELECT DISTINCT cluster FROM cl) c ON c.cluster = d.doc_id)
+       |SELECT cl.doc_id, cl.cluster, reps.bucket,
+       |  CASE WHEN reps.bucket < $TrainBuckets THEN 'train'
+       |       WHEN reps.bucket < ${TrainBuckets + ValBuckets} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM cl JOIN reps ON reps.cluster = cl.cluster""".stripMargin.replace("\n", " ")
+
   val deterministicSplitSql: String =
     s"""WITH b AS (SELECT doc_id,
        |  CAST((instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
