@@ -135,6 +135,63 @@ object Layout {
        |FROM a GROUP BY 1""".stripMargin.replace("\n", " ")
   }
 
+  // ------------------------------------- small-file compaction plan
+
+  /** Target compaction-group payload (chars here standing in for
+    * bytes): groups close as soon as the running payload crosses a
+    * multiple of this. */
+  val CompactTarget = 8192L
+
+  /** q136 — small-file COMPACTION planning, the other half of the
+    * write-side layout family (q126 clusters, q127 ranges, this one
+    * rebins): assign many small "files" (documents standing in, with
+    * `n_chars` as the file size) to target-sized rewrite groups,
+    * per table partition (`lang`). The assignment is the streaming
+    * first-fit every table format's OPTIMIZE uses — walk the files in
+    * a stable order, cut a new group whenever the running payload
+    * crosses the target — expressed as `floor(cumulative-size-before /
+    * target)`, which needs ONE window per partition key instead of a
+    * sequential driver loop (bin id is a pure function of the prefix
+    * sum, so every row decides its group independently — that is what
+    * makes first-fit distributable while true bin-packing is not).
+    *
+    * Scale shape: one scan, one per-`lang` window (partitions
+    * parallelize; no global order), one grouped aggregate on the same
+    * key prefix — the output is the rewrite manifest (group extents +
+    * payload), bounded by total-bytes/target, not by file count.
+    * Every group but a partition's last lands in
+    * [target − max_file, target + max_file): within one max-file-size
+    * of ideal, the same guarantee Delta's OPTIMIZE bin-packer gives. */
+  def compactionPlan(s: SparkSession, d: String): DataFrame =
+    compactionPlanFrom(Tables.documents(s, d))
+
+  /** [[compactionPlan]] over an explicit (doc_id, lang, n_chars)
+    * frame — the unit LayoutSpec drives. */
+  def compactionPlanFrom(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("cum_before", coalesce(sum("n_chars").over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"CAST(cum_before div $CompactTarget AS BIGINT)"))
+      .groupBy("lang", "bin_id")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum("n_chars").as("bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
+  val compactionPlanSql: String =
+    s"""WITH c AS (SELECT doc_id, lang, n_chars,
+       |  coalesce(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM documents)
+       |SELECT lang, CAST(cum_before // $CompactTarget AS BIGINT) AS bin_id,
+       |  count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bytes,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+
   val zorderLayoutSql: String = {
     val z = mortonExpr("x", "y", "//")
     s"""WITH c AS (SELECT CAST(user_id // $XDiv AS BIGINT) AS x,

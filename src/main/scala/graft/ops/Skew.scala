@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities (SURVEY §4 / the 100 TB checklist:
@@ -49,4 +49,46 @@ object Skew {
         factKey === dimKey && saltedFact("_salt") === saltedDim("_salt"))
       .drop("_salt")
   }
+
+  // ------------------------------------------- join-key skew profile
+
+  /** Rows in the q135 profile: the hot head is what a planner looks
+    * at; the full per-key distribution stays distributed. */
+  val SkewTopN = 20
+
+  /** q135 — join-KEY SKEW PROFILE of the q69 fact key (`l_suppkey`):
+    * per hot key its row count, corpus share, and ratio to the mean
+    * key load — the measurement that DECIDES between a plain shuffle
+    * join, AQE skew splitting, and [[saltedJoin]]. Every production
+    * salting story starts with this table (salt count ≈ the top key's
+    * skew factor); shipping the diagnostic as a first-class op is
+    * what makes the q69 mitigation reproducible instead of folklore.
+    *
+    * Scale shape: one fact scan into a keyed count (map-side partial
+    * combine does the heavy lifting — the shuffle carries one row per
+    * key per task), the scalar total/mean as a one-row broadcast over
+    * the key-sized table, and a bounded TakeOrdered head. Nothing is
+    * proportional to the fact table except the first combine. All
+    * ratio columns are integer fixed-point (FLOAT RULE: `div` on both
+    * engines), tiebreak on the key keeps the head deterministic. */
+  def keySkewProfile(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("l_suppkey"), col("cnt"),
+        expr("CAST(cnt * 10000 div total AS BIGINT)").as("share_x10k"),
+        expr("CAST(cnt * n_keys * 10000 div total AS BIGINT)").as("skew_x10k"))
+      .orderBy(col("cnt").desc, col("l_suppkey"))
+      .limit(SkewTopN)
+  }
+
+  val keySkewProfileSql: String =
+    s"""WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM c)
+       |SELECT l_suppkey, cnt,
+       |  CAST(cnt * 10000 // total AS BIGINT) AS share_x10k,
+       |  CAST(cnt * n_keys * 10000 // total AS BIGINT) AS skew_x10k
+       |FROM c, t ORDER BY cnt DESC, l_suppkey LIMIT $SkewTopN""".stripMargin.replace("\n", " ")
 }
