@@ -156,8 +156,12 @@ object Bench {
     // diff across rounds without tail-parsing per-query maps.
     val isoMap = isolated.collect { case (k, v, true, _) => k -> v }.toMap
     val totalAdj = results.collect { case (k, v, true, _) => isoMap.getOrElse(k, v) }.sum
+    // n_timed counts only queries whose time entered `total`: an erroring
+    // round must not masquerade as a speedup when diffed against a clean
+    // one (VERDICT r11 item 7 — r11's 131-query total wore n_queries=134).
+    val nTimed = results.count(_._3)
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"total_isolated_adjusted":${r3(totalAdj)},"queries":$qs,"queries_isolated":${toJson(isolated)},"loadavg_per_query":$loads,"index_build":$builds,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_timed":$nTimed,"total_isolated_adjusted":${r3(totalAdj)},"queries":$qs,"queries_isolated":${toJson(isolated)},"loadavg_per_query":$loads,"index_build":$builds,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"errors":$errs,"sf":"$sfDir"}"""
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")), json)
     // Tracked twin of the gitignored BENCH.json: the driver snapshots only
@@ -177,7 +181,7 @@ object Bench {
     val slowIsoJson = slow.collect { case (k, _, _, _) if isoByName.contains(k) =>
       "\"" + k + "\":" + r3(isoByName(k)) }.mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"total_isolated_adjusted":${r3(totalAdj)},"queries_top":$slowJson,"queries_top_isolated":$slowIsoJson,"index_build":$builds,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"errors":$errs,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_timed":$nTimed,"total_isolated_adjusted":${r3(totalAdj)},"queries_top":$slowJson,"queries_top_isolated":$slowIsoJson,"index_build":$builds,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"errors":$errs,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
     println(summary)
     spark.stop()
   }

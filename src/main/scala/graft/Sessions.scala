@@ -15,6 +15,12 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The driver's events.parquet writer has shipped ts as nanos-as-long
+      // AND as Timestamp(isAdjustedToUTC=false): without this, the latter
+      // reads as TIMESTAMP_NTZ and unix_millis/unix_micros fail analysis
+      // (r11 broke q27/q32/q92 this way). Session TZ is UTC, so reading
+      // NTZ micros as TimestampType yields identical instants.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // registers graft's custom planner strategies (native as-of join)
       .config("spark.sql.extensions", "graft.GraftExtensions")
     val s = extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }.getOrCreate()

@@ -262,6 +262,12 @@ object SparkEntry {
     // round-10: cluster-safe split — q129's fix (split by near-dup
     // cluster representative; leakage zero by construction)
     "q134_cluster_safe_split" -> (graft.text.CorpusOps.clusterSafeSplit _),
+    // round-12: join-key skew profile — the measurement that decides
+    // between plain shuffle, AQE skew split, and the q69 salted join
+    "q135_key_skew_profile"   -> (graft.ops.Skew.keySkewProfile _),
+    // round-12: small-file compaction planning (distributable first-fit
+    // rebinning — the write-side OPTIMIZE manifest)
+    "q136_compaction_plan"    -> ((s: SparkSession, d: String) => graft.ops.Layout.compactionPlan(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -405,5 +411,7 @@ object SparkEntry {
     "q132_table_checksum"     -> graft.ops.Sketches.tableChecksumSql,
     "q133_join_cardinality"   -> graft.ops.Sketches.joinCardinalitySql,
     "q134_cluster_safe_split" -> graft.text.CorpusOps.clusterSafeSplitSql,
+    "q135_key_skew_profile"   -> graft.ops.Skew.keySkewProfileSql,
+    "q136_compaction_plan"    -> graft.ops.Layout.compactionPlanSql,
   )
 }

@@ -15,11 +15,18 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None        => SparkEntry.queries
     }
+    // A failing query must be first-class RED, not a silently-missing
+    // row (VERDICT r11 item 3: the NTZ break surfaced only as absent
+    // CORRECTNESS rows): collect every failure and persist it as
+    // errors.json in the same outDir the driver reads.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        failures(name) = msg.linesIterator.take(3).mkString(" | ").take(500)
       }
       finally spark.catalog.clearCache() // drop per-query persisted intermediates
     }
@@ -43,6 +50,11 @@ object Verify {
       .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // {} on a clean run; any entry means the named query THREW and has
+    // no parquet — comparators must treat it as failed, not skip it.
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

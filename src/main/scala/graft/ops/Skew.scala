@@ -69,8 +69,13 @@ object Skew {
     * key per task), the scalar total/mean as a one-row broadcast over
     * the key-sized table, and a bounded TakeOrdered head. Nothing is
     * proportional to the fact table except the first combine. All
-    * ratio columns are integer fixed-point (FLOAT RULE: `div` on both
-    * engines), tiebreak on the key keeps the head deterministic. */
+    * ratio columns are integer fixed-point (FLOAT RULE: integer
+    * division on both engines — `div` / `//`), tiebreak on the key
+    * keeps the head deterministic. The cnt·n_keys·10⁴ product is
+    * widened to DECIMAL(38,0) / HUGEINT before dividing: at 100 TB
+    * (1e8-row hot key × 1e7 keys) the Int64 product wraps silently in
+    * Spark (ANSI off) while DuckDB raises — the widened intermediate
+    * keeps the fixed-point ratio exact and engine-consistent. */
   def keySkewProfile(s: SparkSession, d: String): DataFrame = {
     val counts = Tables.lineitem(s, d)
       .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
@@ -78,8 +83,8 @@ object Skew {
       sum("cnt").as("total"), count(lit(1)).as("n_keys"))
     counts.crossJoin(broadcast(totals))
       .select(col("l_suppkey"), col("cnt"),
-        expr("CAST(cnt * 10000 div total AS BIGINT)").as("share_x10k"),
-        expr("CAST(cnt * n_keys * 10000 div total AS BIGINT)").as("skew_x10k"))
+        expr("CAST(CAST(cnt AS DECIMAL(38,0)) * 10000 div total AS BIGINT)").as("share_x10k"),
+        expr("CAST(CAST(cnt AS DECIMAL(38,0)) * n_keys * 10000 div total AS BIGINT)").as("skew_x10k"))
       .orderBy(col("cnt").desc, col("l_suppkey"))
       .limit(SkewTopN)
   }
@@ -88,7 +93,7 @@ object Skew {
     s"""WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),
        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM c)
        |SELECT l_suppkey, cnt,
-       |  CAST(cnt * 10000 // total AS BIGINT) AS share_x10k,
-       |  CAST(cnt * n_keys * 10000 // total AS BIGINT) AS skew_x10k
+       |  CAST(CAST(cnt AS HUGEINT) * 10000 // total AS BIGINT) AS share_x10k,
+       |  CAST(CAST(cnt AS HUGEINT) * n_keys * 10000 // total AS BIGINT) AS skew_x10k
        |FROM c, t ORDER BY cnt DESC, l_suppkey LIMIT $SkewTopN""".stripMargin.replace("\n", " ")
 }

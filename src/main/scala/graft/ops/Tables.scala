@@ -21,15 +21,26 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark reads only as
-    * long (spark.sql.legacy.parquet.nanosAsLong=true — set in every
-    * session builder here). Normalize to TimestampType via integer
-    * division to micros, matching DuckDB's nanos→micros truncation. */
+  /** The driver has regenerated events.parquet with two different `ts`
+    * physical types across rounds; normalize BOTH to TimestampType so
+    * every consumer (unix_millis/unix_micros in q27/q32/q92 included)
+    * is robust to either writer:
+    *  - TIMESTAMP(NANOS) → read as long (nanosAsLong=true in every
+    *    session builder), integer-divided to micros — matching DuckDB's
+    *    nanos→micros truncation;
+    *  - Timestamp(isAdjustedToUTC=false, µs) → TIMESTAMP_NTZ when NTZ
+    *    inference is on (it is off in Sessions.local, but a caller-built
+    *    session may differ) → cast, identical instants under UTC TZ. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

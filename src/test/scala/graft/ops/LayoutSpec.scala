@@ -36,6 +36,37 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("q136 compaction plan: every non-final group payload lands within one max-file of target (sf0.01)") {
+    val spark = SparkSpec.spark
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d)
+    val maxFile = docs.groupBy("lang")
+      .agg(max("n_chars").as("mx"), sum("n_chars").as("tot"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("mx"), r.getAs[Long]("tot"), r.getAs[Long]("n")))).toMap
+    val plan = Layout.compactionPlan(spark, d).collect()
+      .groupBy(_.getAs[String]("lang"))
+    assert(plan.keySet == maxFile.keySet)
+    val t = Layout.CompactTarget
+    plan.foreach { case (lang, rows) =>
+      val (mx, tot, n) = maxFile(lang)
+      val sorted = rows.sortBy(_.getAs[Long]("bin_id"))
+      // bin ids are the dense prefix 0..k (first-fit never skips a bin)
+      assert(sorted.map(_.getAs[Long]("bin_id")).toSeq ==
+        (0L until sorted.length.toLong), s"$lang bin ids not dense")
+      // conservation: the plan rebins every file and every byte
+      assert(sorted.map(_.getAs[Long]("n_files")).sum == n, s"$lang file count")
+      assert(sorted.map(_.getAs[Long]("bytes")).sum == tot, s"$lang byte total")
+      // the OPTIMIZE guarantee: all but the partition's last group sit
+      // within one max-file-size of the target payload
+      sorted.dropRight(1).foreach { r =>
+        val b = r.getAs[Long]("bytes")
+        assert(b >= t - mx && b < t + mx,
+          s"$lang bin ${r.getAs[Long]("bin_id")}: $b outside [${t - mx}, ${t + mx})")
+      }
+    }
+  }
+
   test("range-partition plan balances within 2x of ideal and covers disjoint ranges (sf0.01)") {
     val spark = SparkSpec.spark
     val rows = Layout.rangePartitionPlan(spark, "/root/testdata/sf0.01")

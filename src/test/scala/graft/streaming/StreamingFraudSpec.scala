@@ -170,6 +170,48 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming sessionize replay equals batch q27 on the real events table (sf0.001)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    // batch truth: q27's (user, session) aggregates; session_idx is an
+    // ordinal and session_window carries extents instead, so parity is
+    // on the multiset of (user_id, n_events, total_value) triples —
+    // same session CUTS ⇒ same multiset, any cut drift breaks counts
+    val batch = graft.ops.RelationalQueries.sessionize(spark, sfDir)
+      .select("user_id", "n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val rows = graft.ops.Tables.events(spark, sfDir)
+      .select("ts", "user_id", "value").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1.getTime)
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val query = StreamingFraud.sessionize(events)
+      .writeStream.format("memory").queryName("sessions_replay")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      // two sentinel batches far past the data: the first advances the
+      // watermark beyond every real session close, the second triggers
+      // the state-eviction batch that emits them in Append mode
+      val maxTs = rows.map(_._1.getTime).max
+      input.addData((new Timestamp(maxTs + 7L * 86400000L), -1L, 0.0))
+      query.processAllAvailable()
+      input.addData((new Timestamp(maxTs + 14L * 86400000L), -1L, 0.0))
+      query.processAllAvailable()
+      val got = spark.sql("select user_id, n_events, total_value from sessions_replay")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(_._1 >= 0L).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got === batch)
+      assert(got.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming decayed activity: incremental state equals the batch formula") {
     val spark = SparkSpec.spark
     import spark.implicits._
