@@ -285,6 +285,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_max"), p)
   }
 
+  test("q135 skew profile: pruned scan, broadcast totals, bounded head — no global sort") {
+    val p = plan("q135_key_skew_profile")
+    // the fact scan must read ONLY the join key — the profile's cost at
+    // 100 TB is one column off the fact table, nothing more
+    assert(p.contains("ReadSchema: struct<l_suppkey:bigint>"), p)
+    // the one-row totals side joins as a broadcast (never a shuffle)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the hot head truncates per-partition — a global Sort over the
+    // key-sized table would be the scale bug
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p) // map-side combine on the fact scan
+  }
+
+  test("q136 compaction plan: ONE lang exchange feeds both the window and the aggregate") {
+    val p = plan("q136_compaction_plan")
+    // window partitionBy(lang) shuffles once; groupBy(lang, bin_id) is
+    // satisfied by the same hashpartitioning(lang) clustering — a second
+    // hash exchange would re-shuffle every file row for no reason
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
+    assert(p.contains("Exchange hashpartitioning(lang"), p)
+    // manifest columns only: the scan must not drag text/embedding bytes
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"), p)
+  }
+
   test("q116 PageRank job count stays O(rounds) — lineage truncated per round") {
     val spark = SparkSpec.spark
     val jobs = countJobs {
