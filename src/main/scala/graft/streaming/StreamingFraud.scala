@@ -181,6 +181,91 @@ object StreamingFraud {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** One event on the as-of wire; ts carries the event-time watermark. */
+  final case class AsofEvent(event_id: Long, user_id: Long,
+                             ts: java.sql.Timestamp, event_type: String, value: Double)
+
+  /** Output row — same contract as the batch q32 asofJoin. */
+  final case class AsofMatch(event_id: Long, user_id: Long,
+                             purchase_id: Option[Long], purchase_value: Option[Double])
+
+  /** Per-user as-of state: in-horizon events awaiting finalization
+    * (tsUs, event_id, isPurchase, value) + the most recent FINALIZED
+    * purchase (tsUs, event_id, value). */
+  final case class AsofState(
+      buffer: List[(Long, Long, Boolean, Double)],
+      lastPurchase: Option[(Long, Long, Double)])
+
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Streaming twin of the batch backward as-of join (q32/q47): for
+    * every event, the same user's most recent STRICTLY-earlier purchase.
+    *
+    * Correct event-time semantics need ordered replay, which a stream
+    * only has once the watermark passes an event: rows buffer in keyed
+    * state until ripe (ts ≤ watermark), then finalize in (ts, event_id)
+    * order against one running last-purchase register — the same merge
+    * order the batch window's range frame scans, so replaying the
+    * events table reproduces q32 row-for-row (parity-pinned in
+    * StreamingFraudSpec).
+    *
+    * Scale/state posture: per user the buffer holds only in-horizon
+    * events (watermark-bounded, like session_window) plus ONE finalized
+    * purchase tuple; output is Append-mode, emitted when the watermark
+    * ripens the row. TTL relaxation, documented like dedupDocStream's:
+    * a user idle past `retentionMs` is evicted, so a purchase older
+    * than the horizon no longer matches — the batch job owns
+    * cross-horizon lookback. */
+  def asofStream(events: DataFrame, watermark: String = "1 hour",
+                 retentionMs: Long = 30L * 86400000L): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .selectExpr("event_id", "user_id", "ts", "event_type", "value")
+      .withWatermark("ts", watermark)
+      .as[AsofEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (user: Long, rows: Iterator[AsofEvent], state: GroupState[AsofState]) => {
+          val st = state.getOption.getOrElse(AsofState(Nil, None))
+          val incoming = rows
+            .map(e => (tsMicros(e.ts), e.event_id, e.event_type == "purchase", e.value))
+            .toList
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, hold) = (st.buffer ++ incoming)
+            .sortBy(e => (e._1, e._2))
+            .partition(_._1 <= wmUs)
+          var last = st.lastPurchase
+          val out = ripe.map { case (tsUs, id, isPurchase, v) =>
+            // emit BEFORE updating the register: a purchase is never its
+            // own match (strictly earlier — the batch frame's -1 µs bound)
+            val m = AsofMatch(id, user, last.map(_._2),
+              last.map(p => BigDecimal(p._3)
+                .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            if (isPurchase) last = Some((tsUs, id, v))
+            m
+          }
+          // The timeout is the key's WAKEUP: a group function only runs
+          // when the key has new rows or a fired timeout, so buffered
+          // events would never ripen for a user who goes quiet. While
+          // rows are pending, wake just past the earliest one (the
+          // watermark advancing past it is what ripens it); once drained,
+          // fall back to the retention timeout, and a retention firing
+          // with nothing pending evicts the key (the TTL relaxation).
+          if (state.hasTimedOut && incoming.isEmpty && ripe.isEmpty && hold.isEmpty)
+            state.remove()
+          else {
+            state.update(AsofState(hold, last))
+            val wakeupMs =
+              if (hold.nonEmpty) hold.map(_._1).min / 1000L + 1L
+              else wmUs / 1000L + retentionMs
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, wakeupMs))
+          }
+          out.iterator
+        })
+  }
+
   /** Streaming twin of exact dedup (q16/q25): drop later arrivals of the
     * same canonical fingerprint. `dropDuplicatesWithinWatermark` keeps
     * per-fp state only inside the watermark horizon — bounded state at
