@@ -268,6 +268,12 @@ object SparkEntry {
     // round-12: small-file compaction planning (distributable first-fit
     // rebinning — the write-side OPTIMIZE manifest)
     "q136_compaction_plan"    -> ((s: SparkSession, d: String) => graft.ops.Layout.compactionPlan(s, d)),
+    // round-12: snapshot diff — q132's checksum says WHETHER snapshots
+    // drifted, this says WHICH keys and HOW (added/removed/changed)
+    "q137_snapshot_diff"      -> (graft.ops.Sketches.snapshotDiff _),
+    // round-12: measured LSH banding catch-rate per Jaccard decile —
+    // the surface-dedup twin of q112's ANN recall eval
+    "q138_banding_recall"     -> (DedupQueries.bandingRecall _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -413,5 +419,7 @@ object SparkEntry {
     "q134_cluster_safe_split" -> graft.text.CorpusOps.clusterSafeSplitSql,
     "q135_key_skew_profile"   -> graft.ops.Skew.keySkewProfileSql,
     "q136_compaction_plan"    -> graft.ops.Layout.compactionPlanSql,
+    "q137_snapshot_diff"      -> graft.ops.Sketches.snapshotDiffSql,
+    "q138_banding_recall"     -> DedupQueries.bandingRecallSql,
   )
 }

@@ -216,6 +216,121 @@ object DedupQueries {
         |FROM jj WHERE jx >= ${math.round(MinJaccard * 10000)}""").stripMargin.replace("\n", " ")
   }
 
+  // -------------------------------------- banding recall audit (q138)
+
+  /** Sampling modulus for the q138 audit's doc sample (final literal —
+    * the r10 init-cycle rule). Both PAIR endpoints must survive, so a
+    * near-dup pair survives at 1/AuditMod² — 4 keeps enough true pairs
+    * in the sample to populate the curve's high-J bins. */
+  final val AuditMod = 4L
+
+  /** q138 — BANDING RECALL AUDIT: the measured catch-probability curve
+    * of the (32 bands × 2 rows) LSH config, per exact-Jaccard decile —
+    * the surface-dedup twin of q112's ANN recall eval. Banding's
+    * guarantee is probabilistic (P[caught | J] = 1 − (1 − J²)³²); this
+    * op MEASURES it on the corpus instead of trusting the formula, so
+    * a (b, r) retune — or a shingling change that shifts the J
+    * distribution — shows up as a recall number, not an anecdote.
+    * Output: per Jaccard bin (jx div 1000), pair count, pairs sharing
+    * ≥ 1 band bucket, and integer fixed-point recall — ≤ 11 rows.
+    *
+    * Ground truth needs Jaccard on pairs banding did NOT catch, so
+    * candidates cannot bound the work. Bounding is two-level:
+    * (1) sample DOCS (md5-deterministic, mod [[AuditMod]]; at 100 TB
+    * cap |S| exactly with the q77 order-statistic threshold pattern);
+    * (2) within the sample, NEVER materialize |S|²/2 pairs — a naive
+    * pair join shipping two shingle arrays per pair measured 27 s at
+    * sf0.1 on serialization alone. Instead a SPARSE set-similarity
+    * join: explode to (doc, shingle-hash) rows, equi-join on the hash
+    * (cost = Σ per-hash doc-count², i.e. the actual shared-shingle
+    * mass — similarity work scales with similarity, 1.3 s at sf0.1),
+    * derive |intersection| per CO-OCCURRING pair by counting, and
+    * reconstruct the disjoint remainder (Jaccard 0, bin 0)
+    * arithmetically from C(|S|,2) minus the co-occurring count — the
+    * zero-similarity ocean is counted, never enumerated. Hashes are
+    * the same md5>>3 longs the oracle's `base` CTE computes, so both
+    * engines see identical sets; every downstream ratio is integer
+    * `div` (FLOAT RULE). */
+  def bandingRecall(s: SparkSession, d: String): DataFrame = {
+    val sampled = Tables.documents(s, d).select("doc_id", "text")
+      .filter(graft.functions.GraftFunctions.md5Lower64(
+          concat_ws("|", lit("audit:"), col("doc_id")))
+        .bitwiseAND(Long.MaxValue) % AuditMod === 0L)
+    val shingleHashesUdf = udf { (t: String) =>
+      Hashing.wordShingles(t, ShingleN)
+        .map(Hashing.shingleBaseHash).distinct
+    }
+    // (doc_id, h) exploded shingle-hash rows + per-doc set sizes
+    val docHash = sampled
+      .select(col("doc_id"), explode(shingleHashesUdf(col("text"))).as("h"))
+    val sizes = docHash.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // sparse intersection counts: only pairs sharing ≥ 1 shingle appear
+    val interPairs = docHash.as("ha")
+      .join(docHash.as("hb"),
+        col("ha.h") === col("hb.h") && col("ha.doc_id") < col("hb.doc_id"))
+      .groupBy(col("ha.doc_id").as("doc_a"), col("hb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST((inter * 10000 + (sz_a + sz_b - inter) div 2) div (sz_a + sz_b - inter) AS BIGINT)")
+          .as("jx"))
+    val bands = minHashBandsOf(sampled)
+    val caught = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val binnedInter = interPairs.join(caught, Seq("doc_a", "doc_b"), "left")
+      .groupBy(expr("CAST(jx div 1000 AS INT)").as("jx_bin"))
+      .agg(count(lit(1)).as("n_pairs"), count(col("hit")).as("n_caught"))
+    // the disjoint remainder: C(|S|,2) − co-occurring pairs, all at
+    // Jaccard 0 → bin 0; banding hits among them (signature-collision
+    // pairs with zero real overlap) counted by anti-join — three 1-row
+    // aggregates crossed in, nothing pair-sized
+    val nS = sampled.agg(count(lit(1)).as("n_s"))
+    val nInter = interPairs.agg(count(lit(1)).as("ip"))
+    val caughtDisjoint = caught
+      .join(interPairs.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
+      .agg(count(lit(1)).as("cd"))
+    val remainder = nS.crossJoin(nInter).crossJoin(caughtDisjoint)
+      .select(lit(0).as("jx_bin"),
+        expr("CAST((n_s * (n_s - 1)) div 2 - ip AS BIGINT)").as("n_pairs"),
+        col("cd").as("n_caught"))
+    binnedInter.unionByName(remainder)
+      .groupBy("jx_bin")
+      .agg(sum("n_pairs").as("n_pairs"), sum("n_caught").as("n_caught"))
+      .filter(col("n_pairs") > 0)
+      .withColumn("recall_x10k",
+        expr("CAST(n_caught * 10000 div n_pairs AS BIGINT)"))
+  }
+
+  val bandingRecallSql: String = {
+    val jx = "(CAST(len(list_intersect(x.ss, y.ss)) AS BIGINT) * 10000 " +
+      "+ (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))) // 2) " +
+      "// greatest(len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss)), 1)"
+    s"""WITH $bandsCtes,
+       |smp AS (SELECT doc_id FROM documents
+       |  WHERE CAST(md5_number_lower('audit:' || '|' || CAST(doc_id AS VARCHAR))
+       |    & ${Long.MaxValue} AS BIGINT) % $AuditMod = 0),
+       |shs AS (SELECT base.doc_id, list_distinct(list(x)) AS ss
+       |  FROM base JOIN smp ON smp.doc_id = base.doc_id GROUP BY base.doc_id),
+       |pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, $jx AS jx
+       |  FROM shs x JOIN shs y ON x.doc_id < y.doc_id),
+       |caught AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+       |  JOIN smp sa ON sa.doc_id = a.doc_id JOIN smp sb ON sb.doc_id = b.doc_id)
+       |SELECT CAST(jx // 1000 AS INT) AS jx_bin, count(*) AS n_pairs,
+       |  CAST(count(c.doc_a) AS BIGINT) AS n_caught,
+       |  CAST(count(c.doc_a) * 10000 // count(*) AS BIGINT) AS recall_x10k
+       |FROM pairs p LEFT JOIN caught c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+       |GROUP BY 1""".stripMargin.replace("\n", " ")
+  }
+
   /** text → [simhash blocks 0..3] (md5-token-hash SimHash, 16-bit
     * pigeonhole blocks — Hamming ≤ 3 ⇒ ≥ 1 identical block). */
   private val simBlocksUdf = udf { (text: String) =>

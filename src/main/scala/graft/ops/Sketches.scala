@@ -467,6 +467,77 @@ object Sketches {
        |  CAST(bit_xor(h) AS BIGINT) AS xor_sum
        |FROM h GROUP BY 1""".stripMargin.replace("\n", " ")
 
+  // ----------------------------------------- snapshot diff drill-down
+
+  /** Modulus and bucket assignments for q137's simulated previous
+    * snapshot (final literals — the r10 init-cycle rule). */
+  final val DiffMod = 17L
+  final val DiffAddBucket = 3L  // in current only  → "added"
+  final val DiffChgBucket = 5L  // fingerprint drift → "changed"
+  final val DiffRemBucket = 7L  // in previous only  → "removed"
+
+  /** q137 — SNAPSHOT DIFF, the drill-down half of the anti-entropy
+    * pair: q132's bucketed checksum says WHETHER two snapshots agree;
+    * this op says WHICH keys differ and HOW — `added` (key only in
+    * current), `removed` (only in previous), `changed` (same key,
+    * different content fingerprint). Unchanged rows are NOT emitted:
+    * the output is proportional to the drift, never the corpus —
+    * that asymmetry is the whole reason replication repair, CDC
+    * reconciliation, and crawl-delta admission can run nightly at
+    * 100 TB. In production the two inputs are real snapshots and the
+    * composition is q132-first (compare 32 cells, then run this diff
+    * ONLY over the mismatched buckets' keyspace slice); here the
+    * previous snapshot is derived deterministically from the current
+    * one (drop one doc_id bucket, age another's text) so the oracle
+    * can reproduce it.
+    *
+    * Scale shape: one hash-partitioned full-outer join on the key —
+    * both sides shuffle once, no broadcast (snapshots are the same
+    * size by definition), fingerprints computed in-scan with the
+    * codegen'd Md5LowerLong (engine-stable rendering, FLOAT RULE:
+    * integers and strings only). */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    def fp(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      graft.functions.GraftFunctions.md5Lower64(
+      concat_ws("|", lit("fp:"), col("doc_id"), text)).bitwiseAND(Long.MaxValue)
+    val docs = Tables.documents(s, d)
+    val cur = docs.filter(col("doc_id") % DiffMod =!= DiffRemBucket)
+      .select(col("doc_id"), fp(col("text")).as("cur_fp"))
+    val prev = docs.filter(col("doc_id") % DiffMod =!= DiffAddBucket)
+      .select(col("doc_id"), fp(
+        when(col("doc_id") % DiffMod === DiffChgBucket,
+          concat(col("text"), lit(" [stale]"))).otherwise(col("text"))).as("prev_fp"))
+    snapshotDiffFrom(cur, prev)
+  }
+
+  /** [[snapshotDiff]] over explicit (doc_id, cur_fp) / (doc_id,
+    * prev_fp) snapshot fingerprint frames — the unit SketchesSpec
+    * drives and the generic production entry. */
+  def snapshotDiffFrom(cur: DataFrame, prev: DataFrame): DataFrame =
+    cur.join(prev, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("prev_fp").isNull, "added")
+          .when(col("cur_fp").isNull, "removed")
+          .when(col("cur_fp") =!= col("prev_fp"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"))
+
+  val snapshotDiffSql: String =
+    s"""WITH cur AS (SELECT doc_id, CAST(md5_number_lower('fp:' || '|'
+       |    || CAST(doc_id AS VARCHAR) || '|' || text) & ${Long.MaxValue} AS BIGINT) AS fp
+       |  FROM documents WHERE doc_id % $DiffMod != $DiffRemBucket),
+       |prev AS (SELECT doc_id, CAST(md5_number_lower('fp:' || '|'
+       |    || CAST(doc_id AS VARCHAR) || '|'
+       |    || CASE WHEN doc_id % $DiffMod = $DiffChgBucket THEN text || ' [stale]' ELSE text END)
+       |    & ${Long.MaxValue} AS BIGINT) AS fp
+       |  FROM documents WHERE doc_id % $DiffMod != $DiffAddBucket)
+       |SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
+       |  CASE WHEN p.doc_id IS NULL THEN 'added'
+       |       WHEN c.doc_id IS NULL THEN 'removed'
+       |       ELSE 'changed' END AS status
+       |FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+       |WHERE p.doc_id IS NULL OR c.doc_id IS NULL OR c.fp != p.fp""".stripMargin.replace("\n", " ")
+
   // ------------------------------------- CMS join-cardinality estimate
 
   /** q133 — JOIN-SIZE estimation from Count-Min sketches (Cormode &

@@ -455,4 +455,37 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.exists(_._5), "corpus must contain leaky near-dup clusters")
     assert(got.values.count(_._5) < got.size, "not everything can leak")
   }
+
+  test("q138 banding recall equals a brute-force driver audit (sf0.001)") {
+    val spark = SparkSpec.spark
+    val sampled = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter { case (id, _) =>
+        (Hashing.md5Lower64(s"audit:|$id") & Long.MaxValue) % DedupQueries.AuditMod == 0L }
+    // brute force: every sampled pair's scaled-integer Jaccard over
+    // base-hash shingle sets, and banding catch via the signature bands
+    val hs = sampled.map { case (id, t) =>
+      id -> Hashing.wordShingles(t, DedupQueries.ShingleN)
+        .map(Hashing.shingleBaseHash).distinct.sorted }.toMap
+    val bandVals = {
+      import spark.implicits._
+      DedupQueries.minHashBandsOf(sampled.toSeq.toDF("doc_id", "text"))
+        .collect().groupBy(_.getLong(0)).view
+        .mapValues(_.map(r => (r.getInt(1), r.getString(2))).toSet).toMap
+    }
+    val truth = (for {
+      (a, _) <- sampled; (b, _) <- sampled if a < b
+      jx = Hashing.exactJaccardX10kSorted(hs(a), hs(b))
+      binId = (jx / 1000).toInt
+      hit = bandVals(a).intersect(bandVals(b)).nonEmpty
+    } yield (binId, hit)).groupBy(_._1).map { case (bin, xs) =>
+      bin -> ((xs.size.toLong, xs.count(_._2).toLong)) }
+    val got = DedupQueries.bandingRecall(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === truth)
+    // recall is the pinned integer ratio of the same two columns
+    DedupQueries.bandingRecall(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) * 10000L / r.getLong(1)) }
+  }
 }

@@ -309,6 +309,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"), p)
   }
 
+  test("q137 snapshot diff: keyed full-outer merge join over pruned scans — no broadcast, no cartesian") {
+    val p = plan("q137_snapshot_diff")
+    // snapshots are the same size by definition: the only scale-safe
+    // shape is one hash exchange per side into a merge join
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // fingerprints fold in-scan: only the key and the text feed the join
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("q138 banding recall: sparse equi-joins only — the |S|² pair space is never enumerated") {
+    val p = plan("q138_banding_recall")
+    // the audit's scale claim: every PAIR-producing join is an equi
+    // hash/merge join on shingle-hash or band keys; a nested-loop or
+    // cartesian over the sample would be the 27-second shape this
+    // design replaced (and would grow with the |S| cap squared). The
+    // only nested-loop joins allowed are the THREE documented 1-row
+    // scalar crosses (n_s × ip × cd for the disjoint remainder).
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 3, p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("q116 PageRank job count stays O(rounds) — lineage truncated per round") {
     val spark = SparkSpec.spark
     val jobs = countJobs {

@@ -256,4 +256,29 @@ class SketchesSpec extends AnyFunSuite {
       assert(est - exact <= exact / 10, s"dir=$dir: est $est vs exact $exact")
     }
   }
+
+  test("q137 snapshot diff statuses are exactly the constructed drift buckets") {
+    val spark = SparkSpec.spark
+    import org.apache.spark.sql.functions.col
+    val ids = Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val got = Sketches.snapshotDiff(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // no key appears twice, and every emitted key exists in the corpus
+    assert(got.map(_._1).distinct.length == got.length)
+    assert(got.forall(p => ids.contains(p._1)))
+    // the drift is exactly the three constructed buckets — nothing else
+    val byStatus = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byStatus.keySet == Set("added", "removed", "changed"))
+    assert(byStatus("added")   == ids.filter(_ % Sketches.DiffMod == Sketches.DiffAddBucket))
+    assert(byStatus("removed") == ids.filter(_ % Sketches.DiffMod == Sketches.DiffRemBucket))
+    assert(byStatus("changed") == ids.filter(_ % Sketches.DiffMod == Sketches.DiffChgBucket))
+    // the unit entry: identical fingerprint frames diff to EMPTY —
+    // unchanged rows must never reach the output
+    val fp = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.md5Lower64(col("text")).as("cur_fp"))
+    assert(Sketches.snapshotDiffFrom(
+      fp, fp.withColumnRenamed("cur_fp", "prev_fp")).count() == 0L)
+  }
 }
