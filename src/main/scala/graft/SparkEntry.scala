@@ -274,6 +274,8 @@ object SparkEntry {
     // round-12: measured LSH banding catch-rate per Jaccard decile —
     // the surface-dedup twin of q112's ANN recall eval
     "q138_banding_recall"     -> (DedupQueries.bandingRecall _),
+    // round-12: forward as-of (earliest strictly-later purchase + wait)
+    "q139_asof_forward"       -> (RelationalQueries.asofForward _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -421,5 +423,6 @@ object SparkEntry {
     "q136_compaction_plan"    -> graft.ops.Layout.compactionPlanSql,
     "q137_snapshot_diff"      -> graft.ops.Sketches.snapshotDiffSql,
     "q138_banding_recall"     -> DedupQueries.bandingRecallSql,
+    "q139_asof_forward"       -> RelationalQueries.asofForwardSql,
   )
 }

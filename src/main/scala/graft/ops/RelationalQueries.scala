@@ -277,6 +277,37 @@ object RelationalQueries {
       "SELECT e.event_id, e.user_id, p.event_id AS purchase_id, round(p.value, 2) AS purchase_value " +
       "FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts > p.ts"
 
+  /** Beyond-reference: FORWARD as-of — for every event, the user's
+    * EARLIEST strictly-later purchase and the wait until it (the
+    * conversion-latency grain behind time-to-purchase funnels). Same
+    * scale shape as the backward q32: ONE (user_id) exchange feeding a
+    * range-frame window — `first(purchase, ignoreNulls)` over
+    * [+1 µs, ∞) — never a per-row probe. Wait is integer micros
+    * (FLOAT RULE: epoch arithmetic is exact in both engines). */
+  def asofForward(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(1, Window.unboundedFollowing)
+    val purchase = when(col("event_type") === "purchase",
+      struct(unix_micros(col("ts")).as("p_us"), col("event_id")))
+    events(s, d)
+      .withColumn("next_purchase", first(purchase, ignoreNulls = true).over(w))
+      .select(
+        col("event_id"), col("user_id"),
+        col("next_purchase")("event_id").as("purchase_id"),
+        (col("next_purchase")("p_us") - unix_micros(col("ts"))).as("wait_us"))
+  }
+
+  val asofForwardSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+      |n AS (SELECT event_id, user_id, us,
+      |  first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+      |    OVER w AS purchase_id,
+      |  first_value(CASE WHEN event_type = 'purchase' THEN us END IGNORE NULLS)
+      |    OVER w AS p_us
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      |SELECT event_id, user_id, purchase_id, p_us - us AS wait_us FROM n""".stripMargin.replace("\n", " ")
+
   /** The NATIVE-OPERATOR twin of [[asofJoin]]: same backward as-of
     * semantics through graft.plans.AsOfJoin — a custom LogicalPlan +
     * SparkStrategy + streaming merge SparkPlan registered via

@@ -23,6 +23,31 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(native.exists(_._3.isEmpty) && native.exists(_._3.nonEmpty))
   }
 
+  test("q139 forward as-of equals a brute-force driver recount (sf0.001)") {
+    val spark = SparkSpec.spark
+    val ev = graft.ops.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime / 1000L * 1000000L + r.getTimestamp(2).getNanos / 1000L,
+        r.getString(3)))
+    val byUser = ev.groupBy(_._2)
+    val truth = ev.map { case (id, user, us, _) =>
+      val next = byUser(user)
+        .filter(e => e._4 == "purchase" && e._3 > us)
+        .sortBy(_._3).headOption
+      (id, user, next.map(_._1), next.map(_._3 - us))
+    }.toSet
+    val got = RelationalQueries.asofForward(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got === truth)
+    // non-vacuous: matched and tail (no-later-purchase) rows both occur,
+    // and every wait is strictly positive
+    assert(got.exists(_._3.isEmpty) && got.exists(_._3.nonEmpty))
+    assert(got.forall(_._4.forall(_ > 0L)))
+  }
+
   test("q47 plans through AsOfJoinExec (strategy registered via extensions)") {
     val spark = SparkSpec.spark
     val df = RelationalQueries.asofJoinNative(spark, sfDir)
