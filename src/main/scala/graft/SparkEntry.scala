@@ -276,6 +276,8 @@ object SparkEntry {
     "q138_banding_recall"     -> (DedupQueries.bandingRecall _),
     // round-12: forward as-of (earliest strictly-later purchase + wait)
     "q139_asof_forward"       -> (RelationalQueries.asofForward _),
+    // round-12: forward direction through the native AsOfJoin plan
+    "q140_asof_forward_native" -> (RelationalQueries.asofForwardNative _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -424,5 +426,6 @@ object SparkEntry {
     "q137_snapshot_diff"      -> graft.ops.Sketches.snapshotDiffSql,
     "q138_banding_recall"     -> DedupQueries.bandingRecallSql,
     "q139_asof_forward"       -> RelationalQueries.asofForwardSql,
+    "q140_asof_forward_native" -> RelationalQueries.asofForwardNativeSql,
   )
 }

@@ -308,6 +308,26 @@ object RelationalQueries {
       |    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
       |SELECT event_id, user_id, purchase_id, p_us - us AS wait_us FROM n""".stripMargin.replace("\n", " ")
 
+  /** The NATIVE-OPERATOR twin of [[asofForward]]: same
+    * earliest-strictly-later semantics through graft.plans.AsOfJoin's
+    * forward mode — the streaming merge needs NO candidate register in
+    * this direction (the stop row is the match), so it is the cheapest
+    * path of the whole as-of family. Same oracle as q139; AsOfJoinSpec
+    * pins window ≡ native row-for-row. */
+  def asofForwardNative(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("asof_user"),
+        unix_micros(col("ts")).as("asof_us"), col("event_id").as("purchase_id"))
+    graft.plans.AsOfJoin.forward(
+      ev.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ev_us")),
+      purchases, "user_id", "asof_user", "ev_us", "asof_us")
+      .select(col("event_id"), col("user_id"), col("purchase_id"),
+        (col("asof_us") - col("ev_us")).as("wait_us"))
+  }
+
+  val asofForwardNativeSql: String = asofForwardSql
+
   /** The NATIVE-OPERATOR twin of [[asofJoin]]: same backward as-of
     * semantics through graft.plans.AsOfJoin — a custom LogicalPlan +
     * SparkStrategy + streaming merge SparkPlan registered via

@@ -11,30 +11,35 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftshim.GraftSqlShim
 
-/** Native BACKWARD AS-OF JOIN — the custom-operator tier (c) of the
-  * build plan: a whole-operator semantic Spark lacks, expressed as its
-  * own `LogicalPlan` + `SparkStrategy` + `SparkPlan` and registered
-  * through `SparkSessionExtensions` (graft.plans.GraftExtensions, wired
-  * in graft.Sessions).
+/** Native AS-OF JOIN (both directions) — the custom-operator tier (c)
+  * of the build plan: a whole-operator semantic Spark lacks, expressed
+  * as its own `LogicalPlan` + `SparkStrategy` + `SparkPlan` and
+  * registered through `SparkSessionExtensions`
+  * (graft.plans.GraftExtensions, wired in graft.Sessions).
   *
   * Semantics: for every left row, attach the single right row with the
-  * SAME key and the GREATEST right-time STRICTLY BELOW the left time
-  * (null-extended when none) — identical to DuckDB `ASOF LEFT JOIN ...
-  * ON l.k = r.k AND l.t > r.t` and to the window-composed q32.
+  * SAME key and — backward (`forward = false`) — the GREATEST
+  * right-time STRICTLY BELOW the left time (DuckDB `ASOF LEFT JOIN ...
+  * ON l.k = r.k AND l.t > r.t`, the window-composed q32), or —
+  * forward — the SMALLEST right-time STRICTLY ABOVE it (the
+  * window-composed q139). Null-extended when none.
   *
   * Scale shape: `requiredChildDistribution` clusters both children on
   * the key (one hash exchange each — EnsureRequirements inserts them,
   * and AQE can re-plan them), `requiredChildOrdering` sorts by
   * (key, time), and the operator itself is a single-pass per-partition
-  * merge holding O(1) state (one lookahead row + one candidate row) —
-  * no per-key buffering, no range probe, no time-key explosion. The
-  * window-composed q32 needs the same exchange but buffers whole key
-  * groups in the window sort; this node streams them.
+  * merge holding O(1) state — backward keeps one lookahead row + one
+  * candidate; forward only the lookahead, because the first right row
+  * at/after the stop condition IS the match. No per-key buffering, no
+  * range probe, no time-key explosion. The window-composed rewrites
+  * need the same exchange but buffer whole key groups in the window
+  * sort; this node streams them.
   */
 final case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression)
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean = false)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -48,6 +53,7 @@ final case class AsOfJoinPlan(
 final case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
+    forward: Boolean,
     left: SparkPlan, right: SparkPlan)
   extends BinaryExecNode {
 
@@ -91,9 +97,11 @@ final case class AsOfJoinExec(
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
 
+      val fwd = forward
       new Iterator[InternalRow] {
         // one-row lookahead into the sorted right side (copied: sorter
-        // iterators reuse row buffers) + the best predecessor so far
+        // iterators reuse row buffers) + — backward only — the best
+        // predecessor so far
         private var rHead: InternalRow =
           if (rIter.hasNext) rIter.next().copy() else null
         private var lastMatch: InternalRow = null
@@ -107,17 +115,32 @@ final case class AsOfJoinExec(
           var advancing = rHead != null
           while (advancing) {
             val c = keyOrd.compare(rKeyProj(rHead), lKey)
-            if (c > 0 || (c == 0 && timeOrd.compare(rTimeProj(rHead), lTime) >= 0)) {
-              advancing = false // rHead is at/after the left row: stop
-            } else {
-              if (c == 0) lastMatch = rHead // latest right strictly before lTime
+            // forward stop: first right STRICTLY AFTER the left row —
+            // that row is itself the candidate match. Rows skipped here
+            // (rt ≤ lt) can never match a later left row either, since
+            // left times only grow within the key group.
+            // backward stop: first right at/after the left row; the
+            // match is the last same-key row seen before it.
+            val stop =
+              if (fwd) c > 0 || (c == 0 && timeOrd.compare(rTimeProj(rHead), lTime) > 0)
+              else     c > 0 || (c == 0 && timeOrd.compare(rTimeProj(rHead), lTime) >= 0)
+            if (stop) advancing = false
+            else {
+              if (!fwd && c == 0) lastMatch = rHead // latest right strictly before lTime
               rHead = if (rIter.hasNext) rIter.next().copy() else null
               if (rHead == null) advancing = false
             }
           }
-          // lastMatch may be left over from an earlier key group
-          val matched = lastMatch != null && keyOrd.compare(mKeyProj(lastMatch), lKey) == 0
-          joined(l, if (matched) lastMatch else nullRight)
+          val matchRow =
+            if (fwd) {
+              if (rHead != null && keyOrd.compare(rKeyProj(rHead), lKey) == 0) rHead
+              else nullRight
+            } else {
+              // lastMatch may be left over from an earlier key group
+              if (lastMatch != null && keyOrd.compare(mKeyProj(lastMatch), lKey) == 0) lastMatch
+              else nullRight
+            }
+          joined(l, matchRow)
         }
       }
     }
@@ -131,8 +154,8 @@ final case class AsOfJoinExec(
 /** Planner rule: AsOfJoinPlan → AsOfJoinExec (children planned lazily). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -150,7 +173,22 @@ object AsOfJoin {
     * matters. */
   def backward(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
-               leftTimeCol: String, rightTimeCol: String): DataFrame = {
+               leftTimeCol: String, rightTimeCol: String): DataFrame =
+    join(left, right, leftKey, rightKey, leftTimeCol, rightTimeCol, forward = false)
+
+  /** Forward as-of left join: `left` rows pick up the EARLIEST `right`
+    * row with equal key and `rightTimeCol` strictly after
+    * `leftTimeCol`. Same column-collision and null-key caveats as
+    * [[backward]]. */
+  def forward(left: DataFrame, right: DataFrame,
+              leftKey: String, rightKey: String,
+              leftTimeCol: String, rightTimeCol: String): DataFrame =
+    join(left, right, leftKey, rightKey, leftTimeCol, rightTimeCol, forward = true)
+
+  private def join(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTimeCol: String, rightTimeCol: String,
+                   forward: Boolean): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
@@ -162,6 +200,6 @@ object AsOfJoin {
     GraftSqlShim.ofRows(left.sparkSession,
       AsOfJoinPlan(lp, rp,
         Seq(attr(lp, leftKey)), Seq(attr(rp, rightKey)),
-        attr(lp, leftTimeCol), attr(rp, rightTimeCol)))
+        attr(lp, leftTimeCol), attr(rp, rightTimeCol), forward))
   }
 }

@@ -48,6 +48,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.forall(_._4.forall(_ > 0L)))
   }
 
+  test("native forward as-of equals the window-composed forward (sf0.001)") {
+    val spark = SparkSpec.spark
+    val composed = rows(RelationalQueries.asofForward(spark, sfDir))
+    val native   = rows(RelationalQueries.asofForwardNative(spark, sfDir))
+    assert(native === composed)
+    assert(native.exists(_._3.isEmpty) && native.exists(_._3.nonEmpty))
+    // the forward node must actually plan through AsOfJoinExec
+    val df = RelationalQueries.asofForwardNative(spark, sfDir)
+    df.collect()
+    val rendered = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(rendered.contains("AsOfJoin "), s"AsOfJoinExec not found in:\n$rendered")
+  }
+
   test("q47 plans through AsOfJoinExec (strategy registered via extensions)") {
     val spark = SparkSpec.spark
     val df = RelationalQueries.asofJoinNative(spark, sfDir)
