@@ -266,6 +266,82 @@ object StreamingFraud {
         })
   }
 
+  /** q139's output shape on the wire (wait in integer micros). */
+  final case class AsofFwdMatch(event_id: Long, user_id: Long,
+                                purchase_id: Option[Long], wait_us: Option[Long])
+
+  /** Per-user forward-as-of state: unripe rows (tsUs, event_id,
+    * isPurchase) + ripe EVENTS still awaiting a later purchase
+    * (tsUs, event_id), kept ts-ascending. */
+  final case class AsofFwdState(
+      buffer: List[(Long, Long, Boolean)],
+      pending: List[(Long, Long)])
+
+  /** Streaming twin of the FORWARD as-of (q139/q140): for every event,
+    * the same user's earliest strictly-later purchase and the wait.
+    *
+    * Forward needs a different finalization rule than [[asofStream]]:
+    * a ripe event is NOT answerable at its own ripening — its match is
+    * a purchase that may not have arrived. It waits in `pending` until
+    * the first RIPE purchase strictly after it appears (ripe ⇒ no
+    * earlier purchase can still arrive, and every future arrival is
+    * past the watermark, hence later — so that purchase is the true
+    * earliest). Events whose user never purchases again flush as
+    * unmatched (null) at the retention timeout — the stream's bounded
+    * answer to the batch's "no later purchase EVER", the same TTL
+    * relaxation asofStream and dedupDocStream document.
+    *
+    * State per user: watermark-bounded unripe buffer + the pending
+    * events between the user's purchases (bounded by purchase
+    * frequency × event rate, flushed at retention regardless). */
+  def asofForwardStream(events: DataFrame, watermark: String = "1 hour",
+                        retentionMs: Long = 30L * 86400000L): Dataset[AsofFwdMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .selectExpr("event_id", "user_id", "ts", "event_type", "value")
+      .withWatermark("ts", watermark)
+      .as[AsofEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (user: Long, rows: Iterator[AsofEvent], state: GroupState[AsofFwdState]) => {
+          val st = state.getOption.getOrElse(AsofFwdState(Nil, Nil))
+          val incoming = rows
+            .map(e => (tsMicros(e.ts), e.event_id, e.event_type == "purchase"))
+            .toList
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, hold) = (st.buffer ++ incoming)
+            .sortBy(e => (e._1, e._2))
+            .partition(_._1 <= wmUs)
+          var pending = st.pending
+          val out = scala.collection.mutable.ListBuffer.empty[AsofFwdMatch]
+          ripe.foreach { case (ts, id, isPurchase) =>
+            if (isPurchase) {
+              val (emit, keep) = pending.partition(_._1 < ts)
+              emit.foreach { case (ets, eid) =>
+                out += AsofFwdMatch(eid, user, Some(id), Some(ts - ets)) }
+              pending = keep
+            }
+            // every row is also a left-side event (a purchase's own
+            // match is a LATER purchase — strict, like the batch frame)
+            pending = pending :+ ((ts, id))
+          }
+          if (state.hasTimedOut && incoming.isEmpty && ripe.isEmpty && hold.isEmpty) {
+            // retention-idle: no purchase is coming inside the horizon
+            pending.foreach { case (_, eid) =>
+              out += AsofFwdMatch(eid, user, None, None) }
+            state.remove()
+          } else {
+            state.update(AsofFwdState(hold, pending))
+            val wakeupMs =
+              if (hold.nonEmpty) hold.map(_._1).min / 1000L + 1L
+              else wmUs / 1000L + retentionMs
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, wakeupMs))
+          }
+          out.iterator
+        })
+  }
+
   /** Streaming twin of exact dedup (q16/q25): drop later arrivals of the
     * same canonical fingerprint. `dropDuplicatesWithinWatermark` keeps
     * per-fp state only inside the watermark horizon — bounded state at

@@ -255,6 +255,49 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming forward as-of replay equals batch q139 on the real events table (sf0.001)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    def opt[T](r: org.apache.spark.sql.Row, i: Int, get: Int => T): Option[T] =
+      if (r.isNullAt(i)) None else Some(get(i))
+    val batch = graft.ops.RelationalQueries.asofForward(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        opt(r, 2, r.getLong), opt(r, 3, r.getLong))).toSet
+    val rows = graft.ops.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3), r.getDouble(4)))
+      .sortBy(_._3.getTime)
+    val input = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
+    // retention 3 days < the sentinel horizon: tail events (users with no
+    // later purchase) must flush as unmatched, reproducing batch nulls
+    val query = StreamingFraud.asofForwardStream(events, retentionMs = 3L * 86400000L)
+      .writeStream.format("memory").queryName("asof_fwd_replay")
+      .outputMode("append").start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      input.addData(first: _*)
+      query.processAllAvailable()
+      input.addData(second: _*)
+      query.processAllAvailable()
+      val maxTs = rows.map(_._3.getTime).max
+      input.addData((-1L, -1L, new Timestamp(maxTs + 7L * 86400000L), "view", 0.0))
+      query.processAllAvailable()
+      input.addData((-2L, -1L, new Timestamp(maxTs + 14L * 86400000L), "view", 0.0))
+      query.processAllAvailable()
+      val got = spark.sql(
+          "select event_id, user_id, purchase_id, wait_us from asof_fwd_replay")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          opt(r, 2, r.getLong), opt(r, 3, r.getLong)))
+        .filter(_._2 >= 0L).toSet
+      assert(got.size === batch.size)
+      assert(got === batch)
+    } finally query.stop()
+  }
+
   test("streaming decayed activity: incremental state equals the batch formula") {
     val spark = SparkSpec.spark
     import spark.implicits._
