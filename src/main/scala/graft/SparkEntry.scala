@@ -278,6 +278,9 @@ object SparkEntry {
     "q139_asof_forward"       -> (RelationalQueries.asofForward _),
     // round-12: forward direction through the native AsOfJoin plan
     "q140_asof_forward_native" -> (RelationalQueries.asofForwardNative _),
+    // round-12: per-event-type time-to-purchase quantiles (the funnel
+    // deliverable q139 feeds)
+    "q141_conversion_latency" -> (RelationalQueries.conversionLatency _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -427,5 +430,6 @@ object SparkEntry {
     "q138_banding_recall"     -> DedupQueries.bandingRecallSql,
     "q139_asof_forward"       -> RelationalQueries.asofForwardSql,
     "q140_asof_forward_native" -> RelationalQueries.asofForwardNativeSql,
+    "q141_conversion_latency" -> RelationalQueries.conversionLatencySql,
   )
 }

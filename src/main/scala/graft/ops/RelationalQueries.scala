@@ -308,6 +308,47 @@ object RelationalQueries {
       |    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
       |SELECT event_id, user_id, purchase_id, p_us - us AS wait_us FROM n""".stripMargin.replace("\n", " ")
 
+  /** Beyond-reference: CONVERSION-LATENCY quantiles — per event type,
+    * the p25/p50/p75/p95 wait from an event to the user's next purchase
+    * ("median time-to-purchase after a view", repurchase interval for
+    * purchase rows) — the funnel deliverable [[asofForward]] feeds.
+    * One (user_id) window computes the wait (q139's frame carrying only
+    * the purchase time), then the q51 exact-bracket grouped-percentile
+    * machinery over (event_type, wait): approx sketch brackets + ONE
+    * bounded re-scan — never a per-group sort. Tail events (no later
+    * purchase) are excluded — the latency of a conversion that never
+    * happened is not a number, and at 100 TB the open-ended tail is
+    * censored data for a survival model, not a quantile input. */
+  def conversionLatency(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(1, Window.unboundedFollowing)
+    val pUs = when(col("event_type") === "purchase", unix_micros(col("ts")))
+    val waits = events(s, d)
+      .withColumn("p_us", first(pUs, ignoreNulls = true).over(w))
+      .filter(col("p_us").isNotNull)
+      .select(col("event_type"),
+        (col("p_us") - unix_micros(col("ts"))).as("wait_us"))
+    graft.ops.Quantiles
+      .exactGroupPercentiles(waits, "event_type", "wait_us", QuantilePoints)
+      .select(col("event_type"), col("q"), round(col("qval"), 4).as("qval"))
+  }
+
+  // lazy: QuantilePoints is declared LATER in this object — a strict
+  // val here reads null mid-init (the r10 init-order class of bug;
+  // rule: constants final, compositions lazy)
+  lazy val conversionLatencySql: String = {
+    val pts = QuantilePoints.mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       |n AS (SELECT event_type, us,
+       |  first_value(CASE WHEN event_type = 'purchase' THEN us END IGNORE NULLS)
+       |    OVER (PARTITION BY user_id ORDER BY us
+       |      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS p_us
+       |  FROM e)
+       |SELECT event_type, CAST(unnest($pts) AS DOUBLE) AS q,
+       |  round(unnest(quantile_cont(CAST(p_us - us AS DOUBLE), $pts)), 4) AS qval
+       |FROM n WHERE p_us IS NOT NULL GROUP BY event_type""".stripMargin.replace("\n", " ")
+  }
+
   /** The NATIVE-OPERATOR twin of [[asofForward]]: same
     * earliest-strictly-later semantics through graft.plans.AsOfJoin's
     * forward mode — the streaming merge needs NO candidate register in
