@@ -281,6 +281,8 @@ object SparkEntry {
     // round-12: per-event-type time-to-purchase quantiles (the funnel
     // deliverable q139 feeds)
     "q141_conversion_latency" -> (RelationalQueries.conversionLatency _),
+    // round-12: session conversion rate by depth (q27's rollup)
+    "q142_session_conversion" -> (RelationalQueries.sessionConversion _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -431,5 +433,6 @@ object SparkEntry {
     "q139_asof_forward"       -> RelationalQueries.asofForwardSql,
     "q140_asof_forward_native" -> RelationalQueries.asofForwardNativeSql,
     "q141_conversion_latency" -> RelationalQueries.conversionLatencySql,
+    "q142_session_conversion" -> RelationalQueries.sessionConversionSql,
   )
 }

@@ -251,6 +251,51 @@ object RelationalQueries {
   val sessionizeSql: String =
     "WITH g AS (SELECT user_id, event_id, value, ts, CASE WHEN lag(ts) OVER w IS NULL OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS is_new FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), se AS (SELECT user_id, value, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM g) SELECT user_id, session_idx, count(*) AS n_events, round(sum(value), 2) AS total_value FROM se GROUP BY user_id, session_idx"
 
+  /** Depth bucket cap for q142: sessions of 10+ events share one row. */
+  final val SessionDepthCap = 10L
+
+  /** Beyond-reference: SESSION CONVERSION BY DEPTH — q27's sessions
+    * rolled up to the product question they exist for: of sessions
+    * with k events, what fraction contained a purchase? Same two
+    * stacked (user_id) windows as q27 (exchange reused), the session
+    * aggregate gains a purchase flag, then ONE tiny depth-bucketed
+    * aggregate (≤ [[SessionDepthCap]]+1 rows out). Conversion is
+    * integer fixed-point (FLOAT RULE: `div` / `//`). */
+  def sessionConversion(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wCum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapMs = unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w))
+    val sessions = events(s, d)
+      .withColumn("is_new", when(gapMs.isNull || gapMs > 1800000L, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("is_new")).over(wCum))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
+    sessions
+      .groupBy(least(col("n_events"), lit(SessionDepthCap)).as("depth"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("converted").cast("long").as("n_converted"))
+      .withColumn("conv_x10k",
+        expr("CAST(n_converted * 10000 div n_sessions AS BIGINT)"))
+  }
+
+  val sessionConversionSql: String =
+    s"""WITH g AS (SELECT user_id, event_id, event_type, ts,
+       |  CASE WHEN lag(ts) OVER w IS NULL OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+       |    THEN 1 ELSE 0 END AS is_new
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |se AS (SELECT user_id, event_type,
+       |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+       |  FROM g),
+       |sess AS (SELECT user_id, session_idx, count(*) AS n_events,
+       |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+       |  FROM se GROUP BY user_id, session_idx)
+       |SELECT least(n_events, $SessionDepthCap) AS depth, count(*) AS n_sessions,
+       |  CAST(sum(converted) AS BIGINT) AS n_converted,
+       |  CAST(sum(converted) * 10000 // count(*) AS BIGINT) AS conv_x10k
+       |FROM sess GROUP BY 1""".stripMargin.replace("\n", " ")
+
   /** Beyond-reference: AS-OF join — for every event, the user's most
     * recent STRICTLY-EARLIER purchase event. Spark has no asof operator;
     * the scale-correct formulation is a single range-frame window over

@@ -333,6 +333,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("q142 session conversion reuses q27's one (user_id) exchange plus the tiny depth agg") {
+    val p = plan("q142_session_conversion")
+    // two stacked windows + session agg ride ONE user_id exchange (the
+    // q27 shape); the depth rollup adds one ≤(cap+1)-row exchange
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 3, p)
+  }
+
   test("q116 PageRank job count stays O(rounds) — lineage truncated per round") {
     val spark = SparkSpec.spark
     val jobs = countJobs {
