@@ -290,8 +290,12 @@ object DedupQueries {
     // the disjoint remainder: C(|S|,2) − co-occurring pairs, all at
     // Jaccard 0 → bin 0; banding hits among them (signature-collision
     // pairs with zero real overlap) counted by anti-join — three 1-row
-    // aggregates crossed in, nothing pair-sized
-    val nS = sampled.agg(count(lit(1)).as("n_s"))
+    // aggregates crossed in, nothing pair-sized. |S| counts docs WITH
+    // ≥ 1 shingle (count of `sizes`, not of `sampled`): the oracle's
+    // shs/pairs CTEs join through `base`, so a sampled doc shorter
+    // than ShingleN words is outside its pair universe — both engines
+    // must enumerate the same one
+    val nS = sizes.agg(count(lit(1)).as("n_s"))
     val nInter = interPairs.agg(count(lit(1)).as("ip"))
     val caughtDisjoint = caught
       .join(interPairs.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")

@@ -15,7 +15,7 @@ import org.apache.spark.sql.graftshim.GraftSqlShim
   * of the build plan: a whole-operator semantic Spark lacks, expressed
   * as its own `LogicalPlan` + `SparkStrategy` + `SparkPlan` and
   * registered through `SparkSessionExtensions`
-  * (graft.plans.GraftExtensions, wired in graft.Sessions).
+  * (graft.GraftExtensions, wired in graft.Sessions).
   *
   * Semantics: for every left row, attach the single right row with the
   * SAME key and — backward (`forward = false`) — the GREATEST

@@ -292,8 +292,14 @@ object StreamingFraud {
     * relaxation asofStream and dedupDocStream document.
     *
     * State per user: watermark-bounded unripe buffer + the pending
-    * events between the user's purchases (bounded by purchase
-    * frequency × event rate, flushed at retention regardless). */
+    * events between the user's purchases. Pending is flushed at
+    * retention ON EVERY invocation (not only key-idle timeouts): an
+    * event older than watermark − retention can only ever be matched
+    * by a purchase more than retention after it — every unripened
+    * purchase sits past the watermark — and the TTL relaxation answers
+    * that with null. Without the per-invocation flush, a continuously
+    * active user who never purchases would keep resetting the idle
+    * timeout and grow pending without bound. */
   def asofForwardStream(events: DataFrame, watermark: String = "1 hour",
                         retentionMs: Long = 30L * 86400000L): Dataset[AsofFwdMatch] = {
     import events.sparkSession.implicits._
@@ -325,6 +331,17 @@ object StreamingFraud {
             // match is a LATER purchase — strict, like the batch frame)
             pending = pending :+ ((ts, id))
           }
+          // retention flush, independent of key activity: entries this
+          // old can only match a purchase > retention later (unripened
+          // purchases are all past the watermark) — emit the TTL answer
+          // now so pending stays bounded for active never-purchasing
+          // users instead of waiting for an idle timeout that a busy
+          // key keeps resetting
+          val cutoffUs = wmUs - retentionMs * 1000L
+          val (stale, fresh) = pending.partition(_._1 < cutoffUs)
+          stale.foreach { case (_, eid) =>
+            out += AsofFwdMatch(eid, user, None, None) }
+          pending = fresh
           if (state.hasTimedOut && incoming.isEmpty && ripe.isEmpty && hold.isEmpty) {
             // retention-idle: no purchase is coming inside the horizon
             pending.foreach { case (_, eid) =>

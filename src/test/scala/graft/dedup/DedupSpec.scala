@@ -467,15 +467,17 @@ class DedupSpec extends AnyFunSuite {
     // base-hash shingle sets, and banding catch via the signature bands
     val hs = sampled.map { case (id, t) =>
       id -> Hashing.wordShingles(t, DedupQueries.ShingleN)
-        .map(Hashing.shingleBaseHash).distinct.sorted }.toMap
+        .map(Hashing.shingleBaseHash).distinct.sorted }
+      .filter(_._2.nonEmpty).toMap // pair universe = docs with ≥ 1 shingle (oracle's base-join convention)
     val bandVals = {
       import spark.implicits._
       DedupQueries.minHashBandsOf(sampled.toSeq.toDF("doc_id", "text"))
         .collect().groupBy(_.getLong(0)).view
         .mapValues(_.map(r => (r.getInt(1), r.getString(2))).toSet).toMap
     }
+    val universe = sampled.filter(p => hs.contains(p._1))
     val truth = (for {
-      (a, _) <- sampled; (b, _) <- sampled if a < b
+      (a, _) <- universe; (b, _) <- universe if a < b
       jx = Hashing.exactJaccardX10kSorted(hs(a), hs(b))
       binId = (jx / 1000).toInt
       hit = bandVals(a).intersect(bandVals(b)).nonEmpty

@@ -271,9 +271,13 @@ class StreamingFraudSpec extends AnyFunSuite {
       .sortBy(_._3.getTime)
     val input = MemoryStream[(Long, Long, Timestamp, String, Double)]
     val events = input.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
-    // retention 3 days < the sentinel horizon: tail events (users with no
-    // later purchase) must flush as unmatched, reproducing batch nulls
-    val query = StreamingFraud.asofForwardStream(events, retentionMs = 3L * 86400000L)
+    // retention must EXCEED the corpus's max event→next-purchase wait
+    // (~6 days at sf0.001): the r13 per-invocation retention flush
+    // enforces the TTL for real, so a shorter retention would
+    // (correctly) emit long-wait events as unmatched where the batch —
+    // which has no TTL — matches them. Sentinels then sit PAST the
+    // retention horizon so genuine no-later-purchase tails still flush.
+    val query = StreamingFraud.asofForwardStream(events, retentionMs = 20L * 86400000L)
       .writeStream.format("memory").queryName("asof_fwd_replay")
       .outputMode("append").start()
     try {
@@ -283,9 +287,9 @@ class StreamingFraudSpec extends AnyFunSuite {
       input.addData(second: _*)
       query.processAllAvailable()
       val maxTs = rows.map(_._3.getTime).max
-      input.addData((-1L, -1L, new Timestamp(maxTs + 7L * 86400000L), "view", 0.0))
+      input.addData((-1L, -1L, new Timestamp(maxTs + 30L * 86400000L), "view", 0.0))
       query.processAllAvailable()
-      input.addData((-2L, -1L, new Timestamp(maxTs + 14L * 86400000L), "view", 0.0))
+      input.addData((-2L, -1L, new Timestamp(maxTs + 60L * 86400000L), "view", 0.0))
       query.processAllAvailable()
       val got = spark.sql(
           "select event_id, user_id, purchase_id, wait_us from asof_fwd_replay")
@@ -295,6 +299,37 @@ class StreamingFraudSpec extends AnyFunSuite {
         .filter(_._2 >= 0L).toSet
       assert(got.size === batch.size)
       assert(got === batch)
+    } finally query.stop()
+  }
+
+  test("forward as-of flushes retention-stale pending for an ACTIVE never-purchasing user") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
+    // 1-day retention: user 42 views every 3 days and NEVER purchases,
+    // so the key is never idle long enough for the timeout flush — the
+    // per-invocation retention flush must emit the old views unmatched
+    val query = StreamingFraud.asofForwardStream(events, retentionMs = 86400000L)
+      .writeStream.format("memory").queryName("asof_fwd_active")
+      .outputMode("append").start()
+    def t(d: Int) = Timestamp.valueOf(f"2025-07-${1 + d}%02d 12:00:00")
+    try {
+      // one view per micro-batch, 3 days apart: each batch advances the
+      // watermark, ripens the previous view, and pushes the one before
+      // THAT past the retention cutoff — all while rows keep arriving
+      for (i <- 0 until 5) {
+        input.addData((100L + i, 42L, t(3 * i), "view", 0.0))
+        query.processAllAvailable()
+      }
+      val got = spark.sql("select event_id, purchase_id from asof_fwd_active")
+        .collect().map(r => (r.getLong(0), r.isNullAt(1))).toMap
+      // with 5 batches the first three views have ripened AND aged past
+      // retention inside invocations where the key had fresh rows; old
+      // code (idle-timeout-only flush) emits nothing here
+      assert(Set(100L, 101L, 102L).subsetOf(got.keySet), s"got $got")
+      assert(got.values.forall(identity), s"expected all unmatched, got $got")
     } finally query.stop()
   }
 
