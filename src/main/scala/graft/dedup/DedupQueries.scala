@@ -77,22 +77,15 @@ object DedupQueries {
       |FROM g WHERE rn = 1""".stripMargin.replace("\n", " ")
 
   /** text → the 32 LSH band values ("v0:v1" strings of consecutive
-    * signature slots). One UDF call computes base hashes + the full
-    * signature + band formatting — a single pass per row, no shuffle. */
-  private val bandValsUdf = udf { (text: String) =>
-    val base = Hashing.wordShingles(text, ShingleN).map(Hashing.shingleBaseHash)
-    val sig = Hashing.minHashSignature(base, Perms)
-    Array.tabulate(MinHashBands) { b =>
-      val sb = new StringBuilder
-      var r = 0
-      while (r < BandRows) {
-        if (r > 0) sb.append(':')
-        sb.append(sig(b * BandRows + r))
-        r += 1
-      }
-      sb.toString
-    }
-  }
+    * signature slots). One NATIVE expression call computes base hashes
+    * + the full signature + band formatting — a single pass per row,
+    * no shuffle, no UDF encoder roundtrip, inside whole-stage codegen
+    * ([[graft.functions.MinHashBandVals]]; the Scala-UDF original is
+    * the r13 conversion's baseline in PERF_NOTES). Same permutation
+    * family: permConstants(bands·rows, seed) ≡ Perms.take(bands·rows). */
+  private def bandValsCol(text: org.apache.spark.sql.Column) =
+    graft.functions.GraftFunctions.minHashBandVals(
+      text, ShingleN, MinHashBands, BandRows, MinHashSeed, charGrain = false)
 
   /** Per-doc MinHash signatures exploded to LSH band values. Input to
     * the band-bucket shuffle; also a useful persisted artifact
@@ -104,7 +97,7 @@ object DedupQueries {
     * side of incremental dedup compute signatures for ONLY today's
     * documents instead of the whole table. */
   def minHashBandsOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), posexplode(bandValsUdf(col("text"))).as(Seq("band", "band_val")))
+    docs.select(col("doc_id"), posexplode(bandValsCol(col("text"))).as(Seq("band", "band_val")))
 
   // ---- shared DuckDB CTE fragments (must mirror Hashing exactly) ----
 
@@ -256,13 +249,11 @@ object DedupQueries {
       .filter(graft.functions.GraftFunctions.md5Lower64(
           concat_ws("|", lit("audit:"), col("doc_id")))
         .bitwiseAND(Long.MaxValue) % AuditMod === 0L)
-    val shingleHashesUdf = udf { (t: String) =>
-      Hashing.wordShingles(t, ShingleN)
-        .map(Hashing.shingleBaseHash).distinct
-    }
     // (doc_id, h) exploded shingle-hash rows + per-doc set sizes
+    // (native expression — the r13 UDF conversion)
     val docHash = sampled
-      .select(col("doc_id"), explode(shingleHashesUdf(col("text"))).as("h"))
+      .select(col("doc_id"), explode(
+        graft.functions.GraftFunctions.shingleHashes(col("text"), ShingleN)).as("h"))
     val sizes = docHash.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // sparse intersection counts: only pairs sharing ≥ 1 shingle appear
     val interPairs = docHash.as("ha")
@@ -336,10 +327,10 @@ object DedupQueries {
   }
 
   /** text → [simhash blocks 0..3] (md5-token-hash SimHash, 16-bit
-    * pigeonhole blocks — Hamming ≤ 3 ⇒ ≥ 1 identical block). */
-  private val simBlocksUdf = udf { (text: String) =>
-    Hashing.simHashBlocks(Hashing.simHash64(Hashing.tokens(text)))
-  }
+    * pigeonhole blocks — Hamming ≤ 3 ⇒ ≥ 1 identical block). Native
+    * expression ([[graft.functions.SimHashBlocksExpr]]) since r13. */
+  private def simBlocksCol(text: org.apache.spark.sql.Column) =
+    graft.functions.GraftFunctions.simHashBlocks(text)
 
   /** SimHash fingerprints as their 4 × 16-bit pigeonhole blocks: a
     * groupBy on any (block index, block value) finds all Hamming ≤ 3
@@ -347,7 +338,7 @@ object DedupQueries {
     * sizes shrink as the corpus grows. */
   def simHash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), simBlocksUdf(col("text")).as("blk"))
+      .select(col("doc_id"), simBlocksCol(col("text")).as("blk"))
       .select(col("doc_id"),
         col("blk")(0).as("block0"), col("blk")(1).as("block1"),
         col("blk")(2).as("block2"), col("blk")(3).as("block3"))
@@ -656,7 +647,7 @@ object DedupQueries {
                             minJ: Double = CharGramMinJ): DataFrame = {
     val bands = Tables.documents(s, d)
       .select(col("doc_id"),
-        posexplode(charBandValsUdf(col("text"))).as(Seq("band", "band_val")))
+        posexplode(charBandValsCol(col("text"))).as(Seq("band", "band_val")))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&
@@ -682,21 +673,12 @@ object DedupQueries {
   }
 
   /** text -> 10 LSH band values over the char-shingle MinHash signature
-    * (first 60 of the 64 shared permutations, 6 rows per band). */
-  private val charBandValsUdf = udf { (text: String) =>
-    val base = Hashing.charShingles(text, CharGramN).map(Hashing.shingleBaseHash)
-    val sig = Hashing.minHashSignature(base, Perms)
-    Array.tabulate(CharBands) { b =>
-      val sb = new StringBuilder
-      var r = 0
-      while (r < CharBandRows) {
-        if (r > 0) sb.append(':')
-        sb.append(sig(b * CharBandRows + r))
-        r += 1
-      }
-      sb.toString
-    }
-  }
+    * (first 60 of the 64 shared permutations, 6 rows per band) —
+    * native since r13, same family slicing: permConstants(60, seed) ≡
+    * Perms.take(60). */
+  private def charBandValsCol(text: org.apache.spark.sql.Column) =
+    graft.functions.GraftFunctions.minHashBandVals(
+      text, CharGramN, CharBands, CharBandRows, MinHashSeed, charGrain = true)
 
   /** doc_id, band, band_val over CHAR shingles — twin of
     * [[charBandValsUdf]], mirroring the word-level bandsCtes. */

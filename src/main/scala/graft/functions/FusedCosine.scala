@@ -116,6 +116,21 @@ object GraftFunctions {
   def bitLength64(c: Column): Column =
     GraftSqlShim.column(LongBitLength(GraftSqlShim.expression(c)))
 
+  /** text → LSH band values (native twin of the dedup family's
+    * doc-grain band UDFs; see [[ShingleBands]]). */
+  def minHashBandVals(c: Column, shingleN: Int, bands: Int, rows: Int,
+                      seed: Long, charGrain: Boolean): Column =
+    GraftSqlShim.column(MinHashBandVals(
+      GraftSqlShim.expression(c), shingleN, bands, rows, seed, charGrain))
+
+  /** text → 4 SimHash pigeonhole blocks, native. */
+  def simHashBlocks(c: Column): Column =
+    GraftSqlShim.column(SimHashBlocksExpr(GraftSqlShim.expression(c)))
+
+  /** text → distinct word-shingle base hashes, native. */
+  def shingleHashes(c: Column, shingleN: Int): Column =
+    GraftSqlShim.column(ShingleHashesExpr(GraftSqlShim.expression(c), shingleN))
+
   private[graft] def md5LowerLongBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 1, s"md5_lower64 expects 1 argument, got ${exprs.length}")
     Md5LowerLong(exprs(0))

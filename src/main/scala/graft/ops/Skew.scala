@@ -76,17 +76,80 @@ object Skew {
     * (1e8-row hot key × 1e7 keys) the Int64 product wraps silently in
     * Spark (ANSI off) while DuckDB raises — the widened intermediate
     * keeps the fixed-point ratio exact and engine-consistent. */
-  def keySkewProfile(s: SparkSession, d: String): DataFrame = {
-    val counts = Tables.lineitem(s, d)
-      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+  def keySkewProfile(s: SparkSession, d: String): DataFrame =
+    keySkewProfileFrom(Tables.lineitem(s, d), col("l_suppkey"))
+      .withColumnRenamed("k", "l_suppkey")
+
+  /** [[keySkewProfile]] over an explicit fact frame and key — the
+    * generic entry [[profiledJoin]] and SkewSpec drive. Output columns
+    * (k, cnt, share_x10k, skew_x10k), hot head only. */
+  def keySkewProfileFrom(fact: DataFrame, key: Column): DataFrame = {
+    val counts = fact.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(
       sum("cnt").as("total"), count(lit(1)).as("n_keys"))
     counts.crossJoin(broadcast(totals))
-      .select(col("l_suppkey"), col("cnt"),
+      .select(col("k"), col("cnt"),
         expr("CAST(CAST(cnt AS DECIMAL(38,0)) * 10000 div total AS BIGINT)").as("share_x10k"),
         expr("CAST(CAST(cnt AS DECIMAL(38,0)) * n_keys * 10000 div total AS BIGINT)").as("skew_x10k"))
-      .orderBy(col("cnt").desc, col("l_suppkey"))
+      .orderBy(col("cnt").desc, col("k"))
       .limit(SkewTopN)
+  }
+
+  // --------------------------------- profile-driven join posture (r13)
+
+  /** The three mitigation tiers the q135 measurement decides between.
+    * Thresholds are on the profile's `skew_x10k` (top-key load as a
+    * fixed-point multiple of the mean key load). */
+  sealed trait JoinPosture
+  /** No hot key: a plain shuffle join partitions evenly. */
+  case object PlainShuffle extends JoinPosture
+  /** Moderate hot key: AQE's runtime skew-split (on by default here)
+    * handles it — partitions are oversized but splittable, no plan
+    * change needed. */
+  case object AqeSkewSplit extends JoinPosture
+  /** Severe hot key: one reducer would own skew/10⁴ × the mean load —
+    * pre-salt with enough salts to flatten the hot key back to ≈ mean. */
+  final case class Salted(numSalts: Int) extends JoinPosture
+
+  /** skew_x10k below this (4× the mean key load) → plain shuffle. */
+  val AqeSkewX10k = 4L * 10000L
+  /** skew_x10k below this (16× the mean) → AQE; at or above → salt. */
+  val SaltSkewX10k = 16L * 10000L
+  val MaxSalts = 64
+
+  /** Read a (k, cnt, share_x10k, skew_x10k) profile head and pick the
+    * posture. The profile is ≤ [[SkewTopN]] rows — a bounded collect,
+    * the same "measurement drives the plan" move as AQE, done from a
+    * persisted profile instead of runtime map stats. Salt count is the
+    * top key's skew factor (VERDICT r12 #6 / the q135 doc's own
+    * prescription), capped at [[MaxSalts]] so the dim-side explode
+    * stays bounded. */
+  def adviseJoin(profile: DataFrame): JoinPosture = {
+    val top = profile.select(max("skew_x10k")).head()
+    val skew = if (top.isNullAt(0)) 0L else top.getLong(0)
+    if (skew < AqeSkewX10k) PlainShuffle
+    else if (skew < SaltSkewX10k) AqeSkewSplit
+    else Salted(math.min(MaxSalts, math.ceil(skew / 10000.0).toInt))
+  }
+
+  /** The connected pair: PROFILE the fact key (q135's op), then join
+    * with the posture the profile advises — plain/AQE joins stay
+    * untouched (AQE's own skew split needs no plan change), a severe
+    * hot key routes through [[saltedJoin]]. Result rows are identical
+    * across postures (SkewSpec pins this on constructed hot-key and
+    * uniform tables); only the shuffle shape changes. Returns the
+    * chosen posture alongside the joined frame so callers (and specs)
+    * can see the decision. */
+  def profiledJoin(fact: DataFrame, dim: DataFrame,
+                   factKey: Column, dimKey: Column, saltSource: Column,
+                   advise: DataFrame => JoinPosture = adviseJoin)
+      : (JoinPosture, DataFrame) = {
+    val posture = advise(keySkewProfileFrom(fact, factKey))
+    val joined = posture match {
+      case Salted(n) => saltedJoin(fact, dim, factKey, dimKey, saltSource, n)
+      case _         => fact.join(dim, factKey === dimKey)
+    }
+    (posture, joined)
   }
 
   val keySkewProfileSql: String =

@@ -359,6 +359,189 @@ object StreamingFraud {
         })
   }
 
+  /** The q141/q142 twins chain flatMapGroupsWithState → unwindowed
+    * aggregate, which trips Spark's GLOBAL-WATERMARK correctness check
+    * (it assumes a downstream stateful op may DISCARD the emitted rows
+    * as late). Here that hazard cannot occur: the emitted rows carry
+    * no event-time column and the downstream aggregate is unwindowed —
+    * it has no watermark eviction, never drops a row, and its cells
+    * only ratchet upward (the [[tokenBudgetStream]] contract). The
+    * check is per-session, so the twins disable it at plan time; a
+    * deployment multiplexing other chained-stateful queries on the
+    * same session should audit those before relying on the default. */
+  private def allowStatefulChain(df: DataFrame): Unit =
+    df.sparkSession.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+
+  /** One matched conversion on the q141 wire. */
+  final case class LatWait(event_type: String, wait_us: Long)
+
+  /** Wait-histogram grain of [[conversionLatencyStream]]: 1-hour cells
+    * keep the (event_type × bucket) grid ≤ 5 · retention/1h cells. */
+  val LatBucketUs: Long = 3600000000L
+
+  /** Streaming twin of q141 (conversion-latency rollup): the forward
+    * as-of match stream folded into a per-(event_type, wait-bucket)
+    * COUNT grid — the [[tokenBudgetStream]] posture applied to q139's
+    * output. The batch q141 reads exact interpolated percentiles off
+    * the full wait distribution; a stream cannot hold that
+    * distribution, so the twin's contract is the HLL-twin contract
+    * ([[hllRegistersStream]]): its STATE TABLE converges exactly to
+    * the batch recount at the grid grain (StreamingFraudSpec pins
+    * cell-for-cell equality), and percentile reads fold the grid
+    * downstream, bracketed to bucket width.
+    *
+    * Tail events (no later purchase) are EXCLUDED by q141's own
+    * definition, which is what keeps this twin's state honest: pending
+    * events older than watermark − retention are dropped SILENTLY (no
+    * unmatched emission to retract), so per-user state stays bounded
+    * for active never-purchasing users and the grid never lies —
+    * waits longer than retention are censored, the batch job owns
+    * them. State: per-user ripening buffer + pending (both bounded) +
+    * the global grid (≤ 5 types × retention/bucket cells, Update
+    * mode). */
+  def conversionLatencyStream(events: DataFrame, watermark: String = "1 hour",
+                              retentionMs: Long = 30L * 86400000L,
+                              bucketUs: Long = LatBucketUs): DataFrame = {
+    import events.sparkSession.implicits._
+    allowStatefulChain(events)
+    val waits = events
+      .selectExpr("event_id", "user_id", "ts", "event_type", "value")
+      .withWatermark("ts", watermark)
+      .as[AsofEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (user: Long, rows: Iterator[AsofEvent], state: GroupState[LatState]) => {
+          val st = state.getOption.getOrElse(LatState(Nil, Nil))
+          val incoming = rows
+            .map(e => (tsMicros(e.ts), e.event_id, e.event_type))
+            .toList
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, hold) = (st.buffer ++ incoming)
+            .sortBy(e => (e._1, e._2))
+            .partition(_._1 <= wmUs)
+          var pending = st.pending
+          val out = scala.collection.mutable.ListBuffer.empty[LatWait]
+          ripe.foreach { case (ts, _, etype) =>
+            if (etype == "purchase") {
+              val (emit, keep) = pending.partition(_._1 < ts)
+              emit.foreach { case (ets, et) => out += LatWait(et, ts - ets) }
+              pending = keep
+            }
+            pending = pending :+ ((ts, etype))
+          }
+          // censor, don't emit: q141 excludes tails, so stale entries
+          // just leave (same per-invocation bound as asofForwardStream)
+          pending = pending.filter(_._1 >= wmUs - retentionMs * 1000L)
+          if (state.hasTimedOut && incoming.isEmpty && ripe.isEmpty && hold.isEmpty)
+            state.remove()
+          else {
+            state.update(LatState(hold, pending))
+            val wakeupMs =
+              if (hold.nonEmpty) hold.map(_._1).min / 1000L + 1L
+              else wmUs / 1000L + retentionMs
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, wakeupMs))
+          }
+          out.iterator
+        })
+    waits.toDF()
+      .groupBy(col("event_type"),
+        expr(s"CAST(wait_us div $bucketUs AS BIGINT)").as("wait_bucket"))
+      .agg(count(lit(1)).as("n_waits"))
+  }
+
+  /** Per-user q141-twin state: unripe rows (tsUs, event_id,
+    * event_type) + ripe events awaiting a later purchase (tsUs,
+    * event_type) — event ids are not needed once ripe (the rollup is
+    * anonymous), types are (the grid key). */
+  final case class LatState(
+      buffer: List[(Long, Long, String)],
+      pending: List[(Long, String)])
+
+  /** One closed session on the q142 wire. */
+  final case class ClosedSession(n_events: Long, converted: Boolean)
+
+  /** Per-user sessionizer state: unripe rows (tsUs, event_id,
+    * isPurchase) + the OPEN session (lastUs, n_events, converted).
+    * Gap-bounded: nothing outlives lastTs + gap. */
+  final case class SessRollState(
+      buffer: List[(Long, Long, Boolean)],
+      cur: Option[(Long, Long, Boolean)])
+
+  /** Streaming twin of q142 (session conversion by depth): a per-user
+    * sessionizer that emits CLOSED sessions (Append — a session is
+    * final once the watermark clears its gap: any still-unseen event
+    * has ts > watermark > last + gap and would start a NEW session),
+    * folded into the ≤ [[graft.ops.RelationalQueries.SessionDepthCap]]+1-row
+    * depth grid in Update mode — grid-bounded like
+    * [[tokenBudgetStream]], per VERDICT r12 #5. The gap compare
+    * truncates to MILLIS exactly like the batch's `unix_millis`
+    * arithmetic, so replay parity is bit-exact (StreamingFraudSpec).
+    * State: gap-bounded open session + watermark-bounded buffer per
+    * user — no retention TTL needed, idle keys close their session at
+    * the gap timeout and evict. */
+  def sessionConversionStream(events: DataFrame, gapMs: Long = 1800000L,
+                              watermark: String = "1 hour"): DataFrame = {
+    import events.sparkSession.implicits._
+    allowStatefulChain(events)
+    val depthCap = graft.ops.RelationalQueries.SessionDepthCap
+    val closed = events
+      .selectExpr("event_id", "user_id", "ts", "event_type", "value")
+      .withWatermark("ts", watermark)
+      .as[AsofEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (user: Long, rows: Iterator[AsofEvent], state: GroupState[SessRollState]) => {
+          val st = state.getOption.getOrElse(SessRollState(Nil, None))
+          val incoming = rows
+            .map(e => (tsMicros(e.ts), e.event_id, e.event_type == "purchase"))
+            .toList
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, hold) = (st.buffer ++ incoming)
+            .sortBy(e => (e._1, e._2))
+            .partition(_._1 <= wmUs)
+          var cur = st.cur
+          val out = scala.collection.mutable.ListBuffer.empty[ClosedSession]
+          ripe.foreach { case (ts, _, isPurchase) =>
+            cur match {
+              // millis-truncated gap compare ≡ the batch's unix_millis
+              case Some((last, n, conv))
+                  if Math.floorDiv(ts, 1000L) - Math.floorDiv(last, 1000L) <= gapMs =>
+                cur = Some((ts, n + 1, conv || isPurchase))
+              case Some((_, n, conv)) =>
+                out += ClosedSession(n, conv)
+                cur = Some((ts, 1L, isPurchase))
+              case None =>
+                cur = Some((ts, 1L, isPurchase))
+            }
+          }
+          // the watermark itself closes a session: every unseen event
+          // is past the watermark, hence past the gap
+          cur match {
+            case Some((last, n, conv))
+                if Math.floorDiv(wmUs, 1000L) - Math.floorDiv(last, 1000L) > gapMs =>
+              out += ClosedSession(n, conv)
+              cur = None
+            case _ => ()
+          }
+          if (cur.isEmpty && hold.isEmpty) state.remove()
+          else {
+            state.update(SessRollState(hold, cur))
+            val wakeupMs =
+              if (hold.nonEmpty) hold.map(_._1).min / 1000L + 1L
+              else cur.get._1 / 1000L + gapMs + 1L
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, wakeupMs))
+          }
+          out.iterator
+        })
+    closed.toDF()
+      .groupBy(least(col("n_events"), lit(depthCap)).as("depth"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+  }
+
   /** Streaming twin of exact dedup (q16/q25): drop later arrivals of the
     * same canonical fingerprint. `dropDuplicatesWithinWatermark` keeps
     * per-fp state only inside the watermark horizon — bounded state at

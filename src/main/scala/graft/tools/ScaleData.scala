@@ -109,13 +109,28 @@ object ScaleData {
   def generate(spark: SparkSession, srcDir: String, outDir: String, mult: Int): Unit = {
     import spark.implicits._
     val P = 32 // generation parallelism
-    def write(df: DataFrame, name: String, parts: Int): Unit =
-      df.coalesce(parts).write.mode(SaveMode.Overwrite)
-        .parquet(s"$outDir/$name.parquet")
+    // The driver's testdata layout is ONE FLAT parquet file per table
+    // (DuckDB's oracle views read '<dir>/<t>.parquet' verbatim), so
+    // write single-part and move the part file flat. Small row groups
+    // (16 MB) keep a single big file splittable for Spark's reader —
+    // partition parallelism at read time comes from row-group bounds.
+    def write(df: DataFrame, name: String): Unit = {
+      val tmp = s"$outDir/_tmp_$name"
+      df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", (16 * 1024 * 1024).toString)
+        .parquet(tmp)
+      val tmpDir = new java.io.File(tmp)
+      val part = tmpDir.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file in $tmp"))
+      val dest = new java.io.File(s"$outDir/$name.parquet")
+      if (dest.exists()) dest.delete()
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      tmpDir.listFiles().foreach(_.delete()); tmpDir.delete()
+    }
 
     // fixed dims: copy verbatim
     for (t <- Seq("region", "nation"))
-      write(spark.read.parquet(s"$srcDir/$t.parquet"), t, 1)
+      write(spark.read.parquet(s"$srcDir/$t.parquet"), t)
 
     val nCust = 15000L * mult
     val nSupp = 1000L * mult
@@ -132,13 +147,13 @@ object ScaleData {
         round2(-1000.0 + u(1L, k, 1) * 11000.0),
         Segments((nn(h(1L, k, 2)) % 5).toInt))
     }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
-      "customer", math.max(1, mult / 4))
+      "customer")
 
     write(spark.range(0, nSupp, 1, P).map { k =>
       (k, f"Supplier#$k%09d", nn(h(2L, k, 0)) % 25,
         round2(-1000.0 + u(2L, k, 1) * 11000.0))
     }.toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
-      "supplier", 1)
+      "supplier")
 
     write(spark.range(0, nPart, 1, P).map { k =>
       (k,
@@ -148,7 +163,7 @@ object ScaleData {
         (1 + nn(h(3L, k, 4)) % 50),
         (9000L + k % 1000L) / 10.0)
     }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
-      "part", math.max(1, mult / 4))
+      "part")
 
     val ordEpoch0 = epochDay(1995, 1, 1)
     val ordDays = epochDay(2001, 8, 1) - ordEpoch0 + 1
@@ -161,7 +176,7 @@ object ScaleData {
     }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "od_s", "o_orderpriority")
       .withColumn("o_orderdate", expr("timestamp_seconds(od_s)")).drop("od_s")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
-      "orders", math.max(1, mult / 2))
+      "orders")
 
     val shipEpoch0 = epochDay(1995, 1, 2)
     val shipDays = epochDay(2001, 11, 4) - shipEpoch0 + 1
@@ -178,7 +193,7 @@ object ScaleData {
     }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
         "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "sd_s")
       .withColumn("l_shipdate", expr("timestamp_seconds(sd_s)")).drop("sd_s"),
-      "lineitem", 2 * mult)
+      "lineitem")
 
     // events: uniform ts over 30 days, event_id = ts rank (the driver's
     // files are ts-ascending with sequential ids)
@@ -197,7 +212,7 @@ object ScaleData {
         row_number().over(Window.orderBy("ts_us", "user_id")).cast("long") - 1)
       .withColumn("ts", expr("timestamp_micros(ts_us)"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props"),
-      "events", mult)
+      "events")
 
     write(spark.range(0, nDoc, 1, P).map { k =>
       val t = textFor(k)
@@ -206,12 +221,12 @@ object ScaleData {
         else Langs((nn(h(8L, k, 901)) % 4).toInt)
       (k, t, lang, "src" + nn(h(8L, k, 902)) % 20, t.length.toLong)
     }.toDF("doc_id", "text", "lang", "source", "n_chars"),
-      "documents", mult)
+      "documents")
 
     write(spark.range(0, nEmb, 1, P).map { k =>
       (k, vecFor(k), (nn(h(9L, k, 1000)) % 10).toInt)
     }.toDF("vec_id", "embedding", "label"),
-      "embeddings", math.max(1, mult / 2))
+      "embeddings")
   }
 
   def main(args: Array[String]): Unit = {

@@ -206,7 +206,65 @@ object VariantBench {
     graft.text.Scrub.spanIslands(grams.join(dup, "gh").select("doc_id", "tpos"))
   }
 
+  // ---- r13 A/B: doc-grain signature pipelines, Scala UDF (the
+  // ---- pre-r13 registered formulation, kept for the measurement
+  // ---- record) vs the native codegen expressions that replaced them
+  // ---- (graft.functions.ShingleBands).
+  import graft.dedup.{DedupQueries, Hashing}
+
+  private lazy val benchPerms =
+    Hashing.permConstants(DedupQueries.MinHashPerms, DedupQueries.MinHashSeed)
+
+  private def bandStrings(sig: Array[Long], bands: Int, rows: Int): Array[String] =
+    Array.tabulate(bands) { b =>
+      (0 until rows).map(r => sig(b * rows + r)).mkString(":")
+    }
+
+  private lazy val wordBandsUdf = udf { (text: String) =>
+    val base = Hashing.wordShingles(text, DedupQueries.ShingleN)
+      .map(Hashing.shingleBaseHash)
+    bandStrings(Hashing.minHashSignature(base, benchPerms),
+      DedupQueries.MinHashBands, DedupQueries.BandRows)
+  }
+  private lazy val charBandsUdf = udf { (text: String) =>
+    val base = Hashing.charShingles(text, DedupQueries.CharGramN)
+      .map(Hashing.shingleBaseHash)
+    bandStrings(Hashing.minHashSignature(base, benchPerms),
+      DedupQueries.CharBands, DedupQueries.CharBandRows)
+  }
+  private lazy val simBlocksUdf = udf { (text: String) =>
+    Hashing.simHashBlocks(Hashing.simHash64(Hashing.tokens(text)))
+  }
+
+  private def docText(s: SparkSession, d: String) =
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+
+  def wordBandsNative(s: SparkSession, d: String): DataFrame =
+    docText(s, d).select(col("doc_id"), posexplode(
+      graft.functions.GraftFunctions.minHashBandVals(col("text"),
+        DedupQueries.ShingleN, DedupQueries.MinHashBands,
+        DedupQueries.BandRows, DedupQueries.MinHashSeed, charGrain = false))
+      .as(Seq("band", "band_val")))
+
+  def charBandsNative(s: SparkSession, d: String): DataFrame =
+    docText(s, d).select(col("doc_id"), posexplode(
+      graft.functions.GraftFunctions.minHashBandVals(col("text"),
+        DedupQueries.CharGramN, DedupQueries.CharBands,
+        DedupQueries.CharBandRows, DedupQueries.MinHashSeed, charGrain = true))
+      .as(Seq("band", "band_val")))
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bands_udf"         -> ((s, d) => docText(s, d).select(col("doc_id"),
+      posexplode(wordBandsUdf(col("text"))).as(Seq("band", "band_val")))),
+    "bands_native"      -> (wordBandsNative _),
+    "charbands_udf"     -> ((s, d) => docText(s, d).select(col("doc_id"),
+      posexplode(charBandsUdf(col("text"))).as(Seq("band", "band_val")))),
+    "charbands_native"  -> (charBandsNative _),
+    "simhash_udf"       -> ((s, d) => docText(s, d)
+      .select(col("doc_id"), simBlocksUdf(col("text")).as("blk"))
+      .select(col("doc_id"), col("blk")(0).as("b0"), col("blk")(1).as("b1"),
+        col("blk")(2).as("b2"), col("blk")(3).as("b3"))),
+    "simhash_native"    -> ((s, d) => graft.dedup.DedupQueries.simHash(s, d)),
     "span_rescan"       -> ((s, d) => spanRescanFrom(spanGrams(s, d))),
     "span_checkpoint"   -> ((s, d) => spanRescanFrom(spanGrams(s, d).localCheckpoint(true))),
     "span_window"       -> ((s, d) => graft.text.Scrub.substringSpans(s, d)),

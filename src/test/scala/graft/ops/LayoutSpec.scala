@@ -67,6 +67,48 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("applyCompactionPlan rewrites into exactly the planned bins: one file each, payloads match, reads identical (sf0.01)") {
+    val spark = SparkSpec.spark
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d)
+    val plan = Layout.compactionPlan(spark, d).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("bin_id")) ->
+        ((r.getAs[Long]("n_files"), r.getAs[Long]("bytes")))).toMap
+    val out = java.nio.file.Files.createTempDirectory("compact_apply").toString
+    Layout.applyCompactionPlan(docs, out)
+    // one physical parquet file per planned (lang, bin) group, no strays
+    val binDirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .flatMap(langDir => langDir.listFiles().filter(_.isDirectory)
+        .map(binDir => (langDir.getName.stripPrefix("lang="),
+          binDir.getName.stripPrefix("bin_id=").toLong) ->
+          binDir.listFiles().count(f => f.getName.endsWith(".parquet")))).toMap
+    assert(binDirs.keySet === plan.keySet)
+    binDirs.foreach { case (k, nFiles) => assert(nFiles == 1, s"$k has $nFiles files") }
+    // read-back: per-bin row count and payload equal the manifest
+    val back = spark.read.parquet(out)
+    val gotBins = back.groupBy(col("lang"), col("bin_id").cast("long").as("bin_id"))
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("b")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(gotBins === plan)
+    // rows survive the rewrite bit-identically (doc grain)
+    val origRows = docs.select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSet
+    val backRows = back.select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSet
+    assert(backRows === origRows)
+    // the layout's read payoff: a per-lang scan partition-prunes to
+    // exactly that lang's planned file set (the scan METRIC, not
+    // `inputFiles`, which reports the unpruned relation)
+    val enQ = back.filter(col("lang") === "en")
+    enQ.collect()
+    val enFiles = enQ.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+    assert(enFiles == plan.keys.count(_._1 == "en"), s"en scan touched $enFiles files")
+    assert(enFiles < binDirs.size)
+  }
+
   test("range-partition plan balances within 2x of ideal and covers disjoint ranges (sf0.01)") {
     val spark = SparkSpec.spark
     val rows = Layout.rangePartitionPlan(spark, "/root/testdata/sf0.01")

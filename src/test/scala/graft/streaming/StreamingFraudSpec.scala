@@ -333,6 +333,91 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming conversion-latency grid converges to the batch q139 wait recount (sf0.001)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    // batch truth at the grid grain: q139's non-null waits bucketed by
+    // the stream's cell width, keyed by the event's own type
+    val types = graft.ops.Tables.events(spark, sfDir)
+      .select("event_id", "event_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = graft.ops.RelationalQueries.asofForward(spark, sfDir).collect()
+      .filter(!_.isNullAt(3))
+      .map(r => (types(r.getLong(0)), r.getLong(3) / StreamingFraud.LatBucketUs))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = graft.ops.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3), r.getDouble(4)))
+      .sortBy(_._3.getTime)
+    val input = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
+    val query = StreamingFraud.conversionLatencyStream(events)
+      .writeStream.format("memory").queryName("lat_grid")
+      .outputMode("update").start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      input.addData(first: _*)
+      query.processAllAvailable()
+      input.addData(second: _*)
+      query.processAllAvailable()
+      // one sentinel ripens every real event; matched waits all emit
+      val maxTs = rows.map(_._3.getTime).max
+      input.addData((-1L, -1L, new Timestamp(maxTs + 7L * 86400000L), "view", 0.0))
+      query.processAllAvailable()
+      // Update mode re-emits cells: counts are monotone, keep the max
+      val got = spark.sql("select event_type, wait_bucket, n_waits from lat_grid")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(got === expect)
+      assert(got.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("streaming session-conversion depth grid converges to batch q142 (sf0.001)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val expect = graft.ops.RelationalQueries.sessionConversion(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val rows = graft.ops.Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3), r.getDouble(4)))
+      .sortBy(_._3.getTime)
+    val input = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
+    val query = StreamingFraud.sessionConversionStream(events)
+      .writeStream.format("memory").queryName("sess_conv")
+      .outputMode("update").start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      input.addData(first: _*)
+      query.processAllAvailable()
+      input.addData(second: _*)
+      query.processAllAvailable()
+      // sentinels: advance the watermark far enough to close every real
+      // session, but keep BOTH sentinel rows inside one 10-minute gap —
+      // the sentinel user's own session never closes, so the anonymous
+      // depth grid carries real sessions only
+      val maxTs = rows.map(_._3.getTime).max
+      input.addData((-1L, -1L, new Timestamp(maxTs + 7L * 86400000L), "view", 0.0))
+      query.processAllAvailable()
+      input.addData((-2L, -1L, new Timestamp(maxTs + 7L * 86400000L + 600000L), "view", 0.0))
+      query.processAllAvailable()
+      // fold update re-emissions (monotone n_sessions per depth)
+      val folded = spark.sql("select depth, n_sessions, n_converted from sess_conv")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      val got = folded.map { case (d, (n, c)) => d -> ((n, c, c * 10000L / n)) }
+      assert(got === expect)
+      assert(got.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming decayed activity: incremental state equals the batch formula") {
     val spark = SparkSpec.spark
     import spark.implicits._
