@@ -131,6 +131,11 @@ object GraftFunctions {
   def shingleHashes(c: Column, shingleN: Int): Column =
     GraftSqlShim.column(ShingleHashesExpr(GraftSqlShim.expression(c), shingleN))
 
+  /** shingle base-hash array → LSH band values (signature stage only —
+    * for pipelines sharing one shingle projection). */
+  def bandValsFromHashes(c: Column, bands: Int, rows: Int, seed: Long): Column =
+    GraftSqlShim.column(BandValsFromHashes(GraftSqlShim.expression(c), bands, rows, seed))
+
   private[graft] def md5LowerLongBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 1, s"md5_lower64 expects 1 argument, got ${exprs.length}")
     Md5LowerLong(exprs(0))
