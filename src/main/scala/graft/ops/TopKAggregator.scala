@@ -102,22 +102,31 @@ object TopKAggregator {
     * map-side to ≤ k rows per group per task and ranks by buffer
     * position. Memory O(k) per group per task, no sort, no window. */
   final class MinKBy(k: Int)
-      extends Aggregator[KeyedEntry, List[KeyedEntry], Seq[KeyedEntry]] {
-    private def lt(a: KeyedEntry, b: KeyedEntry): Boolean = {
-      val c = cmpScore(a._1, b._1)
-      c < 0 || (c == 0 && a._2 < b._2)
+      extends Aggregator[KeyedEntry, (Int, List[KeyedEntry]), Seq[KeyedEntry]] {
+    // capped-unsorted buffer with an explicit count, like [[MinKByStr]]:
+    // O(1) cons per row, one sort+take(k) per 2k overflow — amortized
+    // O(log k) per row vs the former sorted-insert's O(k) span
+    private val ord: Ordering[KeyedEntry] = new Ordering[KeyedEntry] {
+      override def compare(a: KeyedEntry, b: KeyedEntry): Int = {
+        val c = cmpScore(a._1, b._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
     }
-    private def insert(buf: List[KeyedEntry], e: KeyedEntry): List[KeyedEntry] = {
-      val (head, tail) = buf.span(x => lt(x, e))
-      val merged = head ::: e :: tail
-      if (merged.length > k) merged.take(k) else merged
+    private def compress(xs: List[KeyedEntry]): List[KeyedEntry] =
+      xs.sorted(ord).take(k)
+    override def zero: (Int, List[KeyedEntry]) = (0, Nil)
+    override def reduce(b: (Int, List[KeyedEntry]), a: KeyedEntry): (Int, List[KeyedEntry]) = {
+      val xs = a :: b._2
+      if (b._1 + 1 > 2 * k) { val c = compress(xs); (c.length, c) }
+      else (b._1 + 1, xs)
     }
-    override def zero: List[KeyedEntry] = Nil
-    override def reduce(b: List[KeyedEntry], a: KeyedEntry): List[KeyedEntry] = insert(b, a)
-    override def merge(b1: List[KeyedEntry], b2: List[KeyedEntry]): List[KeyedEntry] =
-      b2.foldLeft(b1)(insert)
-    override def finish(r: List[KeyedEntry]): Seq[KeyedEntry] = r
-    override def bufferEncoder: Encoder[List[KeyedEntry]] =
+    override def merge(b1: (Int, List[KeyedEntry]), b2: (Int, List[KeyedEntry])): (Int, List[KeyedEntry]) = {
+      val xs = b1._2 ::: b2._2
+      val n = b1._1 + b2._1
+      if (n > 2 * k) { val c = compress(xs); (c.length, c) } else (n, xs)
+    }
+    override def finish(r: (Int, List[KeyedEntry])): Seq[KeyedEntry] = compress(r._2)
+    override def bufferEncoder: Encoder[(Int, List[KeyedEntry])] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     override def outputEncoder: Encoder[Seq[KeyedEntry]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
@@ -133,24 +142,39 @@ object TopKAggregator {
     * the md5-ordered quota-sampling accumulator (q73). Byte-wise
     * compare over lowercase hex equals the engines' binary string
     * ordering, so buffer position reproduces the oracle's
-    * ORDER BY md5 ASC, id ASC rank exactly. */
+    * ORDER BY md5 ASC, id ASC rank exactly.
+    *
+    * Unlike the k≤20 buffers above, q73's k is the LANGUAGE QUOTA —
+    * it grows with the corpus (≈20k at sf1), so the sorted-list
+    * insert the small buffers use (O(k) span per row) turns the
+    * aggregate quadratic: measured 0.84 s → 19.6 s for 10× data in
+    * the r13 sf1 sweep (PERF_NOTES). This buffer is instead UNSORTED
+    * with an explicit count, capped at 2k: appends are O(1) cons and
+    * each overflow compresses with ONE sort+take(k) — amortized
+    * O(log k) per row, same (str asc, id asc) k-smallest result. */
   final class MinKByStr(k: Int)
-      extends Aggregator[StrEntry, List[StrEntry], Seq[StrEntry]] {
-    private def lt(a: StrEntry, b: StrEntry): Boolean = {
-      val c = a._1.compareTo(b._1)
-      c < 0 || (c == 0 && a._2 < b._2)
+      extends Aggregator[StrEntry, (Int, List[StrEntry]), Seq[StrEntry]] {
+    private val ord: Ordering[StrEntry] = new Ordering[StrEntry] {
+      override def compare(a: StrEntry, b: StrEntry): Int = {
+        val c = a._1.compareTo(b._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
     }
-    private def insert(buf: List[StrEntry], e: StrEntry): List[StrEntry] = {
-      val (head, tail) = buf.span(x => lt(x, e))
-      val merged = head ::: e :: tail
-      if (merged.length > k) merged.take(k) else merged
+    private def compress(xs: List[StrEntry]): List[StrEntry] =
+      xs.sorted(ord).take(k)
+    override def zero: (Int, List[StrEntry]) = (0, Nil)
+    override def reduce(b: (Int, List[StrEntry]), a: StrEntry): (Int, List[StrEntry]) = {
+      val xs = a :: b._2
+      if (b._1 + 1 > 2 * k) { val c = compress(xs); (c.length, c) }
+      else (b._1 + 1, xs)
     }
-    override def zero: List[StrEntry] = Nil
-    override def reduce(b: List[StrEntry], a: StrEntry): List[StrEntry] = insert(b, a)
-    override def merge(b1: List[StrEntry], b2: List[StrEntry]): List[StrEntry] =
-      b2.foldLeft(b1)(insert)
-    override def finish(r: List[StrEntry]): Seq[StrEntry] = r
-    override def bufferEncoder: Encoder[List[StrEntry]] =
+    override def merge(b1: (Int, List[StrEntry]), b2: (Int, List[StrEntry])): (Int, List[StrEntry]) = {
+      val xs = b1._2 ::: b2._2
+      val n = b1._1 + b2._1
+      if (n > 2 * k) { val c = compress(xs); (c.length, c) } else (n, xs)
+    }
+    override def finish(r: (Int, List[StrEntry])): Seq[StrEntry] = compress(r._2)
+    override def bufferEncoder: Encoder[(Int, List[StrEntry])] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     override def outputEncoder: Encoder[Seq[StrEntry]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()

@@ -143,14 +143,14 @@ object ScaleData {
     val nEmb  = 2000L * mult
 
     write(spark.range(0, nCust, 1, P).map { k =>
-      (k, f"Customer#$k%09d", nn(h(1L, k, 0)) % 25,
+      (k, f"Customer#$k%09d", (nn(h(1L, k, 0)) % 25).toInt,
         round2(-1000.0 + u(1L, k, 1) * 11000.0),
         Segments((nn(h(1L, k, 2)) % 5).toInt))
     }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
       "customer")
 
     write(spark.range(0, nSupp, 1, P).map { k =>
-      (k, f"Supplier#$k%09d", nn(h(2L, k, 0)) % 25,
+      (k, f"Supplier#$k%09d", (nn(h(2L, k, 0)) % 25).toInt,
         round2(-1000.0 + u(2L, k, 1) * 11000.0))
     }.toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
       "supplier")
@@ -160,7 +160,7 @@ object ScaleData {
         Adjs((nn(h(3L, k, 0)) % 8).toInt) + " " + Nouns((nn(h(3L, k, 1)) % 8).toInt),
         "Brand#" + (1 + nn(h(3L, k, 2)) % 25),
         PTypes((nn(h(3L, k, 3)) % 6).toInt),
-        (1 + nn(h(3L, k, 4)) % 50),
+        (1 + nn(h(3L, k, 4)) % 50).toInt,
         (9000L + k % 1000L) / 10.0)
     }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
       "part")
@@ -182,7 +182,7 @@ object ScaleData {
     val shipDays = epochDay(2001, 11, 4) - shipEpoch0 + 1
     write(spark.range(0, nLine, 1, P).map { k =>
       (nn(h(5L, k, 0)) % nOrd, nn(h(5L, k, 1)) % nPart, nn(h(5L, k, 2)) % nSupp,
-        (1 + nn(h(5L, k, 3)) % 7),
+        (1 + nn(h(5L, k, 3)) % 7).toInt,
         (1 + nn(h(5L, k, 4)) % 50).toDouble,
         round2(900.0 + u(5L, k, 5) * 104100.0),
         (nn(h(5L, k, 6)) % 11).toDouble / 100.0,

@@ -25,12 +25,53 @@ def canon(rows, cols):
     out.sort()
     return out
 
+def sparse_q138(sql):
+    """Sparse-equivalent rewrite of the q138 oracle for big SFs.
+
+    The shipped oracle enumerates all C(|S|,2) sampled pairs with a
+    per-pair list_intersect — fine at sf0.01/sf0.1 (|S| ~ 1e2..1e3),
+    hopeless at sf1+ (|S| ~ 1e4 → ~1e8 pairs). This rewrite mirrors the
+    operator's OWN sparse design (equi-join on shingle hashes, disjoint
+    remainder by arithmetic), so at scale it is a consistency replay,
+    not a fully independent oracle — the independent gate stays the
+    shipped |S|^2 form at the driver's sf0.01. Same output contract.
+    """
+    pre, _, rest = sql.partition("pairs AS")
+    caught_start = rest.index("caught AS")
+    caught_end = rest.index("SELECT CAST(jx // 1000 AS INT)")
+    caught = rest[caught_start:caught_end].rstrip().rstrip(",").rstrip()
+    return (pre +
+        "ex AS (SELECT doc_id, unnest(ss) AS x FROM shs), "
+        "sizes AS (SELECT doc_id, len(ss) AS sz FROM shs), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+        "FROM ex a JOIN ex b ON a.x = b.x AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "co AS (SELECT i.doc_a, i.doc_b, "
+        "(i.i * 10000 + (sa.sz + sb.sz - i.i) // 2) // greatest(sa.sz + sb.sz - i.i, 1) AS jx "
+        "FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a "
+        "JOIN sizes sb ON sb.doc_id = i.doc_b), "
+        + caught + ", "
+        "cobins AS (SELECT CAST(jx // 1000 AS INT) AS jx_bin, count(*) AS n_pairs, "
+        "count(c.doc_a) AS n_caught FROM co p LEFT JOIN caught c "
+        "ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b GROUP BY 1), "
+        "tot AS (SELECT (SELECT count(*) FROM sizes) AS n_s, "
+        "(SELECT count(*) FROM co) AS n_co, "
+        "(SELECT count(*) FROM caught c LEFT JOIN co p "
+        "ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b WHERE p.doc_a IS NULL) AS cd FROM (SELECT 1)), "
+        "allbins AS (SELECT jx_bin, n_pairs, n_caught FROM cobins "
+        "UNION ALL SELECT 0, n_s * (n_s - 1) // 2 - n_co, cd FROM tot) "
+        "SELECT jx_bin, CAST(sum(n_pairs) AS BIGINT) AS n_pairs, "
+        "CAST(sum(n_caught) AS BIGINT) AS n_caught, "
+        "CAST(sum(n_caught) * 10000 // sum(n_pairs) AS BIGINT) AS recall_x10k "
+        "FROM allbins GROUP BY 1 HAVING sum(n_pairs) > 0")
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if os.environ.get("VERIFY_SPARSE_Q138") and "q138_banding_recall" in oracle:
+        oracle["q138_banding_recall"] = sparse_q138(oracle["q138_banding_recall"])
     names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/q*"))
     n_pass = n_fail = 0
     for name in names:
