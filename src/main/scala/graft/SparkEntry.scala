@@ -283,6 +283,11 @@ object SparkEntry {
     "q141_conversion_latency" -> (RelationalQueries.conversionLatency _),
     // round-12: session conversion rate by depth (q27's rollup)
     "q142_session_conversion" -> (RelationalQueries.sessionConversion _),
+    // round-13: MMR diversified re-ranking over the q20 candidates
+    "q143_mmr_rerank"         -> ((s: SparkSession, d: String) =>
+      graft.sim.SimilarityQueries.mmrRerank(s, d)),
+    // round-13: overlapping 2h/1h hopping windows (q33's sliding twin)
+    "q144_hopping_window"     -> (RelationalQueries.hoppingWindow _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -434,5 +439,7 @@ object SparkEntry {
     "q140_asof_forward_native" -> RelationalQueries.asofForwardNativeSql,
     "q141_conversion_latency" -> RelationalQueries.conversionLatencySql,
     "q142_session_conversion" -> RelationalQueries.sessionConversionSql,
+    "q143_mmr_rerank"         -> graft.sim.SimilarityQueries.mmrRerankSql,
+    "q144_hopping_window"     -> RelationalQueries.hoppingWindowSql,
   )
 }

@@ -452,6 +452,30 @@ object RelationalQueries {
       "count(*) AS n_events, round(sum(value), 2) AS total_value " +
       "FROM events GROUP BY 1, 2"
 
+  /** q144 — HOPPING (sliding) window aggregate: 2-hour windows every
+    * hour, so each event lands in exactly two overlapping windows —
+    * the smoothed-rate view dashboards want where q33's tumbling
+    * windows jump. Spark's `window(ts, "2 hours", "1 hour")` plans
+    * this as a generate (one row per covering window) + ONE hash
+    * aggregate — no self-join, no second exchange; at 100 TB cost is
+    * window/slide × the tumbling cost, linear in events. The oracle
+    * reconstructs the same two covering starts arithmetically
+    * (trunc-to-hour and one hour earlier — epoch-aligned, exactly
+    * Spark's alignment for these durations). */
+  def hoppingWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  val hoppingWindowSql: String =
+    "WITH covers AS (SELECT unnest([time_bucket(INTERVAL 1 HOUR, ts), " +
+      "time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR]) AS window_start, " +
+      "event_type, value FROM events) " +
+      "SELECT window_start, event_type, count(*) AS n_events, " +
+      "round(sum(value), 2) AS total_value FROM covers GROUP BY 1, 2"
+
   /** Beyond-reference: the full ranking-function family — rank,
     * dense_rank, percent_rank, ntile, lead — over one (o_custkey)
     * window, so all five share a single exchange + sort. Deterministic

@@ -869,4 +869,162 @@ object SimilarityQueries {
       |  round(own.own_cos, 4) AS own_cos, round(oth.other_cos, 4) AS other_cos,
       |  round(oth.other_cos, 6) > round(own.own_cos, 6) AS suspect
       |FROM own JOIN oth USING (vec_id) WHERE oth.rn = 1""".stripMargin.replace("\n", " ")
+
+  // ---------------------------------------------------------------- MMR
+
+  val MmrLambda = 0.5 // relevance/diversity balance (exactly representable)
+  val MmrPool   = 20  // candidate pool per query (the re-rank universe)
+  val MmrK      = 5   // final diversified list length
+
+  /** Spark-round-compatible round-half-up at `scale` decimals — the
+    * same BigDecimal.valueOf path Spark's `Round` takes for doubles,
+    * so greedy comparisons inside [[mmrSelect]] sit on the identical
+    * 1e-6 grid the oracle's `round(x, 6)` produces. */
+  private def roundAt(x: Double, scale: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** One-pass cosine with [[graft.functions.FusedCosine]]'s exact
+    * arithmetic (ascending index order, sqrt(na)*sqrt(nb) denominator)
+    * so pairwise sims match `list_cosine_similarity` the way the q20
+    * family already relies on. */
+  private def cosRaw(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) Double.NaN else dot / denom
+  }
+
+  /** The greedy MMR selection over ONE query's candidate pool:
+    * step 1 takes the highest-relevance candidate, every later step
+    * takes argmax over remaining of `rel − λ·max(sim to selected)`
+    * (Carbonell & Goldstein 1998), ties on the score broken by the
+    * smaller vec_id. Pure function of the SET of (id, rel, vec)
+    * triples — argmax with a total tiebreak is arrival-order-free, so
+    * the collect_list's nondeterministic order upstream is harmless.
+    * All comparisons happen on round-6 grids (FLOAT RULE), matching
+    * the unrolled-CTE oracle step for step. */
+  private[sim] def mmrSelect(ids: Array[Long], rels: Array[Double],
+                             vecs: Array[Array[Double]], k: Int,
+                             lambda: Double): Array[(Long, Double)] = {
+    val n = ids.length
+    val picked = new Array[Boolean](n)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val selIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var step = 0
+    while (step < k && step < n) {
+      var bestI = -1; var bestScore = 0.0
+      var i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          // NEGATIVE max-sims must pass through (random-gaussian pairs
+          // sit on both sides of 0 and the oracle's max(s) keeps the
+          // sign) — seed with -inf, not 0
+          var maxSim = Double.NegativeInfinity
+          var j = 0
+          while (j < selIdx.length) {
+            val sim = roundAt(cosRaw(vecs(i), vecs(selIdx(j))), 6)
+            if (sim > maxSim) maxSim = sim
+            j += 1
+          }
+          val score =
+            if (selIdx.isEmpty) rels(i) else rels(i) - lambda * maxSim
+          if (bestI < 0 || score > bestScore ||
+              (score == bestScore && ids(i) < ids(bestI))) {
+            bestI = i; bestScore = score
+          }
+        }
+        i += 1
+      }
+      picked(bestI) = true
+      selIdx += bestI
+      out += ((ids(bestI), bestScore))
+      step += 1
+    }
+    out.toArray
+  }
+
+  /** q143 — Maximal-Marginal-Relevance diversified top-k: the
+    * retrieval-side re-ranker that trades raw similarity for coverage
+    * (dedup of the RESULT LIST, where q88's SemDeDup dedups the
+    * corpus). Stage 1 is exactly q20's bounded-aggregate brute top-m
+    * (m = [[MmrPool]]) with round-6 relevances; stage 2 re-attaches
+    * the m candidate vectors and runs [[mmrSelect]] per query inside
+    * one group-bounded call — m·dim doubles per query, never
+    * corpus-shaped, the same candidate-grain-UDF budget the dedup
+    * family's verify stages use. At 100 TB stage 1 swaps to the IVF
+    * candidates (q44/q78) like the rest of the neighbor family; the
+    * re-rank cost is k·m sims per query regardless of corpus size. */
+  def mmrRerank(s: SparkSession, d: String, k: Int = MmrK,
+                m: Int = MmrPool): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val cand = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineExpr("qe", "e"))
+      .groupBy("qid")
+      .agg(graft.ops.TopKAggregator.topKByScore(m)(
+        round(col("cos"), 6), col("vec_id"), lit(0.0), lit(0)).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t._2").as("cand_id"), col("t._1").as("rel"))
+    val lambda = MmrLambda
+    val mmrUdf = udf { (cs: Seq[org.apache.spark.sql.Row], kk: Int) =>
+      mmrSelect(
+        cs.map(_.getLong(0)).toArray,
+        cs.map(_.getDouble(1)).toArray,
+        cs.map(_.getSeq[Double](2).toArray).toArray, kk, lambda)
+    }
+    cand
+      .join(emb.select(col("vec_id").as("cand_id"), col("e")), "cand_id")
+      .groupBy("qid")
+      .agg(collect_list(struct(col("cand_id"), col("rel"), col("e"))).as("cs"))
+      .select(col("qid"),
+        posexplode(mmrUdf(col("cs"), lit(k))).as(Seq("rk", "sel")))
+      .select(col("qid"), (col("rk") + 1).as("rank"),
+        col("sel._1").as("vec_id"), round(col("sel._2"), 4).as("mmr"))
+  }
+
+  /** The greedy unrolled to [[MmrK]] explicit CTE steps (argmax has no
+    * clean recursive-CTE form in DuckDB; k is a small constant, so the
+    * unroll IS the spec). Each step: anti-join out the picks so far,
+    * max-sim against them on the round-6 grid, rel − λ·maxsim, rank-1
+    * by (score desc, vec_id). */
+  val mmrRerankSql: String = {
+    val steps = (2 to MmrK).map { j =>
+      val prev = s"p${j - 1}"
+      s"""r$j AS (SELECT c.qid, c.vec_id, max(c.rel) - $MmrLambda * max(s.s) AS mmr
+         |  FROM cand c
+         |  LEFT JOIN $prev x ON x.qid = c.qid AND x.vec_id = c.vec_id
+         |  JOIN $prev p ON p.qid = c.qid
+         |  JOIN sim s ON s.qid = c.qid AND s.ida = c.vec_id AND s.idb = p.vec_id
+         |  WHERE x.vec_id IS NULL GROUP BY c.qid, c.vec_id),
+         |s$j AS (SELECT qid, vec_id, mmr FROM (SELECT qid, vec_id, mmr,
+         |  row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, vec_id) AS rn FROM r$j) WHERE rn = 1),
+         |p$j AS (SELECT qid, vec_id FROM p${j - 1} UNION ALL SELECT qid, vec_id FROM s$j)"""
+        .stripMargin
+    }.mkString(",\n")
+    val sel = (1 to MmrK)
+      .map(j => s"SELECT qid, $j AS rank, vec_id, round(mmr, 4) AS mmr FROM s$j")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id % 100 = 0),
+       |scored AS (SELECT q.qid, e.vec_id, round(list_cosine_similarity(q.qe, e.emb), 6) AS rel, e.emb
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+       |cand AS (SELECT qid, vec_id, rel, emb FROM (SELECT qid, vec_id, rel, emb,
+       |  row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rk FROM scored) WHERE rk <= $MmrPool),
+       |sim AS (SELECT a.qid, a.vec_id AS ida, b.vec_id AS idb,
+       |  round(list_cosine_similarity(a.emb, b.emb), 6) AS s
+       |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+       |s1 AS (SELECT qid, vec_id, rel AS mmr FROM (SELECT qid, vec_id, rel,
+       |  row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn FROM cand) WHERE rn = 1),
+       |p1 AS (SELECT qid, vec_id FROM s1),
+       |$steps
+       |SELECT qid, CAST(rank AS INT) AS rank, vec_id, mmr FROM ($sel)"""
+      .stripMargin.replace("\n", " ")
+  }
 }

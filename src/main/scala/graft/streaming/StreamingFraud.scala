@@ -588,6 +588,26 @@ object StreamingFraud {
           .as("est_distinct_users"))
   }
 
+  /** Streaming twin of q144 — the same 2h/1h HOPPING windows as the
+    * batch query, on a stream: Spark's window(ts, window, slide)
+    * fans each event into its window/slide covering windows inside
+    * the one stateful aggregate (no self-union), the watermark closes
+    * a window `watermark` past its END, and append mode emits each
+    * (window, event_type) row exactly once — so a batch backfill over
+    * the same rows is row-identical (StreamingFraudSpec). State is
+    * proportional to open windows × event types, independent of
+    * event volume; each event updates window/slide = 2 rows of state
+    * regardless of rate. Input schema: (ts, event_type, value). */
+  def hoppingWindowStream(events: DataFrame, windowLen: String = "2 hours",
+                          slide: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** Streaming twin of q75 — incremental dedup of a DOCUMENT STREAM
     * against the persisted corpus index: each micro-batch's (doc_id,
     * text) rows run the same index-probing plan as the batch query

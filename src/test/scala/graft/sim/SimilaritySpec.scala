@@ -343,4 +343,62 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nearestOther === trueLabel,
       s"nearest other centroid should be the true label $trueLabel, got $nearestOther")
   }
+
+  test("mmrSelect diversifies: a redundant near-copy of the first pick loses to a diverse candidate") {
+    // query direction = e0. c1 is the best match; c2 is a near-copy of
+    // c1 (slightly lower relevance, sim(c1,c2) ≈ 1); c3 is diverse
+    // (lower relevance, near-orthogonal to c1). Pure top-3 relevance
+    // order is c1,c2,c3 — MMR at λ=0.5 must flip c3 ahead of c2:
+    // score(c2) ≈ .98 − .5·1 ≈ .48 < score(c3) ≈ .70 − .5·0 = .70.
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val c1 = unit(Array(1.0, 0.0, 0.0, 0.0))
+    val c2 = unit(Array(1.0, 0.02, 0.0, 0.0))
+    val c3 = unit(Array(0.0, 0.0, 1.0, 0.0)) // orthogonal to c1/c2
+    val ids  = Array(10L, 20L, 30L)
+    val rels = Array(1.0, 0.98, 0.70) // round-6 relevances to the query
+    val sel = SimilarityQueries.mmrSelect(ids, rels, Array(c1, c2, c3),
+      k = 3, lambda = SimilarityQueries.MmrLambda)
+    assert(sel.map(_._1).toSeq === Seq(10L, 30L, 20L),
+      s"expected diverse pick order, got ${sel.toSeq}")
+    // step-1 mmr is the raw relevance; later steps are penalized
+    assert(sel(0)._2 === 1.0)
+    assert(sel(1)._2 > sel(2)._2)
+  }
+
+  test("mmrSelect is input-order independent (collect_list order must not matter)") {
+    val rng = new Random(11)
+    val dim = 8
+    val n = 12
+    val vecs = Array.fill(n)(Array.fill(dim)(rng.nextGaussian()))
+    val ids = Array.tabulate(n)(i => (i * 7 + 3).toLong)
+    val rels = Array.fill(n)(math.rint(rng.nextDouble() * 1e6) / 1e6)
+    val perm = rng.shuffle((0 until n).toList).toArray
+    val a = SimilarityQueries.mmrSelect(ids, rels, vecs, 5, 0.5)
+    val b = SimilarityQueries.mmrSelect(perm.map(ids), perm.map(rels),
+      perm.map(vecs), 5, 0.5)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("q143: rank-1 equals q20's rank-1 (step 1 is pure relevance); picks come from the pool") {
+    val spark = SparkSpec.spark
+    val sfDir = "/root/testdata/sf0.01"
+    val mmr = SimilarityQueries.mmrRerank(spark, sfDir).collect()
+    val top = SimilarityQueries.cosineTopK(spark, sfDir, k = SimilarityQueries.MmrPool)
+      .collect()
+    val mmrFirst = mmr.filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val topFirst = top.filter(_.getInt(2) == 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mmrFirst === topFirst)
+    val pool = top.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mmr.forall(r => pool((r.getLong(0), r.getLong(2)))),
+      "every MMR pick must come from the q20 top-m candidate pool")
+    // k ranks per query, no repeats within a query
+    mmr.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.length === SimilarityQueries.MmrK, s"qid $qid")
+      assert(rows.map(_.getLong(2)).distinct.length === rows.length)
+    }
+  }
 }

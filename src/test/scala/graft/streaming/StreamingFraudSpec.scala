@@ -727,6 +727,50 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming hopping windows: closed (window, type) rows equal the batch aggregate row-for-row") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val query = StreamingFraud.hoppingWindowStream(events)
+      .writeStream.format("memory").queryName("hop")
+      .outputMode("append").start()
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    val rows = Seq(
+      (t("2025-07-01 10:10:00"), "view", 1.25),
+      (t("2025-07-01 10:50:00"), "view", 2.50),
+      (t("2025-07-01 11:10:00"), "click", 4.00),
+      (t("2025-07-01 12:20:00"), "view", 8.00))
+    try {
+      // split across micro-batches: the 2h windows overlapping 10:xx
+      // stay open across the batch boundary and must keep merging
+      input.addData(rows.take(2): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      query.processAllAvailable()
+      // advance the watermark far enough to close every window above
+      input.addData((t("2025-07-01 23:00:00"), "view", 0.0))
+      query.processAllAvailable()
+      val streamed = spark.sql(
+        "select window_start, event_type, n_events, total_value from hop")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = rows.toDF("ts", "event_type", "value")
+        .groupBy(org.apache.spark.sql.functions.window($"ts", "2 hours", "1 hour"), $"event_type")
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_events"),
+          org.apache.spark.sql.functions.round(org.apache.spark.sql.functions.sum($"value"), 2).as("total_value"))
+        .select($"window.start", $"event_type", $"n_events", $"total_value")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed === batch, s"stream $streamed != batch $batch")
+      // each event covers exactly two windows: 4 events → Σ n_events = 8
+      assert(streamed.toSeq.map(_._3).sum === 8L)
+    } finally query.stop()
+  }
+
   test("streaming KMV distinct-users: exact below k, merges across micro-batches") {
     val spark = SparkSpec.spark
     import spark.implicits._
