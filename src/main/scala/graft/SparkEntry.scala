@@ -288,6 +288,13 @@ object SparkEntry {
       graft.sim.SimilarityQueries.mmrRerank(s, d)),
     // round-13: overlapping 2h/1h hopping windows (q33's sliding twin)
     "q144_hopping_window"     -> (RelationalQueries.hoppingWindow _),
+    // round-13: Deequ-style declarative constraint suite over orders
+    "q145_quality_checks"     -> (graft.ops.Quality.qualityChecks _),
+    // round-13: zone-map file-skipping audit — the read-side measurement
+    // behind the q126 z-order write
+    "q146_zone_map_skipping"  -> (graft.ops.Layout.zoneMapSkipping _),
+    // round-13: general GROUPING SETS (the rollup/cube trio completed)
+    "q147_grouping_sets"      -> (RelationalQueries.groupingSetsAgg _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -441,5 +448,8 @@ object SparkEntry {
     "q142_session_conversion" -> RelationalQueries.sessionConversionSql,
     "q143_mmr_rerank"         -> graft.sim.SimilarityQueries.mmrRerankSql,
     "q144_hopping_window"     -> RelationalQueries.hoppingWindowSql,
+    "q145_quality_checks"     -> graft.ops.Quality.qualityChecksSql,
+    "q146_zone_map_skipping"  -> graft.ops.Layout.zoneMapSkippingSql,
+    "q147_grouping_sets"      -> RelationalQueries.groupingSetsAggSql,
   )
 }

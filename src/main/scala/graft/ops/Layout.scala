@@ -216,6 +216,104 @@ object Layout {
       .parquet(outDir)
   }
 
+  // ------------------------------------- zone-map skipping audit
+
+  /** The audit's rect predicate: user cells x ∈ [5,9] (user_id 25..49)
+    * × January days y ∈ [7,14] (Jan 8–15) — ~4% of the 2-D key space. */
+  val RectXLo = 5L; val RectXHi = 9L
+  val RectYLo = 7L; val RectYHi = 14L
+
+  /** Linear-layout file count — matched to the z-order layout's 64
+    * (2^(2·ZBits)/ZPerFile) so the two layouts are compared at the
+    * same file granularity and the audit isolates LAYOUT, not size. */
+  val LinFiles = 64L
+
+  /** q146 — ZONE-MAP FILE-SKIPPING AUDIT: the read-side measurement
+    * that justifies the q126 write-side clustering. For the SAME rect
+    * predicate and the SAME per-file min/max zone maps (parquet footer
+    * stats), how many files — and how many rows — must each layout
+    * read?  Two layouts of the events table at equal file granularity:
+    * `linear` (arrival order: equal event_id slices — what a plain
+    * append leaves behind) and `zorder` (the q126 Morton assignment).
+    * A file is READ iff its [min,max]×[min,max] box intersects the
+    * rect — exactly the pruning decision Spark/Iceberg/Delta readers
+    * make from footer stats, applied from the op's own manifest.
+    * Output (one row per layout): files and rows total/read, plus the
+    * true match count (identical across layouts — the audit's internal
+    * consistency check, pinned in LayoutSpec). The generator's arrival
+    * order is time-correlated, so `linear` DOES prune the day
+    * dimension (a realistic time-sorted append) — the audit shows
+    * z-order's win is the second dimension, not a strawman.
+    *
+    * Scale shape: one scan per layout into a file-keyed aggregate
+    * (map-side combine; shuffle = one row per file), then a
+    * files-bounded summary — the scan cost is what the write side
+    * already pays to produce footer stats, and the audit output is
+    * 2 rows. The box-intersection test is pure per-row arithmetic on
+    * the manifest. At 100 TB the manifest is file-count-sized (~1e6
+    * rows at 100 MB files), never data-sized. */
+  def zoneMapSkipping(s: SparkSession, d: String): DataFrame =
+    zoneMapSkippingFrom(Tables.events(s, d))
+
+  /** [[zoneMapSkipping]] over an explicit events frame (needs
+    * event_id, user_id, ts) — the unit LayoutSpec drives. */
+  def zoneMapSkippingFrom(events: DataFrame): DataFrame = {
+    val base = events.select(
+      col("event_id"),
+      expr(s"CAST(user_id div $XDiv AS BIGINT)").as("x"),
+      expr("CAST(day(ts) - 1 AS BIGINT)").as("y"))
+    val total = base.agg(count(lit(1)).as("n_total"))
+    val linear = base.crossJoin(broadcast(total))
+      .withColumn("file_id", expr(s"CAST(event_id * $LinFiles div n_total AS BIGINT)"))
+    val zorder = base
+      .withColumn("zval", expr(mortonExpr("x", "y", "div")))
+      .withColumn("file_id", expr(s"CAST(zval div $ZPerFile AS BIGINT)"))
+    skippingSummary(linear, "linear")
+      .unionByName(skippingSummary(zorder, "zorder"))
+  }
+
+  private def skippingSummary(assigned: DataFrame, layout: String): DataFrame = {
+    val inRect = col("x").between(RectXLo, RectXHi) && col("y").between(RectYLo, RectYHi)
+    val boxes = assigned.groupBy("file_id").agg(
+      count(lit(1)).as("n_rows"),
+      min("x").as("min_x"), max("x").as("max_x"),
+      min("y").as("min_y"), max("y").as("max_y"),
+      sum(when(inRect, 1L).otherwise(0L)).as("n_match"))
+    val read = !(col("max_x") < RectXLo || col("min_x") > RectXHi ||
+      col("max_y") < RectYLo || col("min_y") > RectYHi)
+    boxes.agg(
+      count(lit(1)).as("files_total"),
+      sum(when(read, 1L).otherwise(0L)).as("files_read"),
+      sum("n_rows").as("rows_total"),
+      sum(when(read, col("n_rows")).otherwise(0L)).as("rows_scanned"),
+      sum("n_match").as("rows_matched"))
+      .select(lit(layout).as("layout"), col("files_total"), col("files_read"),
+        col("rows_total"), col("rows_scanned"), col("rows_matched"))
+  }
+
+  val zoneMapSkippingSql: String = {
+    val z = mortonExpr("x", "y", "//")
+    val rect = s"x BETWEEN $RectXLo AND $RectXHi AND y BETWEEN $RectYLo AND $RectYHi"
+    val readCond = s"NOT (max_x < $RectXLo OR min_x > $RectXHi OR max_y < $RectYLo OR min_y > $RectYHi)"
+    def summary(assign: String, layout: String) =
+      s"""(WITH f AS (SELECT file_id, count(*) AS n_rows,
+         |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+         |  count(*) FILTER (WHERE $rect) AS n_match
+         |  FROM $assign GROUP BY 1)
+         |SELECT '$layout' AS layout, count(*) AS files_total,
+         |  CAST(coalesce(sum(CASE WHEN $readCond THEN 1 ELSE 0 END), 0) AS BIGINT) AS files_read,
+         |  CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS rows_total,
+         |  CAST(coalesce(sum(CASE WHEN $readCond THEN n_rows ELSE 0 END), 0) AS BIGINT) AS rows_scanned,
+         |  CAST(coalesce(sum(n_match), 0) AS BIGINT) AS rows_matched FROM f)""".stripMargin
+    s"""WITH base AS (SELECT event_id, CAST(user_id // $XDiv AS BIGINT) AS x,
+       |  CAST(date_part('day', ts) - 1 AS BIGINT) AS y FROM events),
+       |t AS (SELECT count(*) AS n_total FROM base),
+       |lin AS (SELECT CAST(event_id * $LinFiles // n_total AS BIGINT) AS file_id, x, y FROM base, t),
+       |zo AS (SELECT CAST(($z) // $ZPerFile AS BIGINT) AS file_id, x, y FROM base)
+       |${summary("lin", "linear")} UNION ALL ${summary("zo", "zorder")}"""
+      .stripMargin.replace("\n", " ")
+  }
+
   val compactionPlanSql: String =
     s"""WITH c AS (SELECT doc_id, lang, n_chars,
        |  coalesce(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id

@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality CONSTRAINT SUITE (the Deequ/"unit tests for
+  * data" pattern): a fixed set of named constraints over a table —
+  * completeness, key uniqueness, accepted values, numeric sign, string
+  * pattern, date bounds, referential integrity, minimum size — evaluated
+  * in bulk and emitted as one row per constraint with its violation
+  * count and pass verdict. A training-data pipeline runs exactly this
+  * gate before admitting a new snapshot of an upstream table; shipping
+  * it as a first-class op (instead of ad-hoc asserts) is what makes the
+  * gate auditable and diffable across snapshots (compose with q137's
+  * snapshot diff to see WHICH rows broke a newly-failing constraint).
+  *
+  * Scale shape: the WHOLE suite is ONE pass over the fact scan —
+  * referential integrity rides as a broadcast LEFT join against the
+  * (deduplicated) dimension key column, so every conditional count,
+  * the count-distinct, and the orphan count share a single aggregate
+  * (the uniqueness check adds the count-distinct expand, ×2 scan-side
+  * rows, still one exchange; at 100 TB with a non-broadcastable
+  * dimension the join becomes a shuffle join on the key — the
+  * aggregate above it is unchanged). The constraint rows are exploded
+  * from a single struct array over the one-row result, so output is
+  * constraint-count-bounded, never row-count-bounded. Uniqueness here
+  * is EXACT (count-distinct); the approximate path at extreme
+  * cardinality is the sketch family (q117's HLL — same one-pass
+  * shape, no expand).
+  *
+  * FLOAT RULE: violation counts and the 0/1 pass flag are integers;
+  * no ratios ship (completeness% = 1 − violations/total_rows is
+  * derivable downstream).
+  */
+object Quality {
+
+  /** q145 — the constraint suite over `orders` (referential target
+    * `customer`). Constraint catalog:
+    *
+    *  - `completeness` ×6: NULL count per column;
+    *  - `uniqueness(o_orderkey)`: rows − distinct (dupes);
+    *  - `accepted_values(o_orderstatus)`: outside {F,O,P} (NULL counts);
+    *  - `non_negative(o_totalprice)`: strictly negative values;
+    *  - `pattern(o_orderpriority)`: not matching `^[1-5]-` (NULL counts);
+    *  - `date_bounds(o_orderdate)`: outside the generator's [1995-01-01, 2002-01-01);
+    *  - `referential(o_custkey)`: order rows with no customer row
+    *    (NULL key counts — an unattributable row is a violation);
+    *  - `min_size(*)`: table has at least one row.
+    */
+  def qualityChecks(s: SparkSession, d: String): DataFrame =
+    qualityChecksFrom(Tables.orders(s, d),
+      Tables.customer(s, d).select(col("c_custkey")))
+
+  /** [[qualityChecks]] over explicit frames — QualitySpec drives this
+    * with constructed violation tables to pin every counter. */
+  def qualityChecksFrom(orders: DataFrame, custKeys: DataFrame): DataFrame = {
+    def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"v_$c")
+    // NULL predicates fall to the otherwise-branch, so wrap checks whose
+    // NULL case must count as a violation in an explicit isNull OR.
+    // The dim side is deduplicated so the left join cannot inflate row
+    // counts if the dimension itself violates ITS key-uniqueness gate.
+    val metrics = orders
+      .join(broadcast(custKeys.distinct()),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(
+      count(lit(1)).as("n_rows"),
+      nulls("o_orderkey"), nulls("o_custkey"), nulls("o_orderstatus"),
+      nulls("o_totalprice"), nulls("o_orderdate"), nulls("o_orderpriority"),
+      count_distinct(col("o_orderkey")).as("n_distinct_key"),
+      sum(when(col("o_orderstatus").isNull ||
+        !col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L)).as("v_status"),
+      sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("v_neg"),
+      sum(when(col("o_orderpriority").isNull ||
+        !col("o_orderpriority").rlike("^[1-5]-"), 1L).otherwise(0L)).as("v_prio"),
+      sum(when(col("o_orderdate").isNull ||
+        col("o_orderdate").cast("date") < lit("1995-01-01").cast("date") ||
+        col("o_orderdate").cast("date") >= lit("2002-01-01").cast("date"),
+        1L).otherwise(0L)).as("v_date"),
+      sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("v_orph"))
+
+    def row(check: String, colName: String, violations: Column) =
+      struct(lit(check).as("check_name"), lit(colName).as("col_name"),
+        coalesce(violations, lit(0L)).cast("long").as("violations"))
+    metrics
+      .select(col("n_rows"), explode(array(
+        row("completeness", "o_orderkey", col("v_o_orderkey")),
+        row("completeness", "o_custkey", col("v_o_custkey")),
+        row("completeness", "o_orderstatus", col("v_o_orderstatus")),
+        row("completeness", "o_totalprice", col("v_o_totalprice")),
+        row("completeness", "o_orderdate", col("v_o_orderdate")),
+        row("completeness", "o_orderpriority", col("v_o_orderpriority")),
+        row("uniqueness", "o_orderkey", col("n_rows") - col("n_distinct_key") - col("v_o_orderkey")),
+        row("accepted_values", "o_orderstatus", col("v_status")),
+        row("non_negative", "o_totalprice", col("v_neg")),
+        row("pattern", "o_orderpriority", col("v_prio")),
+        row("date_bounds", "o_orderdate", col("v_date")),
+        row("referential", "o_custkey", col("v_orph")),
+        row("min_size", "*", when(col("n_rows") >= 1, 0L).otherwise(1L))
+      )).as("c"))
+      .select(col("c.check_name").as("check_name"), col("c.col_name").as("col_name"),
+        col("c.violations").as("violations"), col("n_rows").as("total_rows"),
+        when(col("c.violations") === 0, 1L).otherwise(0L).as("pass"))
+  }
+
+  /** Per-row constraint-violation flags for the EVENTS table — the
+    * shared expression layer under the streaming quality gate
+    * ([[graft.streaming.StreamingFraud.qualityGateStream]]) and its
+    * batch parity check. One input row explodes to one row per
+    * per-row-checkable constraint with a 0/1 violation flag; the
+    * consumer aggregates to the constraint grid. Table-level
+    * constraints that need cross-row state are deliberately ABSENT
+    * here: uniqueness on a stream is unbounded per-key state (that is
+    * the dedup family's job — `dropDuplicatesWithinWatermark`), and
+    * referential needs the dimension join, both documented in the
+    * stream's scaladoc rather than silently approximated. */
+  def eventConstraintFlags(events: DataFrame): DataFrame = {
+    def f(check: String, colName: String, viol: Column) =
+      struct(lit(check).as("check_name"), lit(colName).as("col_name"),
+        when(viol, 1L).otherwise(0L).as("v"))
+    events.select(explode(array(
+      f("completeness", "user_id", col("user_id").isNull),
+      f("completeness", "event_type", col("event_type").isNull),
+      f("completeness", "value", col("value").isNull),
+      f("accepted_values", "event_type", col("event_type").isNull ||
+        !col("event_type").isin("click", "error", "purchase", "signup", "view")),
+      f("non_negative", "value", col("value") < 0),
+      f("ts_bounds", "ts", col("ts").isNull ||
+        col("ts") < lit("2024-01-01 00:00:00").cast("timestamp") ||
+        col("ts") >= lit("2025-01-01 00:00:00").cast("timestamp"))
+    )).as("c")).select(col("c.check_name"), col("c.col_name"), col("c.v"))
+  }
+
+  // Uniqueness convention: count(DISTINCT) ignores NULLs on both
+  // engines, so dupes = rows − distinct − nulls; NULL keys are already
+  // the completeness constraint's violation, not double-counted here.
+  val qualityChecksSql: String =
+    """WITH m AS (SELECT count(*) AS n_rows,
+      |  count(*) FILTER (WHERE o_orderkey IS NULL) AS v_k,
+      |  count(*) FILTER (WHERE o_custkey IS NULL) AS v_c,
+      |  count(*) FILTER (WHERE o_orderstatus IS NULL) AS v_s,
+      |  count(*) FILTER (WHERE o_totalprice IS NULL) AS v_t,
+      |  count(*) FILTER (WHERE o_orderdate IS NULL) AS v_d,
+      |  count(*) FILTER (WHERE o_orderpriority IS NULL) AS v_p,
+      |  count(DISTINCT o_orderkey) AS n_dist,
+      |  count(*) FILTER (WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('F','O','P')) AS v_status,
+      |  count(*) FILTER (WHERE o_totalprice < 0) AS v_neg,
+      |  count(*) FILTER (WHERE o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS v_prio,
+      |  count(*) FILTER (WHERE o_orderdate IS NULL OR CAST(o_orderdate AS DATE) < DATE '1995-01-01' OR CAST(o_orderdate AS DATE) >= DATE '2002-01-01') AS v_date
+      |  FROM orders),
+      |orph AS (SELECT count(*) AS v_orph FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL),
+      |rows_out(check_name, col_name, violations) AS (
+      |  SELECT 'completeness', 'o_orderkey', v_k FROM m UNION ALL
+      |  SELECT 'completeness', 'o_custkey', v_c FROM m UNION ALL
+      |  SELECT 'completeness', 'o_orderstatus', v_s FROM m UNION ALL
+      |  SELECT 'completeness', 'o_totalprice', v_t FROM m UNION ALL
+      |  SELECT 'completeness', 'o_orderdate', v_d FROM m UNION ALL
+      |  SELECT 'completeness', 'o_orderpriority', v_p FROM m UNION ALL
+      |  SELECT 'uniqueness', 'o_orderkey', n_rows - n_dist - v_k FROM m UNION ALL
+      |  SELECT 'accepted_values', 'o_orderstatus', v_status FROM m UNION ALL
+      |  SELECT 'non_negative', 'o_totalprice', v_neg FROM m UNION ALL
+      |  SELECT 'pattern', 'o_orderpriority', v_prio FROM m UNION ALL
+      |  SELECT 'date_bounds', 'o_orderdate', v_date FROM m UNION ALL
+      |  SELECT 'referential', 'o_custkey', v_orph FROM orph UNION ALL
+      |  SELECT 'min_size', '*', CASE WHEN n_rows >= 1 THEN 0 ELSE 1 END FROM m)
+      |SELECT r.check_name, r.col_name, CAST(r.violations AS BIGINT) AS violations,
+      |  m.n_rows AS total_rows,
+      |  CAST(CASE WHEN r.violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+      |FROM rows_out r, m""".stripMargin.replace("\n", " ")
+}

@@ -760,6 +760,42 @@ object RelationalQueries {
       "sum(l_quantity) AS sum_qty, round(avg(l_discount), 4) AS avg_disc " +
       "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
 
+  /** q147: arbitrary GROUPING SETS — {(lang,source), (lang), (source)},
+    * a set list neither ROLLUP (q34) nor CUBE (q68) can express (no
+    * grand-total set; both single-column marginals). Completes the
+    * multi-grain aggregation trio with the general form, plus the
+    * `grouping_id` bitmask consumers use to tell the grains apart
+    * (bit per column, first column = high bit — the Spark and DuckDB
+    * convention agree).
+    *
+    * Scale shape — pre-aggregate, THEN expand: the naive plan expands
+    * every fact row once per set (3× scan-side CPU at 100 TB) before
+    * the partial aggregate. Here the fact scan first collapses to the
+    * finest grain the sets need (lang × source — the distributive
+    * partial every other set re-aggregates), and `groupingSets` runs
+    * over THAT base-grain frame, so the 3× expand touches ~|lang|·
+    * |source| rows instead of the corpus, in the same single-pass plan
+    * (scan → agg → expand → agg; no recompute, no cache). This is the
+    * classic distributive-measure cube optimization (count/sum roll up
+    * from partials; a count-distinct would NOT and must take the
+    * expand-on-scan form). */
+  def groupingSetsAgg(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("pn"), sum(col("n_chars").cast("long")).as("pc"))
+      .groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("lang")), Seq(col("source"))),
+        col("lang"), col("source"))
+      .agg(grouping_id().as("gid"),
+        sum("pn").as("n_docs"), sum("pc").as("chars_sum"))
+      .select(col("lang"), col("source"), col("gid").cast("long").as("gid"),
+        col("n_docs"), col("chars_sum"))
+
+  val groupingSetsAggSql: String =
+    "SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid, " +
+      "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_sum " +
+      "FROM documents GROUP BY GROUPING SETS ((lang, source), (lang), (source))"
+
   /** q69: the salted-join component ([[Skew.saltedJoin]]) as an
     * oracle-checked query: lineitem ⋈ supplier with the supplier side
     * exploded 16× and the fact side salted on l_orderkey, then revenue

@@ -608,6 +608,31 @@ object StreamingFraud {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming twin of q145 — the data-quality CONSTRAINT GATE on the
+    * events ingest stream: the per-row-checkable constraint catalog
+    * ([[graft.ops.Quality.eventConstraintFlags]] — completeness,
+    * accepted values, non-negative, ts bounds) folded into a running
+    * per-constraint (violations, total_rows) grid, Update mode
+    * emitting touched cells. This is the gate a pipeline consults
+    * BEFORE a batch lands: violation counters at ingest time instead
+    * of at the next nightly q145 run.
+    *
+    * State is the [[tokenBudgetStream]] posture: one sum/count cell
+    * per constraint — 6 cells forever, no watermark, no timeout;
+    * sums and counts compose across batches so the grid converges to
+    * the batch recount exactly (StreamingFraudSpec). The two q145
+    * constraints that are NOT per-row-checkable are deliberately not
+    * approximated here: streaming key-uniqueness is per-key state
+    * (the dedup twins' job — [[dedupDocStream]]), and referential
+    * integrity is a stream-static join against the dimension
+    * (compose with a `join(broadcast(dim), "left")` upstream and a
+    * `c_key IS NULL` flag if the dimension is available). Input
+    * schema: (ts, user_id, event_type, value). */
+  def qualityGateStream(events: DataFrame): DataFrame =
+    graft.ops.Quality.eventConstraintFlags(events)
+      .groupBy("check_name", "col_name")
+      .agg(sum("v").as("violations"), count(lit(1)).as("total_rows"))
+
   /** Streaming twin of q75 — incremental dedup of a DOCUMENT STREAM
     * against the persisted corpus index: each micro-batch's (doc_id,
     * text) rows run the same index-probing plan as the batch query

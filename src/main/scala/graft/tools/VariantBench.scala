@@ -253,6 +253,47 @@ object VariantBench {
         DedupQueries.CharBandRows, DedupQueries.MinHashSeed, charGrain = true))
       .as(Seq("band", "band_val")))
 
+  /** Workload-constant ANN scaling probes (r13). The registered ANN
+    * queries define BOTH the query set (vec_id % 100) and the codebook
+    * (vec_id % CentStride) as corpus FRACTIONS, so their benchmark cost
+    * has an N²/constant term and the sf1 run showed 25–81× for 10×
+    * data — by definition, not plan pathology. These variants hold the
+    * workload constant the way a production deployment does: the SAME
+    * 20 query vectors at every SF (vec_id % 100 = 0 AND vec_id < 2000)
+    * and a codebook that is either FIXED (54 lists — sf0.1's size) or
+    * the √N posture the IVF docs prescribe. Under const-nlist every
+    * stage is linear in N (assign N·nlist, probe |Q|·nlist, search
+    * |Q|·nProbe·N/nlist) → expect ≈10× for 10× data; under √N the
+    * build grows N^1.5 while per-query search grows only √N — the
+    * standard IVF build/query tradeoff, measured. */
+  def annWorkloadConst(s: SparkSession, d: String, sqrtNlist: Boolean): DataFrame = {
+    import SimilarityQueries._
+    val e = emb(s, d)
+    val n = e.count()
+    val nlist = if (sqrtNlist) math.max(1L, math.round(math.sqrt(n.toDouble))) else 54L
+    val stride = math.max(1L, (n + nlist - 1) / nlist)
+    val cents = e.filter(col("vec_id") % stride === lit(CentOffset.toLong))
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    val queries = e.filter(col("vec_id") % 100 === 0 && col("vec_id") < 2000)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    ivfSearch(queries, ivfAssign(e, cents), cents, k = 5, nProbe = NProbe)
+  }
+
+  /** Brute-force q20 shape with the constant 20-query workload: cost is
+    * |Q|·N exactly — the linear-scaling control for the ANN probes. */
+  def bruteWorkloadConst(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val queries = e.filter(col("vec_id") % 100 === 0 && col("vec_id") < 2000)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", SimilarityQueries.cosineExpr("qe", "e"))
+      .groupBy("qid")
+      .agg(graft.ops.TopKAggregator.topKByScore(5)(
+        round(col("cos"), 6), col("vec_id"), col("cos"), lit(0)).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("rk", "e")))
+  }
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bands_udf"         -> ((s, d) => docText(s, d).select(col("doc_id"),
       posexplode(wordBandsUdf(col("text"))).as(Seq("band", "band_val")))),
@@ -283,6 +324,9 @@ object VariantBench {
     "hll_reg_bind"      -> ((s, d) => hllDistinctBound(s, d)),
     "hll_reg_udf"       -> ((s, d) => hllDistinctUdf(s, d)),
     "exact_distinct"    -> ((s, d) => exactDistinctTokens(s, d)),
+    "ann_qconst_ivf54"  -> ((s, d) => annWorkloadConst(s, d, sqrtNlist = false)),
+    "ann_qconst_sqrtn"  -> ((s, d) => annWorkloadConst(s, d, sqrtNlist = true)),
+    "ann_qconst_brute"  -> (bruteWorkloadConst _),
   )
 
   def main(args: Array[String]): Unit = {

@@ -186,4 +186,36 @@ class LayoutSpec extends AnyFunSuite {
     // the query rect covers one 4x4 aligned block: ideally ONE z file
     assert(zt <= 4, s"z-order touched $zt files for an aligned 4x4 rect")
   }
+
+  test("q146 zone-map audit: matched rows agree across layouts, zorder scans a fraction, decision is stats-sound (sf0.01)") {
+    val spark = SparkSpec.spark
+    val d = "/root/testdata/sf0.01"
+    val out = Layout.zoneMapSkipping(spark, d).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    val (lin, zo) = (out("linear"), out("zorder"))
+    // internal consistency: the layouts hold the same rows, so the true
+    // match count cannot depend on the layout
+    assert(lin.getAs[Long]("rows_matched") == zo.getAs[Long]("rows_matched"))
+    assert(lin.getAs[Long]("rows_total") == zo.getAs[Long]("rows_total"))
+    // the decision is stats-SOUND: scanned files cover every match
+    Seq(lin, zo).foreach { r =>
+      assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("rows_matched"))
+      assert(r.getAs[Long]("files_read") <= r.getAs[Long]("files_total"))
+    }
+    // arrival order is time-correlated: it prunes on the DAY dimension
+    // only, so it must scan at least the full rect-day slice (8 of 30
+    // days) while z-order also cuts the user dimension — strictly fewer
+    // rows for the same 2-D predicate
+    assert(zo.getAs[Long]("rows_scanned") * 2 <= lin.getAs[Long]("rows_scanned"),
+      s"zorder scanned ${zo.getAs[Long]("rows_scanned")}, linear ${lin.getAs[Long]("rows_scanned")}")
+    // the clustered layout reads a small fraction for a ~4% rect
+    assert(zo.getAs[Long]("rows_scanned") * 4 <= zo.getAs[Long]("rows_total"),
+      s"zorder scanned ${zo.getAs[Long]("rows_scanned")} of ${zo.getAs[Long]("rows_total")}")
+    // independent recount of the true matches
+    val expMatch = Tables.events(spark, d)
+      .filter(expr(s"user_id div ${Layout.XDiv} BETWEEN ${Layout.RectXLo} AND ${Layout.RectXHi}") &&
+        expr(s"day(ts) - 1 BETWEEN ${Layout.RectYLo} AND ${Layout.RectYHi}"))
+      .count()
+    assert(zo.getAs[Long]("rows_matched") == expMatch)
+  }
 }

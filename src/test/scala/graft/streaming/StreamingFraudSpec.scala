@@ -771,6 +771,48 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming quality gate: grid converges to a driver-side recount across micro-batches") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: String) = java.sql.Timestamp.valueOf(m)
+    val input = MemoryStream[(Option[java.sql.Timestamp], Option[Long], Option[String], Option[Double])]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val query = StreamingFraud.qualityGateStream(events)
+      .writeStream.format("memory").queryName("qgate")
+      .outputMode("update").start()
+    val rows: Seq[(Option[java.sql.Timestamp], Option[Long], Option[String], Option[Double])] = Seq(
+      (Some(t("2024-03-01 10:00:00")), Some(1L), Some("view"), Some(1.0)),     // clean
+      (Some(t("2024-03-01 11:00:00")), None, Some("hover"), Some(-2.0)),       // null user, bad type, negative
+      (Some(t("2023-12-31 23:59:59")), Some(2L), None, None),                  // early ts, null type+value
+      (None, Some(3L), Some("purchase"), Some(4.5)),                           // null ts
+      (Some(t("2025-06-01 00:00:00")), Some(4L), Some("click"), Some(0.0)))    // late ts
+    try {
+      input.addData(rows.take(2): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      query.processAllAvailable()
+      // Update mode re-emits a touched cell per batch: keep the last
+      // (max-total) row per constraint
+      val got = spark.sql("select check_name, col_name, violations, total_rows from qgate")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+        .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).maxBy(_._2) }
+      // independent driver-side recount
+      val accepted = Set("click", "error", "purchase", "signup", "view")
+      val lo = t("2024-01-01 00:00:00"); val hi = t("2025-01-01 00:00:00")
+      val n = rows.length.toLong
+      val expect = Map(
+        ("completeness", "user_id") -> ((rows.count(_._2.isEmpty).toLong, n)),
+        ("completeness", "event_type") -> ((rows.count(_._3.isEmpty).toLong, n)),
+        ("completeness", "value") -> ((rows.count(_._4.isEmpty).toLong, n)),
+        ("accepted_values", "event_type") -> ((rows.count(r => r._3.forall(!accepted(_))).toLong, n)),
+        ("non_negative", "value") -> ((rows.count(_._4.exists(_ < 0)).toLong, n)),
+        ("ts_bounds", "ts") -> ((rows.count(r => r._1.forall(ts => ts.before(lo) || !ts.before(hi))).toLong, n)))
+      assert(got === expect, s"stream $got != recount $expect")
+    } finally query.stop()
+  }
+
   test("streaming KMV distinct-users: exact below k, merges across micro-batches") {
     val spark = SparkSpec.spark
     import spark.implicits._
