@@ -295,6 +295,8 @@ object SparkEntry {
     "q146_zone_map_skipping"  -> (graft.ops.Layout.zoneMapSkipping _),
     // round-13: general GROUPING SETS (the rollup/cube trio completed)
     "q147_grouping_sets"      -> (RelationalQueries.groupingSetsAgg _),
+    // round-13: PSI distribution drift between the q137 snapshots
+    "q148_psi_drift"          -> (graft.ops.Quality.psiDrift _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -451,5 +453,6 @@ object SparkEntry {
     "q145_quality_checks"     -> graft.ops.Quality.qualityChecksSql,
     "q146_zone_map_skipping"  -> graft.ops.Layout.zoneMapSkippingSql,
     "q147_grouping_sets"      -> RelationalQueries.groupingSetsAggSql,
+    "q148_psi_drift"          -> graft.ops.Quality.psiDriftSql,
   )
 }

@@ -102,6 +102,85 @@ object Quality {
         when(col("c.violations") === 0, 1L).otherwise(0L).as("pass"))
   }
 
+  /** PSI bin width for the `n_chars` length distribution (48..553 in
+    * the generator → 9 occupied bins). */
+  val PsiCharBin = 64L
+
+  /** q148 — POPULATION STABILITY INDEX drift between two snapshots of
+    * the documents table, per bin: the distribution-level drift
+    * measurement that completes the snapshot-monitoring family (q137
+    * tells you WHICH rows changed; q145 whether constraints still
+    * hold; this one whether the DISTRIBUTION a model was trained
+    * against has shifted — the metric every feature store monitors,
+    * PSI = Σ (p_cur − p_prev)·ln(p_cur/p_prev)). Two dimensions: the
+    * binned `n_chars` length histogram and the `lang` marginal.
+    * Snapshots reuse q137's bucket convention exactly (prev = minus
+    * the added bucket, cur = minus the removed bucket), so the two
+    * monitors describe the same pair of snapshots.
+    *
+    * Shares are Laplace-smoothed — p = (n+1)/(N+B) with B the dim's
+    * observed bin count — so an emptied or newly-appearing bin
+    * contributes a finite, defined term on both engines (the standard
+    * PSI ε-floor, made deterministic). Per-bin contributions ship
+    * (rounded to 6dp — the only non-integer column); the headline
+    * per-dim PSI is their sum downstream.
+    *
+    * Scale shape: ONE scan — each row contributes to both snapshots
+    * and both dims via a 2-row explode and conditional sums; the
+    * (dim, bin) aggregate is bins-bounded, the per-dim totals join
+    * back broadcast. Nothing after the first aggregate is data-sized.
+    * At 100 TB with real separate snapshot tables, the shape is two
+    * scans into the same bins-bounded aggregate — union the tagged
+    * scans and keep everything else. */
+  def psiDrift(s: SparkSession, d: String): DataFrame = {
+    import Sketches.{DiffMod, DiffAddBucket, DiffRemBucket}
+    val binned = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        expr(s"CAST(n_chars div $PsiCharBin AS STRING)").as("chars_bin"))
+      .select(col("doc_id"),
+        explode(array(
+          struct(lit("n_chars_bin").as("dim"), col("chars_bin").as("bin")),
+          struct(lit("lang").as("dim"), col("lang").as("bin")))).as("e"))
+      .select(col("doc_id"), col("e.dim").as("dim"), col("e.bin").as("bin"),
+        when(col("doc_id") % DiffMod =!= DiffRemBucket, 1L).otherwise(0L).as("in_cur"),
+        when(col("doc_id") % DiffMod =!= DiffAddBucket, 1L).otherwise(0L).as("in_prev"))
+    val bins = binned.groupBy("dim", "bin")
+      .agg(sum("in_cur").as("n_cur"), sum("in_prev").as("n_prev"))
+    val totals = bins.groupBy("dim")
+      .agg(sum("n_cur").as("tot_cur"), sum("n_prev").as("tot_prev"),
+        count(lit(1)).as("n_bins"))
+    bins.join(broadcast(totals), "dim")
+      .select(col("dim"), col("bin"), col("n_cur"), col("n_prev"),
+        round(
+          ((col("n_cur") + 1) / (col("tot_cur") + col("n_bins")) -
+           (col("n_prev") + 1) / (col("tot_prev") + col("n_bins"))) *
+          log(((col("n_cur") + 1) / (col("tot_cur") + col("n_bins"))) /
+              ((col("n_prev") + 1) / (col("tot_prev") + col("n_bins")))),
+          6).as("psi6"))
+  }
+
+  val psiDriftSql: String = {
+    import Sketches.{DiffMod, DiffAddBucket, DiffRemBucket}
+    s"""WITH binned AS (
+       |  SELECT doc_id, e.dim, e.bin,
+       |    CASE WHEN doc_id % $DiffMod != $DiffRemBucket THEN 1 ELSE 0 END AS in_cur,
+       |    CASE WHEN doc_id % $DiffMod != $DiffAddBucket THEN 1 ELSE 0 END AS in_prev
+       |  FROM documents,
+       |    unnest([struct_pack(dim := 'n_chars_bin', bin := CAST(n_chars // $PsiCharBin AS VARCHAR)),
+       |            struct_pack(dim := 'lang', bin := lang)]) AS t(e)),
+       |bins AS (SELECT dim, bin, CAST(sum(in_cur) AS BIGINT) AS n_cur,
+       |    CAST(sum(in_prev) AS BIGINT) AS n_prev
+       |  FROM binned GROUP BY 1, 2),
+       |tot AS (SELECT dim, sum(n_cur) AS tot_cur, sum(n_prev) AS tot_prev,
+       |    count(*) AS n_bins FROM bins GROUP BY 1)
+       |SELECT b.dim, b.bin, b.n_cur, b.n_prev,
+       |  round(((b.n_cur + 1) / (t.tot_cur + t.n_bins) -
+       |         (b.n_prev + 1) / (t.tot_prev + t.n_bins)) *
+       |        ln(((b.n_cur + 1) / (t.tot_cur + t.n_bins)) /
+       |           ((b.n_prev + 1) / (t.tot_prev + t.n_bins))), 6) AS psi6
+       |FROM bins b JOIN tot t USING (dim)""".stripMargin.replace("\n", " ")
+  }
+
   /** Per-row constraint-violation flags for the EVENTS table — the
     * shared expression layer under the streaming quality gate
     * ([[graft.streaming.StreamingFraud.qualityGateStream]]) and its

@@ -62,6 +62,38 @@ class QualitySpec extends AnyFunSuite {
     assert(out(("min_size", "*")) == ((0L, 5L, 1L)))
   }
 
+  test("q148 PSI matches an independent driver-side computation (sf0.001)") {
+    val spark = SparkSpec.spark
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "n_chars")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Long]("n_chars")))
+    // independent recount: plain Scala, same Laplace smoothing
+    def psiFor(dim: String, binOf: ((Long, String, Long)) => String) = {
+      val cur = docs.filter(_._1 % 17 != 7).groupBy(binOf).view.mapValues(_.length.toLong).toMap
+      val prev = docs.filter(_._1 % 17 != 3).groupBy(binOf).view.mapValues(_.length.toLong).toMap
+      val binsK = (cur.keySet ++ prev.keySet).toSeq
+      val b = binsK.size.toLong
+      val (tc, tp) = (cur.values.sum, prev.values.sum)
+      binsK.map { k =>
+        val pc = (cur.getOrElse(k, 0L) + 1).toDouble / (tc + b)
+        val pp = (prev.getOrElse(k, 0L) + 1).toDouble / (tp + b)
+        (dim, k) -> BigDecimal((pc - pp) * math.log(pc / pp))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    }
+    val expect = psiFor("lang", _._2) ++ psiFor("n_chars_bin", t => (t._3 / 64).toString)
+    val got = Quality.psiDrift(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("dim"), r.getAs[String]("bin")) -> r.getAs[Double]("psi6")).toMap
+    assert(got === expect)
+    // a uniformly-sampled snapshot pair is near-stationary: total PSI
+    // per dim stays under the 0.1 "no significant drift" convention
+    Seq("lang", "n_chars_bin").foreach { dim =>
+      val tot = got.collect { case ((d, _), v) if d == dim => v }.sum
+      assert(math.abs(tot) < 0.1, s"$dim PSI $tot")
+    }
+  }
+
   test("empty table: min_size fails, every count is zero not null") {
     val spark = SparkSpec.spark
     import spark.implicits._
