@@ -297,6 +297,13 @@ object SparkEntry {
     "q147_grouping_sets"      -> (RelationalQueries.groupingSetsAgg _),
     // round-13: PSI distribution drift between the q137 snapshots
     "q148_psi_drift"          -> (graft.ops.Quality.psiDrift _),
+    // round-13: SQ8 scalar-quantized asymmetric ANN (the int8 leg of
+    // the compression family next to PQ/IVF-PQ)
+    "q149_sq8_topk"           -> ((s: SparkSession, d: String) =>
+      graft.sim.ScalarQuantization.sqTopK(s, d)),
+    // round-13: SQ8 recall graded by the shared q112 eval contract
+    "q150_sq8_recall"         -> ((s: SparkSession, d: String) =>
+      graft.sim.ScalarQuantization.sqRecall(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -454,5 +461,7 @@ object SparkEntry {
     "q146_zone_map_skipping"  -> graft.ops.Layout.zoneMapSkippingSql,
     "q147_grouping_sets"      -> RelationalQueries.groupingSetsAggSql,
     "q148_psi_drift"          -> graft.ops.Quality.psiDriftSql,
+    "q149_sq8_topk"           -> graft.sim.ScalarQuantization.sqTopKSql,
+    "q150_sq8_recall"         -> graft.sim.ScalarQuantization.sqRecallSql,
   )
 }

@@ -946,7 +946,13 @@ object DedupQueries {
     * stays O(1) per round (the CC-rounds discipline). */
   def pageRank(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id")
+    // checkpoint the band+verify pipeline BEFORE fan-out (q121's
+    // discipline): edges/deg/edgesDeg each re-derive `pairs`, and
+    // exchange reuse does not reliably dedupe the union+agg+join
+    // consumers — the r13 sf3 run measured q116 at 457 s ≈ 4× the
+    // 115 s pairs pipeline, vs ~0.5 s/round once pinned (ScaleProbe)
     val pairs = minHashJaccardPairs(s, d).select("doc_a", "doc_b")
+      .localCheckpoint(true)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // degree rides each edge row, joined ONCE before the loop — the

@@ -353,25 +353,33 @@ object SimilarityQueries {
     * neighbor_id)-keyed join + a |queries|-bounded aggregate —
     * negligible next to either search at any corpus size. */
   def annRecall(s: SparkSession, d: String, k: Int = 5,
-                nProbe: Int = NProbe): DataFrame = {
-    val exact  = cosineTopK(s, d, k).select(col("qid"), col("neighbor_id"))
-    val approx = ivfTopK(s, d, k, nProbe)
-      .select(col("qid"), col("neighbor_id"), col("rank"))
+                nProbe: Int = NProbe): DataFrame =
+    recallEvalFrom(
+      ivfTopK(s, d, k, nProbe).select(col("qid"), col("neighbor_id"), col("rank")),
+      cosineTopK(s, d, k).select(col("qid"), col("neighbor_id")))
+
+  /** The recall join over ANY (qid, neighbor_id, rank) approximate
+    * result and ANY (qid, neighbor_id) exact result — q112's eval,
+    * factored so every approximate searcher (IVF q112, SQ8 q150, a
+    * future HNSW) grades against the same integer-only contract. */
+  def recallEvalFrom(approx: DataFrame, exact: DataFrame): DataFrame =
     approx
       .join(exact.withColumn("hit", lit(1)), Seq("qid", "neighbor_id"), "left")
       .groupBy("qid")
       .agg(
         sum(coalesce(col("hit"), lit(0))).as("n_hits"),
         min(when(col("hit") === 1, col("rank"))).as("first_hit_rank"))
-  }
 
-  val annRecallSql: String =
-    s"""WITH ex AS ($cosineTopKSql), ap AS ($ivfTopKSql)
+  /** DuckDB twin of [[recallEvalFrom]] over two CTE bodies. */
+  def recallSqlOver(approxSql: String, exactSql: String): String =
+    s"""WITH ex AS ($exactSql), ap AS ($approxSql)
        |SELECT ap.qid,
        |  CAST(sum(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
        |  CAST(min(CASE WHEN ex.neighbor_id IS NOT NULL THEN ap.rank END) AS INT) AS first_hit_rank
        |FROM ap LEFT JOIN ex ON ex.qid = ap.qid AND ex.neighbor_id = ap.neighbor_id
        |GROUP BY ap.qid""".stripMargin.replace("\n", " ")
+
+  val annRecallSql: String = recallSqlOver(ivfTopKSql, cosineTopKSql)
 
   // --------------------------------------------------- semantic dedup
 
