@@ -340,6 +340,50 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Exchange")) <= 3, p)
   }
 
+  test("q145 quality suite: one fact scan, pruned broadcast dim, no third exchange beyond distinct-agg") {
+    val p = plan("q145_quality_checks")
+    // one orders scan + one customer scan — the referential check must
+    // ride the same aggregate pass, not re-scan the fact
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 2, p)
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) === 1, p)
+    // the only exchanges are the distinct-agg rewrite's (group-on-key
+    // partial + two-phase global): ≤ 3, none data-shaped
+    assert(p.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("BroadcastExchange") && !l.contains("Reused")) <= 3, p)
+  }
+
+  test("q147 grouping sets: the Expand sits ABOVE the base-grain aggregate, one scan") {
+    val p = plan("q147_grouping_sets")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1, p)
+    val firstAgg = p.indexOf("HashAggregate")
+    val expand = p.indexOf("Expand")
+    assert(expand >= 0 && firstAgg >= 0, p)
+    // tree prints root-first: the Expand printing AFTER the final agg
+    // but BEFORE the base-grain partial means it consumes the partial
+    // frame, not the corpus scan (which prints last)
+    val scan = p.indexOf("Scan parquet")
+    assert(expand < scan, p)
+    // base grain aggregates before the expand: a partial_count under
+    // the scan-side aggregate
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q146 zone-map audit: one scan per layout, zorder side prunes event_id") {
+    val p = plan("q146_zone_map_skipping")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 3, p) // linear + n_total + zorder
+    // the zorder assignment needs no event_id: its scan reads 2 columns
+    assert(p.contains("ReadSchema: struct<ts:timestamp,user_id:bigint>"), p)
+  }
+
+  test("q149 SQ8: every cross join is a broadcast; the top-k is the bounded aggregate") {
+    val p = plan("q149_sq8_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
+    // bounded TopKByScore partial before the final exchange
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
   test("q116 PageRank job count stays O(rounds) — lineage truncated per round") {
     val spark = SparkSpec.spark
     val jobs = countJobs {
