@@ -304,6 +304,8 @@ object SparkEntry {
     // round-13: SQ8 recall graded by the shared q112 eval contract
     "q150_sq8_recall"         -> ((s: SparkSession, d: String) =>
       graft.sim.ScalarQuantization.sqRecall(s, d)),
+    // round-13: UNPIVOT/melt — q35's reshape inverse
+    "q151_unpivot"            -> (RelationalQueries.unpivotLangCounts _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -463,5 +465,6 @@ object SparkEntry {
     "q148_psi_drift"          -> graft.ops.Quality.psiDriftSql,
     "q149_sq8_topk"           -> graft.sim.ScalarQuantization.sqTopKSql,
     "q150_sq8_recall"         -> graft.sim.ScalarQuantization.sqRecallSql,
+    "q151_unpivot"            -> RelationalQueries.unpivotLangCountsSql,
   )
 }

@@ -132,16 +132,24 @@ object Quality {
     * At 100 TB with real separate snapshot tables, the shape is two
     * scans into the same bins-bounded aggregate — union the tagged
     * scans and keep everything else. */
-  def psiDrift(s: SparkSession, d: String): DataFrame = {
-    import Sketches.{DiffMod, DiffAddBucket, DiffRemBucket}
-    val binned = Tables.documents(s, d)
+  /** The q148 monitoring dimensions of a (doc_id, lang, n_chars) frame:
+    * one row per (dim, bin) membership — the shared expression layer
+    * under the batch PSI and the streaming drift monitor
+    * ([[graft.streaming.StreamingFraud.distributionDriftStream]]). */
+  def docBins(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"),
         expr(s"CAST(n_chars div $PsiCharBin AS STRING)").as("chars_bin"))
       .select(col("doc_id"),
         explode(array(
           struct(lit("n_chars_bin").as("dim"), col("chars_bin").as("bin")),
           struct(lit("lang").as("dim"), col("lang").as("bin")))).as("e"))
-      .select(col("doc_id"), col("e.dim").as("dim"), col("e.bin").as("bin"),
+      .select(col("doc_id"), col("e.dim").as("dim"), col("e.bin").as("bin"))
+
+  def psiDrift(s: SparkSession, d: String): DataFrame = {
+    import Sketches.{DiffMod, DiffAddBucket, DiffRemBucket}
+    val binned = docBins(Tables.documents(s, d))
+      .select(col("dim"), col("bin"),
         when(col("doc_id") % DiffMod =!= DiffRemBucket, 1L).otherwise(0L).as("in_cur"),
         when(col("doc_id") % DiffMod =!= DiffAddBucket, 1L).otherwise(0L).as("in_prev"))
     val bins = binned.groupBy("dim", "bin")

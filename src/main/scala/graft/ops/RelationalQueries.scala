@@ -556,6 +556,27 @@ object RelationalQueries {
     s"SELECT source, $cols FROM documents GROUP BY source"
   }
 
+  /** q151: UNPIVOT/melt — q35's inverse, completing the reshape pair.
+    * The wide per-source language-count table (explicit static value
+    * list, like the pivot) melts back to (source, lang, n_docs) long
+    * form with Spark's native `unpivot` (one Expand over the wide
+    * frame — |value-cols|× the WIDE row count, which is
+    * group-grain-small here and always ≤ the long form it produces;
+    * never a corpus-scan multiplier). Zero cells survive the
+    * round-trip (pivot's na.fill), so melt(pivot(x)) covers the full
+    * source×lang grid — the spec pins the round-trip against the
+    * direct groupBy count. */
+  def unpivotLangCounts(s: SparkSession, d: String): DataFrame = {
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    pivotLangCounts(s, d)
+      .unpivot(Array(col("source")), langs.map(col).toArray, "lang", "n_docs")
+  }
+
+  val unpivotLangCountsSql: String =
+    s"WITH p AS ($pivotLangCountsSql) " +
+      "SELECT source, lang, n_docs FROM p " +
+      "UNPIVOT INCLUDE NULLS (n_docs FOR lang IN (en, de, es, fr, zh))"
+
   /** Beyond-reference: JSON field extraction from the event props
     * payload — per-row get_json_object (codegen'd Jackson path eval,
     * no UDF), the standard semi-structured access pattern. */

@@ -633,6 +633,28 @@ object StreamingFraud {
       .groupBy("check_name", "col_name")
       .agg(sum("v").as("violations"), count(lit(1)).as("total_rows"))
 
+  /** Streaming twin of q148 — ONLINE DISTRIBUTION-DRIFT MONITORING:
+    * the q148 monitoring dimensions ([[graft.ops.Quality.docBins]] —
+    * the n_chars length histogram and the lang marginal) folded to a
+    * running (dim, bin) → count grid over the document ingest stream,
+    * Update mode emitting touched cells. A drift monitor compares this
+    * live grid against a frozen training-snapshot baseline with
+    * exactly q148's smoothed-PSI fold — that comparison happens
+    * DOWNSTREAM of the state (the baseline is a static table; joining
+    * it inside the streaming aggregate would bake the baseline into
+    * checkpointed state, making retraining a state-migration problem
+    * instead of a join argument — the same sums-compose reasoning that
+    * keeps the mean out of [[tokenBudgetStream]]'s state).
+    *
+    * State: |dims|·|bins| count cells (9 length bins + 5 langs here),
+    * no watermark, counts only ratchet — the [[tokenBudgetStream]]
+    * posture. The grid converges to the batch recount exactly
+    * (StreamingFraudSpec). Input schema: (doc_id, lang, n_chars). */
+  def distributionDriftStream(docs: DataFrame): DataFrame =
+    graft.ops.Quality.docBins(docs)
+      .groupBy("dim", "bin")
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Streaming twin of q75 — incremental dedup of a DOCUMENT STREAM
     * against the persisted corpus index: each micro-batch's (doc_id,
     * text) rows run the same index-probing plan as the batch query

@@ -30,4 +30,17 @@ class GroupingSetsSpec extends AnyFunSuite {
     val gids = canon(direct).map(_._3).toSet
     assert(gids == Set(0L, 1L, 2L))
   }
+
+  test("q151 melt(pivot(x)) covers the full source x lang grid and matches the direct count") {
+    val spark = SparkSpec.spark
+    val got = RelationalQueries.unpivotLangCounts(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val direct = Tables.documents(spark, sfDir)
+      .groupBy("source", "lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sources = direct.keys.map(_._1).toSet
+    val langs = Set("en", "de", "es", "fr", "zh")
+    assert(got.keySet === (for (s <- sources; l <- langs) yield (s, l)))
+    got.foreach { case (k, n) => assert(n === direct.getOrElse(k, 0L), s"$k") }
+  }
 }

@@ -813,6 +813,38 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming drift monitor: (dim, bin) grid converges to the batch recount") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val input = MemoryStream[(Long, String, Long)]
+    val stream = input.toDF().toDF("doc_id", "lang", "n_chars")
+    val query = StreamingFraud.distributionDriftStream(stream)
+      .writeStream.format("memory").queryName("drift")
+      .outputMode("update").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 3)
+      input.addData(b1.toIndexedSeq: _*)
+      query.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      query.processAllAvailable()
+      // independent driver recount of both dims
+      val expect =
+        docs.groupBy(d => ("lang", d._2)).view.mapValues(_.length.toLong).toMap ++
+        docs.groupBy(d => ("n_chars_bin", (d._3 / graft.ops.Quality.PsiCharBin).toString))
+          .view.mapValues(_.length.toLong).toMap
+      // Update mode re-emits touched cells: keep the max count per cell
+      val got = spark.sql("select dim, bin, n_docs from drift").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).max }
+      assert(got === expect, "streaming grid must converge to the batch recount")
+    } finally query.stop()
+  }
+
   test("streaming KMV distinct-users: exact below k, merges across micro-batches") {
     val spark = SparkSpec.spark
     import spark.implicits._
