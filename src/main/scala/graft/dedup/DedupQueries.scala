@@ -765,20 +765,31 @@ object DedupQueries {
     * (block index, block value) key whose space is 2^16 per index, then
     * a codegen'd xor+popcount on the candidate pairs only. */
   def simHashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
-    val simUdf = udf { (text: String) => Hashing.simHash64(Hashing.tokens(text)) }
+    // r13: the fingerprint scan is the native SimHashBlocksExpr (the
+    // last full-corpus Scala UDF in the dedup family — q18's r13
+    // conversion, applied here), the 64-bit hash reassembled from its
+    // own pigeonhole blocks (shiftleft | — bit-exact incl. the sign
+    // bit), and the frame CHECKPOINTED before the self-join: both join
+    // sides and both exchange branches read the computed table instead
+    // of re-running the signature pipeline (the q116 fan-out
+    // discipline; at 100 TB this is the documented persist-signatures
+    // posture). Hamming is codegen bit_count(xor), not a pair UDF.
     val fp = Tables.documents(s, d)
-      .select(col("doc_id"), simUdf(col("text")).as("simhash"))
-      .withColumn("blk",
-        expr("transform(sequence(0, 3), k -> CAST(shiftright(simhash, k * 16) & 65535 AS INT))"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simHashBlocks(col("text")).as("blk"))
+      .select(col("doc_id"),
+        expr("shiftleft(CAST(blk[3] AS BIGINT), 48) | shiftleft(CAST(blk[2] AS BIGINT), 32) | " +
+          "shiftleft(CAST(blk[1] AS BIGINT), 16) | CAST(blk[0] AS BIGINT)").as("simhash"),
+        col("blk"))
+      .localCheckpoint(true)
     val blocks = fp.select(col("doc_id"), col("simhash"),
         posexplode(col("blk")).as(Seq("bi", "bv")))
-    val hamming = udf { (a: Long, b: Long) => Hashing.hammingDistance64(a, b) }
     blocks.as("a")
       .join(blocks.as("b"),
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -829,6 +840,13 @@ object DedupQueries {
     * audit itself is two id-keyed semi-join-shaped left joins off the
     * document scan. Output is integer/boolean-only. */
   def dedupCrossCheck(s: SparkSession, d: String): DataFrame = {
+    // each pipeline feeds two union branches — the q116/q62 fan-out
+    // recompute shape — but pinning them with eager localCheckpoints
+    // was MEASURED SLOWER here (sf3: 357 → 420 s; sf1: 66 → 81 s):
+    // unlike q116's post-AQE miss, these branches' exchanges DO get
+    // reused, so the checkpoint only bought serialization + lost
+    // stage overlap. The discipline is measurement-gated, not a
+    // blanket rule (PERF_NOTES r13).
     val pairs = minHashJaccardPairs(s, d)
     val surfIds = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))

@@ -131,6 +131,10 @@ object GraftFunctions {
   def shingleHashes(c: Column, shingleN: Int): Column =
     GraftSqlShim.column(ShingleHashesExpr(GraftSqlShim.expression(c), shingleN))
 
+  /** text → distinct word n-gram strings, native. */
+  def wordGramsDistinct(c: Column, n: Int): Column =
+    GraftSqlShim.column(WordGramsDistinctExpr(GraftSqlShim.expression(c), n))
+
   /** shingle base-hash array → LSH band values (signature stage only —
     * for pipelines sharing one shingle projection). */
   def bandValsFromHashes(c: Column, bands: Int, rows: Int, seed: Long): Column =

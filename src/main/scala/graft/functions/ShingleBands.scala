@@ -100,6 +100,14 @@ object ShingleBands {
       .map(Hashing.shingleBaseHash).distinct
     new GenericArrayData(hs.map(x => x: Any))
   }
+
+  /** text → distinct word n-gram STRINGS (the q46/q58/q86 gram grain —
+    * raw grams; consumers md5 them downstream where keys must be
+    * fixed-width). */
+  def wordGramsDistinct(text: UTF8String, n: Int): ArrayData = {
+    val gs = Hashing.wordShingles(text.toString, n).distinct
+    new GenericArrayData(gs.map(g => UTF8String.fromString(g): Any))
+  }
 }
 
 private[functions] trait TextArrayExpression extends UnaryExpression {
@@ -183,5 +191,24 @@ case class ShingleHashesExpr(child: Expression, shingleN: Int)
       s"graft.functions.ShingleBands.shingleHashes($c, $shingleN)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** text → distinct word n-gram strings, one native call per row (the
+  * decontamination/boilerplate gram scans' twin of
+  * [[ShingleHashesExpr]] — string grams instead of base hashes). */
+case class WordGramsDistinctExpr(child: Expression, n: Int)
+    extends TextArrayExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_grams_distinct"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleBands.wordGramsDistinct(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleBands.wordGramsDistinct($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramsDistinctExpr =
     copy(child = newChild)
 }

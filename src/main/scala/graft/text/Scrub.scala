@@ -88,9 +88,10 @@ object Scrub {
   val BenchStride    = 10 // 10% held-out slice — catches real near-dup
   val BenchOffset    = 3  // contamination in the driver corpus (n_shared up to 86)
 
-  private val gramsUdf = udf { (text: String) =>
-    graft.dedup.Hashing.wordShingles(text, DecontamN).distinct
-  }
+  // r13: native codegen expression — the decontamination gram scans sit
+  // on full corpora; see graft.functions.WordGramsDistinctExpr
+  private def gramsCol(text: org.apache.spark.sql.Column) =
+    graft.functions.GraftFunctions.wordGramsDistinct(text, DecontamN)
 
   def decontaminate(s: SparkSession, d: String): DataFrame = {
     // Two branches over the gram table, met by a hash join on the gram
@@ -106,7 +107,7 @@ object Scrub {
     // filter INTO the scan (doc_id % stride) keeps the double scan
     // cheap; at 100 TB the bench grams are a persisted side table.
     val grams = Tables.documents(s, d)
-      .select(col("doc_id"), explode(gramsUdf(col("text"))).as("gram"))
+      .select(col("doc_id"), explode(gramsCol(col("text"))).as("gram"))
       .select(col("doc_id"), md5(col("gram")).as("gh"))
     val bench = grams.filter(col("doc_id") % BenchStride === BenchOffset)
       .select(col("doc_id").as("bench_id"), col("gh"))
@@ -162,7 +163,7 @@ object Scrub {
 
   def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
     def grams = Tables.documents(s, d)
-      .select(col("doc_id"), explode(gramsUdf(col("text"))).as("gram"))
+      .select(col("doc_id"), explode(gramsCol(col("text"))).as("gram"))
       .select(col("doc_id"),
         graft.functions.GraftFunctions.md5Lower64(col("gram")).as("gh"))
     val isBench = col("doc_id") % BenchStride === BenchOffset
@@ -366,9 +367,8 @@ object Scrub {
 
   val BoilerN = 5 // word n-gram size for cross-doc boilerplate detection
 
-  private val boilerGramsUdf = udf { (text: String) =>
-    graft.dedup.Hashing.wordShingles(text, BoilerN).distinct
-  }
+  private def boilerGramsCol(text: org.apache.spark.sql.Column) =
+    graft.functions.GraftFunctions.wordGramsDistinct(text, BoilerN)
 
   /** q86 — per-document BOILERPLATE fraction: the share of a doc's
     * distinct word 5-grams that also occur in at least one OTHER
@@ -389,7 +389,7 @@ object Scrub {
     * first aggregate collapses hardest. */
   def boilerplate(s: SparkSession, d: String): DataFrame = {
     val grams = Tables.documents(s, d)
-      .select(col("doc_id"), explode(boilerGramsUdf(col("text"))).as("gram"))
+      .select(col("doc_id"), explode(boilerGramsCol(col("text"))).as("gram"))
       .select(col("doc_id"), md5(col("gram")).as("gh"))
     val docFreq = grams.groupBy("gh").agg(count(lit(1)).as("ndocs"))
     grams.join(docFreq, "gh")
