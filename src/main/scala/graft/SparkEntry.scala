@@ -306,6 +306,12 @@ object SparkEntry {
       graft.sim.ScalarQuantization.sqRecall(s, d)),
     // round-13: UNPIVOT/melt — q35's reshape inverse
     "q151_unpivot"            -> (RelationalQueries.unpivotLangCounts _),
+    // round-13: CDC MERGE/upsert — the copy-on-write merge kernel
+    "q152_merge_upsert"       -> (graft.ops.Maintenance.mergeUpsert _),
+    // round-13: SCD-2 validity-window history build (gaps-and-islands)
+    "q153_scd2_history"       -> (graft.ops.Maintenance.scd2History _),
+    // round-13: GDPR purge audit — broadcast request list, one fact scan
+    "q154_gdpr_delete_audit"  -> (graft.ops.Maintenance.gdprDeleteAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -466,5 +472,8 @@ object SparkEntry {
     "q149_sq8_topk"           -> graft.sim.ScalarQuantization.sqTopKSql,
     "q150_sq8_recall"         -> graft.sim.ScalarQuantization.sqRecallSql,
     "q151_unpivot"            -> RelationalQueries.unpivotLangCountsSql,
+    "q152_merge_upsert"       -> graft.ops.Maintenance.mergeUpsertSql,
+    "q153_scd2_history"       -> graft.ops.Maintenance.scd2HistorySql,
+    "q154_gdpr_delete_audit"  -> graft.ops.Maintenance.gdprDeleteAuditSql,
   )
 }

@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance operators: the mutation half of a training-data
+  * pipeline. A 100 TB corpus is not write-once — sources re-crawl
+  * (upsert), labels get corrected (update), users invoke deletion
+  * rights (purge), and dimensions drift (history tracking). The
+  * reference's pipeline is read-only; these are the beyond-reference
+  * operators that make the engine operable as a system of record,
+  * expressed as plain one-shuffle Spark plans (no table-format
+  * dependency — the same shapes back a Delta/Iceberg MERGE).
+  *
+  * Scale notes (100 TB):
+  *  - [[mergeUpsert]] is the copy-on-write MERGE kernel: ONE full-outer
+  *    hash/sort-merge join on the key — each side exchanges exactly
+  *    once. Against the persisted bucketed base of q75
+  *    ([[DurableIndex]]), the base side's exchange disappears and only
+  *    the (small) change-set shuffles; merge-on-read then defers even
+  *    that to a union + latest-version-wins at scan time (the
+  *    [[graft.streaming.StreamingFraud]] CDC twin holds that exact
+  *    "latest wins" state per key).
+  *  - [[scd2History]] is gaps-and-islands at the event grain: one
+  *    (user_id) exchange carries both the change-flag lag and the
+  *    running run-id sum (same partitioning, same sort — Catalyst
+  *    plans a single Window over one Sort); the run-grain frames after
+  *    the groupBy are |runs| ≪ |events| so their exchanges are noise.
+  *  - [[gdprDeleteAudit]] reads the fact ONCE: the deletion-request
+  *    list (tiny by nature — a legal queue, not a data set) broadcasts
+  *    and the purge/retain split is a conditional aggregate under the
+  *    same scan, not two anti/semi-join passes.
+  */
+object Maintenance {
+  import Tables._
+
+  /** Beyond-reference: CDC MERGE / upsert. A deterministic change-set
+    * (derived arithmetically from the corpus so the DuckDB oracle can
+    * regenerate it bit-for-bit) carries the three MERGE verbs:
+    * doc_id % 10 = 3 → UPDATE (source re-curated), 7 → DELETE,
+    * 5 → INSERT (a new doc_id past max). Output is the post-merge
+    * table with a version column (2 = touched this merge, 1 = carried
+    * forward). Shape: one scan builds the change-set, one full-outer
+    * join on doc_id applies it; matched-DELETE rows drop in the
+    * post-join filter, matched-UPDATE / unmatched-INSERT rows take the
+    * change columns. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame =
+    mergeUpsertFrom(documents(s, d))
+
+  def mergeUpsertFrom(base: DataFrame): DataFrame = {
+    // scalar action: the insert-key offset; folds to a literal so the
+    // change-set projection stays a pure map
+    val off = base.agg(max("doc_id")).head().getLong(0) + 1L
+    val m = col("doc_id") % 10
+    val changes = base
+      .filter(m === 3 || m === 5 || m === 7)
+      .select(
+        when(m === 5, col("doc_id") + off).otherwise(col("doc_id")).as("doc_id"),
+        when(m === 3, "U").when(m === 7, "D").otherwise("I").as("op"),
+        when(m === 5, lit("xx")).when(m === 3, col("lang")).as("u_lang"),
+        when(m === 5, lit("synthetic")).when(m === 3, lit("curated")).as("u_source"),
+        when(m === 5, col("n_chars") + 1L).when(m === 3, col("n_chars")).as("u_n_chars"))
+    val touched = col("op").isin("U", "I")
+    base.select("doc_id", "lang", "source", "n_chars")
+      .join(changes, Seq("doc_id"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        col("doc_id"),
+        when(touched, col("u_lang")).otherwise(col("lang")).as("lang"),
+        when(touched, col("u_source")).otherwise(col("source")).as("source"),
+        when(touched, col("u_n_chars")).otherwise(col("n_chars")).as("n_chars"),
+        when(touched, lit(2L)).otherwise(lit(1L)).as("version"))
+  }
+
+  val mergeUpsertSql: String =
+    """WITH ch AS (
+      |  SELECT CASE WHEN doc_id % 10 = 5
+      |           THEN doc_id + (SELECT max(doc_id) + 1 FROM documents)
+      |           ELSE doc_id END AS doc_id,
+      |         CASE doc_id % 10 WHEN 3 THEN 'U' WHEN 7 THEN 'D' ELSE 'I' END AS op,
+      |         CASE doc_id % 10 WHEN 5 THEN 'xx' WHEN 3 THEN lang END AS u_lang,
+      |         CASE doc_id % 10 WHEN 5 THEN 'synthetic' WHEN 3 THEN 'curated' END AS u_source,
+      |         CASE doc_id % 10 WHEN 5 THEN n_chars + 1 WHEN 3 THEN n_chars END AS u_n_chars
+      |  FROM documents WHERE doc_id % 10 IN (3, 5, 7))
+      |SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+      |       CASE WHEN c.op IN ('U','I') THEN c.u_lang ELSE b.lang END AS lang,
+      |       CASE WHEN c.op IN ('U','I') THEN c.u_source ELSE b.source END AS source,
+      |       CASE WHEN c.op IN ('U','I') THEN c.u_n_chars ELSE b.n_chars END AS n_chars,
+      |       CAST(CASE WHEN c.op IN ('U','I') THEN 2 ELSE 1 END AS BIGINT) AS version
+      |FROM documents b FULL OUTER JOIN ch c ON b.doc_id = c.doc_id
+      |WHERE c.op IS NULL OR c.op <> 'D'""".stripMargin
+
+  /** Beyond-reference: SCD-TYPE-2 HISTORY BUILD — collapse each user's
+    * event-type stream into consecutive-state runs with
+    * [valid_from, valid_to) validity windows and an is_current flag
+    * (the dimension-history table a warehouse maintains for every
+    * mutable attribute). Gaps-and-islands: a lag-change flag and its
+    * running sum assign run ids under ONE (user_id) window, then the
+    * run-grain rollup takes min/count and a lead() stitches each run's
+    * end to the next run's start. */
+  def scd2History(s: SparkSession, d: String): DataFrame =
+    scd2HistoryFrom(events(s, d))
+
+  def scd2HistoryFrom(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val runs = ev
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type").as("state"))
+      .withColumn("chg",
+        when(lag("state", 1).over(w).isNull || lag("state", 1).over(w) =!= col("state"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id",
+        sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run_id")
+      .agg(
+        min("state").as("state"), // constant within a run
+        min(unix_millis(col("ts"))).as("valid_from_ms"),
+        count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy("user_id").orderBy("run_id")
+    runs
+      .withColumn("valid_to_ms", lead("valid_from_ms", 1).over(w2))
+      .withColumn("is_current", col("valid_to_ms").isNull)
+  }
+
+  val scd2HistorySql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, event_type AS state,
+      |         CASE WHEN lag(event_type) OVER w IS NULL
+      |                OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |r AS (
+      |  SELECT user_id, state, ts,
+      |         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+      |  FROM g),
+      |runs AS (
+      |  SELECT user_id, run_id, min(state) AS state,
+      |         epoch_ms(min(ts)) AS valid_from_ms, count(*) AS n_events
+      |  FROM r GROUP BY 1, 2)
+      |SELECT user_id, run_id, state, valid_from_ms, n_events,
+      |       lead(valid_from_ms) OVER w2 AS valid_to_ms,
+      |       lead(valid_from_ms) OVER w2 IS NULL AS is_current
+      |FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)""".stripMargin
+
+  /** Beyond-reference: GDPR / right-to-be-forgotten PURGE AUDIT — the
+    * measurement a deletion job must emit before it rewrites anything:
+    * per event_type, how many rows (and how much value mass) the
+    * request set removes vs retains. The request list (arithmetic here
+    * so the oracle can rebuild it; a tiny legal queue in production)
+    * broadcasts; purge/retain split as conditional sums under ONE fact
+    * scan. The delete itself is then the q152 MERGE with op='D' rows,
+    * or an anti-join rewrite of affected partitions only. */
+  def gdprDeleteAudit(s: SparkSession, d: String): DataFrame =
+    gdprDeleteAuditFrom(events(s, d))
+
+  def gdprDeleteAuditFrom(ev: DataFrame): DataFrame = {
+    val requests = ev
+      .filter(col("user_id") % 29 === 13)
+      .select("user_id").distinct()
+      .withColumn("purge", lit(1))
+    ev
+      .join(broadcast(requests), Seq("user_id"), "left")
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("purge") === 1, 1L).otherwise(0L)).as("n_purged"),
+        sum(when(col("purge").isNull, 1L).otherwise(0L)).as("n_retained"),
+        round(sum(when(col("purge") === 1, col("value")).otherwise(0.0)), 2).as("purged_value"))
+  }
+
+  val gdprDeleteAuditSql: String =
+    """WITH req AS (SELECT DISTINCT user_id, 1 AS purge FROM events WHERE user_id % 29 = 13)
+      |SELECT event_type,
+      |       CAST(sum(CASE WHEN purge = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+      |       CAST(sum(CASE WHEN purge IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |       round(sum(CASE WHEN purge = 1 THEN value ELSE 0.0 END), 2) AS purged_value
+      |FROM events e LEFT JOIN req r ON e.user_id = r.user_id
+      |GROUP BY event_type""".stripMargin
+}

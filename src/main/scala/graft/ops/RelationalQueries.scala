@@ -436,6 +436,39 @@ object RelationalQueries {
 
   val asofJoinNativeSql: String = asofJoinSql
 
+  /** Beyond-reference: INTERVAL ATTRIBUTION JOIN — every (view,
+    * purchase) pair of the same user with the purchase inside
+    * (view.ts, view.ts + 1 h]: the ad-attribution / exposure-outcome
+    * join, and the ONLY member of the event-join family whose streaming
+    * twin is Spark's NATIVE watermarked stream-stream join (as-of needs
+    * fMGWS; this is the built-in operator's exact sweet spot —
+    * [[graft.streaming.StreamingFraud.attributionStream]] runs the SAME
+    * condition and the bound makes both sides' state provably
+    * droppable). Batch shape: equi-join on user_id (ONE exchange per
+    * side, both pre-filtered scans push event_type down) with the time
+    * band as a residual predicate — never a time-bucket explosion;
+    * pair-grain output is bounded by purchase fan-in per hour, not
+    * |views|·|purchases|. Wait is exact integer millis (FLOAT RULE). */
+  def intervalAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    views.join(purchases, Seq("user_id"))
+      .filter(col("p_ts") > col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("v_ts"))).as("wait_ms"))
+  }
+
+  val intervalAttributionSql: String =
+    "SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id, " +
+      "epoch_ms(p.ts) - epoch_ms(v.ts) AS wait_ms " +
+      "FROM events v JOIN events p ON v.user_id = p.user_id " +
+      "AND v.event_type = 'view' AND p.event_type = 'purchase' " +
+      "AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR"
+
   /** Beyond-reference: tumbling event-time window — the batch twin of a
     * streaming windowed aggregation (same `window()` expression runs
     * under readStream + watermark). One hash aggregate on the derived

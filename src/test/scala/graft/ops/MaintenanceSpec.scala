@@ -1,0 +1,129 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** MERGE must apply each verb exactly once and carry everything else
+  * through untouched; SCD2 runs must tile each key's timeline; the
+  * purge audit must partition the fact exactly. */
+class MaintenanceSpec extends AnyFunSuite {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q152 merge applies U/D/I exactly and carries the rest (sf0.001)") {
+    val spark = SparkSpec.spark
+    val base = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "n_chars").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    val off = base.keys.max + 1L
+    val merged = Maintenance.mergeUpsert(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))))
+      .toMap
+
+    // key uniqueness post-merge
+    assert(merged.size == Maintenance.mergeUpsert(spark, sfDir).count())
+
+    val dels = base.keys.filter(_ % 10 == 7)
+    val upds = base.keys.filter(_ % 10 == 3)
+    val inss = base.keys.filter(_ % 10 == 5)
+    val carry = base.keys.filter(k => k % 10 != 3 && k % 10 != 7)
+
+    dels.foreach(k => assert(!merged.contains(k), s"deleted $k survived"))
+    upds.foreach { k =>
+      val (lang, _, n) = base(k)
+      assert(merged(k) == ((lang, "curated", n, 2L)), s"update $k wrong: ${merged(k)}")
+    }
+    inss.foreach { k =>
+      val (_, _, n) = base(k)
+      assert(merged(k + off) == (("xx", "synthetic", n + 1L, 2L)), s"insert for $k wrong")
+    }
+    carry.foreach { k =>
+      val (lang, src, n) = base(k)
+      assert(merged(k) == ((lang, src, n, 1L)), s"carried $k mutated: ${merged(k)}")
+    }
+    assert(merged.size == base.size - dels.size + inss.size)
+  }
+
+  test("q153 SCD2 runs tile each user's timeline (sf0.001)") {
+    val spark = SparkSpec.spark
+    val hist = Maintenance.scd2History(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("run_id"), r.getAs[String]("state"),
+        r.getAs[Long]("valid_from_ms"), Option(r.getAs[java.lang.Long]("valid_to_ms")).map(_.longValue),
+        r.getAs[Boolean]("is_current"), r.getAs[Long]("n_events")))
+    val perUserEvents = Tables.events(spark, sfDir)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    hist.groupBy(_._1).foreach { case (uid, runs0) =>
+      val runs = runs0.sortBy(_._2)
+      // run ids are 1..n
+      assert(runs.map(_._2).toSeq == (1L to runs.length.toLong))
+      // exactly one current run, and it is the last
+      assert(runs.count(_._6) == 1)
+      assert(runs.last._6 && runs.last._5.isEmpty)
+      // validity windows chain: valid_to(k) == valid_from(k+1)
+      runs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $uid run ${a._2} does not abut run ${b._2}")
+          assert(a._3 != b._3, s"user $uid consecutive runs share state ${a._3}")
+          assert(a._4 < b._4)
+        case _ => ()
+      }
+      // run event counts account for every event of the user
+      assert(runs.map(_._7).sum == perUserEvents(uid))
+    }
+  }
+
+  test("q153 constructed stream yields the exact expected runs") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    def ts(sec: Int) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, 10L, ts(1), "A"), (2L, 10L, ts(2), "A"), (3L, 10L, ts(3), "B"),
+      (4L, 10L, ts(4), "A"), (5L, 20L, ts(5), "C"),
+      // same-ts tie within user 20: event_id breaks it → C then D
+      (6L, 20L, ts(6), "D"), (7L, 20L, ts(6), "C")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Maintenance.scd2HistoryFrom(ev).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("run_id")) ->
+        ((r.getAs[String]("state"), r.getAs[Long]("valid_from_ms"),
+          Option(r.getAs[java.lang.Long]("valid_to_ms")).map(_.longValue),
+          r.getAs[Boolean]("is_current"), r.getAs[Long]("n_events"))))
+      .toMap
+    assert(out.size == 6)
+    assert(out((10L, 1L)) == (("A", 1000L, Some(3000L), false, 2L)))
+    assert(out((10L, 2L)) == (("B", 3000L, Some(4000L), false, 1L)))
+    assert(out((10L, 3L)) == (("A", 4000L, None, true, 1L)))
+    assert(out((20L, 1L)) == (("C", 5000L, Some(6000L), false, 1L)))
+    // ts-tie at 6s: event_id 6 (D) precedes event_id 7 (C)
+    assert(out((20L, 2L)) == (("D", 6000L, Some(6000L), false, 1L)))
+    assert(out((20L, 3L)) == (("C", 6000L, None, true, 1L)))
+  }
+
+  test("q154 purge audit partitions the fact exactly (sf0.001 + constructed)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val audit = Maintenance.gdprDeleteAudit(spark, sfDir).collect()
+    val totals = Tables.events(spark, sfDir).groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    audit.foreach { r =>
+      val et = r.getString(0)
+      assert(r.getLong(1) + r.getLong(2) == totals(et), s"$et purge+retain != total")
+    }
+
+    val ev = Seq(
+      (1L, 13L, new Timestamp(1000L), "view", 2.5),   // 13 % 29 == 13 → purged
+      (2L, 42L, new Timestamp(2000L), "view", 1.0),   // 42 % 29 == 13 → purged
+      (3L, 14L, new Timestamp(3000L), "view", 4.0),
+      (4L, 13L, new Timestamp(4000L), "click", 8.25)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Maintenance.gdprDeleteAuditFrom(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("view") == ((2L, 1L, 3.5)))
+    assert(out("click") == ((1L, 0L, 8.25)))
+  }
+}
