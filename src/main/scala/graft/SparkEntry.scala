@@ -312,6 +312,9 @@ object SparkEntry {
     "q153_scd2_history"       -> (graft.ops.Maintenance.scd2History _),
     // round-13: GDPR purge audit — broadcast request list, one fact scan
     "q154_gdpr_delete_audit"  -> (graft.ops.Maintenance.gdprDeleteAudit _),
+    // round-14: interval attribution join (view → purchase within 1 h);
+    // batch twin of the native watermarked stream-stream join
+    "q155_interval_attribution" -> (RelationalQueries.intervalAttribution _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -475,5 +478,6 @@ object SparkEntry {
     "q152_merge_upsert"       -> graft.ops.Maintenance.mergeUpsertSql,
     "q153_scd2_history"       -> graft.ops.Maintenance.scd2HistorySql,
     "q154_gdpr_delete_audit"  -> graft.ops.Maintenance.gdprDeleteAuditSql,
+    "q155_interval_attribution" -> RelationalQueries.intervalAttributionSql,
   )
 }

@@ -1027,6 +1027,89 @@ object StreamingFraud {
         })
   }
 
+  /** One CDC record on the wire: op ∈ {I,U,D} with the full row payload
+    * and a writer-assigned sequence number (the log offset / commit ts
+    * a real CDC feed carries). */
+  final case class CdcChange(seq: Long, doc_id: Long, op: String,
+      lang: String, source: String, n_chars: Long)
+
+  /** Per-key merge-on-read state: the key's current row (or tombstone),
+    * the seq that produced it, and an emit counter (n_applied) so a
+    * memory-sink reader can pick each key's LATEST update. */
+  final case class CdcRow(doc_id: Long, lang: String, source: String,
+      n_chars: Long, seq: Long, deleted: Boolean, n_applied: Long)
+
+  /** Streaming twin of q152 — CDC MERGE-ON-READ: the batch
+    * [[graft.ops.Maintenance.mergeUpsert]] copy-on-write join, deferred
+    * into per-key "latest version wins" state. Each micro-batch of CDC
+    * records (I/U/D + payload + seq) folds into one [[CdcRow]] per key:
+    * a record applies iff its seq ≥ the state's seq (LAST-WRITER-WINS —
+    * an out-of-order earlier update can never clobber a newer one, and
+    * a DELETE leaves a seq-carrying TOMBSTONE so a late pre-delete
+    * update cannot resurrect the key). Update mode emits each touched
+    * key's current row/tombstone per micro-batch; the read side takes
+    * the latest emit per key and drops tombstones — that snapshot is
+    * row-for-row the batch MERGE output for the same records under ANY
+    * micro-batch split and ANY cross-key arrival order
+    * (StreamingFraudSpec).
+    *
+    * Scale: state is ONE row per live key (plus tombstones until a
+    * compaction sweep — exactly the delete-vector debt a merge-on-read
+    * table format carries), partitioned by the groupByKey exchange;
+    * no base-table scan per batch — that is the entire point vs the
+    * copy-on-write batch join. State posture: [[RocksDbProvider]] for
+    * a 100 TB key space. */
+  def cdcMergeStream(changes: Dataset[CdcChange]): Dataset[CdcRow] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.doc_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        (id: Long, recs: Iterator[CdcChange], st: GroupState[CdcRow]) => {
+          var s = st.getOption.getOrElse(
+            CdcRow(id, null, null, 0L, Long.MinValue, deleted = true, 0L))
+          recs.foreach { c =>
+            s = if (c.seq >= s.seq) {
+              if (c.op == "D")
+                s.copy(seq = c.seq, deleted = true, n_applied = s.n_applied + 1)
+              else
+                CdcRow(id, c.lang, c.source, c.n_chars, c.seq,
+                  deleted = false, s.n_applied + 1)
+            } else s.copy(n_applied = s.n_applied + 1) // stale: count, don't apply
+          }
+          st.update(s)
+          s
+        })
+  }
+
+  /** Streaming twin of q155 — INTERVAL ATTRIBUTION as Spark's NATIVE
+    * watermarked stream-stream join: views and purchases (two filters
+    * of the same event stream) join on user_id with the purchase
+    * constrained to (view.ts, view.ts + 1 h]. This is the one member
+    * of the event-join family that needs no custom state operator —
+    * the time-bound condition plus both-side watermarks let Spark
+    * prove every buffered row droppable once the watermark passes
+    * v_ts + 1 h, so state is the last (watermark + 1 h) of each side,
+    * independent of stream length. Inner join ⇒ matches emit as soon
+    * as both rows have arrived; a full replay is row-for-row the batch
+    * q155 (StreamingFraudSpec). Input schema: (ts, user_id, event_id,
+    * event_type). */
+  def attributionStream(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    views
+      .join(purchases,
+        expr("user_id = p_user AND p_ts > v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("v_ts"))).as("wait_ms"))
+  }
+
   /** File-source entry: watch a landing directory of claim CSVs (the
     * app.py upload loop), tag, and write per-micro-batch result CSVs. */
   def fileStream(spark: SparkSession, landingDir: String, outDir: String,

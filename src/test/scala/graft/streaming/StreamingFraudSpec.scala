@@ -1046,4 +1046,115 @@ class StreamingFraudSpec extends AnyFunSuite {
     assert(got.size === expect.size, "one verdict per streamed vector")
     assert(got.asScala.toSet === expect)
   }
+
+  test("streaming CDC merge replay equals batch q152 under an out-of-order 3-batch split (sf0.001)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    // batch truth: the q152 copy-on-write MERGE
+    val batch = graft.ops.Maintenance.mergeUpsert(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // the same records as a CDC feed: base rows at seq 0, the
+    // deterministic change-set at seq 1
+    val base = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "n_chars").collect()
+      .map(r => StreamingFraud.CdcChange(0L, r.getLong(0), "I",
+        r.getString(1), r.getString(2), r.getLong(3)))
+    val off = base.map(_.doc_id).max + 1L
+    val changes = base.flatMap { b =>
+      b.doc_id % 10 match {
+        case 3 => Some(StreamingFraud.CdcChange(1L, b.doc_id, "U", b.lang, "curated", b.n_chars))
+        case 7 => Some(StreamingFraud.CdcChange(1L, b.doc_id, "D", null, null, 0L))
+        case 5 => Some(StreamingFraud.CdcChange(1L, b.doc_id + off, "I", "xx", "synthetic", b.n_chars + 1L))
+        case _ => None
+      }
+    }
+    val input = MemoryStream[StreamingFraud.CdcChange]
+    val query = StreamingFraud.cdcMergeStream(input.toDS())
+      .writeStream.format("memory").queryName("cdc_merge")
+      .outputMode("update").start()
+    try {
+      // out-of-order split: half the seq-1 changes arrive BEFORE their
+      // seq-0 base rows (batch 1), bases land in batch 2, the rest of
+      // the changes in batch 3 — last-writer-wins must make the split
+      // invisible
+      val (early, late) = changes.partition(_.doc_id % 2 == 0)
+      input.addData(early.toIndexedSeq)
+      query.processAllAvailable()
+      input.addData(base.toIndexedSeq)
+      query.processAllAvailable()
+      input.addData(late.toIndexedSeq)
+      query.processAllAvailable()
+      val got = spark.sql("select * from cdc_merge").collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getString(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5), r.getLong(6))))
+        .groupBy(_._1).map { case (id, rows) => id -> rows.map(_._2).maxBy(_._6) }
+        .filter(!_._2._5) // drop tombstones
+        .map { case (id, (lang, src, nc, seq, _, _)) =>
+          (id, lang, src, nc, if (seq >= 1L) 2L else 1L)
+        }.toSet
+      assert(got === batch)
+      assert(got.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("streaming CDC merge: stale updates never clobber, deletes never resurrect") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingFraud.CdcChange]
+    val query = StreamingFraud.cdcMergeStream(input.toDS())
+      .writeStream.format("memory").queryName("cdc_ooo")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        StreamingFraud.CdcChange(0L, 1L, "I", "en", "web", 10L),
+        StreamingFraud.CdcChange(2L, 1L, "U", "en", "curated", 12L),
+        StreamingFraud.CdcChange(3L, 2L, "D", null, null, 0L))
+      query.processAllAvailable()
+      // both arrive LATE: seq 1 < 2 for key 1, seq 2 < 3 for key 2
+      input.addData(
+        StreamingFraud.CdcChange(1L, 1L, "U", "en", "stale", 11L),
+        StreamingFraud.CdcChange(2L, 2L, "U", "de", "resurrect", 9L))
+      query.processAllAvailable()
+      val got = spark.sql("select * from cdc_ooo").collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getString(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5), r.getLong(6))))
+        .groupBy(_._1).map { case (id, rows) => id -> rows.map(_._2).maxBy(_._6) }
+      assert(got(1L) === (("en", "curated", 12L, 2L, false, 3L)))
+      assert(got(2L)._5 === true, s"deleted key resurrected: ${got(2L)}")
+    } finally query.stop()
+  }
+
+  test("streaming attribution replay equals batch q155 on the real events table (sf0.001)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val batch = graft.ops.RelationalQueries.intervalAttribution(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val rows = graft.ops.Tables.events(spark, sfDir)
+      .select("ts", "user_id", "event_id", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1.getTime)
+    val input = MemoryStream[(Timestamp, Long, Long, String)]
+    val events = input.toDF().toDF("ts", "user_id", "event_id", "event_type")
+    val query = StreamingFraud.attributionStream(events)
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode("append").start()
+    try {
+      // two micro-batches split mid-stream: matches can straddle the cut
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1.toIndexedSeq)
+      query.processAllAvailable()
+      input.addData(h2.toIndexedSeq)
+      query.processAllAvailable()
+      val got = spark.sql("select view_id, purchase_id, user_id, wait_ms from attribution")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === batch)
+      assert(got.nonEmpty)
+    } finally query.stop()
+  }
 }
