@@ -399,4 +399,61 @@ class PlanSpec extends AnyFunSuite {
     assert(jobs <= 34,
       s"q116 launched $jobs jobs — per-round checkpoint regression?")
   }
+
+  test("q152 MERGE: one full-outer join, each side exchanges exactly once, change filter pushed") {
+    val p = plan("q152_merge_upsert")
+    // the copy-on-write kernel is ONE join — a second join or a window
+    // would be a rewrite regression
+    assert(p.linesIterator.count(_.contains("Join")) === 1, p)
+    assert(p.contains("FullOuter"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 2, p)
+    // the change-set derivation filter reaches its scan's DataFilters
+    assert(p.contains("DataFilters: [((((doc_id"), p)
+  }
+
+  test("q153 SCD2: all three windows + the run rollup ride ONE (user_id) exchange") {
+    val p = plan("q153_scd2_history")
+    // lag-flag window, running-sum window, run-grain lead window, and
+    // the groupBy(user_id, run_id) aggregate: hashpartitioning(user_id)
+    // satisfies every one of their distributions — exactly one shuffle
+    // of the full events table, ever
+    assert(p.linesIterator.count(_.contains("Exchange")) === 1, p)
+    assert(p.contains("Exchange hashpartitioning(user_id"), p)
+  }
+
+  test("q154 purge audit: broadcast request list, no shuffle join, fact aggregated under one pass") {
+    val p = plan("q154_gdpr_delete_audit")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // registered query derives the request list arithmetically → 2
+    // events scans (doc'd); the FACT pass itself aggregates map-side
+    // before the one event_type exchange
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 2, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q154 production entry (external request list) reads the fact exactly once") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val req = Seq(13L, 42L).toDF("user_id")
+    val p = graft.ops.Maintenance
+      .gdprDeleteAuditFor(graft.ops.Tables.events(spark, sfDir), req)
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q155 attribution: equi-join on user_id with the hour band residual — never a time-bucket explosion") {
+    val p = plan("q155_interval_attribution")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // equi part on user_id (broadcast at this SF; SMJ at scale — both
+    // keep the band as a residual on the same join node)
+    assert(p.contains("Join [user_id"), p)
+    assert(p.contains("p_ts"), p)
+    // both side scans push their event_type filter down
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)"), p)
+  }
 }
