@@ -315,6 +315,9 @@ object SparkEntry {
     // round-14: interval attribution join (view → purchase within 1 h);
     // batch twin of the native watermarked stream-stream join
     "q155_interval_attribution" -> (RelationalQueries.intervalAttribution _),
+    // round-14: q152's MERGE against the persisted doc_id-bucketed base
+    // — only the change-set shuffles (same oracle as q152)
+    "q156_merge_upsert_bucketed" -> (graft.ops.Maintenance.mergeUpsertBucketed _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -479,5 +482,6 @@ object SparkEntry {
     "q153_scd2_history"       -> graft.ops.Maintenance.scd2HistorySql,
     "q154_gdpr_delete_audit"  -> graft.ops.Maintenance.gdprDeleteAuditSql,
     "q155_interval_attribution" -> RelationalQueries.intervalAttributionSql,
+    "q156_merge_upsert_bucketed" -> graft.ops.Maintenance.mergeUpsertSql,
   )
 }

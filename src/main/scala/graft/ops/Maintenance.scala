@@ -80,6 +80,54 @@ object Maintenance {
         when(touched, lit(2L)).otherwise(lit(1L)).as("version"))
   }
 
+  /** Buckets for the persisted merge base. Small here (test SFs); at
+    * 100 TB this is sized so a bucket's rows fit one task (~thousands
+    * of buckets) — the count only has to match between build and
+    * re-registration, which the DDL below guarantees. */
+  val MergeBuckets = 8
+
+  /** The persisted DOC_ID-BUCKETED base table the docstring's 100 TB
+    * posture calls for: built once per corpus snapshot through the
+    * [[DurableIndex]] machinery (snapshot-tagged location, build lock,
+    * completion marker, bucket-spec re-registration on reuse — the
+    * same contract as q75's dedup index). Bucketed+sorted on doc_id,
+    * so a doc_id-keyed join reads it EXCHANGE-FREE and sort-free. */
+  def bucketedBaseTable(s: SparkSession, d: String): String = {
+    val tag = graft.ops.DurableIndex.snapshotTag(d, "documents.parquet")
+    val tbl = s"merge_base_$tag"
+    graft.ops.DurableIndex.locked(s"merge-$tag") {
+      if (!s.catalog.tableExists(tbl)) {
+        val loc = graft.ops.DurableIndex.root.resolve(s"merge-base-$tag")
+        if (graft.ops.DurableIndex.complete(loc)) {
+          s.sql(s"CREATE TABLE IF NOT EXISTS $tbl " +
+            "(doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT) " +
+            s"USING PARQUET CLUSTERED BY (doc_id) SORTED BY (doc_id) " +
+            s"INTO $MergeBuckets BUCKETS LOCATION '$loc'")
+        } else {
+          java.nio.file.Files.createDirectories(loc)
+          documents(s, d).select("doc_id", "lang", "source", "n_chars")
+            .write.mode("overwrite")
+            .option("path", loc.toString)
+            .bucketBy(MergeBuckets, "doc_id").sortBy("doc_id")
+            .saveAsTable(tbl)
+          graft.ops.DurableIndex.markComplete(loc)
+        }
+      }
+    }
+    tbl
+  }
+
+  /** q152's kernel against the PERSISTED BUCKETED base — the
+    * composition the [[mergeUpsert]] scale note promises: the base
+    * side of the full-outer join arrives pre-partitioned (and
+    * pre-sorted) on doc_id from the bucketed files, so ONLY the
+    * (small) change-set shuffles. Same rows as q152 (one oracle
+    * serves both); PlanSpec pins the base side exchange-free under
+    * forced SMJ. At 100 TB this is the difference between shuffling
+    * the whole table per merge and shuffling just the day's changes. */
+  def mergeUpsertBucketed(s: SparkSession, d: String): DataFrame =
+    mergeUpsertFrom(s.table(bucketedBaseTable(s, d)))
+
   val mergeUpsertSql: String =
     """WITH ch AS (
       |  SELECT CASE WHEN doc_id % 10 = 5

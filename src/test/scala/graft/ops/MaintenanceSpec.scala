@@ -48,6 +48,16 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(merged.size == base.size - dels.size + inss.size)
   }
 
+  test("q156 bucketed merge returns exactly the q152 rows (sf0.001)") {
+    val spark = SparkSpec.spark
+    val plain = Maintenance.mergeUpsert(spark, sfDir).collect()
+      .map(_.toSeq).toSet
+    val bucketed = Maintenance.mergeUpsertBucketed(spark, sfDir).collect()
+      .map(_.toSeq).toSet
+    assert(bucketed === plain)
+    assert(bucketed.nonEmpty)
+  }
+
   test("q153 SCD2 runs tile each user's timeline (sf0.001)") {
     val spark = SparkSpec.spark
     val hist = Maintenance.scd2History(spark, sfDir).collect()

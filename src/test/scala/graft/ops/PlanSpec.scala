@@ -444,6 +444,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q156 bucketed MERGE: base side exchange-free, only the change-set shuffles") {
+    val p = plan("q156_merge_upsert_bucketed")
+    assert(p.contains("FullOuter"), p)
+    // the whole point: ONE exchange (the change-set), zero for the base
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
+    // and the base side join leg reads the bucketed files directly
+    assert(p.contains("Bucketed: true"), p)
+    assert(p.contains("SelectedBucketsCount: 8 out of 8"), p)
+  }
+
   test("q155 attribution: equi-join on user_id with the hour band residual — never a time-bucket explosion") {
     val p = plan("q155_interval_attribution")
     assert(!p.contains("CartesianProduct"), p)
