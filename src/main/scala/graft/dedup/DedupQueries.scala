@@ -765,28 +765,76 @@ object DedupQueries {
     * (block index, block value) key whose space is 2^16 per index, then
     * a codegen'd xor+popcount on the candidate pairs only. */
   def simHashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
-    // r13: the fingerprint scan is the native SimHashBlocksExpr (the
-    // last full-corpus Scala UDF in the dedup family — q18's r13
-    // conversion, applied here), the 64-bit hash reassembled from its
-    // own pigeonhole blocks (shiftleft | — bit-exact incl. the sign
-    // bit), and the frame CHECKPOINTED before the self-join: both join
-    // sides and both exchange branches read the computed table instead
-    // of re-running the signature pipeline (the q116 fan-out
-    // discipline; at 100 TB this is the documented persist-signatures
-    // posture). Hamming is codegen bit_count(xor), not a pair UDF.
+    // BLOCK COUNT SCALES WITH log N (the r13 verdict's documented-but-
+    // unimplemented fix): the count-star is a cheap footer-level job
+    // and deterministic per dataset, so the plan stays reproducible.
+    val n = Tables.documents(s, d).count()
+    simHashPairsBlocked(s, d, maxHamming, pigeonholeBlocks(n, maxHamming))
+  }
+
+  /** How many pigeonhole blocks for a corpus of n docs: the MINIMUM
+    * B = maxHamming+1 gives 1-block keys of 64/B bits — a FIXED key
+    * space, so within-key candidate-pair mass grows ∝ n² (measured
+    * 7.5× for 3× data at sf3, VERDICT r13 §wrong-2). Growing B by one
+    * adds ~64/B bits to the key (keys are B−k blocks, below), dividing
+    * collision mass by ~2^(64/B); stepping B each ~2^13 growth in n
+    * keeps n²/2^keybits ~linear in n. Thresholds sit between the test
+    * SFs (sf0.1 = 5·10⁴ → 4 blocks, the oracle-checked shape; sf1/sf3
+    * = 5·10⁵/1.5·10⁶ → 5; ≥ 2·10⁸ → 6, the Manku WWW'07 table count). */
+  def pigeonholeBlocks(n: Long, maxHamming: Int): Int =
+    if (n < 200000L) maxHamming + 1
+    else if (n < 200000000L) maxHamming + 2
+    else maxHamming + 3
+
+  /** Generalized pigeonhole blocking (Manku et al., WWW'07 §3): split
+    * the 64-bit fingerprint into B blocks; a pair within Hamming k
+    * leaves ≥ B−k blocks untouched, so keying every C(B, B−k)
+    * combination of B−k blocks (packed into one long — ≤ 45 bits for
+    * every B here) guarantees each true pair shares ≥ 1 (combo, key)
+    * bucket. B = k+1 degenerates to the classic single-block scheme;
+    * larger B trades explode fan-out C(B,B−k) per doc for a key space
+    * 2^((B−k)·64/B) — the fan-out is linear cost, the key width kills
+    * the quadratic collision term. The RESULT is blocking-independent
+    * (verified pairs only), so q62's oracle is unchanged for any B
+    * (SimHashBlockingSpec pins B=4/5/6 row-identical at sf0.001).
+    *
+    * Shape: fingerprint scan (native SimHashBlocksExpr) checkpointed
+    * before the self-join (q116 fan-out discipline), posexplode of the
+    * packed combo keys (pos = combo id), one shuffle on (ci, kv),
+    * codegen bit_count(xor) verification on candidates only. */
+  def simHashPairsBlocked(s: SparkSession, d: String, maxHamming: Int,
+                          nBlocks: Int): DataFrame = {
+    require(nBlocks > maxHamming, s"need > $maxHamming blocks")
+    val widths = {
+      val base = 64 / nBlocks; val rem = 64 % nBlocks
+      (0 until nBlocks).map(j => if (j < rem) base + 1 else base)
+    }
+    val offsets = widths.scanLeft(0)(_ + _)
+    // pack blocks j1<j2<…<jm of the fingerprint into one long key:
+    // ((fp>>off_j1)&m1) << (w_j2+…) | … | ((fp>>off_jm)&m_jm)
+    def blockExpr(j: Int): String =
+      s"((simhash >> ${offsets(j)}) & ${(1L << widths(j)) - 1}L)"
+    val combos = (0 until nBlocks).combinations(nBlocks - maxHamming).toSeq
+    val keyExprs = combos.map { combo =>
+      val shifted = combo.zipWithIndex.map { case (j, i) =>
+        val below = combo.drop(i + 1).map(widths).sum
+        if (below == 0) blockExpr(j)
+        else s"shiftleft(${blockExpr(j)}, $below)"
+      }
+      expr(shifted.mkString(" | "))
+    }
     val fp = Tables.documents(s, d)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.simHashBlocks(col("text")).as("blk"))
       .select(col("doc_id"),
         expr("shiftleft(CAST(blk[3] AS BIGINT), 48) | shiftleft(CAST(blk[2] AS BIGINT), 32) | " +
-          "shiftleft(CAST(blk[1] AS BIGINT), 16) | CAST(blk[0] AS BIGINT)").as("simhash"),
-        col("blk"))
+          "shiftleft(CAST(blk[1] AS BIGINT), 16) | CAST(blk[0] AS BIGINT)").as("simhash"))
       .localCheckpoint(true)
-    val blocks = fp.select(col("doc_id"), col("simhash"),
-        posexplode(col("blk")).as(Seq("bi", "bv")))
-    blocks.as("a")
-      .join(blocks.as("b"),
-        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+    val keys = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array(keyExprs: _*)).as(Seq("ci", "kv")))
+    keys.as("a")
+      .join(keys.as("b"),
+        col("a.ci") === col("b.ci") && col("a.kv") === col("b.kv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").as("hamming"))

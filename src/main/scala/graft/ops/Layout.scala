@@ -216,6 +216,72 @@ object Layout {
       .parquet(outDir)
   }
 
+  /** EXECUTE the q126 z-order plan (VERDICT r13 next-round #6 — the
+    * manifest's missing APPLY step): physically rewrite the events
+    * table so each planned z-file becomes exactly one parquet file,
+    * laid out as a `file_id=` hive tree. Same one-task-per-group
+    * mechanics as [[applyCompactionPlan]]: the Morton assignment is
+    * per-row arithmetic, `repartition(file_id)` puts each z-file on
+    * one task (write parallelism = planned files), and
+    * `partitionBy(file_id)` gives each its own directory — one task ×
+    * one directory = one file. Rows inside a file are sorted by the
+    * 2-D key, so parquet page stats are tight too, not just the file
+    * footer. The helper columns are dropped before the write: the
+    * rewritten table is row-identical to the source (LayoutSpec), the
+    * layout IS the only change — exactly what `OPTIMIZE ZORDER BY`
+    * promises. Cost at 100 TB: the one exchange any rewrite pays.
+    *
+    * LayoutSpec closes the write→read loop: the on-disk per-file
+    * (min,max) boxes equal the q126 manifest's, and the q146 pruning
+    * decision replayed against the REAL footer stats reads the same
+    * files/rows the manifest-based audit predicted. */
+  def applyZorderLayout(events: DataFrame, outDir: String): Unit = {
+    events
+      .withColumn("x", expr(s"CAST(user_id div $XDiv AS BIGINT)"))
+      .withColumn("y", expr("CAST(day(ts) - 1 AS BIGINT)"))
+      .withColumn("file_id",
+        expr(s"CAST((${mortonExpr("x", "y", "div")}) div $ZPerFile AS BIGINT)"))
+      .repartition(col("file_id"))
+      .sortWithinPartitions("file_id", "x", "y")
+      .drop("x", "y")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("file_id")
+      .parquet(outDir)
+  }
+
+  /** EXECUTE the q127 range-partition plan: rewrite documents into the
+    * planned lower-inclusive n_chars ranges, one parquet file per
+    * range, as a `part_id=` hive tree — the sorted-layout write whose
+    * footer stats a range reader prunes on. Boundary derivation is
+    * IDENTICAL to [[rangePartitionPlanFrom]] (same bounded sample,
+    * same ceil-rank order statistics, same ties-go-right rule), so the
+    * on-disk partition row counts and key extents match the q127
+    * manifest row-for-row (LayoutSpec). Shape: the bounded-sample
+    * aggregate (≤ k rows), a broadcast of the one-row boundary array,
+    * then the one repartition+write exchange — no global sort. */
+  def applyRangePartitionPlan(documents: DataFrame, outDir: String): Unit = {
+    val (p, k) = (RpPartitions, RpSampleK)
+    val keyed = documents.withColumn("skey",
+      graft.functions.GraftFunctions
+        .md5Lower53(concat(lit("rp:"), col("doc_id").cast("string")))
+        .cast("double"))
+    val bounds = keyed
+      .agg(TopKAggregator.minKBy(k)(col("skey"), col("doc_id"), col("n_chars")).as("smp"))
+      .select(sort_array(expr("transform(smp, e -> e._3)")).as("v"))
+      .select(expr(
+        s"transform(sequence(1, ${p - 1}), i -> element_at(v, CAST((size(v) * i + ${p - 1}) div $p AS INT)))")
+        .as("bnds"))
+    keyed.crossJoin(broadcast(bounds))
+      .withColumn("part_id",
+        expr("CAST(size(filter(bnds, b -> b <= n_chars)) AS BIGINT)"))
+      .drop("skey", "bnds")
+      .repartition(col("part_id"))
+      .sortWithinPartitions("part_id", "n_chars", "doc_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("part_id")
+      .parquet(outDir)
+  }
+
   // ------------------------------------- zone-map skipping audit
 
   /** The audit's rect predicate: user cells x ∈ [5,9] (user_id 25..49)

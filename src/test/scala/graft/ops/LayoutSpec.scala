@@ -218,4 +218,80 @@ class LayoutSpec extends AnyFunSuite {
       .count()
     assert(zo.getAs[Long]("rows_matched") == expMatch)
   }
+
+  test("applyZorderLayout rewrites into the planned files; real footer boxes reproduce the audit's pruning win (sf0.01)") {
+    val spark = SparkSpec.spark
+    val d = "/root/testdata/sf0.01"
+    val ev = Tables.events(spark, d)
+    val plan = Layout.zorderLayout(spark, d).collect()
+      .map(r => r.getAs[Long]("file_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("min_x"), r.getAs[Long]("max_x"),
+          r.getAs[Long]("min_y"), r.getAs[Long]("max_y")))).toMap
+    val out = java.nio.file.Files.createTempDirectory("zorder_apply").toString
+    Layout.applyZorderLayout(ev, out)
+    // one physical parquet file per planned z-file, no strays
+    val fileDirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(fd => fd.getName.stripPrefix("file_id=").toLong ->
+        fd.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap
+    assert(fileDirs.keySet === plan.keySet)
+    fileDirs.foreach { case (k, n) => assert(n == 1, s"file_id=$k has $n files") }
+    // the ON-DISK boxes (recomputed per physical file) equal the manifest
+    val back = spark.read.parquet(out)
+    val diskBoxes = back
+      .select(col("file_id").cast("long").as("file_id"),
+        expr(s"CAST(user_id div ${Layout.XDiv} AS BIGINT)").as("x"),
+        expr("CAST(day(ts) - 1 AS BIGINT)").as("y"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n"), min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .collect()
+      .map(r => (r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))).toMap
+    assert(diskBoxes === plan)
+    // rows survive the rewrite (event grain, all columns that identify one)
+    assert(back.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      ev.select("event_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // the write→read loop closes: replaying the q146 pruning decision
+    // against the REAL files' boxes reads exactly what the
+    // manifest-based audit predicted
+    val audit = Layout.zoneMapSkipping(spark, d).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap.apply("zorder")
+    val readSet = diskBoxes.filter { case (_, (_, minX, maxX, minY, maxY)) =>
+      !(maxX < Layout.RectXLo || minX > Layout.RectXHi ||
+        maxY < Layout.RectYLo || minY > Layout.RectYHi)
+    }
+    assert(readSet.size.toLong === audit.getAs[Long]("files_read"))
+    assert(readSet.values.map(_._1).sum === audit.getAs[Long]("rows_scanned"))
+  }
+
+  test("applyRangePartitionPlan rewrites into the planned ranges: one file each, counts and extents match (sf0.01)") {
+    val spark = SparkSpec.spark
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d)
+    val plan = Layout.rangePartitionPlan(spark, d).collect()
+      .map(r => r.getAs[Long]("part_id") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("min_key"), r.getAs[Long]("max_key")))).toMap
+    val out = java.nio.file.Files.createTempDirectory("rp_apply").toString
+    Layout.applyRangePartitionPlan(docs, out)
+    val partDirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(pd => pd.getName.stripPrefix("part_id=").toLong ->
+        pd.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap
+    assert(partDirs.keySet === plan.keySet)
+    partDirs.foreach { case (k, n) => assert(n == 1, s"part_id=$k has $n files") }
+    val back = spark.read.parquet(out)
+    val gotParts = back.groupBy(col("part_id").cast("long").as("part_id"))
+      .agg(count(lit(1)).as("n"), min("n_chars").as("lo"), max("n_chars").as("hi"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(gotParts === plan)
+    // ranges are disjoint on disk too: each partition's max ≤ next's min
+    val ordered = gotParts.toSeq.sortBy(_._1).map(_._2)
+    ordered.sliding(2).foreach {
+      case Seq(a, b) => assert(a._3 <= b._2, s"overlap: $a vs $b")
+      case _ => ()
+    }
+    // doc grain survives
+    assert(back.count() === docs.count())
+    assert(back.select("doc_id").distinct().count() === docs.count())
+  }
 }
