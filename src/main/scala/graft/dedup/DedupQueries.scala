@@ -778,12 +778,18 @@ object DedupQueries {
     * 7.5× for 3× data at sf3, VERDICT r13 §wrong-2). Growing B by one
     * adds ~64/B bits to the key (keys are B−k blocks, below), dividing
     * collision mass by ~2^(64/B); stepping B each ~2^13 growth in n
-    * keeps n²/2^keybits ~linear in n. Thresholds sit between the test
-    * SFs (sf0.1 = 5·10⁴ → 4 blocks, the oracle-checked shape; sf1/sf3
-    * = 5·10⁵/1.5·10⁶ → 5; ≥ 2·10⁸ → 6, the Manku WWW'07 table count). */
+    * keeps n²/2^keybits ~linear in n. Thresholds are MEASURED, not
+    * guessed (AbSimhash A/B, idle box, emit-once shape): B=5 beats
+    * B=4 already at sf0.1 (5·10³ docs: 0.97 vs 1.15 s) and decisively
+    * at sf1 (5·10⁴: 4.6 vs 10.4 s) — the 26-bit key pays for its 10/4
+    * explode fan-out as soon as the n²/2^16 collision term is
+    * non-trivial — so B=5 starts at 2·10³ and only the tiny-corpus
+    * tail keeps the classic 4-block scheme. B=6 (the Manku WWW'07
+    * table count, 20 combos × 33-bit keys) from 10⁸, where n²/2^26
+    * collision mass would re-dominate. */
   def pigeonholeBlocks(n: Long, maxHamming: Int): Int =
-    if (n < 200000L) maxHamming + 1
-    else if (n < 200000000L) maxHamming + 2
+    if (n < 2000L) maxHamming + 1
+    else if (n < 100000000L) maxHamming + 2
     else maxHamming + 3
 
   /** Generalized pigeonhole blocking (Manku et al., WWW'07 §3): split
@@ -801,7 +807,19 @@ object DedupQueries {
     * Shape: fingerprint scan (native SimHashBlocksExpr) checkpointed
     * before the self-join (q116 fan-out discipline), posexplode of the
     * packed combo keys (pos = combo id), one shuffle on (ci, kv),
-    * codegen bit_count(xor) verification on candidates only. */
+    * codegen bit_count(xor) verification on candidates only.
+    *
+    * EMIT-ONCE instead of distinct(): a near-identical pair matches
+    * MANY combos (an exact duplicate matches all C(B,B−k)), so the
+    * naive plan replicates every true pair per matching combo and
+    * pays a pair-grain distinct() shuffle to undo it — at sf3 the
+    * true-pair mass is ~1.3M rows and that shuffle dominated. Here a
+    * pair is emitted ONLY by its first matching combo: combo ci fires
+    * iff every earlier combo differs somewhere, a pure-arithmetic test
+    * on the pair's fingerprint XOR ((x & comboMask_j) ≠ 0 — the join
+    * key already proves (x & comboMask_ci) = 0). Exactly-once output
+    * by construction ⇒ no distinct(), no replication surviving the
+    * join, and the dedup "shuffle" becomes a codegen'd filter. */
   def simHashPairsBlocked(s: SparkSession, d: String, maxHamming: Int,
                           nBlocks: Int): DataFrame = {
     require(nBlocks > maxHamming, s"need > $maxHamming blocks")
@@ -823,6 +841,9 @@ object DedupQueries {
       }
       expr(shifted.mkString(" | "))
     }
+    // bit mask a combo covers on the fingerprint itself
+    def comboMask(combo: Seq[Int]): Long =
+      combo.map(j => ((1L << widths(j)) - 1) << offsets(j)).reduce(_ | _)
     val fp = Tables.documents(s, d)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.simHashBlocks(col("text")).as("blk"))
@@ -832,13 +853,24 @@ object DedupQueries {
       .localCheckpoint(true)
     val keys = fp.select(col("doc_id"), col("simhash"),
       posexplode(array(keyExprs: _*)).as(Seq("ci", "kv")))
+    // first-match-only predicate: CASE on the emitting combo id
+    val firstMatch = {
+      val cases = combos.indices.map { ci =>
+        val earlier = (0 until ci)
+          .map(j => s"((simx & ${comboMask(combos(j))}L) != 0)")
+        val cond = if (earlier.isEmpty) "true" else earlier.mkString(" AND ")
+        s"WHEN $ci THEN $cond"
+      }
+      expr(s"CASE a.ci ${cases.mkString(" ")} ELSE false END")
+    }
     keys.as("a")
       .join(keys.as("b"),
         col("a.ci") === col("b.ci") && col("a.kv") === col("b.kv") &&
           col("a.doc_id") < col("b.doc_id"))
+      .withColumn("simx", expr("a.simhash ^ b.simhash"))
+      .filter(firstMatch)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").as("hamming"))
-      .distinct()
+        expr("CAST(bit_count(simx) AS INT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -25,9 +25,10 @@ class SimHashBlockingSpec extends AnyFunSuite {
   }
 
   test("block-count policy steps with log N and never loses the pigeonhole bound") {
-    assert(DedupQueries.pigeonholeBlocks(50000L, 3) === 4)    // sf0.1
-    assert(DedupQueries.pigeonholeBlocks(500000L, 3) === 5)   // sf1
-    assert(DedupQueries.pigeonholeBlocks(1500000L, 3) === 5)  // sf3
+    assert(DedupQueries.pigeonholeBlocks(500L, 3) === 4)     // sf0.001/sf0.01
+    assert(DedupQueries.pigeonholeBlocks(5000L, 3) === 5)    // sf0.1
+    assert(DedupQueries.pigeonholeBlocks(50000L, 3) === 5)   // sf1
+    assert(DedupQueries.pigeonholeBlocks(150000L, 3) === 5)  // sf3
     assert(DedupQueries.pigeonholeBlocks(300000000L, 3) === 6)
     // the adaptive entry agrees with the explicit path at this SF
     val spark = SparkSpec.spark
