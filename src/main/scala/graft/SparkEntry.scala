@@ -318,6 +318,9 @@ object SparkEntry {
     // round-14: q152's MERGE against the persisted doc_id-bucketed base
     // — only the change-set shuffles (same oracle as q152)
     "q156_merge_upsert_bucketed" -> (graft.ops.Maintenance.mergeUpsertBucketed _),
+    // round-14: q13's revenue join planned by the sketch-join advisor
+    // (un-hinted dims broadcast from catalog sketches; same oracle)
+    "q157_sketch_join_revenue" -> (RelationalQueries.sketchJoinRevenue _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -483,5 +486,6 @@ object SparkEntry {
     "q154_gdpr_delete_audit"  -> graft.ops.Maintenance.gdprDeleteAuditSql,
     "q155_interval_attribution" -> RelationalQueries.intervalAttributionSql,
     "q156_merge_upsert_bucketed" -> graft.ops.Maintenance.mergeUpsertSql,
+    "q157_sketch_join_revenue" -> RelationalQueries.joinRevenueSql,
   )
 }

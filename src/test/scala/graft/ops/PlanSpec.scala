@@ -454,6 +454,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SelectedBucketsCount: 8 out of 8"), p)
   }
 
+  test("q157: the sketch rule (and only it) broadcasts the cataloged dims; fact-fact stays SMJ") {
+    val spark = SparkSpec.spark
+    graft.plans.SketchCatalog.analyze(spark, s"$sfDir/nation.parquet", "n_nationkey")
+    graft.plans.SketchCatalog.analyze(spark, s"$sfDir/customer.parquet", "c_custkey")
+    val autoKey = "spark.sql.autoBroadcastJoinThreshold"
+    val savedAuto = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "-1")
+    try {
+      // rule OFF: with auto-broadcast disabled and no hints, every
+      // join shuffles — the baseline the rule must improve on
+      spark.conf.unset("spark.graft.sketchJoin.broadcastRows")
+      val off = graft.ops.RelationalQueries.unhintedRevenueJoin(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!off.contains("BroadcastHashJoin"), off)
+      assert(off.linesIterator.count(_.contains("SortMergeJoin")) === 3, off)
+      // rule ON: both cataloged dims broadcast; the uncataloged
+      // lineitem ⋈ orders join must NOT be touched
+      spark.conf.set("spark.graft.sketchJoin.broadcastRows", "1000000")
+      val on = graft.ops.RelationalQueries.unhintedRevenueJoin(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(on.linesIterator.count(_.contains("BroadcastHashJoin")) === 2, on)
+      assert(on.linesIterator.count(_.contains("SortMergeJoin")) === 1, on)
+    } finally {
+      spark.conf.set(autoKey, savedAuto)
+      spark.conf.unset("spark.graft.sketchJoin.broadcastRows")
+    }
+  }
+
   test("q155 attribution: equi-join on user_id with the hour band residual — never a time-bucket explosion") {
     val p = plan("q155_interval_attribution")
     assert(!p.contains("CartesianProduct"), p)
