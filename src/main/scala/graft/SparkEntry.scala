@@ -321,6 +321,12 @@ object SparkEntry {
     // round-14: q13's revenue join planned by the sketch-join advisor
     // (un-hinted dims broadcast from catalog sketches; same oracle)
     "q157_sketch_join_revenue" -> (RelationalQueries.sketchJoinRevenue _),
+    // round-14: strict ordered funnel via cascaded running-min windows
+    "q158_funnel_steps"        -> (RelationalQueries.funnelSteps _),
+    // round-14: trailing-7-day per-user activity (RANGE frame on µs)
+    "q159_rolling_activity"    -> (RelationalQueries.rollingUserActivity _),
+    // round-14: first-order event-transition matrix (Markov counts)
+    "q160_event_transitions"   -> (RelationalQueries.eventTransitions _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -487,5 +493,8 @@ object SparkEntry {
     "q155_interval_attribution" -> RelationalQueries.intervalAttributionSql,
     "q156_merge_upsert_bucketed" -> graft.ops.Maintenance.mergeUpsertSql,
     "q157_sketch_join_revenue" -> RelationalQueries.joinRevenueSql,
+    "q158_funnel_steps"        -> RelationalQueries.funnelStepsSql,
+    "q159_rolling_activity"    -> RelationalQueries.rollingUserActivitySql,
+    "q160_event_transitions"   -> RelationalQueries.eventTransitionsSql,
   )
 }

@@ -1165,4 +1165,151 @@ object RelationalQueries {
       |  FROM ev JOIN c USING (user_id) WHERE ev.day >= c.cohort_day)
       |SELECT cohort_day, day_offset, count(*) AS n_users
       |FROM a GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------- sequence analytics
+
+  /** q158 — STRICT ORDERED FUNNEL (signup → view → click → purchase):
+    * per user, step k counts only if it happens STRICTLY AFTER the
+    * user's step-(k−1) completion time — the product-analytics funnel
+    * where first occurrences alone overcount (a click before the
+    * qualifying view must not complete step 3).
+    *
+    * The sequential dependency t_k = min{ts > t_(k−1)} looks like a
+    * per-user driver loop, but cascades through STACKED RUNNING-MIN
+    * WINDOWS over one (user_id, ts, event_id) sort: a step-k event
+    * QUALIFIES iff the running min of qualified step-(k−1) times over
+    * STRICTLY EARLIER rows is < its ts, and its own qualified time
+    * feeds the next cascade. All three cascade windows plus the final
+    * per-user aggregate ride ONE user_id exchange (the q153
+    * gaps-and-islands discipline); output is 4 rows of exact integer
+    * user counts. At 100 TB: one shuffle of the filtered funnel event
+    * types, no joins, no per-user state beyond the sort. */
+  def funnelSteps(s: SparkSession, d: String): DataFrame = {
+    // strictly-earlier frame: ties in ts break by event_id, and the
+    // < ts test keeps simultaneous events from chaining
+    val wPrev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val steps = ev
+      .withColumn("t1", when(col("event_type") === "signup", col("ts")))
+      .withColumn("q1", min("t1").over(wPrev))
+      .withColumn("t2",
+        when(col("event_type") === "view" && col("q1") < col("ts"), col("ts")))
+      .withColumn("q2", min("t2").over(wPrev))
+      .withColumn("t3",
+        when(col("event_type") === "click" && col("q2") < col("ts"), col("ts")))
+      .withColumn("q3", min("t3").over(wPrev))
+      .withColumn("t4",
+        when(col("event_type") === "purchase" && col("q3") < col("ts"), col("ts")))
+      .groupBy("user_id")
+      .agg(min("t1").as("s1"), min("t2").as("s2"),
+        min("t3").as("s3"), min("t4").as("s4"))
+    steps.agg(
+      sum(when(col("s1").isNotNull, 1L).otherwise(0L)).as("u1"),
+      sum(when(col("s2").isNotNull, 1L).otherwise(0L)).as("u2"),
+      sum(when(col("s3").isNotNull, 1L).otherwise(0L)).as("u3"),
+      sum(when(col("s4").isNotNull, 1L).otherwise(0L)).as("u4"))
+      .select(explode(expr(
+        "array(struct(1L AS step, 'signup' AS step_name, u1 AS n_users), " +
+          "struct(2L AS step, 'view' AS step_name, u2 AS n_users), " +
+          "struct(3L AS step, 'click' AS step_name, u3 AS n_users), " +
+          "struct(4L AS step, 'purchase' AS step_name, u4 AS n_users))")).as("r"))
+      .select(col("r.step"), col("r.step_name"), col("r.n_users"))
+  }
+
+  val funnelStepsSql: String =
+    """WITH s AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN event_type = 'signup' THEN ts END AS t1
+      |  FROM events),
+      |c1 AS (SELECT *, min(t1) OVER w AS q1 FROM s
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |s2 AS (SELECT *, CASE WHEN event_type = 'view' AND q1 < ts THEN ts END AS t2 FROM c1),
+      |c2 AS (SELECT *, min(t2) OVER w AS q2 FROM s2
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |s3 AS (SELECT *, CASE WHEN event_type = 'click' AND q2 < ts THEN ts END AS t3 FROM c2),
+      |c3 AS (SELECT *, min(t3) OVER w AS q3 FROM s3
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |s4 AS (SELECT *, CASE WHEN event_type = 'purchase' AND q3 < ts THEN ts END AS t4 FROM c3),
+      |u AS (SELECT user_id, min(t1) AS s1, min(t2) AS s2, min(t3) AS s3, min(t4) AS s4
+      |  FROM s4 GROUP BY user_id),
+      |agg AS (SELECT
+      |  CAST(sum(CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+      |  CAST(sum(CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS u2,
+      |  CAST(sum(CASE WHEN s3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS u3,
+      |  CAST(sum(CASE WHEN s4 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS u4 FROM u)
+      |SELECT x.step, x.step_name, x.n_users FROM agg, LATERAL (VALUES
+      |  (CAST(1 AS BIGINT), 'signup', u1), (CAST(2 AS BIGINT), 'view', u2),
+      |  (CAST(3 AS BIGINT), 'click', u3), (CAST(4 AS BIGINT), 'purchase', u4))
+      |  AS x(step, step_name, n_users)""".stripMargin.replace("\n", " ")
+
+  /** q159 — TIME-RANGE ROLLING AGGREGATE: per event, the same user's
+    * trailing-7-day activity (event count + value sum) — the
+    * feature-engineering window every fraud/abuse model consumes
+    * ("activity in the last N days as of each event"). RANGE frame on
+    * event-time seconds, not ROWS: the lookback is defined by the
+    * CLOCK, so burst days weigh more — exactly what a rows-frame gets
+    * wrong. ONE (user_id) exchange + one sort; the range frame is a
+    * sliding two-pointer over each partition, O(n) per user, state =
+    * the in-window slice. At 100 TB this is the q153/q158 discipline:
+    * everything rides the one keyed sort, no self-join time-bucket
+    * explosion. The frame orders by exact epoch MICROS in both
+    * engines (ts carries µs precision — a seconds cast would put
+    * same-second events in different frames than the interval
+    * arithmetic). Sum rounds to 2dp (FLOAT RULE); count is exact. */
+  def rollingUserActivity(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-7L * 86400L * 1000000L, 0L)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("value_7d", round(sum("value").over(w), 2))
+      .select("event_id", "user_id", "n_7d", "value_7d")
+  }
+
+  val rollingUserActivitySql: String =
+    """SELECT event_id, user_id,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_7d,
+      |  round(sum(value) OVER w, 2) AS value_7d
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)"""
+      .stripMargin.replace("\n", " ")
+
+  /** q160 — EVENT-TRANSITION MATRIX (first-order Markov estimate):
+    * counts of consecutive (from → to) event-type pairs inside each
+    * user's (ts, event_id)-ordered stream, with the per-source
+    * transition share as scaled integer ×10⁴ (FLOAT RULE: `div`/`//`
+    * fixed-point, no float division to drift). The sequence-mining
+    * staple behind "what do users do after an error?". Shape: lag
+    * over ONE (user_id) exchange, then a |types|²-bounded aggregate;
+    * the share window runs on that 25-row frame — noise. */
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wFrom = Window.partitionBy("from_type")
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("share_x10k",
+        expr("CAST(n_trans * 10000 div sum(n_trans) OVER " +
+          "(PARTITION BY from_type) AS BIGINT)"))
+      .select(col("from_type"), col("to_type"), col("n_trans"), col("share_x10k"))
+  }
+
+  val eventTransitionsSql: String =
+    """WITH p AS (SELECT user_id, event_type AS to_type,
+      |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      |  FROM events),
+      |t AS (SELECT from_type, to_type, count(*) AS n_trans
+      |  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n_trans,
+      |  CAST(n_trans * 10000 // sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS share_x10k
+      |FROM t""".stripMargin.replace("\n", " ")
 }
