@@ -327,6 +327,9 @@ object SparkEntry {
     "q159_rolling_activity"    -> (RelationalQueries.rollingUserActivity _),
     // round-14: first-order event-transition matrix (Markov counts)
     "q160_event_transitions"   -> (RelationalQueries.eventTransitions _),
+    // round-14: merge-on-read scan — union + latest-version-wins, the
+    // no-join read dual of q152 (same oracle)
+    "q161_merge_on_read"       -> (graft.ops.Maintenance.mergeOnReadScan _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -496,5 +499,6 @@ object SparkEntry {
     "q158_funnel_steps"        -> RelationalQueries.funnelStepsSql,
     "q159_rolling_activity"    -> RelationalQueries.rollingUserActivitySql,
     "q160_event_transitions"   -> RelationalQueries.eventTransitionsSql,
+    "q161_merge_on_read"       -> graft.ops.Maintenance.mergeUpsertSql,
   )
 }

@@ -128,6 +128,44 @@ object Maintenance {
   def mergeUpsertBucketed(s: SparkSession, d: String): DataFrame =
     mergeUpsertFrom(s.table(bucketedBaseTable(s, d)))
 
+  /** q161 — the MERGE-ON-READ SCAN: the read-side dual of the q152
+    * copy-on-write join, and the batch twin of the
+    * [[graft.streaming.StreamingFraud.cdcMergeStream]] state fold. A
+    * MoR table never rewrites the base on merge — the change-log just
+    * appends — and every SCAN reconciles: union base rows (seq 0) with
+    * the change-log (seq 1+), keep each key's HIGHEST-seq record via
+    * one struct-max aggregate, drop tombstones. NO JOIN AT ALL: one
+    * (doc_id) exchange with map-side struct-max partials, which is why
+    * MoR wins write-heavy workloads — the q152 join is deferred into
+    * an aggregate the reader was going to shuffle for anyway (and on
+    * the q156 bucketed base even that exchange disappears). Same rows
+    * as q152/q156: one oracle serves all three merge paths. */
+  def mergeOnReadScan(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select("doc_id", "lang", "source", "n_chars")
+    val off = base.agg(coalesce(max("doc_id"), lit(-1L))).head().getLong(0) + 1L
+    val m = col("doc_id") % 10
+    val log = base
+      .filter(m === 3 || m === 5 || m === 7)
+      .select(
+        when(m === 5, col("doc_id") + off).otherwise(col("doc_id")).as("doc_id"),
+        when(m === 3, "U").when(m === 7, "D").otherwise("I").as("op"),
+        when(m === 5, lit("xx")).when(m === 3, col("lang")).as("lang"),
+        when(m === 5, lit("synthetic")).when(m === 3, lit("curated")).as("source"),
+        when(m === 5, col("n_chars") + 1L).when(m === 3, col("n_chars")).as("n_chars"),
+        lit(1L).as("seq"))
+    base
+      .select(col("doc_id"), lit("I").as("op"), col("lang"), col("source"),
+        col("n_chars"), lit(0L).as("seq"))
+      .unionByName(log)
+      .groupBy("doc_id")
+      .agg(max(struct(col("seq"), col("op"), col("lang"), col("source"),
+        col("n_chars"))).as("cur"))
+      .filter(col("cur.op") =!= "D")
+      .select(col("doc_id"), col("cur.lang").as("lang"),
+        col("cur.source").as("source"), col("cur.n_chars").as("n_chars"),
+        when(col("cur.seq") >= 1L, 2L).otherwise(1L).as("version"))
+  }
+
   val mergeUpsertSql: String =
     """WITH ch AS (
       |  SELECT CASE WHEN doc_id % 10 = 5

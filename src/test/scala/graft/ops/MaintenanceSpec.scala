@@ -58,6 +58,16 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(bucketed.nonEmpty)
   }
 
+  test("q161 merge-on-read scan returns exactly the q152 rows (sf0.001)") {
+    val spark = SparkSpec.spark
+    val plain = Maintenance.mergeUpsert(spark, sfDir).collect()
+      .map(_.toSeq).toSet
+    val mor = Maintenance.mergeOnReadScan(spark, sfDir).collect()
+      .map(_.toSeq).toSet
+    assert(mor === plain)
+    assert(mor.nonEmpty)
+  }
+
   test("q153 SCD2 runs tile each user's timeline (sf0.001)") {
     val spark = SparkSpec.spark
     val hist = Maintenance.scd2History(spark, sfDir).collect()

@@ -482,6 +482,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q161 merge-on-read scan: NO join — one struct-max exchange with map-side partials") {
+    val p = plan("q161_merge_on_read")
+    assert(!p.contains("Join"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
+    assert(p.contains("partial_max"), p)
+  }
+
   test("q155 attribution: equi-join on user_id with the hour band residual — never a time-bucket explosion") {
     val p = plan("q155_interval_attribution")
     assert(!p.contains("CartesianProduct"), p)
