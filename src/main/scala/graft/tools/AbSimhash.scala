@@ -4,8 +4,13 @@ import org.apache.spark.sql.functions._
 
 import graft.Sessions
 
-/** Scratch A/B: r13 simhash pair shape (blk-array keys) vs the r14
-  * generalized packed-key shape at B=4. Deleted once resolved. */
+/** Measurement harness behind the r14 q62 rewrite: times the retired
+  * r13 pair shape (blk-array keys + pair-grain distinct) against the
+  * generalized packed-key emit-once shape at B=4 and B=5 in one JVM —
+  * the A/B whose numbers set [[graft.dedup.DedupQueries
+  * .pigeonholeBlocks]]'s thresholds (PERF_NOTES r14). Kept runnable so
+  * the thresholds stay re-measurable when the corpus shape changes:
+  * `SPARK_GRAFT_SF_DIR=scaledata/sf1 sbt "runMain graft.tools.AbSimhash"`. */
 object AbSimhash {
   def main(args: Array[String]): Unit = {
     val s = Sessions.local()
