@@ -330,6 +330,11 @@ object SparkEntry {
     // round-14: merge-on-read scan — union + latest-version-wins, the
     // no-join read dual of q152 (same oracle)
     "q161_merge_on_read"       -> (graft.ops.Maintenance.mergeOnReadScan _),
+    // round-14: exact p25/p50/p75 per group from ONE sorted buffer
+    "q162_quantile_bands"      -> (RelationalQueries.quantileBands _),
+    // round-14: correlated-subquery decorrelation (above own-user mean)
+    // in x100 integer fixed point
+    "q163_above_user_mean"     -> (RelationalQueries.aboveUserMean _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -500,5 +505,7 @@ object SparkEntry {
     "q159_rolling_activity"    -> RelationalQueries.rollingUserActivitySql,
     "q160_event_transitions"   -> RelationalQueries.eventTransitionsSql,
     "q161_merge_on_read"       -> graft.ops.Maintenance.mergeUpsertSql,
+    "q162_quantile_bands"      -> RelationalQueries.quantileBandsSql,
+    "q163_above_user_mean"     -> RelationalQueries.aboveUserMeanSql,
   )
 }

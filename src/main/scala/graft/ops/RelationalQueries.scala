@@ -1280,6 +1280,67 @@ object RelationalQueries {
       |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)"""
       .stripMargin.replace("\n", " ")
 
+  /** q162 — EXACT MULTI-QUANTILE BANDS per group: p25/p50/p75 of
+    * `value` per event_type in ONE aggregate — `percentile(col,
+    * array(…))` sorts each group's values once and reads all three
+    * order statistics from it (vs 3× the work for three separate
+    * quantile aggs; DuckDB's `quantile_cont(v, [..])` is the same
+    * contract, linear interpolation included). Completes the quantile
+    * family: q05 exact scalar, q125 mergeable sample sketch, this the
+    * exact grouped form. Scale note: exact grouped percentiles buffer
+    * each group's values (ObjectHashAggregate) — right when groups are
+    * few and bounded (5 event types); the 100 TB many-group path is
+    * q125's bounded sample sketch, documented there. */
+  def quantileBands(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, array(0.25, 0.5, 0.75))").as("q"))
+      .select(col("event_type"),
+        round(col("q")(0), 2).as("p25"),
+        round(col("q")(1), 2).as("p50"),
+        round(col("q")(2), 2).as("p75"))
+
+  val quantileBandsSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.25), 2) AS p25,
+      |  round(quantile_cont(value, 0.50), 2) AS p50,
+      |  round(quantile_cont(value, 0.75), 2) AS p75
+      |FROM events GROUP BY 1""".stripMargin.replace("\n", " ")
+
+  /** q163 — DECORRELATED "above own group mean" filter: events whose
+    * value exceeds their user's mean — the correlated-subquery shape
+    * (`WHERE value > (SELECT avg … WHERE user_id = e.user_id)`) every
+    * engine must decorrelate into aggregate + join-back. Spark's form
+    * IS the decorrelation: one user-keyed aggregate, joined back on
+    * the SAME key so the join reuses the aggregate's exchange (the
+    * q131 discipline — fact side shuffles once, total).
+    *
+    * FLOAT RULE, load-bearing here: `value` is 2-dp, so the comparison
+    * runs in ×100 integer fixed point (value_c · n > sum_c) — a float
+    * mean's last-bit association differences could flip boundary rows
+    * between engines, and a row-set query has no rounding to hide
+    * behind. The emitted mean is integer fixed point too. */
+  def aboveUserMean(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+    val stats = ev.groupBy("user_id")
+      .agg(sum("vc").as("sum_c"), count(lit(1)).as("n"))
+    ev.join(stats, "user_id")
+      .filter(col("vc") * col("n") > col("sum_c"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr("CAST(sum_c div n AS BIGINT)").as("user_mean_x100"))
+  }
+
+  val aboveUserMeanSql: String =
+    """WITH ev AS (SELECT event_id, user_id, value,
+      |  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      |st AS (SELECT user_id, CAST(sum(vc) AS BIGINT) AS sum_c, count(*) AS n
+      |  FROM ev GROUP BY 1)
+      |SELECT event_id, ev.user_id, value, CAST(sum_c // n AS BIGINT) AS user_mean_x100
+      |FROM ev JOIN st ON ev.user_id = st.user_id
+      |WHERE vc * n > sum_c""".stripMargin.replace("\n", " ")
+
   /** q160 — EVENT-TRANSITION MATRIX (first-order Markov estimate):
     * counts of consecutive (from → to) event-type pairs inside each
     * user's (ts, event_id)-ordered stream, with the per-source

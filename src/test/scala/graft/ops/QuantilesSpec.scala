@@ -158,4 +158,47 @@ class QuantilesSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got === expect)
   }
+
+  test("q162 quantile bands equal driver-side interpolated order statistics (sf0.001)") {
+    def q(xs: IndexedSeq[Double], p: Double): Double = {
+      val pos = p * (xs.size - 1)
+      val k = math.floor(pos)
+      if (pos == k) xs(k.toInt)
+      else xs(k.toInt) * (k + 1 - pos) + xs(k.toInt + 1) * (pos - k)
+    }
+    val rows = Tables.events(spark, sfDir).select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val expect = rows.groupBy(_._1).view.mapValues { grp =>
+      val v = grp.map(_._2).sorted.toIndexedSeq
+      (math.rint(q(v, 0.25) * 100) / 100, math.rint(q(v, 0.5) * 100) / 100,
+        math.rint(q(v, 0.75) * 100) / 100)
+    }.toMap
+    val got = RelationalQueries.quantileBands(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got === expect)
+    got.values.foreach { case (p25, p50, p75) =>
+      assert(p25 <= p50 && p50 <= p75)
+    }
+  }
+
+  test("q163 above-own-mean equals an exact integer fixed-point recount (sf0.001)") {
+    val rows = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byUser = rows.groupBy(_._2)
+    val expect = byUser.flatMap { case (_, grp) =>
+      val cs = grp.map(e => math.rint(e._3 * 100).toLong)
+      val (s, n) = (cs.sum, cs.length.toLong)
+      grp.zip(cs).collect { case ((id, _, _), c) if c * n > s => id }
+    }.toSet
+    val got = RelationalQueries.aboveUserMean(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.map(_._1).toSet === expect)
+    // the emitted mean is the user's floor-divided fixed-point mean
+    val means = byUser.view.mapValues { grp =>
+      val cs = grp.map(e => math.rint(e._3 * 100).toLong)
+      Math.floorDiv(cs.sum, cs.length.toLong)
+    }.toMap
+    val userOf = rows.map(e => e._1 -> e._2).toMap
+    got.foreach { case (id, m) => assert(m === means(userOf(id))) }
+  }
 }
