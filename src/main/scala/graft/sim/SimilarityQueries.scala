@@ -967,10 +967,15 @@ object SimilarityQueries {
     * candidates (q44/q78) like the rest of the neighbor family; the
     * re-rank cost is k·m sims per query regardless of corpus size. */
   def mmrRerank(s: SparkSession, d: String, k: Int = MmrK,
-                m: Int = MmrPool): DataFrame = {
+                m: Int = MmrPool,
+                queryCap: Long = Long.MaxValue): DataFrame = {
+    // queryCap bounds the query set for the workload-constant scaling
+    // probes (tools.VariantBench `mmr_qconst`); the registered q143
+    // leaves it unbounded, |Q| ∝ N like the rest of the ANN family
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val queries = emb.filter(col("vec_id") % 100 === 0 &&
+        col("vec_id") < queryCap)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
     val cand = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))

@@ -327,6 +327,20 @@ object VariantBench {
     "ann_qconst_ivf54"  -> ((s, d) => annWorkloadConst(s, d, sqrtNlist = false)),
     "ann_qconst_sqrtn"  -> ((s, d) => annWorkloadConst(s, d, sqrtNlist = true)),
     "ann_qconst_brute"  -> (bruteWorkloadConst _),
+    // r14: workload-constant probes for the r13 additions — q149 SQ8
+    // and q143 MMR define |Q| ∝ N like the rest of the ANN family, so
+    // their registered-bench ratios (31×/26× for 10× data at sf1)
+    // carry an N²/100 definition term. Same fixed-20-query contract as
+    // ann_qconst_*: expect ≈ linear (train/encode/scan all ∝ N; the
+    // MMR re-rank is k·m sims per query, constant).
+    "sq8_qconst"        -> ((s, d) => {
+      import graft.sim.ScalarQuantization._
+      val e = emb(s, d)
+      val bounds = sqBounds(e)
+      sqTopKFrom(e.filter(col("vec_id") < 2000), sqEncode(e, bounds), bounds)
+    }),
+    "mmr_qconst"        -> ((s, d) =>
+      SimilarityQueries.mmrRerank(s, d, queryCap = 2000L)),
   )
 
   def main(args: Array[String]): Unit = {
