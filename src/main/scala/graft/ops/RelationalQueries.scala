@@ -1290,22 +1290,34 @@ object RelationalQueries {
     * exact grouped form. Scale note: exact grouped percentiles buffer
     * each group's values (ObjectHashAggregate) — right when groups are
     * few and bounded (5 event types); the 100 TB many-group path is
-    * q125's bounded sample sketch, documented there. */
+    * q125's bounded sample sketch, documented there.
+    *
+    * FLOAT RULE, the sharp edge this op hit in testing: interpolated
+    * quantiles of 2-dp values land on exact .xx5 ties (f ∈ {.25,.75}
+    * over cent-grid neighbors), where Spark's HALF_UP `round`, JVM
+    * `rint` and DuckDB disagree. So the percentile runs over INTEGER
+    * CENTS and emits the interpolated cent value UN-rounded: with
+    * integer endpoints and dyadic f, a + f·(b−a) is EXACT in IEEE
+    * doubles (no rounding step exists on either engine to disagree
+    * about) — quarter-cent granularity, bit-identical everywhere. */
   def quantileBands(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .groupBy("event_type")
-      .agg(expr("percentile(value, array(0.25, 0.5, 0.75))").as("q"))
       .select(col("event_type"),
-        round(col("q")(0), 2).as("p25"),
-        round(col("q")(1), 2).as("p50"),
-        round(col("q")(2), 2).as("p75"))
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .groupBy("event_type")
+      .agg(expr("percentile(vc, array(0.25D, 0.5D, 0.75D))").as("q"))
+      .select(col("event_type"),
+        col("q")(0).as("p25_cents"),
+        col("q")(1).as("p50_cents"),
+        col("q")(2).as("p75_cents"))
 
   val quantileBandsSql: String =
     """SELECT event_type,
-      |  round(quantile_cont(value, 0.25), 2) AS p25,
-      |  round(quantile_cont(value, 0.50), 2) AS p50,
-      |  round(quantile_cont(value, 0.75), 2) AS p75
-      |FROM events GROUP BY 1""".stripMargin.replace("\n", " ")
+      |  quantile_cont(vc, 0.25) AS p25_cents,
+      |  quantile_cont(vc, 0.50) AS p50_cents,
+      |  quantile_cont(vc, 0.75) AS p75_cents
+      |FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+      |  FROM events) GROUP BY 1""".stripMargin.replace("\n", " ")
 
   /** q163 — DECORRELATED "above own group mean" filter: events whose
     * value exceeds their user's mean — the correlated-subquery shape

@@ -160,24 +160,27 @@ class QuantilesSpec extends AnyFunSuite {
   }
 
   test("q162 quantile bands equal driver-side interpolated order statistics (sf0.001)") {
-    def q(xs: IndexedSeq[Double], p: Double): Double = {
+    // cent-integer inputs + dyadic interpolation fractions → every
+    // arithmetic step is exact in doubles; compare WITHOUT tolerance
+    def q(xs: IndexedSeq[Long], p: Double): Double = {
       val pos = p * (xs.size - 1)
       val k = math.floor(pos)
-      if (pos == k) xs(k.toInt)
+      if (pos == k) xs(k.toInt).toDouble
       else xs(k.toInt) * (k + 1 - pos) + xs(k.toInt + 1) * (pos - k)
     }
     val rows = Tables.events(spark, sfDir).select("event_type", "value")
-      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .collect().map(r => (r.getString(0), math.rint(r.getDouble(1) * 100).toLong))
     val expect = rows.groupBy(_._1).view.mapValues { grp =>
       val v = grp.map(_._2).sorted.toIndexedSeq
-      (math.rint(q(v, 0.25) * 100) / 100, math.rint(q(v, 0.5) * 100) / 100,
-        math.rint(q(v, 0.75) * 100) / 100)
+      (q(v, 0.25), q(v, 0.5), q(v, 0.75))
     }.toMap
     val got = RelationalQueries.quantileBands(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
     assert(got === expect)
     got.values.foreach { case (p25, p50, p75) =>
       assert(p25 <= p50 && p50 <= p75)
+      // quarter-cent granularity: 4× any emitted value is integral
+      Seq(p25, p50, p75).foreach(v => assert(v * 4 == math.rint(v * 4)))
     }
   }
 
@@ -185,7 +188,7 @@ class QuantilesSpec extends AnyFunSuite {
     val rows = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val byUser = rows.groupBy(_._2)
-    val expect = byUser.flatMap { case (_, grp) =>
+    val expect = byUser.valuesIterator.flatMap { grp =>
       val cs = grp.map(e => math.rint(e._3 * 100).toLong)
       val (s, n) = (cs.sum, cs.length.toLong)
       grp.zip(cs).collect { case ((id, _, _), c) if c * n > s => id }
