@@ -335,6 +335,9 @@ object SparkEntry {
     // round-14: correlated-subquery decorrelation (above own-user mean)
     // in x100 integer fixed point
     "q163_above_user_mean"     -> (RelationalQueries.aboveUserMean _),
+    // round-14: per-user-capped item co-occurrence + lift (×10⁴ fixed
+    // point) — pair fan-out bounded by C(cap,2) per user BY CONSTRUCTION
+    "q164_item_cooccurrence"   -> (graft.ops.Affinity.itemCooccurrence _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -507,5 +510,6 @@ object SparkEntry {
     "q161_merge_on_read"       -> graft.ops.Maintenance.mergeUpsertSql,
     "q162_quantile_bands"      -> RelationalQueries.quantileBandsSql,
     "q163_above_user_mean"     -> RelationalQueries.aboveUserMeanSql,
+    "q164_item_cooccurrence"   -> graft.ops.Affinity.itemCooccurrenceSql,
   )
 }
