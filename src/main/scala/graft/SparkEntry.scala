@@ -338,6 +338,9 @@ object SparkEntry {
     // round-14: per-user-capped item co-occurrence + lift (×10⁴ fixed
     // point) — pair fan-out bounded by C(cap,2) per user BY CONSTRUCTION
     "q164_item_cooccurrence"   -> (graft.ops.Affinity.itemCooccurrence _),
+    // round-14: per-file Bloom skipping audit — the point-predicate
+    // dual of q146's zone maps (md5 double hashing, manifest-grain)
+    "q165_bloom_skipping"      -> (graft.ops.Layout.bloomSkipping _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -511,5 +514,6 @@ object SparkEntry {
     "q162_quantile_bands"      -> RelationalQueries.quantileBandsSql,
     "q163_above_user_mean"     -> RelationalQueries.aboveUserMeanSql,
     "q164_item_cooccurrence"   -> graft.ops.Affinity.itemCooccurrenceSql,
+    "q165_bloom_skipping"      -> graft.ops.Layout.bloomSkippingSql,
   )
 }

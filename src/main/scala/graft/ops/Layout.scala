@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton-curve) DATA LAYOUT planning — the write-side
@@ -378,6 +378,144 @@ object Layout {
        |zo AS (SELECT CAST(($z) // $ZPerFile AS BIGINT) AS file_id, x, y FROM base)
        |${summary("lin", "linear")} UNION ALL ${summary("zo", "zorder")}"""
       .stripMargin.replace("\n", " ")
+  }
+
+  // ------------------------------------ bloom file-skipping (q165)
+
+  /** Bloom hash-function count (double hashing, Kirsch–Mitzenmacher). */
+  val BloomK = 4
+  /** Bits budgeted per resident key (~1–2% FP at 4 hashes). */
+  val BloomBitsPerKey = 13L
+  /** Per-file bit floor so near-empty files still get a real filter. */
+  val BloomMinBits = 64L
+  /** Key-range file count for the orders layout. */
+  val BloomFiles = 64L
+  /** Probe selector: customers with c_custkey ≡ 1 (mod 13) — customer
+    * comes from the CUSTOMER table, so ~⅓ of probes have no orders at
+    * all (TPC-H), giving the audit genuine global negatives. */
+  val BloomProbeMod = 13L
+
+  /** q165 — BLOOM-FILTER FILE-SKIPPING AUDIT: the point-predicate
+    * complement of q146. Zone maps (q146) prune RANGE predicates on
+    * the layout's sort key; they are useless for point lookups on a
+    * SECONDARY high-cardinality key, because every file's [min,max]
+    * on that key spans nearly the whole domain. That is exactly what
+    * parquet/Iceberg per-file Bloom filters exist for, and this op
+    * measures the difference on the same files and the same probes.
+    *
+    * Layout: orders split into [[BloomFiles]] key-range files on
+    * o_orderkey (a sorted write). Each file gets a Bloom filter over
+    * its resident o_custkey set, sized [[BloomBitsPerKey]]·n + floor
+    * (per-file sizing, like parquet row-group blooms — a static size
+    * saturates when data grows). Bits derive from md5 double hashing
+    * (pos_i = (h1 + i·h2) mod m, h1/h2 = md5-lower-53 of tagged key
+    * strings) — pure integer arithmetic the DuckDB oracle recomputes
+    * bit-identically; no false negatives by construction. For each
+    * probe customer the audit asks every file: does your custkey
+    * [min,max] admit it (zone), does your Bloom admit it, and is it
+    * truly present? Output one row per file: resident/true/admitted
+    * counts and the false-positive overshoot.
+    *
+    * Scale shape: one orders scan → (file, custkey) distinct
+    * aggregate; everything after is MANIFEST-grain, never data-grain —
+    * the bits relation is exactly the footer metadata a real writer
+    * persists (files × m_bits worst case, ~2 bytes/resident key), and
+    * the probe×file frames are |P|·files with bounded |P|. At 100 TB
+    * the audit reads footers, not data; the build cost is the same
+    * per-file aggregate the writer already pays to emit footer stats.
+    * Probe positions join the bits relation on (file_id, pos) — an
+    * equi-join Spark hashes; no bitset blob crosses an exchange. */
+  def bloomSkipping(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.md5Lower53
+    def h(tag: String, key: Column): Column =
+      md5Lower53(concat(lit(tag), key.cast("string")))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val mx = ord.agg((max("o_orderkey") + lit(1L)).as("mx"))
+    val asg = ord.crossJoin(broadcast(mx))
+      .select(expr(s"CAST(o_orderkey * $BloomFiles div mx AS BIGINT)").as("file_id"),
+        col("o_custkey"))
+    val rws = asg.groupBy("file_id").agg(count(lit(1)).as("n_rows"))
+    val res = asg.distinct()
+    val stats = res.groupBy("file_id").agg(
+      count(lit(1)).as("n_resident"),
+      min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"))
+      .withColumn("m_bits", expr(s"n_resident * $BloomBitsPerKey + $BloomMinBits"))
+    val posList = s"transform(sequence(0, ${BloomK - 1}), i -> (h1 + i * h2) % m_bits)"
+    val bits = res
+      .withColumn("h1", h("bf1:", col("o_custkey")))
+      .withColumn("h2", h("bf2:", col("o_custkey")))
+      .join(stats.select("file_id", "m_bits"), "file_id")
+      .select(col("file_id"), explode(expr(posList)).as("pos"))
+      .distinct()
+    val probes = Tables.customer(s, d).select(col("c_custkey"))
+      .where(expr(s"c_custkey % $BloomProbeMod = 1"))
+      .withColumn("h1", h("bf1:", col("c_custkey")))
+      .withColumn("h2", h("bf2:", col("c_custkey")))
+    val probeFile = probes.crossJoin(broadcast(stats))
+    // NOT distinct: a key whose 4 positions collide must still need all
+    // FOUR rows matched — count(*)=K over duplicate positions is the
+    // exact all-bits-set test (bits is distinct; each row matches ≤1).
+    val admitted = probeFile
+      .select(col("file_id"), col("c_custkey"), explode(expr(posList)).as("pos"))
+      .join(bits, Seq("file_id", "pos"))
+      .groupBy("file_id", "c_custkey").agg(count(lit(1)).as("nb"))
+      .where(col("nb") === BloomK)
+      .groupBy("file_id").agg(count(lit(1)).as("bloom_admitted"))
+    val zone = probeFile
+      .where(col("c_custkey").between(col("min_ck"), col("max_ck")))
+      .groupBy("file_id").agg(count(lit(1)).as("zone_admitted"))
+    val truth = res.join(probes.select(col("c_custkey").as("o_custkey")), "o_custkey")
+      .groupBy("file_id").agg(count(lit(1)).as("n_true"))
+    stats.select("file_id", "n_resident")
+      .join(rws, "file_id")
+      .join(truth, Seq("file_id"), "left")
+      .join(zone, Seq("file_id"), "left")
+      .join(admitted, Seq("file_id"), "left")
+      .select(col("file_id"), col("n_rows"), col("n_resident"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("zone_admitted"), lit(0L)).as("zone_admitted"),
+        coalesce(col("bloom_admitted"), lit(0L)).as("bloom_admitted"),
+        (coalesce(col("bloom_admitted"), lit(0L)) -
+          coalesce(col("n_true"), lit(0L))).as("bloom_fp"))
+  }
+
+  val bloomSkippingSql: String = {
+    def h(tag: String, k: String) =
+      s"CAST(md5_number_lower('$tag' || CAST($k AS VARCHAR)) >> 11 AS BIGINT)"
+    val pos = s"[(h1 + i * h2) % m_bits for i in range(0, $BloomK)]"
+    s"""WITH ord AS (SELECT o_orderkey, o_custkey FROM orders),
+       |mx AS (SELECT max(o_orderkey) + 1 AS mx FROM ord),
+       |asg AS (SELECT CAST(o_orderkey * $BloomFiles // mx AS BIGINT) AS file_id,
+       |  o_custkey FROM ord, mx),
+       |rws AS (SELECT file_id, count(*) AS n_rows FROM asg GROUP BY 1),
+       |res AS (SELECT DISTINCT file_id, o_custkey FROM asg),
+       |st AS (SELECT file_id, count(*) AS n_resident,
+       |  min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+       |  count(*) * $BloomBitsPerKey + $BloomMinBits AS m_bits
+       |  FROM res GROUP BY 1),
+       |hs AS (SELECT file_id, ${h("bf1:", "o_custkey")} AS h1,
+       |  ${h("bf2:", "o_custkey")} AS h2 FROM res),
+       |bits AS (SELECT DISTINCT file_id, pos FROM (
+       |  SELECT hs.file_id, unnest($pos) AS pos FROM hs JOIN st USING (file_id))),
+       |pr AS (SELECT c_custkey, ${h("bf1:", "c_custkey")} AS h1,
+       |  ${h("bf2:", "c_custkey")} AS h2
+       |  FROM customer WHERE c_custkey % $BloomProbeMod = 1),
+       |pp AS (SELECT st.file_id, c_custkey, unnest($pos) AS pos FROM pr, st),
+       |adm AS (SELECT file_id, c_custkey FROM pp JOIN bits USING (file_id, pos)
+       |  GROUP BY 1, 2 HAVING count(*) = $BloomK),
+       |ba AS (SELECT file_id, count(*) AS bloom_admitted FROM adm GROUP BY 1),
+       |za AS (SELECT st.file_id, count(*) AS zone_admitted FROM pr, st
+       |  WHERE c_custkey BETWEEN min_ck AND max_ck GROUP BY 1),
+       |tr AS (SELECT file_id, count(*) AS n_true FROM res
+       |  JOIN pr ON res.o_custkey = pr.c_custkey GROUP BY 1)
+       |SELECT st.file_id, n_rows, n_resident,
+       |  coalesce(n_true, 0) AS n_true,
+       |  coalesce(zone_admitted, 0) AS zone_admitted,
+       |  coalesce(bloom_admitted, 0) AS bloom_admitted,
+       |  coalesce(bloom_admitted, 0) - coalesce(n_true, 0) AS bloom_fp
+       |FROM st JOIN rws USING (file_id)
+       |LEFT JOIN tr USING (file_id) LEFT JOIN za USING (file_id)
+       |LEFT JOIN ba USING (file_id)""".stripMargin.replace("\n", " ")
   }
 
   val compactionPlanSql: String =

@@ -294,4 +294,45 @@ class LayoutSpec extends AnyFunSuite {
     assert(back.count() === docs.count())
     assert(back.select("doc_id").distinct().count() === docs.count())
   }
+
+  test("q165 bloom skipping equals a driver-side bitset replay; no false negatives; bloom beats zones (sf0.001)") {
+    val spark = SparkSpec.spark
+    val sfDir = "/root/testdata/sf0.001"
+    import graft.dedup.Hashing
+    def h53(tag: String, k: Long): Long = Hashing.md5Lower64(tag + k) >>> 11
+    val ords = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mx = ords.map(_._1).max + 1
+    val asg = ords.map { case (ok, ck) => (ok * Layout.BloomFiles / mx, ck) }
+    val res = asg.distinct
+    val byFile = res.groupBy(_._1)
+    val probes = Tables.customer(spark, sfDir).select("c_custkey").collect()
+      .map(_.getLong(0)).filter(_ % Layout.BloomProbeMod == 1)
+    val expect = byFile.map { case (f, fr) =>
+      val resident = fr.map(_._2)
+      val m = resident.length * Layout.BloomBitsPerKey + Layout.BloomMinBits
+      val bitset = resident.flatMap { ck =>
+        val (h1, h2) = (h53("bf1:", ck), h53("bf2:", ck))
+        (0 until Layout.BloomK).map(i => (h1 + i * h2) % m)
+      }.toSet
+      val admits = probes.count { p =>
+        val (h1, h2) = (h53("bf1:", p), h53("bf2:", p))
+        (0 until Layout.BloomK).forall(i => bitset((h1 + i * h2) % m))
+      }
+      val zone = probes.count(p => p >= resident.min && p <= resident.max)
+      val truth = probes.count(resident.toSet)
+      f -> ((asg.count(_._1 == f).toLong, resident.length.toLong, truth.toLong,
+        zone.toLong, admits.toLong, (admits - truth).toLong))
+    }
+    val got = Layout.bloomSkipping(spark, sfDir).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got === expect)
+    // membership sketches never produce false negatives
+    got.values.foreach { case (_, _, t, z, b, _) => assert(b >= t && z >= t) }
+    // the point of the op: on a secondary point key, blooms admit far
+    // fewer (file, probe) pairs than the zone maps the sort key left
+    val (zoneTot, bloomTot) = (got.values.map(_._4).sum, got.values.map(_._5).sum)
+    assert(bloomTot * 2 < zoneTot, s"bloom=$bloomTot zone=$zoneTot")
+  }
 }
