@@ -341,6 +341,9 @@ object SparkEntry {
     // round-14: per-file Bloom skipping audit — the point-predicate
     // dual of q146's zone maps (md5 double hashing, manifest-grain)
     "q165_bloom_skipping"      -> (graft.ops.Layout.bloomSkipping _),
+    // round-14: exact prefix-filter set-similarity join — complete
+    // recall at J ≥ 1/2, the deterministic twin of q19's banding
+    "q166_prefix_filter_pairs" -> (graft.dedup.DedupQueries.prefixFilterPairs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -515,5 +518,6 @@ object SparkEntry {
     "q163_above_user_mean"     -> RelationalQueries.aboveUserMeanSql,
     "q164_item_cooccurrence"   -> graft.ops.Affinity.itemCooccurrenceSql,
     "q165_bloom_skipping"      -> graft.ops.Layout.bloomSkippingSql,
+    "q166_prefix_filter_pairs" -> graft.dedup.DedupQueries.prefixFilterPairsSql,
   )
 }

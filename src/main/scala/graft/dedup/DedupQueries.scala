@@ -1474,4 +1474,85 @@ object DedupQueries {
           .when(col("n") === 1, "near_dup")
           .otherwise("new").as("verdict"))
   }
+
+  // ---------------------- prefix-filter similarity join (q166)
+
+  /** Jaccard threshold as an exact rational (1/2) — the compare is
+    * i·Den ≥ u·Num in both engines, never a float. */
+  val PrefixJacNum = 1L
+  val PrefixJacDen = 2L
+
+  /** q166 — EXACT set-similarity self-join with PREFIX FILTERING
+    * (Chaudhuri et al. SSJoin / Xiao et al. PPJoin, both public): all
+    * document pairs whose shingle-set Jaccard ≥ 1/2, with COMPLETE
+    * recall — the deterministic counterpart of the q19 MinHash path,
+    * whose banding is probabilistic and can miss (q138 measures how
+    * often). Same elements as the whole dedup family: distinct word-
+    * [[ShingleN]]-gram base hashes.
+    *
+    * Why it scales: order every document's shingles by GLOBAL document
+    * frequency ascending (rarest first, ties by hash — one total order
+    * corpus-wide). If J(a,b) ≥ t, a and b MUST share a token within
+    * their first |s| − ⌈t·|s|⌉ + 1 tokens in that order (else even
+    * perfect overlap of the remainders is too small). So only the
+    * PREFIX tokens enter the join index — and because prefixes are the
+    * RAREST tokens, bucket sizes in the equi-join are small where the
+    * corpus is big; the frequent tokens that would dominate a naive
+    * share-a-token join never index anything. A length filter
+    * (Den·min ≥ Num·max) prunes size-incompatible pairs inside the
+    * join condition, before the exchange fans out.
+    *
+    * Plan: one shingle projection → explode → df counts (hash-keyed
+    * aggregate); rank-join back on hash (same key → one exchange
+    * layout); per-doc sorted rebuild (doc-bounded buffers); prefix
+    * slice → self equi-join on (rare) token; exact verify on the
+    * candidate pairs only — array_intersect over the two bounded hash
+    * arrays, intersection math in integers. Verify cost is candidate-
+    * mass-shaped, like q19/q67; nothing is ever all-pairs. */
+  def prefixFilterPairs(s: SparkSession, d: String): DataFrame = {
+    val shs = Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.GraftFunctions.shingleHashes(col("text"), ShingleN).as("hs"))
+    val ex = shs.select(col("doc_id"), explode(col("hs")).as("x"))
+    val freq = ex.groupBy("x").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(freq, "x")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("x")))).as("ord"))
+      .select(col("doc_id"),
+        expr("transform(ord, o -> o.x)").as("hs_ord"),
+        size(col("ord")).as("sz"))
+      .withColumn("p", expr(
+        s"sz - CAST((sz * $PrefixJacNum + $PrefixJacDen - 1) div $PrefixJacDen AS INT) + 1"))
+    val idx = ranked.select(col("doc_id"), col("sz"),
+      explode(expr("slice(hs_ord, 1, p)")).as("x"))
+    val cand = idx.as("a").join(idx.as("b"),
+        col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * PrefixJacDen >= col("b.sz") * PrefixJacNum &&
+          col("b.sz") * PrefixJacDen >= col("a.sz") * PrefixJacNum)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(shs.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(shs.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("i"),
+        (size(col("ha")) + size(col("hb"))).cast("long").as("ab"))
+      .select(col("doc_a"), col("doc_b"), col("i"), (col("ab") - col("i")).as("u"))
+      .where(col("i") * PrefixJacDen >= col("u") * PrefixJacNum)
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST((i * 10000 + u div 2) div u AS BIGINT)").as("jx"))
+  }
+
+  /** Honest oracle: ALL-PAIRS exact Jaccard, no prefix logic at all —
+    * independently confirms the filter's complete-recall claim at
+    * oracle scale (C(|D|,2) list intersections; sf0.01 grain). */
+  val prefixFilterPairsSql: String =
+    s"""WITH ${shinglesCte.replace("\n", " ")},
+       |shs AS (SELECT doc_id, list_distinct([CAST(md5_number_lower(s) >> 3 AS BIGINT)
+       |  for s in shingles]) AS ss FROM sh),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) AS i,
+       |  CAST(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS BIGINT) AS u
+       |  FROM shs a JOIN shs b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST((i * 10000 + u // 2) // u AS BIGINT) AS jx
+       |FROM p WHERE i * $PrefixJacDen >= u * $PrefixJacNum""".stripMargin.replace("\n", " ")
 }

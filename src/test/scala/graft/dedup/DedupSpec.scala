@@ -490,4 +490,25 @@ class DedupSpec extends AnyFunSuite {
     DedupQueries.bandingRecall(spark, sfDir).collect().foreach { r =>
       assert(r.getLong(3) == r.getLong(2) * 10000L / r.getLong(1)) }
   }
+
+  test("q166 prefix-filter pairs equal brute-force J>=1/2 exactly, with exact fixed-point jx (sf0.001)") {
+    val spark = SparkSpec.spark
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val sets: Seq[(Long, Set[Long])] = docs.toSeq.map { case (id, t) =>
+      id -> Hashing.wordShingles(t, DedupQueries.ShingleN)
+        .map(Hashing.shingleBaseHash).toSet
+    }
+    val truth = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      i = (sa & sb).size.toLong
+      u = (sa | sb).size.toLong
+      if i * DedupQueries.PrefixJacDen >= u * DedupQueries.PrefixJacNum
+    } yield (a, b) -> ((i * 10000L + u / 2) / u)).toMap
+    val got = DedupQueries.prefixFilterPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // COMPLETE recall (no LSH miss) and no extras: exact set equality
+    assert(got === truth)
+  }
 }
