@@ -344,6 +344,12 @@ object SparkEntry {
     // round-14: exact prefix-filter set-similarity join — complete
     // recall at J ≥ 1/2, the deterministic twin of q19's banding
     "q166_prefix_filter_pairs" -> (graft.dedup.DedupQueries.prefixFilterPairs _),
+    // round-14: EXACT global concat-and-chunk packing via the two-phase
+    // prefix sum — the scale-correct form of q55/q63's windows
+    "q167_pack_chunk_spans"    -> (graft.text.CorpusOps.packChunkSpans _),
+    // round-14: overlapping sliding-window RAG chunk spans (pure map +
+    // bounded explode, no shuffle)
+    "q168_rag_chunk_spans"     -> (graft.text.CorpusOps.ragChunkSpans _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -519,5 +525,7 @@ object SparkEntry {
     "q164_item_cooccurrence"   -> graft.ops.Affinity.itemCooccurrenceSql,
     "q165_bloom_skipping"      -> graft.ops.Layout.bloomSkippingSql,
     "q166_prefix_filter_pairs" -> graft.dedup.DedupQueries.prefixFilterPairsSql,
+    "q167_pack_chunk_spans"    -> graft.text.CorpusOps.packChunkSpansSql,
+    "q168_rag_chunk_spans"     -> graft.text.CorpusOps.ragChunkSpansSql,
   )
 }

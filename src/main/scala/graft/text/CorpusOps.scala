@@ -984,4 +984,131 @@ object CorpusOps {
        |    ORDER BY score_x2p20 DESC, doc_id) AS rnk FROM imp)
        |SELECT lang, CAST(rnk AS INT) AS rank, doc_id, score_x2p20
        |FROM r WHERE rnk <= $DsirSelectK""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------- global packing (two-phase cumsum)
+
+  /** Tokens per packed training sequence for q167. */
+  val PackChunkTokens = 256L
+
+  /** q167 — GLOBAL concat-and-chunk packing (the GPT-style pretraining
+    * layout: concatenate every document in doc_id order into one token
+    * stream, cut it into fixed [[PackChunkTokens]]-token sequences,
+    * report which (chunk, doc) spans result — boundary-straddling docs
+    * appear once per chunk they touch). Unlike q55 (per-language
+    * window) and q63 (per-(lang, bucket) approximation whose shard ids
+    * deliberately differ from the global stream), this is the EXACT
+    * global semantics, made scalable:
+    *
+    * A global running sum is the textbook single-partition trap —
+    * `Window.orderBy(doc_id)` with no partition key drags the whole
+    * corpus through ONE task. The two-phase prefix sum keeps it
+    * parallel end-to-end: (1) `repartitionByRange(doc_id)` +
+    * `sortWithinPartitions` (range partitions are contiguous, ordered
+    * doc_id intervals), stamp `spark_partition_id()` and
+    * localCheckpoint the 3-long-column projection — the stamp must be
+    * frozen BEFORE it is read twice, or the two actions could re-plan
+    * the range bounds differently (on a cluster: reliable
+    * `checkpoint`); (2) per-partition token totals — ≤ one row per
+    * partition, a scalar-bounded driver collect like the q10/q07
+    * thresholds — scanned into prefix OFFSETS and broadcast back;
+    * (3) a window partitioned BY pid (parallel across partitions, one
+    * 2-long-column exchange) adds the local cumsum to the partition's
+    * offset. Each doc then knows its global token interval
+    * [gstart, gend) and explodes into the ⌊gstart/C⌋..⌊(gend−1)/C⌋
+    * chunks it overlaps — ≤ n_tok/C + 1 rows per doc by construction.
+    * All span math in BIGINT; `div` floors exactly (everything is
+    * non-negative). Token convention: [[nTokCol]] (q24/q108 BPE-ish). */
+  def packChunkSpans(s: SparkSession, d: String): DataFrame = {
+    val c = PackChunkTokens
+    val parts = Tables.documents(s, d)
+      .select(col("doc_id"), nTokCol.as("n_tok"))
+      .where(col("n_tok") > 0)
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = parts.groupBy("pid").agg(sum("n_tok").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (totals.isEmpty) -1 else totals.keys.max
+    val offsets = (0 to maxPid)
+      .scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
+      .zipWithIndex.map { case (off, p) => (p, off) }
+    val offDf = broadcast(
+      s.createDataFrame(offsets).toDF("pid", "poff"))
+    parts.join(offDf, "pid")
+      .withColumn("lend",
+        sum("n_tok").over(Window.partitionBy("pid").orderBy("doc_id")))
+      .select(col("doc_id"), col("n_tok"),
+        (col("poff") + col("lend") - col("n_tok")).as("gstart"),
+        (col("poff") + col("lend")).as("gend"))
+      .withColumn("chunk_id",
+        explode(sequence(expr(s"gstart div $c"), expr(s"(gend - 1) div $c"))))
+      .select(col("chunk_id"), col("doc_id"),
+        (greatest(col("gstart"), col("chunk_id") * c) - col("chunk_id") * c)
+          .as("off_in_chunk"),
+        (least(col("gend"), (col("chunk_id") + 1) * c) -
+          greatest(col("gstart"), col("chunk_id") * c)).as("span_len"))
+  }
+
+  val packChunkSpansSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |cm AS (SELECT doc_id, n_tok,
+       |  coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gstart
+       |  FROM t WHERE n_tok > 0),
+       |e AS (SELECT doc_id, n_tok, gstart,
+       |  unnest(generate_series(CAST(gstart // $PackChunkTokens AS BIGINT),
+       |    CAST((gstart + n_tok - 1) // $PackChunkTokens AS BIGINT))) AS k FROM cm)
+       |SELECT k AS chunk_id, doc_id,
+       |  greatest(gstart, k * $PackChunkTokens) - k * $PackChunkTokens AS off_in_chunk,
+       |  least(gstart + n_tok, (k + 1) * $PackChunkTokens)
+       |    - greatest(gstart, k * $PackChunkTokens) AS span_len
+       |FROM e""".stripMargin.replace("\n", " ")
+
+  // --------------------------------------------- overlapping RAG chunks
+
+  /** q168 window/stride (tokens). Stride < window ⟹ consecutive chunks
+    * overlap by [[RagWindow]]−[[RagStride]] tokens and the last chunk
+    * always starts strictly inside the doc. */
+  val RagWindow = 64L
+  val RagStride = 48L
+
+  /** q168 — OVERLAPPING sliding-window chunk spans, the standard RAG
+    * indexing layout (vs q42's non-overlapping fixed char chunks):
+    * chunk i of a doc covers tokens [i·stride, i·stride + window),
+    * clipped at the doc end; a doc yields 1 chunk if it fits, else
+    * 1 + ⌈(n_tok − window)/stride⌉. Pure per-doc map + bounded explode
+    * — embarrassingly parallel, no shuffle anywhere, chunk count per
+    * doc ≤ n_tok/stride + 1 by construction. Span grain (not text)
+    * so the 100 TB run carries 4 BIGINTs/row, not copies of the
+    * corpus; [[nTokCol]] tokens, integer math only. */
+  def ragChunkSpans(s: SparkSession, d: String): DataFrame = {
+    val (w, st) = (RagWindow, RagStride)
+    Tables.documents(s, d)
+      .select(col("doc_id"), nTokCol.as("n_tok"))
+      .where(col("n_tok") > 0)
+      .withColumn("n_chunks",
+        when(col("n_tok") <= w, lit(1L))
+          .otherwise(lit(1L) + expr(s"(n_tok - $w + $st - 1) div $st")))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * st).as("tok_start"),
+        least(lit(w), col("n_tok") - col("chunk_idx") * st).as("tok_len"))
+  }
+
+  val ragChunkSpansSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tok
+       |  FROM documents WHERE len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) > 0),
+       |n AS (SELECT doc_id, n_tok,
+       |  CASE WHEN n_tok <= $RagWindow THEN 1
+       |    ELSE 1 + (n_tok - $RagWindow + $RagStride - 1) // $RagStride END AS n_chunks
+       |  FROM t),
+       |e AS (SELECT doc_id, n_tok,
+       |  unnest(generate_series(0, n_chunks - 1)) AS k FROM n)
+       |SELECT doc_id, k AS chunk_idx, k * $RagStride AS tok_start,
+       |  least($RagWindow, n_tok - k * $RagStride) AS tok_len
+       |FROM e""".stripMargin.replace("\n", " ")
 }
