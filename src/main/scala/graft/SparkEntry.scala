@@ -350,6 +350,10 @@ object SparkEntry {
     // round-14: overlapping sliding-window RAG chunk spans (pure map +
     // bounded explode, no shuffle)
     "q168_rag_chunk_spans"     -> (graft.text.CorpusOps.ragChunkSpans _),
+    // round-14: exact integer Gram/covariance stats of the embedding
+    // corpus (PCA/whitening prep) — ONE flat 17 KB buffer per task,
+    // never the oracle's N·d² exploded join
+    "q169_gram_matrix"         -> (graft.sim.GramMatrix.gramMatrix _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -527,5 +531,6 @@ object SparkEntry {
     "q166_prefix_filter_pairs" -> graft.dedup.DedupQueries.prefixFilterPairsSql,
     "q167_pack_chunk_spans"    -> graft.text.CorpusOps.packChunkSpansSql,
     "q168_rag_chunk_spans"     -> graft.text.CorpusOps.ragChunkSpansSql,
+    "q169_gram_matrix"         -> graft.sim.GramMatrix.gramMatrixSql,
   )
 }
