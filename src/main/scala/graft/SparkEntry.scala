@@ -354,6 +354,9 @@ object SparkEntry {
     // corpus (PCA/whitening prep) — ONE flat 17 KB buffer per task,
     // never the oracle's N·d² exploded join
     "q169_gram_matrix"         -> (graft.sim.GramMatrix.gramMatrix _),
+    // round-14: corpus-wide exact rank/percentile via the shared
+    // two-phase prefix sum (no single-task global window, no float)
+    "q170_global_rank"         -> (graft.text.CorpusOps.globalRank _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -532,5 +535,6 @@ object SparkEntry {
     "q167_pack_chunk_spans"    -> graft.text.CorpusOps.packChunkSpansSql,
     "q168_rag_chunk_spans"     -> graft.text.CorpusOps.ragChunkSpansSql,
     "q169_gram_matrix"         -> graft.sim.GramMatrix.gramMatrixSql,
+    "q170_global_rank"         -> graft.text.CorpusOps.globalRankSql,
   )
 }

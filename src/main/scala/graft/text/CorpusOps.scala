@@ -1001,46 +1001,24 @@ object CorpusOps {
     *
     * A global running sum is the textbook single-partition trap —
     * `Window.orderBy(doc_id)` with no partition key drags the whole
-    * corpus through ONE task. The two-phase prefix sum keeps it
-    * parallel end-to-end: (1) `repartitionByRange(doc_id)` +
-    * `sortWithinPartitions` (range partitions are contiguous, ordered
-    * doc_id intervals), stamp `spark_partition_id()` and
-    * localCheckpoint the 3-long-column projection — the stamp must be
-    * frozen BEFORE it is read twice, or the two actions could re-plan
-    * the range bounds differently (on a cluster: reliable
-    * `checkpoint`); (2) per-partition token totals — ≤ one row per
-    * partition, a scalar-bounded driver collect like the q10/q07
-    * thresholds — scanned into prefix OFFSETS and broadcast back;
-    * (3) a window partitioned BY pid (parallel across partitions, one
-    * 2-long-column exchange) adds the local cumsum to the partition's
-    * offset. Each doc then knows its global token interval
-    * [gstart, gend) and explodes into the ⌊gstart/C⌋..⌊(gend−1)/C⌋
-    * chunks it overlaps — ≤ n_tok/C + 1 rows per doc by construction.
-    * All span math in BIGINT; `div` floors exactly (everything is
-    * non-negative). Token convention: [[nTokCol]] (q24/q108 BPE-ish). */
+    * corpus through ONE task. [[graft.ops.Distributed.globalCumSum]]
+    * (the shared two-phase prefix sum: range-partition → frozen pid
+    * stamp → scalar-bounded per-partition totals → broadcast offsets →
+    * pid-local windows) keeps it parallel end-to-end. Each doc then
+    * knows its global token interval [gstart, gend) and explodes into
+    * the ⌊gstart/C⌋..⌊(gend−1)/C⌋ chunks it overlaps — ≤ n_tok/C + 1
+    * rows per doc by construction. All span math in BIGINT; `div`
+    * floors exactly (everything is non-negative). Token convention:
+    * [[nTokCol]] (q24/q108 BPE-ish). */
   def packChunkSpans(s: SparkSession, d: String): DataFrame = {
     val c = PackChunkTokens
-    val parts = Tables.documents(s, d)
-      .select(col("doc_id"), nTokCol.as("n_tok"))
-      .where(col("n_tok") > 0)
-      .repartitionByRange(col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true)
-    val totals = parts.groupBy("pid").agg(sum("n_tok").as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val maxPid = if (totals.isEmpty) -1 else totals.keys.max
-    val offsets = (0 to maxPid)
-      .scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
-      .zipWithIndex.map { case (off, p) => (p, off) }
-    val offDf = broadcast(
-      s.createDataFrame(offsets).toDF("pid", "poff"))
-    parts.join(offDf, "pid")
-      .withColumn("lend",
-        sum("n_tok").over(Window.partitionBy("pid").orderBy("doc_id")))
+    graft.ops.Distributed.globalCumSum(
+        Tables.documents(s, d)
+          .select(col("doc_id"), nTokCol.as("n_tok"))
+          .where(col("n_tok") > 0),
+        Seq("doc_id"), "n_tok", "gend")
       .select(col("doc_id"), col("n_tok"),
-        (col("poff") + col("lend") - col("n_tok")).as("gstart"),
-        (col("poff") + col("lend")).as("gend"))
+        (col("gend") - col("n_tok")).as("gstart"), col("gend"))
       .withColumn("chunk_id",
         explode(sequence(expr(s"gstart div $c"), expr(s"(gend - 1) div $c"))))
       .select(col("chunk_id"), col("doc_id"),
@@ -1111,4 +1089,38 @@ object CorpusOps {
        |SELECT doc_id, k AS chunk_idx, k * $RagStride AS tok_start,
        |  least($RagWindow, n_tok - k * $RagStride) AS tok_len
        |FROM e""".stripMargin.replace("\n", " ")
+
+  // --------------------------------------- corpus-wide exact rank
+
+  /** q170 — EXACT corpus-wide rank and percentile of every document by
+    * (n_chars, doc_id) — the normalization step behind length-balanced
+    * sampling curricula, and the OTHER classic global-order trap q167
+    * dodges: `row_number().over(Window.orderBy(...))` with no
+    * partition key is a single-task sort of the corpus.
+    * [[graft.ops.Distributed.globalRowNumber]] (the shared two-phase
+    * prefix sum) produces the identical 1-based rank fully in
+    * parallel; N rides along as a broadcast one-row aggregate of the
+    * same checkpointed frame, and the percentile ships as the usual
+    * half-up ×10⁴ BIGINT so the DuckDB compare is exact (FLOAT RULE).
+    * (`percent_rank()` would hit the same single-task window AND emit
+    * a float; (rank−1)/(N−1) over integers is the same statistic.) */
+  def globalRank(s: SparkSession, d: String): DataFrame = {
+    val ranked = graft.ops.Distributed.globalRowNumber(
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+      Seq("n_chars", "doc_id"), "rnk")
+    ranked
+      .crossJoin(broadcast(ranked.agg(max("rnk").as("n"))))
+      .select(col("doc_id"), col("n_chars"), col("rnk"),
+        expr("((rnk - 1) * 10000 + greatest(n - 1, 1) div 2) div greatest(n - 1, 1)")
+          .as("pct_x10k"))
+  }
+
+  val globalRankSql: String =
+    """WITH r AS (SELECT doc_id, n_chars,
+      |  row_number() OVER (ORDER BY n_chars, doc_id) AS rnk,
+      |  count(*) OVER () AS n FROM documents)
+      |SELECT doc_id, n_chars, CAST(rnk AS BIGINT) AS rnk,
+      |  CAST(((rnk - 1) * 10000 + greatest(n - 1, 1) // 2)
+      |    // greatest(n - 1, 1) AS BIGINT) AS pct_x10k
+      |FROM r""".stripMargin.replace("\n", " ")
 }

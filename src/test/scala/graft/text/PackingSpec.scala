@@ -111,6 +111,29 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("q170 two-phase rank equals the naive global window; no single-task window") {
+    val spark = SparkSpec.spark
+    val naive = graft.ops.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy("n_chars", "doc_id")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = CorpusOps.globalRank(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === naive)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val windows = CorpusOps.globalRank(spark, sfDir)
+      .queryExecution.executedPlan.collect { case w: WindowExec => w }
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned (single-task) window in q170 plan: $w"))
+    // percentile endpoints: min rank → 0, max rank → 10000
+    val pct = CorpusOps.globalRank(spark, sfDir)
+      .select("rnk", "pct_x10k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pct(1L) === 0L)
+    assert(pct(pct.keys.max) === 10000L)
+  }
+
   test("q168 plan is shuffle-free (pure map + explode)") {
     val spark = SparkSpec.spark
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
