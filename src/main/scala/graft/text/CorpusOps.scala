@@ -30,9 +30,10 @@ object CorpusOps {
     * not bin packing: one window, no sequential driver loop.
     *
     * Scale: ONE window per language partition. Language alone would
-    * bottleneck a 100 TB run on a handful of partitions; the deployed
-    * layout adds a coarse date/bucket key to the partition clause and
-    * packs within (lang, bucket) — same plan shape, bounded partitions. */
+    * bottleneck a 100 TB run on a handful of partitions; q63 bounds
+    * the partitions by adding a coarse bucket key (changing the shard
+    * ids), and q167 ([[packChunkSpans]]) gets the EXACT global
+    * semantics at scale via the two-phase prefix sum instead. */
   def sequencePack(s: SparkSession, d: String): DataFrame = {
     val nTok = size(split(trim(col("text")), "\\s+"))
     val w = Window.partitionBy("lang").orderBy("doc_id")
