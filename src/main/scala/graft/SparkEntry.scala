@@ -357,6 +357,9 @@ object SparkEntry {
     // round-14: corpus-wide exact rank/percentile via the shared
     // two-phase prefix sum (no single-task global window, no float)
     "q170_global_rank"         -> (graft.text.CorpusOps.globalRank _),
+    // round-14: deterministic token-weighted (PPS systematic) sample
+    // on the q167 stream — no floats, no RNG, hits ∝ size
+    "q171_pps_sample"          -> (graft.text.CorpusOps.ppsSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -536,5 +539,6 @@ object SparkEntry {
     "q168_rag_chunk_spans"     -> graft.text.CorpusOps.ragChunkSpansSql,
     "q169_gram_matrix"         -> graft.sim.GramMatrix.gramMatrixSql,
     "q170_global_rank"         -> graft.text.CorpusOps.globalRankSql,
+    "q171_pps_sample"          -> graft.text.CorpusOps.ppsSampleSql,
   )
 }

@@ -1124,4 +1124,52 @@ object CorpusOps {
       |  CAST(((rnk - 1) * 10000 + greatest(n - 1, 1) // 2)
       |    // greatest(n - 1, 1) AS BIGINT) AS pct_x10k
       |FROM r""".stripMargin.replace("\n", " ")
+
+  // ----------------------------- PPS systematic sampling (token-weighted)
+
+  /** q171 sampling stride: one hit per [[PpsStride]] tokens of the
+    * concatenated stream. */
+  val PpsStride = 2048L
+
+  /** q171 — EXACT probability-proportional-to-size systematic sample:
+    * lay every document on the q167 concatenated token stream and keep
+    * the docs whose interval [gstart, gend) contains a multiple of
+    * [[PpsStride]] (sampling points T, 2T, 3T, …). A doc with n_tok
+    * tokens is hit `gend div T − gstart div T` times — in expectation
+    * ∝ n_tok (exactly n_tok/T for docs shorter than T) — which is the
+    * classic deterministic token-weighted sampler (Madow systematic
+    * PPS, public): no floats, no RNG, reproducible from the data
+    * alone, and the selected set's token mass is ≈ corpus/T · E[doc]
+    * by construction. The q77/q89 samplers weight by hash keys at doc
+    * grain; this one weights by SIZE at token grain — the right
+    * notion when the budget being filled is a token budget.
+    * Same [[graft.ops.Distributed.globalCumSum]] machinery as
+    * q167/q170: parallel end-to-end, one scalar-bounded driver
+    * collect. Output: the sampled docs with their hit counts (docs
+    * longer than T can be hit more than once — a multiplicity the
+    * mixture samplers downstream consume as a repeat count). */
+  def ppsSample(s: SparkSession, d: String): DataFrame = {
+    val t = PpsStride
+    graft.ops.Distributed.globalCumSum(
+        Tables.documents(s, d)
+          .select(col("doc_id"), nTokCol.as("n_tok"))
+          .where(col("n_tok") > 0),
+        Seq("doc_id"), "n_tok", "gend")
+      .select(col("doc_id"), col("n_tok"),
+        (expr(s"gend div $t") - expr(s"(gend - n_tok) div $t")).as("hits"))
+      .where(col("hits") > 0)
+  }
+
+  val ppsSampleSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |cm AS (SELECT doc_id, n_tok,
+       |  CAST(sum(n_tok) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS gend
+       |  FROM t WHERE n_tok > 0)
+       |SELECT doc_id, n_tok,
+       |  gend // $PpsStride - (gend - n_tok) // $PpsStride AS hits
+       |FROM cm WHERE gend // $PpsStride - (gend - n_tok) // $PpsStride > 0""".stripMargin
+      .replace("\n", " ")
 }

@@ -134,6 +134,28 @@ class PackingSpec extends AnyFunSuite {
     assert(pct(pct.keys.max) === 10000L)
   }
 
+  test("q171 PPS sample: equals naive global window; hits telescope to total div T") {
+    val spark = SparkSpec.spark
+    val t = CorpusOps.PpsStride
+    val nTok = size(expr(
+      "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")).cast("long")
+    val base = graft.ops.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), nTok.as("n_tok")).where(col("n_tok") > 0)
+    val naive = base
+      .withColumn("gend", sum("n_tok").over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("doc_id"), col("n_tok"),
+        (expr(s"gend div $t") - expr(s"(gend - n_tok) div $t")).as("hits"))
+      .where(col("hits") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = CorpusOps.ppsSample(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === naive)
+    // the per-doc hit counts telescope: Σ hits == ⌊total tokens / T⌋ exactly
+    val total = base.agg(sum("n_tok")).head().getLong(0)
+    assert(got.toSeq.map(_._3).sum === total / t)
+  }
+
   test("q168 plan is shuffle-free (pure map + explode)") {
     val spark = SparkSpec.spark
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
