@@ -34,9 +34,11 @@ object Distributed {
   /** `df` plus `outCol` = running SUM of `valCol` over the global
     * `orderCols` order, INCLUSIVE of the current row. `orderCols`
     * must be a total order (include a tiebreak key); `valCol` must be
-    * integral (the offsets collect as Long). The input projection is
-    * localCheckpoint'd — callers reading the result twice pay the
-    * scan once. */
+    * integral (the offsets collect as Long). NULLs in `valCol` count
+    * as 0 toward the offsets (and are skipped by the SUM window, per
+    * SQL semantics), so NULL-heavy inputs degrade instead of failing.
+    * The input projection is localCheckpoint'd — callers reading the
+    * result twice pay the scan once. */
   def globalCumSum(df: DataFrame, orderCols: Seq[String], valCol: String,
                    outCol: String): DataFrame = {
     val s = df.sparkSession
@@ -45,7 +47,8 @@ object Distributed {
       .sortWithinPartitions(orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
-    val totals = parts.groupBy("__pid").agg(sum(col(valCol)).as("t"))
+    val totals = parts.groupBy("__pid")
+      .agg(coalesce(sum(col(valCol)), lit(0L)).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val maxPid = if (totals.isEmpty) -1 else totals.keys.max
     val offsets = (0 to maxPid)

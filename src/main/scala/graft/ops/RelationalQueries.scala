@@ -219,28 +219,20 @@ object RelationalQueries {
     * lineitem ⋈ orders (uncataloged fact-fact) stays a sort-merge
     * join, the defer-to-ignorance branch.
     *
-    * The result materializes eagerly (localCheckpoint — the output is
-    * |nations| rows) inside the conf window, so the session confs are
-    * restored before the frame escapes; at 100 TB the conf is simply
-    * on for the session and the catalog maintained by the table
-    * owner's analyze job. */
+    * The conf flip runs in an ISOLATED child session (`newSession()` —
+    * same SparkContext, injected rules, and cache, but its own
+    * SQLConf), so queries planned concurrently on the caller's session
+    * never see auto-broadcast disabled; the result materializes
+    * eagerly (localCheckpoint — the output is |nations| rows) before
+    * returning. At 100 TB the conf is simply on for the session and
+    * the catalog maintained by the table owner's analyze job. */
   def sketchJoinRevenue(s: SparkSession, d: String): DataFrame = {
     graft.plans.SketchCatalog.analyze(s, s"$d/nation.parquet", "n_nationkey")
     graft.plans.SketchCatalog.analyze(s, s"$d/customer.parquet", "c_custkey")
-    val autoKey = "spark.sql.autoBroadcastJoinThreshold"
-    val rowsKey = "spark.graft.sketchJoin.broadcastRows"
-    val savedAuto = s.conf.get(autoKey)
-    val savedRows = s.conf.getOption(rowsKey)
-    s.conf.set(autoKey, "-1")
-    s.conf.set(rowsKey, "1000000")
-    try unhintedRevenueJoin(s, d).localCheckpoint(true)
-    finally {
-      s.conf.set(autoKey, savedAuto)
-      savedRows match {
-        case Some(v) => s.conf.set(rowsKey, v)
-        case None    => s.conf.unset(rowsKey)
-      }
-    }
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.graft.sketchJoin.broadcastRows", "1000000")
+    unhintedRevenueJoin(iso, d).localCheckpoint(true)
   }
 
   /** Beyond-reference: top-1-per-group via ranking window (deterministic

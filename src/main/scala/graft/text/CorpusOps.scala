@@ -1034,8 +1034,8 @@ object CorpusOps {
        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tok
        |  FROM documents),
        |cm AS (SELECT doc_id, n_tok,
-       |  coalesce(sum(n_tok) OVER (ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gstart
+       |  coalesce(CAST(sum(n_tok) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS gstart
        |  FROM t WHERE n_tok > 0),
        |e AS (SELECT doc_id, n_tok, gstart,
        |  unnest(generate_series(CAST(gstart // $PackChunkTokens AS BIGINT),
