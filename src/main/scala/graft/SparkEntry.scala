@@ -360,6 +360,9 @@ object SparkEntry {
     // round-14: deterministic token-weighted (PPS systematic) sample
     // on the q167 stream — no floats, no RNG, hits ∝ size
     "q171_pps_sample"          -> (graft.text.CorpusOps.ppsSample _),
+    // round-15: snake-balanced training shards — LPT-style greedy on
+    // the two-phase global rank, one exchange, no RNG
+    "q172_snake_shards"        -> (graft.text.CorpusOps.snakeShards _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -540,5 +543,6 @@ object SparkEntry {
     "q169_gram_matrix"         -> graft.sim.GramMatrix.gramMatrixSql,
     "q170_global_rank"         -> graft.text.CorpusOps.globalRankSql,
     "q171_pps_sample"          -> graft.text.CorpusOps.ppsSampleSql,
+    "q172_snake_shards"        -> graft.text.CorpusOps.snakeShardsSql,
   )
 }

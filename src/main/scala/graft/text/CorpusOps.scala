@@ -1172,4 +1172,52 @@ object CorpusOps {
        |  gend // $PpsStride - (gend - n_tok) // $PpsStride AS hits
        |FROM cm WHERE gend // $PpsStride - (gend - n_tok) // $PpsStride > 0""".stripMargin
       .replace("\n", " ")
+
+  // ------------------------------------------ balanced training shards
+
+  /** q172 shard count. Real runs set this to the trainer's data-loader
+    * worker count; the balance bound below is independent of it. */
+  val SnakeShardCount = 8L
+
+  /** q172 — BALANCED SHARD ASSIGNMENT by snake (boustrophedon)
+    * ordering: docs ranked by token count DESC (doc_id tiebreak), then
+    * dealt to S shards left-to-right, right-to-left, alternating —
+    * the classic LPT-style greedy that keeps every shard's token mass
+    * within one max-document of the mean WITHOUT sequential packing's
+    * order constraint (q55/q167 fill shards in doc order; a training
+    * run that wants S equal-mass input streams doesn't care about
+    * order, it cares about no straggler shard). Deterministic — no
+    * RNG, reproducible from the data alone.
+    *
+    * Scale shape: the global rank is [[graft.ops.Distributed
+    * .globalRowNumber]] (two-phase prefix sum — range-partitioned
+    * parallel sort, one P-row driver collect, never a single-task
+    * global window); the snake arithmetic is a pure per-row map. One
+    * exchange end-to-end at any SF. SnakeShardSpec pins the balance
+    * bound: max−min shard token mass ≤ max single-doc mass. */
+  def snakeShards(s: SparkSession, d: String): DataFrame = {
+    val S = SnakeShardCount
+    graft.ops.Distributed.globalRowNumber(
+        Tables.documents(s, d)
+          .select(col("doc_id"), nTokCol.as("n_tok"))
+          .where(col("n_tok") > 0)
+          .withColumn("neg_tok", -col("n_tok")),
+        Seq("neg_tok", "doc_id"), "rnk")
+      .select(col("doc_id"), col("n_tok"),
+        expr(s"CAST(CASE WHEN ((rnk - 1) div $S) % 2 = 0 THEN (rnk - 1) % $S " +
+          s"ELSE $S - 1 - (rnk - 1) % $S END AS BIGINT)").as("shard"))
+  }
+
+  val snakeShardsSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |r AS (SELECT doc_id, n_tok,
+       |  row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rnk
+       |  FROM t WHERE n_tok > 0)
+       |SELECT doc_id, n_tok,
+       |  CAST(CASE WHEN ((rnk - 1) // $SnakeShardCount) % 2 = 0
+       |    THEN (rnk - 1) % $SnakeShardCount
+       |    ELSE $SnakeShardCount - 1 - (rnk - 1) % $SnakeShardCount END AS BIGINT) AS shard
+       |FROM r""".stripMargin.replace("\n", " ")
 }
