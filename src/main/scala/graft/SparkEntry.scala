@@ -363,6 +363,9 @@ object SparkEntry {
     // round-15: snake-balanced training shards — LPT-style greedy on
     // the two-phase global rank, one exchange, no RNG
     "q172_snake_shards"        -> (graft.text.CorpusOps.snakeShards _),
+    // round-15: lakehouse metadata-only aggregate — footer stats, not
+    // rows; O(files) executor-side reads vs the oracle's full scan
+    "q173_metadata_agg"        -> (graft.ops.Metadata.metadataAgg _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -544,5 +547,6 @@ object SparkEntry {
     "q170_global_rank"         -> graft.text.CorpusOps.globalRankSql,
     "q171_pps_sample"          -> graft.text.CorpusOps.ppsSampleSql,
     "q172_snake_shards"        -> graft.text.CorpusOps.snakeShardsSql,
+    "q173_metadata_agg"        -> graft.ops.Metadata.metadataAggSql,
   )
 }
