@@ -366,6 +366,11 @@ object SparkEntry {
     // round-15: lakehouse metadata-only aggregate — footer stats, not
     // rows; O(files) executor-side reads vs the oracle's full scan
     "q173_metadata_agg"        -> (graft.ops.Metadata.metadataAgg _),
+    // round-15: the IVF append discipline registered end-to-end —
+    // persisted base index + frozen-codebook delta append, probe-all
+    // search ≡ brute force so the q20 oracle checks the whole arc
+    "q174_ivf_append"          -> ((s: SparkSession, d: String) =>
+      graft.sim.SimilarityQueries.ivfAppendTopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -548,5 +553,6 @@ object SparkEntry {
     "q171_pps_sample"          -> graft.text.CorpusOps.ppsSampleSql,
     "q172_snake_shards"        -> graft.text.CorpusOps.snakeShardsSql,
     "q173_metadata_agg"        -> graft.ops.Metadata.metadataAggSql,
+    "q174_ivf_append"          -> SimilarityQueries.cosineTopKSql,
   )
 }
