@@ -371,6 +371,9 @@ object SparkEntry {
     // search ≡ brute force so the q20 oracle checks the whole arc
     "q174_ivf_append"          -> ((s: SparkSession, d: String) =>
       graft.sim.SimilarityQueries.ivfAppendTopK(s, d)),
+    // round-15: q169's apply step — top principal direction by exact
+    // integer power iteration, projection per vector, zero floats
+    "q175_top_pc_proj"         -> (graft.sim.PowerIteration.topPcProjection _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -554,5 +557,6 @@ object SparkEntry {
     "q172_snake_shards"        -> graft.text.CorpusOps.snakeShardsSql,
     "q173_metadata_agg"        -> graft.ops.Metadata.metadataAggSql,
     "q174_ivf_append"          -> SimilarityQueries.cosineTopKSql,
+    "q175_top_pc_proj"         -> graft.sim.PowerIteration.topPcProjectionSql,
   )
 }
