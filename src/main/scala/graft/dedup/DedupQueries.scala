@@ -1394,6 +1394,13 @@ object DedupQueries {
     newDocs.select(col("doc_id"), col("text"))
       .write.mode("append")
       .saveAsTable(appendedTextsTable(s, d))
+    // see SimilarityQueries.appendToIvfIndex: when `newDocs` rides in
+    // from a foreachBatch Dataset the write refreshes the STREAM
+    // CLONE's relation cache, not s's — refresh s so callers on s see
+    // the appended index immediately.
+    s.catalog.refreshTable(hashTbl)
+    s.catalog.refreshTable(bandTbl)
+    s.catalog.refreshTable(appendedTextsTable(s, d))
   }
 
   /** Index MAINTENANCE: merge the accumulated per-append files back to

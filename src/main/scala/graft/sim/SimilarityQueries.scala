@@ -575,6 +575,13 @@ object SimilarityQueries {
       .write.mode("append")
       .bucketBy(IvfIndexBuckets, "cent_id").sortBy("cent_id")
       .saveAsTable(ivfCodesTable(s, d))
+    // the write refreshes the relation cache of the session it ran in —
+    // which, when `newVecs` comes from a foreachBatch Dataset, is the
+    // stream's CLONED session, not `s`. Refresh `s` explicitly so the
+    // contract is "after this returns, s sees the appended index"
+    // regardless of which session the input rows were bound to.
+    s.catalog.refreshTable(listTbl)
+    s.catalog.refreshTable(ivfCodesTable(s, d))
   }
 
   /** Index MAINTENANCE for the ANN side: merge the per-append files of

@@ -758,6 +758,37 @@ object StreamingFraud {
       }
       .start()
 
+  /** Streaming INDEX MAINTENANCE for the ANN side — the q174 append
+    * arc as a stream: each micro-batch of new (vec_id, label, e)
+    * vectors runs the real write-back ([[graft.sim.SimilarityQueries
+    * .appendToIvfIndex]] — assignment against the FROZEN persisted
+    * codebook, bucketed list + PQ-code append), so the NEXT
+    * micro-batch's searches see them; then the batch's own vectors are
+    * searched over the just-grown index (probe-all by default — the
+    * search-as-you-insert readback) and handed to `sink`. Per-trigger
+    * cost ∝ batch: one broadcast-assign plus a bucket-file append —
+    * never a base re-scan, never an in-stream retrain (codebook drift
+    * is an offline re-version, the documented IVF discipline).
+    * Parity (StreamingFraudSpec): after arbitrary micro-batch splits,
+    * the persisted lists AND a probe-all search are row-identical to
+    * one batch append of the same vectors. */
+  def ivfAppendStream(spark: SparkSession, corpusDir: String,
+                      vecs: DataFrame, sink: (DataFrame, Long) => Unit,
+                      k: Int = 5, nProbe: Int = Int.MaxValue): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("e")).persist()
+        try {
+          b.count() // pin: the append and the readback see one batch state
+          graft.sim.SimilarityQueries.appendToIvfIndex(spark, corpusDir, b)
+          sink(graft.sim.SimilarityQueries.ivfProbeIndexed(spark, corpusDir,
+            b.select(col("vec_id").as("qid"), col("e").as("qe")), k, nProbe),
+            batchId)
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
   /** Driver-held streaming k-means model: cent_id → (centroid,
     * weight). Same footprint as the broadcast codebook every IVF probe
     * already ships (nlist·dim doubles) — the model living on the

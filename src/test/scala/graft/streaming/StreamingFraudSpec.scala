@@ -1157,4 +1157,66 @@ class StreamingFraudSpec extends AnyFunSuite {
       assert(got.nonEmpty)
     } finally query.stop()
   }
+
+  test("streaming IVF append: 2 micro-batch splits equal one batch append, lists and search") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.sim.SimilarityQueries
+
+    // deterministic 64-dim base corpus; the write-back MUTATES the
+    // index, so each leg gets its own private snapshot
+    def vec(i: Long): Seq[Float] =
+      (0 until 64).map(j => ((i * 31 + j * 7) % 97).toFloat / 97f)
+    def writeCorpus(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+      (0L until 100L).map(i => (i, vec(i), (i % 3).toInt))
+        .toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    val newVecs = (1000L until 1020L).map(i => (i, vec(i * 13 + 5), (i % 3).toInt))
+    val (first, second) = newVecs.splitAt(7)
+
+    // leg A: the stream, two arbitrary micro-batch splits
+    val dirA = writeCorpus()
+    val sunk = new java.util.concurrent.atomic.AtomicLong(0)
+    val input = MemoryStream[(Long, Seq[Float], Int)]
+    val query = StreamingFraud.ivfAppendStream(spark, dirA,
+      input.toDF().toDF("vec_id", "embedding", "label"),
+      (hits, _) => sunk.addAndGet(hits.count()))
+    try {
+      input.addData(first)
+      query.processAllAvailable()
+      input.addData(second)
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(sunk.get() > 0, "search-as-you-insert readback produced no rows")
+
+    // leg B: the same vectors appended in ONE batch call
+    val dirB = writeCorpus()
+    SimilarityQueries.ivfIndex(spark, dirB)
+    SimilarityQueries.appendToIvfIndex(spark, dirB,
+      newVecs.toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("e")))
+
+    def lists(dir: String) = {
+      val (_, listTbl) = SimilarityQueries.ivfIndex(spark, dir)
+      spark.table(listTbl).select("cent_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(lists(dirA) === lists(dirB))
+
+    // probe-all search parity over the grown indexes
+    val queries = newVecs.take(4).toDF("vec_id", "embedding", "label")
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qe"))
+    def hits(dir: String) =
+      SimilarityQueries.ivfProbeIndexed(spark, dir, queries, 5, Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Number](2).longValue())).toSet
+    assert(hits(dirA) === hits(dirB))
+  }
 }
