@@ -374,6 +374,9 @@ object SparkEntry {
     // round-15: q169's apply step — top principal direction by exact
     // integer power iteration, projection per vector, zero floats
     "q175_top_pc_proj"         -> (graft.sim.PowerIteration.topPcProjection _),
+    // round-15: daily time-spine densification with LOCF — the
+    // spine JOIN rewritten as a bounded per-user map fold, 2 exchanges
+    "q176_daily_gap_fill"      -> (RelationalQueries.dailyGapFill _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -558,5 +561,6 @@ object SparkEntry {
     "q173_metadata_agg"        -> graft.ops.Metadata.metadataAggSql,
     "q174_ivf_append"          -> SimilarityQueries.cosineTopKSql,
     "q175_top_pc_proj"         -> graft.sim.PowerIteration.topPcProjectionSql,
+    "q176_daily_gap_fill"      -> RelationalQueries.dailyGapFillSql,
   )
 }

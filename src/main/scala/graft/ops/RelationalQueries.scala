@@ -1377,4 +1377,62 @@ object RelationalQueries {
       |SELECT from_type, to_type, n_trans,
       |  CAST(n_trans * 10000 // sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS share_x10k
       |FROM t""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------- time-spine gap-fill
+
+  /** q176 — DAILY GAP-FILL with LOCF: each user's event stream
+    * resampled to a dense DAILY grain over [first active day, last
+    * active day] — zero rows for silent days, plus a last-observation-
+    * carried-forward column (the last ACTIVE day's total) — the
+    * densification every downstream time-series feature (q159-style
+    * trailing windows, forecasting inputs, "days since last activity")
+    * assumes and that raw event logs never provide.
+    *
+    * Shape — the classic spine join REWRITTEN to dodge its own
+    * shuffle: instead of building a spine table and LEFT JOINing the
+    * daily aggregate back (a second exchange of the daily grain), the
+    * per-user daily totals fold into ONE bounded map (`map_from_
+    * entries` — entries = the user's ACTIVE days, bounded by the
+    * calendar span, never by event count), the spine explodes from
+    * min/max inside the same row, and `element_at` fills each day by
+    * map lookup. Two user-keyed exchanges total ((user, day) partial
+    * agg → (user) fold); the LOCF window runs on the (user)-hash
+    * partitioning the fold just produced, so it adds a sort but NO
+    * exchange — GapFillSpec pins exactly 2 exchanges and the
+    * spine-join-free plan. Output rows ∝ user-days (calendar-bounded),
+    * value sums round to 2dp (FLOAT RULE, the q27 contract). */
+  def dailyGapFill(s: SparkSession, d: String): DataFrame = {
+    val wLocf = Window.partitionBy("user_id").orderBy("day")
+    events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("tot"))
+      .groupBy("user_id")
+      .agg(
+        map_from_entries(collect_list(struct(col("day"),
+          struct(col("n"), col("tot"))))).as("m"),
+        min("day").as("d0"), max("day").as("d1"))
+      .withColumn("day", explode(sequence(col("d0"), col("d1"))))
+      .select(col("user_id"), col("day"),
+        element_at(col("m"), col("day")).as("hit"))
+      .select(col("user_id"), col("day"),
+        coalesce(col("hit.n"), lit(0L)).as("n_events"),
+        coalesce(col("hit.tot"), lit(0.0)).as("total_value"),
+        last(col("hit.tot"), ignoreNulls = true).over(wLocf).as("carried_value"))
+  }
+
+  val dailyGapFillSql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+      |d AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(value), 2) AS tot FROM ev GROUP BY 1, 2),
+      |s AS (SELECT user_id,
+      |  CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM d GROUP BY user_id),
+      |j AS (SELECT s.user_id, s.day, coalesce(d.n, 0) AS n_events,
+      |  coalesce(d.tot, 0) AS total_value, d.tot AS raw
+      |  FROM s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day)
+      |SELECT user_id, day, n_events, total_value,
+      |  last_value(raw IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
+      |FROM j""".stripMargin.replace("\n", " ")
 }
