@@ -71,7 +71,12 @@ object Bench {
       build()
       (System.nanoTime() - t0) / 1e9
     }
-    val indexBuilds = Seq(
+    // SPARK_GRAFT_BENCH_SKIP_INDEX=1 skips the fresh index builds —
+    // for BENCH_ONLY subset probes of queries that touch no durable
+    // index (an index-needing query selected under the flag still
+    // works: DurableIndex build-once fires inside its timing).
+    val skipIndex = sys.env.get("SPARK_GRAFT_BENCH_SKIP_INDEX").contains("1")
+    val indexBuilds = if (skipIndex) Seq.empty[(String, Double)] else Seq(
       "dedup_corpus" -> timeIndexBuild(
         "dedup-" + graft.ops.DurableIndex.snapshotTag(sfDir, "documents.parquet"),
         () => { graft.dedup.DedupQueries.corpusIndex(spark, sfDir); () }),
