@@ -377,6 +377,9 @@ object SparkEntry {
     // round-15: daily time-spine densification with LOCF — the
     // spine JOIN rewritten as a bounded per-user map fold, 2 exchanges
     "q176_daily_gap_fill"      -> (RelationalQueries.dailyGapFill _),
+    // round-15: per-doc count of word 3-grams first introduced by that
+    // doc — ONE gram-grain window + ONE doc-grain aggregate
+    "q177_gram_novelty"        -> (Scrub.gramNovelty _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -562,5 +565,6 @@ object SparkEntry {
     "q174_ivf_append"          -> SimilarityQueries.cosineTopKSql,
     "q175_top_pc_proj"         -> graft.sim.PowerIteration.topPcProjectionSql,
     "q176_daily_gap_fill"      -> RelationalQueries.dailyGapFillSql,
+    "q177_gram_novelty"        -> Scrub.gramNoveltySql,
   )
 }

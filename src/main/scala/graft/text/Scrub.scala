@@ -789,4 +789,52 @@ object Scrub {
        |FROM pr JOIN cnt ca ON pr.src_a = ca.source
        |JOIN cnt cb ON pr.src_b = cb.source""".stripMargin.replace("\n", " ")
   }
+
+  // -------------------------------------------------- gram novelty score
+
+  val NoveltyGramN = 3
+
+  /** q177: per-document novelty — how many of a document's distinct
+    * word 3-grams are FIRST introduced by that document (owner = min
+    * doc_id over the gram's occurrences). The data-curation
+    * "contribution" metric: a doc whose grams all appeared earlier adds
+    * nothing to corpus diversity; dedup-survivors with high novelty are
+    * the valuable tail. Cheaper than any pairwise measure — novelty is
+    * a property of the gram table alone.
+    *
+    * Plan shape: ONE gram-grain exchange (window `min(doc_id) OVER
+    * (PARTITION BY gh)`) then ONE doc-grain hash aggregate — linear in
+    * total gram mass, never doc × doc. The window partitions by the
+    * gram md5, so skew is hash-bounded (the heaviest gram's partition
+    * is one string's occurrence list, not a join fan-out). Grams travel
+    * as md5 strings (16 B) off the native codegen'd
+    * `word_grams_distinct` scan — no UDF, no raw-gram shuffle width.
+    * At 100 TB: both exchanges are map-side-combinable aggregations
+    * over ~N·L keys; owner-assignment by min doc_id is deterministic
+    * under any partitioning. */
+  def gramNovelty(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions
+          .wordGramsDistinct(col("text"), NoveltyGramN)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+    val owner = Window.partitionBy("gh")
+    grams
+      .withColumn("novel",
+        when(col("doc_id") === min("doc_id").over(owner), 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum("novel").as("n_novel"))
+  }
+
+  val gramNoveltySql: String = {
+    val n = NoveltyGramN
+    s"""WITH ws AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS w FROM documents),
+       |gr AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) < $n THEN [array_to_string(w, ' ')]
+       |  ELSE [array_to_string(w[i:i+${n - 1}], ' ') for i in range(1, len(w) - ${n - 2})] END)) AS gram FROM ws),
+       |gh AS (SELECT doc_id, md5(gram) AS gh FROM gr),
+       |own AS (SELECT gh, min(doc_id) AS owner FROM gh GROUP BY gh)
+       |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |FROM gh g JOIN own o USING (gh) GROUP BY g.doc_id""".stripMargin.replace("\n", " ")
+  }
 }

@@ -47,6 +47,29 @@ class ScrubSpec extends AnyFunSuite {
     assert(got.nonEmpty, "benchmark slice must catch real contamination")
   }
 
+  test("gramNovelty equals brute-force first-owner counting (sf0.01)") {
+    val spark = SparkSpec.spark
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.ops.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> graft.dedup.Hashing
+        .wordShingles(r.getString(1), Scrub.NoveltyGramN).distinct)
+    val owner = docs.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    val truth = docs.map { case (id, gs) =>
+      id -> ((gs.size.toLong, gs.count(g => owner(g) == id).toLong))
+    }.toMap
+    val got = Scrub.gramNovelty(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"))))
+      .toMap
+    assert(got === truth)
+    // signal check: novelty must actually discriminate (not all-novel,
+    // not all-stale) on the driver corpus
+    val ratios = truth.values.map { case (n, nov) => nov.toDouble / n }
+    assert(ratios.exists(_ < 0.5) && ratios.exists(_ > 0.5))
+  }
+
   test("curatedCorpus equals the exact reconstruction from its component gates (sf0.01)") {
     val spark = SparkSpec.spark
     val dir = "/root/testdata/sf0.01"
