@@ -380,6 +380,9 @@ object SparkEntry {
     // round-15: per-doc count of word 3-grams first introduced by that
     // doc — ONE gram-grain window + ONE doc-grain aggregate
     "q177_gram_novelty"        -> (Scrub.gramNovelty _),
+    // round-15: skyline over (length, diversity, repetition) — scan+
+    // local-prune once, broadcast nested-loop anti-join on survivors
+    "q178_pareto_frontier"     -> (graft.text.CorpusOps.paretoFrontier _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -566,5 +569,6 @@ object SparkEntry {
     "q175_top_pc_proj"         -> graft.sim.PowerIteration.topPcProjectionSql,
     "q176_daily_gap_fill"      -> RelationalQueries.dailyGapFillSql,
     "q177_gram_novelty"        -> Scrub.gramNoveltySql,
+    "q178_pareto_frontier"     -> graft.text.CorpusOps.paretoFrontierSql,
   )
 }

@@ -1220,4 +1220,80 @@ object CorpusOps {
        |    THEN (rnk - 1) % $SnakeShardCount
        |    ELSE $SnakeShardCount - 1 - (rnk - 1) % $SnakeShardCount END AS BIGINT) AS shard
        |FROM r""".stripMargin.replace("\n", " ")
+
+  // ---------------------------------------------- Pareto-frontier (skyline)
+
+  /** Dominance of row `b` over row `a` on the curation criteria:
+    * ≥ chars, ≥ distinct tokens, ≤ repeated-token mass, with at least
+    * one strict. Stated ONCE as a Column expression — the merge
+    * anti-join below and any caller share the same semantics. */
+  private def dominates(b: String, a: String): Column = {
+    def c(s: String, f: String) = col(s"$s.$f")
+    c(b, "n_chars") >= c(a, "n_chars") &&
+      c(b, "n_distinct") >= c(a, "n_distinct") &&
+      c(b, "n_rep") <= c(a, "n_rep") &&
+      (c(b, "n_chars") > c(a, "n_chars") ||
+        c(b, "n_distinct") > c(a, "n_distinct") ||
+        c(b, "n_rep") < c(a, "n_rep"))
+  }
+
+  /** q178: Pareto frontier (the skyline operator, Börzsönyi et al.,
+    * ICDE'01) over three curation criteria — maximize document length
+    * (`n_chars`), maximize lexical diversity (`n_distinct` whitespace
+    * tokens), minimize repeated-token mass (`n_rep = n_tok −
+    * n_distinct`). The multi-criteria document-selection primitive: no
+    * scalar weighting, just every doc not strictly worse than another
+    * on all axes at once. Exact-duplicate criterion vectors all
+    * survive (neither dominates), matching the NOT EXISTS oracle.
+    *
+    * Distributed shape (parallel block-nested-loops): (1) one codegen'd
+    * scan derives the integer criteria; (2) `mapPartitions` keeps each
+    * partition's LOCAL skyline — correct as a pruner because dominance
+    * is partition-independent (dominated locally ⟹ dominated
+    * globally), and the expected skyline of n points in d=3 is
+    * O(log²n), so the survivor set is tiny; (3) the survivors meet in
+    * one broadcast nested-loop LEFT ANTI self-join on the dominance
+    * predicate. At 100 TB the full corpus is touched exactly once by
+    * the scan+prune; only the O(log²n)-sized candidate set is ever
+    * joined. Worst case (fully anti-correlated axes) degrades the
+    * candidate set toward n and the merge toward n² — the documented
+    * boundary of every skyline algorithm, not of this plan. */
+  def paretoFrontier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = split(trim(col("text")), "\\s+")
+    val crit = Tables.documents(s, d).select(
+      col("doc_id"),
+      col("n_chars"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      (size(toks) - size(array_distinct(toks))).cast("long").as("n_rep"))
+    def dom(b: (Long, Long, Long, Long), a: (Long, Long, Long, Long)): Boolean =
+      b._2 >= a._2 && b._3 >= a._3 && b._4 <= a._4 &&
+        (b._2 > a._2 || b._3 > a._3 || b._4 < a._4)
+    val local = crit.as[(Long, Long, Long, Long)].mapPartitions { it =>
+      val sky = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      it.foreach { r =>
+        if (!sky.exists(dom(_, r))) {
+          sky.filterInPlace(q => !dom(r, q)); sky += r
+        }
+      }
+      sky.iterator
+    }.toDF("doc_id", "n_chars", "n_distinct", "n_rep")
+      // tiny survivor set; checkpoint so the corpus scan+prune runs
+      // once, not once per side of the merge join below
+      .localCheckpoint()
+    local.alias("a").join(
+      broadcast(local.alias("b")), dominates("b", "a"), "left_anti")
+  }
+
+  val paretoFrontierSql: String =
+    """WITH c AS (SELECT doc_id, n_chars,
+      |  CAST(len(list_distinct(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))) AS BIGINT) AS n_distinct,
+      |  CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))
+      |     - len(list_distinct(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))) AS BIGINT) AS n_rep
+      |FROM documents)
+      |SELECT a.doc_id, a.n_chars, a.n_distinct, a.n_rep FROM c a
+      |WHERE NOT EXISTS (SELECT 1 FROM c b
+      |  WHERE b.n_chars >= a.n_chars AND b.n_distinct >= a.n_distinct AND b.n_rep <= a.n_rep
+      |    AND (b.n_chars > a.n_chars OR b.n_distinct > a.n_distinct OR b.n_rep < a.n_rep))"""
+      .stripMargin.replace("\n", " ")
 }
