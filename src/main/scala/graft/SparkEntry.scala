@@ -383,6 +383,9 @@ object SparkEntry {
     // round-15: skyline over (length, diversity, repetition) — scan+
     // local-prune once, broadcast nested-loop anti-join on survivors
     "q178_pareto_frontier"     -> (graft.text.CorpusOps.paretoFrontier _),
+    // round-15: multi-source BFS min-hop over the customer↔supplier
+    // bipartite graph — frontier-only expansion, checkpointed rounds
+    "q179_bfs_depth"           -> (graft.dedup.DedupQueries.bfsDepth _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -570,5 +573,6 @@ object SparkEntry {
     "q176_daily_gap_fill"      -> RelationalQueries.dailyGapFillSql,
     "q177_gram_novelty"        -> Scrub.gramNoveltySql,
     "q178_pareto_frontier"     -> graft.text.CorpusOps.paretoFrontierSql,
+    "q179_bfs_depth"           -> graft.dedup.DedupQueries.bfsDepthSql,
   )
 }

@@ -1594,4 +1594,76 @@ object DedupQueries {
        |  FROM shs a JOIN shs b ON a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, CAST((i * 10000 + u // 2) // u AS BIGINT) AS jx
        |FROM p WHERE i * $PrefixJacDen >= u * $PrefixJacNum""".stripMargin.replace("\n", " ")
+
+  // -------------------------------------- multi-source BFS (min-hop)
+
+  val BfsMaxDepth   = 4
+  val BfsSeedStride = 50 // seeds: customers with c_custkey % 50 == 0
+  val BfsMaxQty     = 2  // sparsifier: only low-quantity lineitems form edges
+
+  /** q179 — multi-source BFS: minimum hop distance from a seed set of
+    * customers through the customer↔supplier bipartite graph (an edge
+    * where a supplier shipped a low-quantity lineitem on the
+    * customer's order), out to [[BfsMaxDepth]] hops. The graph
+    * reachability primitive the propagation family (q45/q64 CC, q116
+    * PageRank) doesn't cover: CC answers "same component?", BFS
+    * answers "how far?" — blast-radius and neighborhood-expansion
+    * queries over entity graphs.
+    *
+    * Frontier-iterative: each round expands ONLY the newly-reached
+    * frontier (one key-partitioned equi-join with the checkpointed
+    * edge table), dedups it, and anti-joins the visited set — the
+    * textbook distributed BFS. Because the graph is bipartite and all
+    * seeds sit on one side, the whole frontier alternates sides each
+    * round, so each round joins on a single key. Work per round is
+    * O(frontier-adjacent edges); plan depth stays O(1) per round via
+    * the CC-rounds localCheckpoint discipline. At 100 TB the edge
+    * table is the one big artifact — built once (join + distinct =
+    * two exchanges), checkpointed, and re-joined by key each round
+    * with no rescan of lineitem. */
+  def bfsDepth(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.lineitem(s, d)
+      .filter(col("l_quantity") <= BfsMaxQty)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+      .localCheckpoint(true) // built once, re-joined every round
+    val seeds = Tables.customer(s, d)
+      .filter(col("c_custkey") % BfsSeedStride === 0)
+      .select(lit("C").as("typ"), col("c_custkey").as("node_id"),
+        lit(0L).as("dist"))
+    var visited  = seeds.localCheckpoint(true)
+    var frontier = visited
+    for (depth <- 1 to BfsMaxDepth) {
+      val fromCust = depth % 2 == 1 // seeds are customers; sides alternate
+      val next =
+        if (fromCust)
+          frontier.join(edges, col("node_id") === col("cust"))
+            .select(lit("S").as("typ"), col("supp").as("node_id"),
+              lit(depth.toLong).as("dist"))
+        else
+          frontier.join(edges, col("node_id") === col("supp"))
+            .select(lit("C").as("typ"), col("cust").as("node_id"),
+              lit(depth.toLong).as("dist"))
+      frontier = next.distinct()
+        .join(visited.select("typ", "node_id"), Seq("typ", "node_id"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.union(frontier).localCheckpoint(true)
+    }
+    visited
+  }
+
+  val bfsDepthSql: String =
+    s"""WITH RECURSIVE e AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_quantity <= $BfsMaxQty),
+       |r(typ, node_id, dist) AS (
+       |  SELECT 'C', c_custkey, 0 FROM customer WHERE c_custkey % $BfsSeedStride = 0
+       |  UNION
+       |  SELECT CASE WHEN r.typ = 'C' THEN 'S' ELSE 'C' END,
+       |         CASE WHEN r.typ = 'C' THEN e.supp ELSE e.cust END, r.dist + 1
+       |  FROM r JOIN e ON (r.typ = 'C' AND e.cust = r.node_id)
+       |               OR (r.typ = 'S' AND e.supp = r.node_id)
+       |  WHERE r.dist < $BfsMaxDepth)
+       |SELECT typ, node_id, CAST(min(dist) AS BIGINT) AS dist
+       |FROM r GROUP BY typ, node_id""".stripMargin.replace("\n", " ")
 }
