@@ -386,6 +386,9 @@ object SparkEntry {
     // round-15: multi-source BFS min-hop over the customer↔supplier
     // bipartite graph — frontier-only expansion, checkpointed rounds
     "q179_bfs_depth"           -> (graft.dedup.DedupQueries.bfsDepth _),
+    // round-15: k-core peeling — dense-subgraph mining on the same
+    // bipartite graph; erosion rounds, each O(surviving edges)
+    "q180_kcore"               -> (graft.dedup.DedupQueries.kcoreBipartite _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -574,5 +577,6 @@ object SparkEntry {
     "q177_gram_novelty"        -> Scrub.gramNoveltySql,
     "q178_pareto_frontier"     -> graft.text.CorpusOps.paretoFrontierSql,
     "q179_bfs_depth"           -> graft.dedup.DedupQueries.bfsDepthSql,
+    "q180_kcore"               -> graft.dedup.DedupQueries.kcoreBipartiteSql,
   )
 }

@@ -1666,4 +1666,72 @@ object DedupQueries {
        |  WHERE r.dist < $BfsMaxDepth)
        |SELECT typ, node_id, CAST(min(dist) AS BIGINT) AS dist
        |FROM r GROUP BY typ, node_id""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------- k-core peeling (dense cores)
+
+  val KCoreK      = 3
+  val KCoreRounds = 8
+
+  /** q180 — k-core peeling over the q179 bipartite graph: repeatedly
+    * delete nodes with degree < [[KCoreK]] until the survivor set is
+    * stable; emit each survivor with its within-core degree. The
+    * dense-subgraph primitive behind collusion detection (customers
+    * and suppliers locked in mutually dense low-quantity trade — the
+    * fraud-ring shape) and hyperlink-graph quality filtering; the
+    * peeling family is disjoint from propagation (q45/q64/q116): CC
+    * spreads labels outward, k-core erodes the sparse fringe inward.
+    *
+    * [[KCoreRounds]] fixed peel rounds, each ONE degree aggregate per
+    * side + two key-partitioned semi-joins over the surviving edge
+    * set, localCheckpoint'ed (the CC-rounds discipline — O(1) plan
+    * depth per round). Work per round is O(surviving edges), and the
+    * edge set only shrinks. The fixed round count makes the op
+    * deterministic and oracle-replayable (unrolled, like q116/q175);
+    * KCoreSpec asserts the fixpoint is reached well inside the budget
+    * — peeling's cascade depth grows with graph diameter, not size,
+    * so the bound holds at 100 TB (add rounds ∝ log N if it ever
+    * doesn't: each round is one linear pass). */
+  def kcoreBipartite(s: SparkSession, d: String): DataFrame = {
+    var edges = Tables.lineitem(s, d)
+      .filter(col("l_quantity") <= BfsMaxQty)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to KCoreRounds) {
+      val keepC = edges.groupBy("cust").agg(count(lit(1)).as("dc"))
+        .filter(col("dc") >= KCoreK).select("cust")
+      val keepS = edges.groupBy("supp").agg(count(lit(1)).as("ds"))
+        .filter(col("ds") >= KCoreK).select("supp")
+      edges = edges
+        .join(keepC, Seq("cust"), "left_semi")
+        .join(keepS, Seq("supp"), "left_semi")
+        .localCheckpoint(true)
+    }
+    edges.groupBy("cust").agg(count(lit(1)).as("core_deg"))
+      .select(lit("C").as("typ"), col("cust").as("node_id"), col("core_deg"))
+      .union(edges.groupBy("supp").agg(count(lit(1)).as("core_deg"))
+        .select(lit("S").as("typ"), col("supp").as("node_id"), col("core_deg")))
+  }
+
+  val kcoreBipartiteSql: String = {
+    def round(i: Int): String = {
+      val prev = s"e${i - 1}"
+      s"""kc$i AS (SELECT cust FROM $prev GROUP BY cust HAVING count(*) >= $KCoreK),
+         |ks$i AS (SELECT supp FROM $prev GROUP BY supp HAVING count(*) >= $KCoreK),
+         |e$i AS MATERIALIZED (SELECT e.cust, e.supp FROM $prev e
+         |  JOIN kc$i USING (cust) JOIN ks$i USING (supp))""".stripMargin
+    }
+    // MATERIALIZED: each e_i is referenced three times (kc/ks/e of the
+    // next round); default CTE inlining would re-expand the whole
+    // prefix 3^rounds times and blow the oracle's file-handle budget
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_quantity <= $BfsMaxQty),
+       |${(1 to KCoreRounds).map(round).mkString(", ")}
+       |SELECT 'C' AS typ, cust AS node_id, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM e$KCoreRounds GROUP BY cust
+       |UNION ALL
+       |SELECT 'S', supp, CAST(count(*) AS BIGINT) FROM e$KCoreRounds GROUP BY supp"""
+      .stripMargin.replace("\n", " ")
+  }
 }
