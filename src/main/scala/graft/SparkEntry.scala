@@ -389,6 +389,9 @@ object SparkEntry {
     // round-15: k-core peeling — dense-subgraph mining on the same
     // bipartite graph; erosion rounds, each O(surviving edges)
     "q180_kcore"               -> (graft.dedup.DedupQueries.kcoreBipartite _),
+    // round-15: no-straddle next-fit-decreasing packing — one exchange,
+    // in-partition sort, streaming per-group fold
+    "q181_nfd_pack"            -> (graft.text.CorpusOps.nfdPack _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -578,5 +581,6 @@ object SparkEntry {
     "q178_pareto_frontier"     -> graft.text.CorpusOps.paretoFrontierSql,
     "q179_bfs_depth"           -> graft.dedup.DedupQueries.bfsDepthSql,
     "q180_kcore"               -> graft.dedup.DedupQueries.kcoreBipartiteSql,
+    "q181_nfd_pack"            -> graft.text.CorpusOps.nfdPackSql,
   )
 }

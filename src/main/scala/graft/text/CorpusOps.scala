@@ -1285,6 +1285,65 @@ object CorpusOps {
       broadcast(local.alias("b")), dominates("b", "a"), "left_anti")
   }
 
+  // ------------------------------------ next-fit-decreasing bin packing
+
+  val NfdCapacity = 256L // tokens per packed training example
+  val NfdGroups   = 8L   // independent packing groups (parallelism unit)
+
+  /** q181: next-fit-decreasing bin packing — assign whole documents to
+    * fixed-capacity training examples with NO document straddling (the
+    * complement of q55/q167's concat-and-chunk, which splits documents
+    * at shard boundaries). SFT-style packing: sort each group's docs
+    * by token count descending, walk once, open a new bin whenever the
+    * current doc doesn't fit. Deterministic — no RNG, ties broken by
+    * doc_id.
+    *
+    * Packing is inherently sequential, so the scale unit is the GROUP:
+    * docs hash into [[NfdGroups]] independent groups, each packed by a
+    * single sequential fold. The plan is ONE exchange (repartition by
+    * group) + an in-partition sort + a streaming `mapPartitions` fold
+    * that detects group boundaries — no per-group in-memory
+    * materialization, state is (group, bin, fill) = three longs. At
+    * 100 TB raise the group count ∝ corpus size (groups are
+    * embarrassingly parallel; cross-group packing loss is bounded by
+    * one bin per group) — same posture as q172's snake shards. */
+  def nfdPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, d).select(
+      col("doc_id"),
+      (col("doc_id") % NfdGroups).as("grp"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    base
+      .repartition(col("grp"))
+      .sortWithinPartitions(col("grp"), col("n_tok").desc, col("doc_id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var grp = -1L; var bin = 0L; var fill = 0L
+        it.map { case (id, g, n) =>
+          if (g != grp) { grp = g; bin = 0L; fill = n }
+          else if (fill + n <= NfdCapacity) fill += n
+          else { bin += 1; fill = n }
+          (id, g, n, bin)
+        }
+      }
+      .toDF("doc_id", "grp", "n_tok", "bin")
+  }
+
+  val nfdPackSql: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, doc_id % $NfdGroups AS grp,
+       |  CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS BIGINT) AS n_tok,
+       |  row_number() OVER (PARTITION BY doc_id % $NfdGroups ORDER BY
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS BIGINT) DESC, doc_id) AS rn
+       |  FROM documents),
+       |r(grp, rn, doc_id, n_tok, bin, fill) AS (
+       |  SELECT grp, rn, doc_id, n_tok, CAST(0 AS BIGINT), n_tok FROM t WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.grp, t.rn, t.doc_id, t.n_tok,
+       |    CASE WHEN r.fill + t.n_tok <= $NfdCapacity THEN r.bin ELSE r.bin + 1 END,
+       |    CASE WHEN r.fill + t.n_tok <= $NfdCapacity THEN r.fill + t.n_tok ELSE t.n_tok END
+       |  FROM r JOIN t ON t.grp = r.grp AND t.rn = r.rn + 1)
+       |SELECT doc_id, grp, n_tok, bin FROM r""".stripMargin.replace("\n", " ")
+
   val paretoFrontierSql: String =
     """WITH c AS (SELECT doc_id, n_chars,
       |  CAST(len(list_distinct(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))) AS BIGINT) AS n_distinct,

@@ -156,6 +156,43 @@ class PackingSpec extends AnyFunSuite {
     assert(got.toSeq.map(_._3).sum === total / t)
   }
 
+  test("q181 nfdPack equals the driver-side next-fit-decreasing replay (sf0.01)") {
+    val spark = SparkSpec.spark
+    val dir = "/root/testdata/sf0.01"
+    val base = graft.ops.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(0) % CorpusOps.NfdGroups,
+        r.getString(1).trim.split("\\s+").length.toLong))
+    val truth = base.groupBy(_._2).flatMap { case (g, docs) =>
+      var bin = 0L; var fill = 0L; var first = true
+      docs.toSeq.sortBy(x => (-x._3, x._1)).map { case (id, _, n) =>
+        if (first) { first = false; fill = n }
+        else if (fill + n <= CorpusOps.NfdCapacity) fill += n
+        else { bin += 1; fill = n }
+        (id, g, n, bin)
+      }
+    }.toSet
+    val got = CorpusOps.nfdPack(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === truth)
+    // no bin exceeds capacity unless it holds a single oversize doc
+    got.groupBy(x => (x._2, x._4)).foreach { case (_, docs) =>
+      val mass = docs.toSeq.map(_._3).sum
+      assert(mass <= CorpusOps.NfdCapacity || docs.size == 1, docs.toString)
+    }
+  }
+
+  test("q181 plan: ONE exchange (group repartition), fold rides its sort") {
+    val spark = SparkSpec.spark
+    // string-count, not collect: the exchange sits inside the
+    // AdaptiveSparkPlan wrapper that collect() doesn't traverse
+    val plan = CorpusOps.nfdPack(spark, "/root/testdata/sf0.01")
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n == 1, s"expected exactly one exchange:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   test("q168 plan is shuffle-free (pure map + explode)") {
     val spark = SparkSpec.spark
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
