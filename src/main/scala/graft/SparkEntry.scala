@@ -392,6 +392,9 @@ object SparkEntry {
     // round-15: no-straddle next-fit-decreasing packing — one exchange,
     // in-partition sort, streaming per-group fold
     "q181_nfd_pack"            -> (graft.text.CorpusOps.nfdPack _),
+    // round-15: theta-sketch union/intersection estimates per source
+    // pair — one gram-grain aggregate, sketch-sized pair algebra
+    "q182_kmv_set_ops"         -> (graft.ops.Sketches.kmvSetOps _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -582,5 +585,6 @@ object SparkEntry {
     "q179_bfs_depth"           -> graft.dedup.DedupQueries.bfsDepthSql,
     "q180_kcore"               -> graft.dedup.DedupQueries.kcoreBipartiteSql,
     "q181_nfd_pack"            -> graft.text.CorpusOps.nfdPackSql,
+    "q182_kmv_set_ops"         -> graft.ops.Sketches.kmvSetOpsSql,
   )
 }

@@ -609,4 +609,102 @@ object Sketches {
        |  JOIN (SELECT k, count(*) AS cb FROM b GROUP BY k) xb USING (k))
        |SELECT exact_rows, est_rows, (est_rows - exact_rows) * 10000 // exact_rows AS over_x10k
        |FROM ex, est""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------- theta-sketch set operations
+
+  val SetOpK     = 128 // per-source KMV size — small enough that the
+                       // sketch path (not the exact small-set path)
+                       // engages on the driver corpus
+  val SetOpGramN = 3
+  // sentinel θ when a source has fewer than K distinct grams: the
+  // sketch IS the set and every hash is below θ (h == Long.MaxValue
+  // has probability ~2^-63; both engines use the same strict <, so
+  // results stay hash-exact regardless)
+  val ThetaExact = Long.MaxValue
+
+  /** q182 — theta-sketch (KMV) SET OPERATIONS between sources:
+    * estimated union and intersection cardinality of every source
+    * pair's distinct word-3-gram sets, from fixed-size sketches. The
+    * capability q117/q118's HLL family cannot provide — HLL unions,
+    * but only KMV/theta supports intersection/difference algebra
+    * (Dasu et al.'s min-hash set resemblance; the DataSketches theta
+    * model). The cross-source contamination matrix (q95) computes
+    * these EXACTLY with a gram-grain join; this is its O(1)-per-source
+    * summary twin — at 100 TB you keep a 128-hash sketch per source
+    * (a catalog entry, not a table) and answer all C(S,2) overlap
+    * questions without touching the corpus again.
+    *
+    * Algebra: θ_x = k-th smallest hash (or [[ThetaExact]] when |x| <
+    * k); per pair θ = min(θ_a, θ_b); S'_x = {h ∈ sketch_x : h < θ};
+    * est_∩ = |S'_a ∩ S'_b| · 2⁶³/θ, est_∪ = |S'_a ∪ S'_b| · 2⁶³/θ.
+    * Integer sketch machinery end-to-end; only the final scaling is
+    * floating point (same contract as q65).
+    *
+    * Plan shape: ONE gram-grain aggregate builds all sketches (the
+    * bounded MinKDistinct buffer, map-side combinable), then a
+    * broadcast self-join over |sources| rows does the algebra on
+    * 128-element arrays — corpus touched once, pair stage is
+    * sketch-sized. */
+  def kmvSetOps(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.functions.GraftFunctions
+          .wordGramsDistinct(col("text"), SetOpGramN)).as("gram"))
+      .select(col("source"),
+        graft.functions.GraftFunctions.md5Lower64(col("gram"))
+          .bitwiseAND(Long.MaxValue).as("h"))
+    val sk = grams.groupBy("source")
+      .agg(minKDistinct(SetOpK)(col("h")).as("ks"))
+      .select(col("source"), col("ks"),
+        when(size(col("ks")) < SetOpK, lit(ThetaExact))
+          .otherwise(element_at(col("ks"), -1)).as("th"))
+    val a = sk.select(col("source").as("src_a"), col("ks").as("ks_a"),
+      col("th").as("th_a"))
+    val b = sk.select(col("source").as("src_b"), col("ks").as("ks_b"),
+      col("th").as("th_b"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .withColumn("theta", least(col("th_a"), col("th_b")))
+      .withColumn("fa", filter(col("ks_a"), x => x < col("theta")))
+      .withColumn("fb", filter(col("ks_b"), x => x < col("theta")))
+      .select(
+        col("src_a"), col("src_b"), col("theta"),
+        size(col("fa")).cast("long").as("n_a"),
+        size(col("fb")).cast("long").as("n_b"),
+        size(array_intersect(col("fa"), col("fb"))).cast("long").as("n_inter"))
+      .withColumn("est_inter",
+        round(lit(TwoPow63) * col("n_inter") / col("theta"), 2))
+      .withColumn("est_union",
+        round(lit(TwoPow63) * (col("n_a") + col("n_b") - col("n_inter")) / col("theta"), 2))
+  }
+
+  val kmvSetOpsSql: String = {
+    val n = SetOpGramN
+    s"""WITH ws AS (SELECT source, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS w FROM documents),
+       |gr AS (SELECT source, unnest(list_distinct(CASE WHEN len(w) < $n THEN [array_to_string(w, ' ')]
+       |  ELSE [array_to_string(w[i:i+${n - 1}], ' ') for i in range(1, len(w) - ${n - 2})] END)) AS gram FROM ws),
+       |gh AS (SELECT DISTINCT source, md5_number_lower(gram) & 9223372036854775807 AS h FROM gr),
+       |topk AS (SELECT source, h FROM
+       |  (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM gh)
+       |  WHERE rn <= $SetOpK),
+       |sk AS (SELECT source, CASE WHEN count(*) < $SetOpK THEN $ThetaExact ELSE max(h) END AS th
+       |  FROM topk GROUP BY source),
+       |pr AS (SELECT a.source AS src_a, b.source AS src_b, least(a.th, b.th) AS theta
+       |  FROM sk a JOIN sk b ON a.source < b.source),
+       |ca AS (SELECT p.src_a, p.src_b, count(*) AS n_a FROM pr p
+       |  JOIN topk k ON k.source = p.src_a AND k.h < p.theta GROUP BY 1, 2),
+       |cb AS (SELECT p.src_a, p.src_b, count(*) AS n_b FROM pr p
+       |  JOIN topk k ON k.source = p.src_b AND k.h < p.theta GROUP BY 1, 2),
+       |ci AS (SELECT p.src_a, p.src_b, count(*) AS n_inter FROM pr p
+       |  JOIN topk ka ON ka.source = p.src_a AND ka.h < p.theta
+       |  JOIN topk kb ON kb.source = p.src_b AND kb.h = ka.h GROUP BY 1, 2)
+       |SELECT p.src_a, p.src_b, p.theta,
+       |  CAST(coalesce(ca.n_a, 0) AS BIGINT) AS n_a,
+       |  CAST(coalesce(cb.n_b, 0) AS BIGINT) AS n_b,
+       |  CAST(coalesce(ci.n_inter, 0) AS BIGINT) AS n_inter,
+       |  round(9223372036854775808.0 * coalesce(ci.n_inter, 0) / p.theta, 2) AS est_inter,
+       |  round(9223372036854775808.0 * (coalesce(ca.n_a, 0) + coalesce(cb.n_b, 0) - coalesce(ci.n_inter, 0)) / p.theta, 2) AS est_union
+       |FROM pr p LEFT JOIN ca ON ca.src_a = p.src_a AND ca.src_b = p.src_b
+       |LEFT JOIN cb ON cb.src_a = p.src_a AND cb.src_b = p.src_b
+       |LEFT JOIN ci ON ci.src_a = p.src_a AND ci.src_b = p.src_b""".stripMargin.replace("\n", " ")
+  }
 }

@@ -281,4 +281,40 @@ class SketchesSpec extends AnyFunSuite {
     assert(Sketches.snapshotDiffFrom(
       fp, fp.withColumnRenamed("cur_fp", "prev_fp")).count() == 0L)
   }
+
+  test("q182 theta set-ops: estimates track exact union/intersection within error bounds") {
+    val spark = graft.SparkSpec.spark
+    val dir = "/root/testdata/sf0.01"
+    // exact per-source distinct 3-gram sets, driver-side
+    val srcGrams = graft.ops.Tables.documents(spark, dir)
+      .select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rows) =>
+        src -> rows.flatMap(r => graft.dedup.Hashing
+          .wordShingles(r.getString(1), Sketches.SetOpGramN)).toSet
+      }
+    val rows = Sketches.kmvSetOps(spark, dir).collect()
+    assert(rows.length ==
+      srcGrams.size * (srcGrams.size - 1) / 2, "one row per source pair")
+    // KMV relative standard error ~ 1/sqrt(k-1); allow 5 sigma on the
+    // union (the better-conditioned estimate), absolute slack on the
+    // intersection (small-overlap estimates are noisy in absolute terms)
+    val rse = 1.0 / math.sqrt(Sketches.SetOpK - 1.0)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      val exactU = (srcGrams(a) union srcGrams(b)).size.toDouble
+      val exactI = (srcGrams(a) intersect srcGrams(b)).size.toDouble
+      assert(math.abs(r.getAs[Double]("est_union") - exactU) <= 5 * rse * exactU,
+        s"union $a-$b: est ${r.getAs[Double]("est_union")} vs exact $exactU")
+      assert(math.abs(r.getAs[Double]("est_inter") - exactI) <=
+        5 * rse * exactU, // error scales with the SKETCHED universe, not the overlap
+        s"inter $a-$b: est ${r.getAs[Double]("est_inter")} vs exact $exactI")
+      // the sketch machinery itself is integral and bounded
+      assert(r.getAs[Long]("n_a") <= Sketches.SetOpK &&
+        r.getAs[Long]("n_b") <= Sketches.SetOpK &&
+        r.getAs[Long]("n_inter") <= math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+    }
+    // the driver corpus must actually exercise the sub-θ sketch path
+    assert(rows.forall(_.getAs[Long]("theta") < Long.MaxValue))
+  }
 }
