@@ -395,6 +395,9 @@ object SparkEntry {
     // round-15: theta-sketch union/intersection estimates per source
     // pair — one gram-grain aggregate, sketch-sized pair algebra
     "q182_kmv_set_ops"         -> (graft.ops.Sketches.kmvSetOps _),
+    // round-15: personalized PageRank from the q179 seed cohort —
+    // integer fixed-point, seed-neighborhood-sized output
+    "q183_ppr_seeds"           -> (graft.dedup.DedupQueries.pprSeeds _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -586,5 +589,6 @@ object SparkEntry {
     "q180_kcore"               -> graft.dedup.DedupQueries.kcoreBipartiteSql,
     "q181_nfd_pack"            -> graft.text.CorpusOps.nfdPackSql,
     "q182_kmv_set_ops"         -> graft.ops.Sketches.kmvSetOpsSql,
+    "q183_ppr_seeds"           -> graft.dedup.DedupQueries.pprSeedsSql,
   )
 }

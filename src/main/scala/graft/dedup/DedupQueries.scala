@@ -1734,4 +1734,105 @@ object DedupQueries {
        |SELECT 'S', supp, CAST(count(*) AS BIGINT) FROM e$KCoreRounds GROUP BY supp"""
       .stripMargin.replace("\n", " ")
   }
+
+  // ---------------------------------- personalized PageRank from seeds
+
+  val PprIters = 4
+
+  /** q183 — personalized PageRank from the q179 seed cohort over the
+    * same bipartite trade graph: stationary relevance TO the seeds,
+    * not global importance. Completes the round's graph family — BFS
+    * answers "how far from the seeds", k-core "how dense", PPR "how
+    * RELEVANT": random-walk-with-restart mass that decays smoothly
+    * with both distance and branching (the GraphSAGE/PPR-sampling and
+    * data-valuation primitive). Teleport goes ONLY to seeds — unlike
+    * q116, unreached nodes hold exactly zero and are dropped, so the
+    * output is seed-neighborhood-sized, not graph-sized.
+    *
+    * Same integer fixed-point contract as q116 (mass ×1e12, integer
+    * div — bit-identical cross-engine, no compounding ULPs), same
+    * per-round shape: one src-keyed join + one dst-keyed aggregate +
+    * one node-keyed left join, localCheckpoint'ed per round. The
+    * directed edge list (both bipartite directions, out-degree
+    * attached ONCE before the loop) is the only graph-sized artifact.
+    * At 100 TB: [[PprIters]] rounds of linear joins; the node state is
+    * two longs per node. */
+  def pprSeeds(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.lineitem(s, d)
+      .filter(col("l_quantity") <= BfsMaxQty)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+      .localCheckpoint(true)
+    val degC = e0.groupBy("cust").agg(count(lit(1)).as("deg"))
+    val degS = e0.groupBy("supp").agg(count(lit(1)).as("deg"))
+    val edges = e0.join(degC, "cust")
+      .select(lit("C").as("styp"), col("cust").as("src"),
+        lit("S").as("dtyp"), col("supp").as("dst"), col("deg"))
+      .union(e0.join(degS, "supp")
+        .select(lit("S").as("styp"), col("supp").as("src"),
+          lit("C").as("dtyp"), col("cust").as("dst"), col("deg")))
+      .localCheckpoint(true) // deg attached once, reused every round
+    val nodes = Tables.customer(s, d)
+      .select(lit("C").as("typ"), col("c_custkey").as("node_id"),
+        (col("c_custkey") % BfsSeedStride === 0).as("seed"))
+      .union(Tables.supplier(s, d)
+        .select(lit("S").as("typ"), col("s_suppkey").as("node_id"),
+          lit(false).as("seed")))
+      .localCheckpoint(true)
+    val nSeeds = nodes.filter(col("seed")).count()
+    val base = (PrScale * (PrDampDen - PrDampNum) / PrDampDen) / nSeeds
+    var pr = nodes.select(col("typ"), col("node_id"),
+      when(col("seed"), lit(PrScale / nSeeds)).otherwise(lit(0L)).as("pr"))
+    for (_ <- 1 to PprIters) {
+      val contrib = edges
+        .join(pr.withColumnRenamed("typ", "styp")
+          .withColumnRenamed("node_id", "src"), Seq("styp", "src"))
+        .select(col("dtyp"), col("dst"),
+          expr(s"pr * $PrDampNum div ($PrDampDen * deg)").as("c"))
+        .groupBy("dtyp", "dst").agg(sum("c").as("in_mass"))
+      pr = nodes
+        .join(contrib.withColumnRenamed("dtyp", "typ")
+          .withColumnRenamed("dst", "node_id"), Seq("typ", "node_id"), "left")
+        .select(col("typ"), col("node_id"),
+          (when(col("seed"), lit(base)).otherwise(lit(0L)) +
+            coalesce(col("in_mass"), lit(0L))).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.filter(col("pr") > 0).select(col("typ"), col("node_id"),
+      col("pr").as("ppr_x1e12"))
+  }
+
+  val pprSeedsSql: String = {
+    def iter(i: Int): String = {
+      val prev = s"p${i - 1}"
+      s"""c$i AS MATERIALIZED (SELECT e.dtyp, e.dst,
+         |  sum(($prev.pr * $PrDampNum) // ($PrDampDen * e.deg)) AS m
+         |  FROM e JOIN $prev ON $prev.typ = e.styp AND $prev.node_id = e.src
+         |  GROUP BY e.dtyp, e.dst),
+         |p$i AS MATERIALIZED (SELECT n.typ, n.node_id, n.seed,
+         |  (CASE WHEN n.seed THEN ((${PrScale} * ${PrDampDen - PrDampNum}) // $PrDampDen) // ns.n ELSE 0 END)
+         |    + coalesce(c$i.m, 0) AS pr
+         |  FROM nodes n CROSS JOIN ns
+         |  LEFT JOIN c$i ON c$i.dtyp = n.typ AND c$i.dst = n.node_id)""".stripMargin
+    }
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_quantity <= $BfsMaxQty),
+       |dc AS (SELECT cust, count(*) AS deg FROM e0 GROUP BY cust),
+       |ds AS (SELECT supp, count(*) AS deg FROM e0 GROUP BY supp),
+       |e AS MATERIALIZED (
+       |  SELECT 'C' AS styp, e0.cust AS src, 'S' AS dtyp, e0.supp AS dst, dc.deg
+       |    FROM e0 JOIN dc USING (cust)
+       |  UNION ALL
+       |  SELECT 'S', e0.supp, 'C', e0.cust, ds.deg FROM e0 JOIN ds USING (supp)),
+       |nodes AS MATERIALIZED (
+       |  SELECT 'C' AS typ, c_custkey AS node_id, c_custkey % $BfsSeedStride = 0 AS seed FROM customer
+       |  UNION ALL SELECT 'S', s_suppkey, false FROM supplier),
+       |ns AS (SELECT count(*) AS n FROM nodes WHERE seed),
+       |p0 AS MATERIALIZED (SELECT typ, node_id, seed,
+       |  CASE WHEN seed THEN $PrScale // ns.n ELSE 0 END AS pr FROM nodes CROSS JOIN ns),
+       |${(1 to PprIters).map(iter).mkString(", ")}
+       |SELECT typ, node_id, CAST(pr AS BIGINT) AS ppr_x1e12
+       |FROM p$PprIters WHERE pr > 0""".stripMargin.replace("\n", " ")
+  }
 }
