@@ -398,6 +398,9 @@ object SparkEntry {
     // round-15: personalized PageRank from the q179 seed cohort —
     // integer fixed-point, seed-neighborhood-sized output
     "q183_ppr_seeds"           -> (graft.dedup.DedupQueries.pprSeeds _),
+    // round-15: deterministic random-walk corpus (DeepWalk sentences) —
+    // md5-argmin next-hop, frontier-sized state, |seeds|·(L+1) output
+    "q184_random_walks"        -> (graft.dedup.DedupQueries.randomWalks _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -590,5 +593,6 @@ object SparkEntry {
     "q181_nfd_pack"            -> graft.text.CorpusOps.nfdPackSql,
     "q182_kmv_set_ops"         -> graft.ops.Sketches.kmvSetOpsSql,
     "q183_ppr_seeds"           -> graft.dedup.DedupQueries.pprSeedsSql,
+    "q184_random_walks"        -> graft.dedup.DedupQueries.randomWalksSql,
   )
 }

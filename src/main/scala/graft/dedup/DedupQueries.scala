@@ -1835,4 +1835,86 @@ object DedupQueries {
        |SELECT typ, node_id, CAST(pr AS BIGINT) AS ppr_x1e12
        |FROM p$PprIters WHERE pr > 0""".stripMargin.replace("\n", " ")
   }
+
+  // --------------------------------- deterministic random-walk corpus
+
+  val WalkLen = 4
+
+  /** q184 — deterministic random-walk corpus from the q179 seed cohort
+    * over the same bipartite trade graph: one length-[[WalkLen]] walk
+    * per seed, the sampling primitive behind DeepWalk/node2vec graph
+    * embeddings (walks ARE the "sentences" the skip-gram trainer
+    * consumes) and behind GNN neighbor sampling. Where q179/q183
+    * compute aggregate relevance, this MATERIALIZES trajectories.
+    *
+    * "Random" is derandomized the q85 way: at step t, walk w moves to
+    * the out-neighbor minimizing md5(w:t:typ:node) — a content-keyed
+    * choice both engines compute bit-identically (no RNG, so the 100 TB
+    * corpus regenerates byte-for-byte on every run, and incremental
+    * re-walks of changed subgraphs splice in consistently). Each step
+    * includes the step index, so a walk does NOT simply bounce on one
+    * edge: the argmin re-ranks every neighbor each hop.
+    *
+    * Scale: the frontier is seed-count-sized (one row per LIVE walk —
+    * walks at sink nodes halt, though on this bipartite graph only an
+    * isolated seed can halt). Each of the [[WalkLen]] rounds is one
+    * frontier⋈edges equi-join plus one per-walk min-struct aggregate —
+    * both linear in edge count, no window over the graph, driver holds
+    * nothing. At 1000 executors the frontier co-partitions with the
+    * edge table's src key. Output is exactly |seeds|·(WalkLen+1) rows. */
+  def randomWalks(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.lineitem(s, d)
+      .filter(col("l_quantity") <= BfsMaxQty)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val edges = e0
+      .select(lit("C").as("styp"), col("cust").as("src"),
+        lit("S").as("dtyp"), col("supp").as("dst"))
+      .union(e0.select(lit("S").as("styp"), col("supp").as("src"),
+        lit("C").as("dtyp"), col("cust").as("dst")))
+      .localCheckpoint(true) // walked 4×: cut the lineitem⋈orders recompute
+    var cur = Tables.customer(s, d)
+      .filter(col("c_custkey") % BfsSeedStride === 0)
+      .select(col("c_custkey").as("walk_id"), lit("C").as("typ"),
+        col("c_custkey").as("node_id"), lit(0L).as("step"))
+    val steps = scala.collection.mutable.ArrayBuffer(cur)
+    for (t <- 1 to WalkLen) {
+      cur = cur
+        .join(edges, col("styp") === col("typ") && col("src") === col("node_id"))
+        .select(col("walk_id"), col("dtyp"), col("dst"),
+          md5(concat_ws(":", col("walk_id"), lit(t), col("dtyp"), col("dst")))
+            .as("hk"))
+        // min over (hk, dtyp, dst): md5-keyed argmin, struct tail makes
+        // the pick total even under a (practically impossible) collision
+        .groupBy("walk_id")
+        .agg(min(struct(col("hk"), col("dtyp"), col("dst"))).as("m"))
+        .select(col("walk_id"), col("m.dtyp").as("typ"),
+          col("m.dst").as("node_id"), lit(t.toLong).as("step"))
+        .localCheckpoint(true) // frontier is |walks|-sized; cut lineage
+      steps += cur
+    }
+    steps.reduce(_ union _).select("walk_id", "step", "typ", "node_id")
+  }
+
+  val randomWalksSql: String = {
+    def step(t: Int): String =
+      s"""w$t AS MATERIALIZED (SELECT walk_id, dtyp AS typ, dst AS node_id,
+         |  CAST($t AS BIGINT) AS step FROM (
+         |  SELECT w.walk_id, e.dtyp, e.dst, row_number() OVER (
+         |    PARTITION BY w.walk_id
+         |    ORDER BY md5(concat_ws(':', w.walk_id, $t, e.dtyp, e.dst)), e.dtyp, e.dst) AS rn
+         |  FROM w${t - 1} w JOIN e ON e.styp = w.typ AND e.src = w.node_id)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_quantity <= $BfsMaxQty),
+       |e AS MATERIALIZED (
+       |  SELECT 'C' AS styp, cust AS src, 'S' AS dtyp, supp AS dst FROM e0
+       |  UNION ALL SELECT 'S', supp, 'C', cust FROM e0),
+       |w0 AS (SELECT c_custkey AS walk_id, 'C' AS typ, c_custkey AS node_id,
+       |  CAST(0 AS BIGINT) AS step FROM customer WHERE c_custkey % $BfsSeedStride = 0),
+       |${(1 to WalkLen).map(step).mkString(", ")}
+       |${(0 to WalkLen).map(t => s"SELECT walk_id, step, typ, node_id FROM w$t")
+          .mkString(" UNION ALL ")}""".stripMargin.replace("\n", " ")
+  }
 }
