@@ -401,6 +401,9 @@ object SparkEntry {
     // round-15: deterministic random-walk corpus (DeepWalk sentences) —
     // md5-argmin next-hop, frontier-sized state, |seeds|·(L+1) output
     "q184_random_walks"        -> (graft.dedup.DedupQueries.randomWalks _),
+    // round-15: K-pattern blocklist screen in ONE corpus pass — broadcast
+    // Aho-Corasick DFA, in-partition partials, |sources|×K-bounded exchange
+    "q185_blocklist_screen"    -> (graft.text.Scrub.blocklistScreen _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -594,5 +597,6 @@ object SparkEntry {
     "q182_kmv_set_ops"         -> graft.ops.Sketches.kmvSetOpsSql,
     "q183_ppr_seeds"           -> graft.dedup.DedupQueries.pprSeedsSql,
     "q184_random_walks"        -> graft.dedup.DedupQueries.randomWalksSql,
+    "q185_blocklist_screen"    -> graft.text.Scrub.blocklistScreenSql,
   )
 }

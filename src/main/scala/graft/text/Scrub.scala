@@ -837,4 +837,80 @@ object Scrub {
        |  CAST(sum(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
        |FROM gh g JOIN own o USING (gh) GROUP BY g.doc_id""".stripMargin.replace("\n", " ")
   }
+
+  // ------------------------------------- multi-pattern blocklist screen
+
+  /** The q185 blocklist. All patterns are BORDER-FREE (spec-asserted via
+    * [[AhoCorasick.hasBorder]]) so overlapping == non-overlapping counts
+    * and the replace-based oracle is exact. "scan" ⊂ "slow scan" and
+    * "agg" ⊂ "agg row" deliberately exercise the automaton's
+    * dictionary-suffix output links. */
+  val Blocklist: Seq[String] = Seq(
+    "table", "spark", "merge", "batch", "vector", "stream", "filter",
+    "query", "scan", "slow scan", "agg", "agg row", "fast table",
+    "customer", "column", "the line")
+
+  /** q185 — BLOCKLIST SCREEN: count, per (source, pattern), how many
+    * documents mention each blocklist term and how often — the
+    * report a toxicity/compliance wordlist pass emits before any doc is
+    * dropped (the drop itself is then a semi-join on the hits). The
+    * screen is the Dolma/CCNet-style "taggers first, filters second"
+    * discipline: measure before deleting.
+    *
+    * Scale design: a K-pattern screen must NOT be K regex scans — at
+    * 100 TB that is K full-corpus CPU passes. One [[AhoCorasick]]
+    * automaton (built driver-side from the tiny list, broadcast) makes
+    * it O(len + matches) per document, ONE pass total, with per-
+    * partition partial aggregation inside the same mapPartitions (the
+    * emitted partials are ≤ |sources|·K rows per partition) so the only
+    * exchange carries the |sources|×K-bounded grid, never doc-grain
+    * rows. The final left join against the full source×pattern grid
+    * pins the contract that silent zeros are reported as 0, not
+    * omitted. */
+  def blocklistScreen(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pats = Blocklist
+    val bc = s.sparkContext.broadcast(AhoCorasick.build(pats))
+    val partials = Tables.documents(s, d)
+      .select(col("source"), col("text"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val agg = scala.collection.mutable.HashMap[(String, Int), (Long, Long)]()
+        it.foreach { case (src, text) =>
+          val counts = bc.value.countAll(text)
+          var i = 0
+          while (i < counts.length) {
+            if (counts(i) > 0) {
+              val k = (src, i)
+              val (d0, o0) = agg.getOrElse(k, (0L, 0L))
+              agg(k) = (d0 + 1L, o0 + counts(i))
+            }
+            i += 1
+          }
+        }
+        agg.iterator.map { case ((src, p), (nd, no)) => (src, p, nd, no) }
+      }
+      .toDF("source", "pidx", "n_docs", "n_occ")
+      .groupBy("source", "pidx")
+      .agg(sum("n_docs").as("n_docs"), sum("n_occ").as("n_occ"))
+    val grid = Tables.documents(s, d).select(col("source")).distinct()
+      .crossJoin(broadcast(
+        pats.zipWithIndex.map { case (p, i) => (i, p) }.toDF("pidx", "pattern")))
+    grid.join(partials, Seq("source", "pidx"), "left")
+      .select(col("source"), col("pattern"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occ"))
+  }
+
+  val blocklistScreenSql: String = {
+    val values = Blocklist.map(p => s"('$p')").mkString(", ")
+    s"""WITH p(pattern) AS (VALUES $values),
+       |c AS (SELECT d.source, p.pattern,
+       |  (len(d.text) - len(replace(d.text, p.pattern, ''))) // len(p.pattern) AS occ
+       |  FROM documents d CROSS JOIN p)
+       |SELECT source, pattern,
+       |  CAST(count(*) FILTER (WHERE occ > 0) AS BIGINT) AS n_docs,
+       |  CAST(sum(occ) AS BIGINT) AS n_occ
+       |FROM c GROUP BY source, pattern""".stripMargin.replace("\n", " ")
+  }
 }
