@@ -404,6 +404,9 @@ object SparkEntry {
     // round-15: K-pattern blocklist screen in ONE corpus pass — broadcast
     // Aho-Corasick DFA, in-partition partials, |sources|×K-bounded exchange
     "q185_blocklist_screen"    -> (graft.text.Scrub.blocklistScreen _),
+    // round-15: AS-OF point-in-time read over the q153 SCD2 intervals —
+    // the read half of the history contract, zero added exchanges
+    "q186_time_travel"         -> (graft.ops.Maintenance.timeTravelSnapshot _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -598,5 +601,6 @@ object SparkEntry {
     "q183_ppr_seeds"           -> graft.dedup.DedupQueries.pprSeedsSql,
     "q184_random_walks"        -> graft.dedup.DedupQueries.randomWalksSql,
     "q185_blocklist_screen"    -> graft.text.Scrub.blocklistScreenSql,
+    "q186_time_travel"         -> graft.ops.Maintenance.timeTravelSnapshotSql,
   )
 }

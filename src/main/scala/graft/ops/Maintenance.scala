@@ -273,4 +273,42 @@ object Maintenance {
       |       round(sum(CASE WHEN purge = 1 THEN value ELSE 0.0 END), 2) AS purged_value
       |FROM events e LEFT JOIN req r ON e.user_id = r.user_id
       |GROUP BY event_type""".stripMargin
+
+  /** Beyond-reference: TIME-TRAVEL (AS OF) READ over the q153 SCD2
+    * history — reconstruct, for every user, the state that was valid
+    * at an instant T: the row with valid_from ≤ T < valid_to (open
+    * intervals count). This is the read half of the dimension-history
+    * contract: q153 writes the intervals, this proves an arbitrary
+    * point-in-time snapshot falls out of them with ONE filter — the
+    * operational guarantee behind "reproduce last Tuesday's training
+    * run" on a corpus whose labels kept moving.
+    *
+    * T is the midpoint of the fact's time range, computed with integer
+    * millisecond arithmetic so both engines pick the identical instant
+    * (a 2-long global min/max aggregate — the only addition over q153's
+    * plan; the snapshot filter itself is free). Exactly ≤1 row per user
+    * by construction — the spec asserts the intervals partition time.
+    * At 100 TB the history table is the expensive input (q153's ONE
+    * (user_id) exchange); the AS-OF read adds no exchange at all. */
+  def timeTravelSnapshot(s: SparkSession, d: String): DataFrame =
+    timeTravelSnapshotFrom(events(s, d))
+
+  def timeTravelSnapshotFrom(ev: DataFrame): DataFrame = {
+    val b = ev.agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts")))).head()
+    val t = (b.getLong(0) + b.getLong(1)) / 2
+    scd2HistoryFrom(ev)
+      .filter(col("valid_from_ms") <= t &&
+        (col("valid_to_ms").isNull || col("valid_to_ms") > t))
+      .select(col("user_id"), col("state"), col("valid_from_ms"),
+        col("n_events"), lit(t).as("as_of_ms"))
+  }
+
+  val timeTravelSnapshotSql: String =
+    s"""WITH tt AS (SELECT (epoch_ms(min(ts)) + epoch_ms(max(ts))) // 2 AS t FROM events),
+      |h AS ($scd2HistorySql)
+      |SELECT h.user_id, h.state, h.valid_from_ms,
+      |       CAST(h.n_events AS BIGINT) AS n_events, CAST(tt.t AS BIGINT) AS as_of_ms
+      |FROM h CROSS JOIN tt
+      |WHERE h.valid_from_ms <= tt.t
+      |  AND (h.valid_to_ms IS NULL OR h.valid_to_ms > tt.t)""".stripMargin
 }

@@ -148,4 +148,27 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(out("view") == ((2L, 1L, 3.5)))
     assert(out("click") == ((1L, 0L, 8.25)))
   }
+
+  test("q186 time travel reconstructs each user's state at T (sf0.001)") {
+    val spark = SparkSpec.spark
+    val snap = Maintenance.timeTravelSnapshot(spark, sfDir).collect()
+    val t = snap.head.getAs[Long]("as_of_ms")
+    // ≤1 row per user: the SCD2 intervals partition time
+    val byUser = snap.groupBy(_.getAs[Long]("user_id"))
+    assert(byUser.values.forall(_.length == 1))
+    // replay: the snapshot state is the event type of each user's
+    // latest event at or before T (ties by event_id, q153's sort)
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val truth = events.filter(_._2 <= t).groupBy(_._1)
+      .map { case (u, es) => u -> es.maxBy(e => (e._2, e._3))._4 }
+    assert(byUser.keySet === truth.keySet)
+    truth.foreach { case (u, st) =>
+      assert(byUser(u).head.getAs[String]("state") === st, s"user $u")
+    }
+    // every snapshot row's interval actually contains T
+    assert(snap.forall(_.getAs[Long]("valid_from_ms") <= t))
+  }
 }
