@@ -407,6 +407,9 @@ object SparkEntry {
     // round-15: AS-OF point-in-time read over the q153 SCD2 intervals —
     // the read half of the history contract, zero added exchanges
     "q186_time_travel"         -> (graft.ops.Maintenance.timeTravelSnapshot _),
+    // round-15: HITS hubs/authorities — mutual-reinforcement dual of the
+    // random-walk scores, integer quotient-renorm fixed point
+    "q187_hits_scores"         -> (graft.dedup.DedupQueries.hitsScores _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -602,5 +605,6 @@ object SparkEntry {
     "q184_random_walks"        -> graft.dedup.DedupQueries.randomWalksSql,
     "q185_blocklist_screen"    -> graft.text.Scrub.blocklistScreenSql,
     "q186_time_travel"         -> graft.ops.Maintenance.timeTravelSnapshotSql,
+    "q187_hits_scores"         -> graft.dedup.DedupQueries.hitsScoresSql,
   )
 }

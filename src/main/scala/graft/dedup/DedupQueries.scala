@@ -1917,4 +1917,79 @@ object DedupQueries {
        |${(0 to WalkLen).map(t => s"SELECT walk_id, step, typ, node_id FROM w$t")
           .mkString(" UNION ALL ")}""".stripMargin.replace("\n", " ")
   }
+
+  // ------------------------------------------- HITS hubs & authorities
+
+  val HitsIters = 4
+
+  /** q187 — HITS (Kleinberg) hubs & authorities over the DIRECTED
+    * customer→supplier endorsement graph, completing the graph-scoring
+    * family with the DUAL measure the others lack: q116/q183 rank by
+    * random-walk mass, HITS ranks by MUTUAL REINFORCEMENT — a supplier
+    * is authoritative when endorsed by strong hubs, a customer is a
+    * strong hub when it endorses authoritative suppliers (the
+    * curation analogue: source credibility vs curator judgement,
+    * computed from the same interaction matrix as h←A·a, a←Aᵀ·h).
+    *
+    * All-integer fixed point, cross-engine exact: per half-step, one
+    * edge⋈score join + one dst-keyed sum, then renormalization back to
+    * total mass [[PrScale]] by the QUOTIENT trick — x // max(tot //
+    * PrScale, 1) — which needs no overflow-prone x·scale product and
+    * truncates identically in both engines. The normalizing total is a
+    * one-row aggregate broadcast-crossed back (never collected).
+    *
+    * At 100 TB: [[HitsIters]] rounds of linear-in-edges joins; scores
+    * are one long per touched node; the renorm adds two scalar
+    * aggregates per round. Same contract as q183: untouched nodes hold
+    * no rows at all, so state is edge-support-sized. */
+  def hitsScores(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.lineitem(s, d)
+      .filter(col("l_quantity") <= BfsMaxQty)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+      .localCheckpoint(true) // walked 2× per round
+    val nC = e0.select("cust").distinct().count()
+    def renorm(x: DataFrame, key: String, v: String): DataFrame = {
+      val tot = x.agg(sum(col(v)).as("tot"))
+      x.crossJoin(broadcast(tot))
+        .select(col(key),
+          expr(s"$v div greatest(tot div $PrScale, 1)").as(v))
+    }
+    var h = e0.select("cust").distinct()
+      .select(col("cust"), lit(PrScale / nC).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      a = renorm(
+        e0.join(h, "cust").groupBy("supp").agg(sum("h").as("a")),
+        "supp", "a").localCheckpoint(true)
+      h = renorm(
+        e0.join(a, "supp").groupBy("cust").agg(sum("a").as("h")),
+        "cust", "h").localCheckpoint(true)
+    }
+    h.select(lit("C").as("typ"), col("cust").as("node_id"),
+        col("h").as("score_x1e12"))
+      .union(a.select(lit("S"), col("supp"), col("a")))
+      .filter(col("score_x1e12") > 0)
+  }
+
+  val hitsScoresSql: String = {
+    def iter(t: Int): String =
+      s"""ar$t AS (SELECT e.supp, sum(h.h) AS a FROM e JOIN h${t - 1} h USING (cust) GROUP BY e.supp),
+         |a$t AS MATERIALIZED (SELECT supp,
+         |  a // greatest((SELECT sum(a) FROM ar$t) // $PrScale, 1) AS a FROM ar$t),
+         |hr$t AS (SELECT e.cust, sum(a.a) AS h FROM e JOIN a$t a USING (supp) GROUP BY e.cust),
+         |h$t AS MATERIALIZED (SELECT cust,
+         |  h // greatest((SELECT sum(h) FROM hr$t) // $PrScale, 1) AS h FROM hr$t)""".stripMargin
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_quantity <= $BfsMaxQty),
+       |h0 AS (SELECT cust, $PrScale // (SELECT count(DISTINCT cust) FROM e) AS h
+       |  FROM (SELECT DISTINCT cust FROM e)),
+       |${(1 to HitsIters).map(iter).mkString(", ")}
+       |SELECT 'C' AS typ, cust AS node_id, CAST(h AS BIGINT) AS score_x1e12
+       |FROM h$HitsIters WHERE h > 0
+       |UNION ALL
+       |SELECT 'S', supp, CAST(a AS BIGINT) FROM a$HitsIters WHERE a > 0"""
+      .stripMargin.replace("\n", " ")
+  }
 }
