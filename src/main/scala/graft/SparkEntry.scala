@@ -410,6 +410,9 @@ object SparkEntry {
     // round-15: HITS hubs/authorities — mutual-reinforcement dual of the
     // random-walk scores, integer quotient-renorm fixed point
     "q187_hits_scores"         -> (graft.dedup.DedupQueries.hitsScores _),
+    // round-15: exact-recall containment join (quote/excerpt dedup) —
+    // rare-first prefix probe vs full gram index, integer verify
+    "q188_containment_pairs"   -> (graft.dedup.DedupQueries.containmentPairs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -606,5 +609,6 @@ object SparkEntry {
     "q185_blocklist_screen"    -> graft.text.Scrub.blocklistScreenSql,
     "q186_time_travel"         -> graft.ops.Maintenance.timeTravelSnapshotSql,
     "q187_hits_scores"         -> graft.dedup.DedupQueries.hitsScoresSql,
+    "q188_containment_pairs"   -> graft.dedup.DedupQueries.containmentPairsSql,
   )
 }

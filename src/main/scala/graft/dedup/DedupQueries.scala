@@ -1992,4 +1992,93 @@ object DedupQueries {
        |SELECT 'S', supp, CAST(a AS BIGINT) FROM a$HitsIters WHERE a > 0"""
       .stripMargin.replace("\n", " ")
   }
+
+  // --------------------------------- exact containment join (quotes)
+
+  val ContainGramN = 3
+  val ContainTauX4 = 8000L // τ = 0.8 as an exact ×10⁴ integer
+
+  /** q188 — exact-recall CONTAINMENT join: ordered pairs (A, B) where
+    * containment C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| ≥ τ — the
+    * ASYMMETRIC dedup geometry Jaccard can't see (a short doc quoted
+    * verbatim inside a long one has high containment but low Jaccard,
+    * so q17/q62/q67 all miss it; q100's winnowing detects excerpts but
+    * only approximately, from sampled fingerprints). This is the exact
+    * complement, the same relationship q166 bears to q19.
+    *
+    * COMPLETE RECALL by the overlap prefix filter: C ≥ τ needs overlap
+    * ≥ ⌈τ·|A|⌉, so among ANY |A|−⌈τ|A|⌉+1 grams of A at least one is
+    * shared with B. Probe side therefore sends only each doc's
+    * |A|−⌈τ|A|⌉+1 RAREST grams (global-df-ascending order — rarest
+    * first minimizes Σ df over the prefix, i.e. candidate volume);
+    * index side keeps all grams (containment can't prune the
+    * container). Candidates then verify with the exact integer
+    * containment — no LSH, no misses, and the oracle replays the
+    * identical prefix, candidates and scores.
+    *
+    * Scale: candidate mass = Σ_docs Σ_prefix df(g). On natural corpora
+    * gram space grows with N so prefix df stays O(1) and the join is
+    * ~linear; on THIS fixed synthetic vocabulary df grows ∝N (same
+    * documented residual as q62's block occupancy — measure, don't
+    * guess). One gram-grain exchange each for df, prefix window, and
+    * the probe⋈index join; verify touches candidates only, with the
+    * native `word_grams_distinct` + array_intersect (no UDF). */
+  def containmentPairs(s: SparkSession, d: String): DataFrame =
+    containmentPairsFrom(Tables.documents(s, d))
+
+  def containmentPairsFrom(docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docsIn
+      .select(col("doc_id"), explode(graft.functions.GraftFunctions
+        .wordGramsDistinct(col("text"), ContainGramN)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+      .localCheckpoint(true) // feeds df, the prefix window, AND the index side
+    val dfTab = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+    val nTab = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val prefix = grams.join(dfTab, "gh")
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("doc_id").orderBy(col("df"), col("gh"))))
+      .join(nTab, "doc_id")
+      .filter(col("rk") <= expr("n_grams - (n_grams * 8 + 9) div 10 + 1"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("gh"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("gh")), "gh")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val docs = docsIn
+    def gset(c: org.apache.spark.sql.Column) =
+      graft.functions.GraftFunctions.wordGramsDistinct(c, ContainGramN)
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      .withColumn("ga", gset(col("text_a")))
+      .withColumn("gb", gset(col("text_b")))
+      .withColumn("cx",
+        expr("(size(array_intersect(ga, gb)) * 10000L + size(ga) div 2) div size(ga)"))
+      .filter(col("cx") >= ContainTauX4)
+      .select(col("doc_a"), col("doc_b"),
+        (col("cx").cast("double") / 10000.0).as("containment"))
+  }
+
+  val containmentPairsSql: String = {
+    val n = ContainGramN
+    s"""WITH ws AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS w FROM documents),
+       |gr AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) < $n THEN [array_to_string(w, ' ')]
+       |  ELSE [array_to_string(w[i:i+${n - 1}], ' ') for i in range(1, len(w) - ${n - 2})] END)) AS gram FROM ws),
+       |gh AS MATERIALIZED (SELECT doc_id, md5(gram) AS gh FROM gr),
+       |dfq AS (SELECT gh, count(*) AS df FROM gh GROUP BY gh),
+       |na AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
+       |pre AS (SELECT doc_id, gh FROM (
+       |  SELECT g.doc_id, g.gh, na.n,
+       |    row_number() OVER (PARTITION BY g.doc_id ORDER BY d.df, g.gh) AS rk
+       |  FROM gh g JOIN dfq d USING (gh) JOIN na USING (doc_id))
+       |  WHERE rk <= n - (n * 8 + 9) // 10 + 1),
+       |cand AS (SELECT DISTINCT p.doc_id AS doc_a, g.doc_id AS doc_b
+       |  FROM pre p JOIN gh g ON g.gh = p.gh AND g.doc_id <> p.doc_id),
+       |sets AS (SELECT doc_id, list(gh) AS ss FROM gh GROUP BY doc_id),
+       |cx AS (SELECT doc_a, doc_b,
+       |  (len(list_intersect(x.ss, y.ss)) * 10000 + len(x.ss) // 2) // len(x.ss) AS c
+       |  FROM cand JOIN sets x ON x.doc_id = cand.doc_a JOIN sets y ON y.doc_id = cand.doc_b)
+       |SELECT doc_a, doc_b, CAST(c AS DOUBLE) / 10000.0 AS containment
+       |FROM cx WHERE c >= $ContainTauX4""".stripMargin.replace("\n", " ")
+  }
 }
