@@ -501,4 +501,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)"), p)
     assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)"), p)
   }
+
+  test("q185 blocklist screen: partials inside mapPartitions, grid-bounded exchanges only") {
+    val p = plan("q185_blocklist_screen")
+    // the doc-grain pass emits pre-aggregated (source, pidx) partials
+    // from inside mapPartitions; the only hash exchanges after it carry
+    // the |sources|×K grid (sum-merge) and the distinct-source dim —
+    // the K-pattern screen must never shuffle doc-grain rows
+    assert(p.contains("MapPartitions"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 4, p)
+    // the pattern dim joins broadcast, never shuffled
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q186 time travel adds ZERO exchanges over the q153 history build") {
+    val p = plan("q186_time_travel")
+    // the AS-OF read is q153's single (user_id) exchange + a filter;
+    // the midpoint T is resolved before planning (2-long scalar agg)
+    assert(p.linesIterator.count(_.contains("Exchange")) === 1, p)
+    assert(p.contains("Exchange hashpartitioning(user_id"), p)
+  }
+
+  test("q188 containment: sparse equi-joins only — no cartesian, no nested loop, no Expand") {
+    val p = plan("q188_containment_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Expand"), p)
+  }
 }
