@@ -655,6 +655,31 @@ object StreamingFraud {
       .groupBy("dim", "bin")
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Streaming twin of q185 — ONLINE BLOCKLIST SCREEN: the broadcast
+    * Aho–Corasick automaton runs inside the stream's stateless
+    * mapPartitions (one pass per arriving doc, partials batched per
+    * task exactly as in batch), and the (source, pattern) hit counts
+    * fold into running state because they are ADDITIVE — micro-batch
+    * partials sum into cells the same way partition partials do. The
+    * same [[graft.text.Scrub.blocklistCounts]] pipeline IS the
+    * streaming query; the only twin-specific bit is the stream-static
+    * join that resolves pattern ids to strings (broadcast, K rows).
+    *
+    * State: ≤ |sources|·K count cells forever — grid-bounded like
+    * [[tokenBudgetStream]], no watermark needed, counts only ratchet.
+    * Converges to the batch screen's touched cells exactly
+    * (StreamingFraudSpec; zeros are reported by the batch grid join,
+    * absence on the stream). Input schema: (source, text). */
+  def blocklistScreenStream(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val names = graft.text.Scrub.Blocklist.zipWithIndex
+      .map { case (p, i) => (i, p) }.toDF("pidx", "pattern")
+    graft.text.Scrub.blocklistCounts(docs)
+      .join(broadcast(names), "pidx")
+      .select(col("source"), col("pattern"), col("n_docs"), col("n_occ"))
+  }
+
   /** Streaming twin of q75 — incremental dedup of a DOCUMENT STREAM
     * against the persisted corpus index: each micro-batch's (doc_id,
     * text) rows run the same index-probing plan as the batch query

@@ -870,8 +870,31 @@ object Scrub {
   def blocklistScreen(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pats = Blocklist
-    val bc = s.sparkContext.broadcast(AhoCorasick.build(pats))
-    val partials = Tables.documents(s, d)
+    val partials = blocklistCounts(Tables.documents(s, d))
+    val grid = Tables.documents(s, d).select(col("source")).distinct()
+      .crossJoin(broadcast(
+        pats.zipWithIndex.map { case (p, i) => (i, p) }.toDF("pidx", "pattern")))
+    grid.join(partials, Seq("source", "pidx"), "left")
+      .select(col("source"), col("pattern"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occ"))
+  }
+
+  /** The doc-grain half of q185, shared with the streaming twin
+    * ([[graft.streaming.StreamingFraud.blocklistScreenStream]]): one
+    * automaton pass per doc inside mapPartitions with in-partition
+    * partial aggregation, then the grid-bounded sum merge. Counts are
+    * ADDITIVE, which is what makes the same pipeline a correct
+    * stateful streaming aggregation — micro-batch partials sum into
+    * the running cell exactly as partition partials sum in batch.
+    * Input schema: (source, text). Output: (source, pidx, n_docs,
+    * n_occ) for TOUCHED cells only (the batch entry joins the full
+    * grid back; a stream reports zeros as absence). */
+  private[graft] def blocklistCounts(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(AhoCorasick.build(Blocklist))
+    docs
       .select(col("source"), col("text"))
       .as[(String, String)]
       .mapPartitions { it =>
@@ -893,13 +916,6 @@ object Scrub {
       .toDF("source", "pidx", "n_docs", "n_occ")
       .groupBy("source", "pidx")
       .agg(sum("n_docs").as("n_docs"), sum("n_occ").as("n_occ"))
-    val grid = Tables.documents(s, d).select(col("source")).distinct()
-      .crossJoin(broadcast(
-        pats.zipWithIndex.map { case (p, i) => (i, p) }.toDF("pidx", "pattern")))
-    grid.join(partials, Seq("source", "pidx"), "left")
-      .select(col("source"), col("pattern"),
-        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
-        coalesce(col("n_occ"), lit(0L)).as("n_occ"))
   }
 
   val blocklistScreenSql: String = {

@@ -845,6 +845,41 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming blocklist screen converges to the batch screen's touched cells") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val input = MemoryStream[(String, String)]
+    val stream = input.toDF().toDF("source", "text")
+    val query = StreamingFraud.blocklistScreenStream(stream)
+      .writeStream.format("memory").queryName("blscreen")
+      .outputMode("update").start()
+    try {
+      // three uneven micro-batches: the additive cells must not care
+      val (b1, rest) = docs.splitAt(docs.length / 4)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      // batch ground truth: q185's grid, restricted to touched cells
+      val expect = graft.text.Scrub.blocklistScreen(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_occ"))))
+        .filter(_._2._2 > 0L).toMap
+      // Update mode re-emits a cell per touch: counts ratchet, keep max
+      val got = spark.sql("select source, pattern, n_docs, n_occ from blscreen")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+        .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).maxBy(_._1) }
+      assert(got === expect, "stream must converge to the batch screen")
+    } finally query.stop()
+  }
+
   test("streaming KMV distinct-users: exact below k, merges across micro-batches") {
     val spark = SparkSpec.spark
     import spark.implicits._
