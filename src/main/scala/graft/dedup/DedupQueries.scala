@@ -1995,7 +1995,12 @@ object DedupQueries {
 
   // --------------------------------- exact containment join (quotes)
 
-  val ContainGramN = 3
+  val ContainGramN = 5  // 3-grams measured 20.6 s at sf0.1: the fixed
+                        // synthetic vocabulary keeps the 3-gram space at
+                        // ~27k so df (and candidate mass) grows ∝N; the
+                        // 5-gram space (~30⁵) dwarfs occurrence mass at
+                        // any SF, pinning prefix df — and quotes shorter
+                        // than 5 words aren't quotes worth chasing
   val ContainTauX4 = 8000L // τ = 0.8 as an exact ×10⁴ integer
 
   /** q188 — exact-recall CONTAINMENT join: ordered pairs (A, B) where
