@@ -413,6 +413,9 @@ object SparkEntry {
     // round-15: exact-recall containment join (quote/excerpt dedup) —
     // rare-first prefix probe vs full gram index, integer verify
     "q188_containment_pairs"   -> (graft.dedup.DedupQueries.containmentPairs _),
+    // round-15: embedding-space split-leakage audit — the paraphrase
+    // contamination q85/q134 can't see, on q88's cell machinery
+    "q189_semantic_leakage"    -> (graft.sim.SimilarityQueries.semanticSplitLeakage _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -610,5 +613,6 @@ object SparkEntry {
     "q186_time_travel"         -> graft.ops.Maintenance.timeTravelSnapshotSql,
     "q187_hits_scores"         -> graft.dedup.DedupQueries.hitsScoresSql,
     "q188_containment_pairs"   -> graft.dedup.DedupQueries.containmentPairsSql,
+    "q189_semantic_leakage"    -> graft.sim.SimilarityQueries.semanticSplitLeakageSql,
   )
 }

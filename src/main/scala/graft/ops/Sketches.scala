@@ -645,16 +645,34 @@ object Sketches {
     * broadcast self-join over |sources| rows does the algebra on
     * 128-element arrays — corpus touched once, pair stage is
     * sketch-sized. */
-  def kmvSetOps(s: SparkSession, d: String): DataFrame = {
-    val grams = Tables.documents(s, d)
+  def kmvSetOps(s: SparkSession, d: String): DataFrame =
+    kmvPairAlgebra(kmvSourceSketches(Tables.documents(s, d)))
+
+  /** The corpus-touching half of q182 — one gram-grain aggregate into a
+    * k-bounded KMV sketch per source. Shared with the streaming twin
+    * ([[graft.streaming.StreamingFraud.kmvSketchStream]]): the
+    * MinKDistinct buffer is a fold over the hash MULTISET, so
+    * micro-batch arrival order can't change the k smallest — the
+    * stream's state converges to this batch table exactly. Input
+    * schema: (source, text). */
+  private[graft] def kmvSourceSketches(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"),
         explode(graft.functions.GraftFunctions
           .wordGramsDistinct(col("text"), SetOpGramN)).as("gram"))
       .select(col("source"),
         graft.functions.GraftFunctions.md5Lower64(col("gram"))
           .bitwiseAND(Long.MaxValue).as("h"))
-    val sk = grams.groupBy("source")
+      .groupBy("source")
       .agg(minKDistinct(SetOpK)(col("h")).as("ks"))
+
+  /** The sketch-sized half of q182 — θ derivation + pair algebra over
+    * a (source, ks) sketch table. Runs identically on the batch
+    * sketches and on a snapshot of the streaming twin's state (the
+    * catalog-entry posture: answer C(S,2) overlap questions without
+    * re-touching the corpus). */
+  private[graft] def kmvPairAlgebra(sketches: DataFrame): DataFrame = {
+    val sk = sketches
       .select(col("source"), col("ks"),
         when(size(col("ks")) < SetOpK, lit(ThetaExact))
           .otherwise(element_at(col("ks"), -1)).as("th"))

@@ -427,6 +427,71 @@ object SimilarityQueries {
         round(max(col("cos")), 4).as("max_cos"))
   }
 
+  /** The ε-ball radius for q189's audit — slightly inside
+    * [[SemDedupThr]] so the audit grid carries the near-threshold
+    * pairs a split designer actually worries about (pairs the dedup
+    * pass would NOT remove but an eval-set reviewer would flag). */
+  val SemLeakThr = 0.35
+
+  /** q189 — SEMANTIC SPLIT-LEAKAGE AUDIT: the embedding-space twin of
+    * q129. q85's content-hash split guarantees exact-dup safety and
+    * q134's cluster-safe split extends that to lexical near-dups, but
+    * PARAPHRASES — same meaning, different n-grams — leak through
+    * both; they are only visible in embedding space. This audit counts,
+    * for every split-pair cell, the vector pairs within [[SemLeakThr]]
+    * cosine that straddle the boundary: (train, val)/(train, test)
+    * cells are contaminated eval signal, the within-split diagonal is
+    * the baseline density that calibrates it.
+    *
+    * Same scale posture as q88, whose cell machinery it reuses
+    * verbatim: [[ivfAssign]] restricts comparisons to coarse cells
+    * (Σ|cell|², never N²), the split is a pure per-row md5 map of
+    * vec_id, and the output is the ≤6-cell grid. Boundary-straddling
+    * near-pairs are missed BY DESIGN — q88's documented recall trade. */
+  def semanticSplitLeakage(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val assigned = ivfAssign(emb, ivfCentroids(emb))
+    val mates = assigned
+      .select(col("cent_id"), col("vec_id").as("mate"), col("e").as("me"))
+    def splitOf(idExpr: String): Column = {
+      val hex = "0123456789abcdef"
+      val b = s"(instr('$hex', substring(md5(CAST($idExpr AS STRING)), 1, 1)) - 1) * 16" +
+        s" + instr('$hex', substring(md5(CAST($idExpr AS STRING)), 2, 1)) - 1"
+      expr(s"CASE WHEN $b < ${graft.text.CorpusOps.TrainBuckets} THEN 'train'" +
+        s" WHEN $b < ${graft.text.CorpusOps.TrainBuckets + graft.text.CorpusOps.ValBuckets} THEN 'val'" +
+        " ELSE 'test' END")
+    }
+    assigned.join(mates, Seq("cent_id"))
+      .filter(col("mate") < col("vec_id"))
+      .withColumn("cos", cosineExpr("e", "me"))
+      .filter(round(col("cos"), 6) >= SemLeakThr)
+      .withColumn("sa", splitOf("vec_id"))
+      .withColumn("sb", splitOf("mate"))
+      .groupBy(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"), round(max(col("cos")), 4).as("max_cos"))
+  }
+
+  val semanticSplitLeakageSql: String = {
+    val hex = "0123456789abcdef"
+    val b = s"(instr('$hex', substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 16" +
+      s" + instr('$hex', substring(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1"
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+      s"c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id % $CentStride = $CentOffset), " +
+      "ac AS (SELECT v.vec_id, c.cent_id, list_cosine_similarity(v.e, c.ce) AS ccos FROM v CROSS JOIN c), " +
+      "ar AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY round(ccos, 6) DESC, cent_id) AS r FROM ac), " +
+      "assigned AS (SELECT ar.vec_id, ar.cent_id, v.e FROM ar JOIN v ON v.vec_id = ar.vec_id WHERE ar.r = 1), " +
+      s"sp AS (SELECT vec_id, CASE WHEN $b < ${graft.text.CorpusOps.TrainBuckets} THEN 'train' " +
+      s"WHEN $b < ${graft.text.CorpusOps.TrainBuckets + graft.text.CorpusOps.ValBuckets} THEN 'val' ELSE 'test' END AS split FROM v), " +
+      "p AS (SELECT a.vec_id, b.vec_id AS mate, list_cosine_similarity(a.e, b.e) AS cos " +
+      "FROM assigned a JOIN assigned b ON a.cent_id = b.cent_id AND b.vec_id < a.vec_id) " +
+      "SELECT least(sa.split, sb.split) AS split_a, greatest(sa.split, sb.split) AS split_b, " +
+      "CAST(count(*) AS BIGINT) AS n_pairs, round(max(cos), 4) AS max_cos " +
+      "FROM p JOIN sp sa ON sa.vec_id = p.vec_id JOIN sp sb ON sb.vec_id = p.mate " +
+      s"WHERE round(cos, 6) >= $SemLeakThr GROUP BY 1, 2"
+  }
+
   val semanticDedupSql: String =
     "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
       s"c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id % $CentStride = $CentOffset), " +

@@ -670,6 +670,22 @@ object StreamingFraud {
     * Converges to the batch screen's touched cells exactly
     * (StreamingFraudSpec; zeros are reported by the batch grid join,
     * absence on the stream). Input schema: (source, text). */
+  /** Streaming twin of q182's corpus half — per-source KMV theta
+    * sketches as running state: each micro-batch's gram hashes fold
+    * into the k-bounded MinKDistinct buffer (same udaf as
+    * [[distinctUsersStream]], same expressions as the batch
+    * [[graft.ops.Sketches.kmvSourceSketches]]). The k smallest of a
+    * multiset are invariant to arrival order and duplication, so the
+    * state converges to the batch sketch table EXACTLY, and
+    * [[graft.ops.Sketches.kmvPairAlgebra]] over a state snapshot then
+    * reproduces the full q182 pair matrix without re-touching the
+    * corpus — the live "which sources overlap" catalog.
+    *
+    * State: k longs per source, forever — no watermark, min-fold only
+    * ratchets downward. Input schema: (source, text). */
+  def kmvSketchStream(docs: DataFrame): DataFrame =
+    graft.ops.Sketches.kmvSourceSketches(docs)
+
   def blocklistScreenStream(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

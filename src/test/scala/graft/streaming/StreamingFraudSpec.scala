@@ -880,6 +880,49 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming KMV source sketches converge to batch; pair algebra reproduces q182") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val input = MemoryStream[(String, String)]
+    val stream = input.toDF().toDF("source", "text")
+    val query = StreamingFraud.kmvSketchStream(stream)
+      .writeStream.format("memory").queryName("kmvsk")
+      .outputMode("update").start()
+    try {
+      val (b1, rest) = docs.splitAt(docs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      // the k-min state only ratchets downward: the final sketch per
+      // source is the elementwise (equivalently lexicographic) min of
+      // its emitted rows
+      import scala.math.Ordering.Implicits.seqOrdering
+      val got = spark.sql("select source, ks from kmvsk").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toVector)
+        .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).min }
+      val batch = graft.ops.Sketches
+        .kmvSourceSketches(graft.ops.Tables.documents(spark, sfDir))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toVector).toMap
+      assert(got === batch, "stream state must converge to the batch sketches")
+      // the sketch-sized half re-runs on the stream's final state and
+      // must reproduce the registered q182 output exactly
+      val fromState = graft.ops.Sketches
+        .kmvPairAlgebra(got.toSeq.toDF("source", "ks")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+      val q182 = graft.ops.Sketches.kmvSetOps(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+      assert(fromState === q182)
+    } finally query.stop()
+  }
+
   test("streaming KMV distinct-users: exact below k, merges across micro-batches") {
     val spark = SparkSpec.spark
     import spark.implicits._
