@@ -416,6 +416,9 @@ object SparkEntry {
     // round-15: embedding-space split-leakage audit — the paraphrase
     // contamination q85/q134 can't see, on q88's cell machinery
     "q189_semantic_leakage"    -> (graft.sim.SimilarityQueries.semanticSplitLeakage _),
+    // round-15: curation attrition waterfall — first-failing-stage
+    // funnel report over q48's own gates, |sources|×5 output
+    "q190_curation_waterfall"  -> (graft.text.Scrub.curationWaterfall _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -614,5 +617,6 @@ object SparkEntry {
     "q187_hits_scores"         -> graft.dedup.DedupQueries.hitsScoresSql,
     "q188_containment_pairs"   -> graft.dedup.DedupQueries.containmentPairsSql,
     "q189_semantic_leakage"    -> graft.sim.SimilarityQueries.semanticSplitLeakageSql,
+    "q190_curation_waterfall"  -> graft.text.Scrub.curationWaterfallSql,
   )
 }

@@ -260,6 +260,59 @@ object Scrub {
       "AND doc_id IN (SELECT doc_id FROM good) " +
       "AND doc_id NOT IN (SELECT doc_id FROM cont)"
 
+  /** q190 — CURATION ATTRITION WATERFALL: the funnel report every
+    * curation pipeline publishes next to its keep-list — per (source,
+    * stage), how many docs the q48 pipeline drops at each gate, with
+    * FIRST-failure attribution in the pipeline's own order (exact-dup →
+    * benchmark-overlap → quality → contamination → kept), so the five
+    * stage counts partition the corpus exactly and Σ n_docs = |docs|
+    * per source. q48 answers "what survives"; this answers "WHY the
+    * rest didn't" — the number a curator reads before touching any
+    * threshold, and the per-source breakdown that exposes a crawl
+    * source whose mass dies at one gate.
+    *
+    * Same plan as q48 (the stages are the SAME expressions, evaluated
+    * under one scan: fp window, stride check, inlined integer quality
+    * predicate, contamination anti-set as a left join) plus nothing —
+    * the report grain is |sources|×5, so the waterfall costs exactly
+    * one CASE more than the filter it explains. */
+  def curationWaterfall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val nTok = size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    val stopPred = Seq("the", "a", "of", "and", "is", "to")
+      .map(w => s"t = '$w'").mkString(" OR ")
+    val nStop = size(expr(s"filter(split(text, ' '), t -> $stopPred)"))
+    val isGood = nTok >= 20 &&
+      nStop.cast("long") * 5 < nTok.cast("long") * 3
+    val contaminated = decontaminate(s, d).select("doc_id").distinct()
+      .withColumn("is_cont", lit(1))
+    docs
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
+      .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("doc_id") =!= col("keep_id"), "1_exact_dup")
+          .when(col("doc_id") % BenchStride === BenchOffset, "2_benchmark_overlap")
+          .when(!isGood, "3_low_quality")
+          .when(col("is_cont") === 1, "4_contaminated")
+          .otherwise("5_kept"))
+      .groupBy("source", "stage")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val curationWaterfallSql: String =
+    "WITH fpk AS (SELECT doc_id, source, " +
+      "min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) AS keep_id FROM documents), " +
+      s"good AS (SELECT doc_id FROM (${TextQueries.qualitySql}) WHERE quality = 'good'), " +
+      s"cont AS (SELECT DISTINCT doc_id FROM ($decontaminateSql)) " +
+      "SELECT source, CASE WHEN doc_id <> keep_id THEN '1_exact_dup' " +
+      s"WHEN doc_id % $BenchStride = $BenchOffset THEN '2_benchmark_overlap' " +
+      "WHEN doc_id NOT IN (SELECT doc_id FROM good) THEN '3_low_quality' " +
+      "WHEN doc_id IN (SELECT doc_id FROM cont) THEN '4_contaminated' " +
+      "ELSE '5_kept' END AS stage, CAST(count(*) AS BIGINT) AS n_docs " +
+      "FROM fpk GROUP BY 1, 2"
+
   // ------------------------------------------------ cross-doc chunk dedup
 
   /** Cross-document repeated-chunk removal — the line-level dedup of
