@@ -419,6 +419,12 @@ object SparkEntry {
     // round-15: curation attrition waterfall — first-failing-stage
     // funnel report over q48's own gates, |sources|×5 output
     "q190_curation_waterfall"  -> (graft.text.Scrub.curationWaterfall _),
+    // round-15: Hamilton-apportioned reproducible eval set — integer
+    // largest-remainder quotas, budget-sized MinKByStr selection
+    "q191_hamilton_eval"       -> (graft.text.CorpusOps.hamiltonEvalSample _),
+    // round-15: rendezvous-hash shard stability — moves only into the
+    // new shard, (S+1)²-bounded audit of a pure map
+    "q192_hrw_stability"       -> (graft.text.CorpusOps.rendezvousStability _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -618,5 +624,7 @@ object SparkEntry {
     "q188_containment_pairs"   -> graft.dedup.DedupQueries.containmentPairsSql,
     "q189_semantic_leakage"    -> graft.sim.SimilarityQueries.semanticSplitLeakageSql,
     "q190_curation_waterfall"  -> graft.text.Scrub.curationWaterfallSql,
+    "q191_hamilton_eval"       -> graft.text.CorpusOps.hamiltonEvalSampleSql,
+    "q192_hrw_stability"       -> graft.text.CorpusOps.rendezvousStabilitySql,
   )
 }

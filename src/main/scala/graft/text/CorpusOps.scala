@@ -1355,4 +1355,107 @@ object CorpusOps {
       |  WHERE b.n_chars >= a.n_chars AND b.n_distinct >= a.n_distinct AND b.n_rep <= a.n_rep
       |    AND (b.n_chars > a.n_chars OR b.n_distinct > a.n_distinct OR b.n_rep < a.n_rep))"""
       .stripMargin.replace("\n", " ")
+
+  // ------------------------------------ Hamilton-apportioned eval set
+
+  val EvalBudget = 100L
+
+  /** q191 — EVAL-SET construction by HAMILTON APPORTIONMENT: allocate a
+    * fixed eval budget across language strata in exact proportion to
+    * corpus mass (floor quotas + largest-remainder top-up, the
+    * apportionment rule that is integer-exact and never off by more
+    * than one per stratum — the house-seats algorithm), then select
+    * each stratum's members by the md5 shuffle key so the set is
+    * REPRODUCIBLE and grows consistently (a doc enters/leaves only if
+    * its stratum's quota moves). q73/q77 sample to externally-given
+    * mixture targets; this derives the quota from the corpus itself —
+    * the "make me a 100-doc eval set that looks like the corpus" op.
+    *
+    * Scale: the apportionment math runs on the |langs|-row count
+    * aggregate (driver-bounded, the q05/q73 scalar pattern, ties by
+    * lang asc so both engines agree); selection is the bounded
+    * [[graft.ops.TopKAggregator.MinKByStr]] per stratum — budget-sized
+    * buffers, no corpus-wide window, one exchange on lang. */
+  def hamiltonEvalSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nl = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val total = nl.map(_._2).sum
+    require(total >= EvalBudget, s"corpus smaller than the eval budget")
+    val floors = nl.map { case (l, n) =>
+      (l, EvalBudget * n / total, EvalBudget * n % total) }
+    val deficit = (EvalBudget - floors.map(_._2).sum).toInt
+    val topUp = floors.sortBy { case (l, _, rem) => (-rem, l) }
+      .take(deficit).map(_._1).toSet
+    val quota = floors
+      .map { case (l, fl, _) => (l, fl + (if (topUp(l)) 1L else 0L)) }
+      .filter(_._2 > 0L)
+    val kCase = quota.foldLeft(lit(0L)) { case (acc, (l, k)) =>
+      when(col("lang") === l, lit(k)).otherwise(acc)
+    }
+    val maxK = quota.map(_._2).max.toInt
+    docs.filter(col("lang").isin(quota.map(_._1): _*))
+      .groupBy("lang")
+      .agg(graft.ops.TopKAggregator.minKByStr(maxK)(
+        md5(col("doc_id").cast("string")), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "e")))
+      .withColumn("rnk", (col("pos") + 1).cast("int"))
+      .filter(col("rnk") <= kCase)
+      .select(col("e._2").as("doc_id"), col("lang"), col("rnk"))
+  }
+
+  val hamiltonEvalSampleSql: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |tot AS (SELECT sum(n) AS nn FROM c),
+       |fl AS (SELECT lang, ($EvalBudget * n) // nn AS fl, ($EvalBudget * n) % nn AS rem
+       |  FROM c CROSS JOIN tot),
+       |dd AS (SELECT $EvalBudget - sum(fl) AS d FROM fl),
+       |al AS (SELECT lang, fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang) <= dd.d
+       |  THEN 1 ELSE 0 END AS k FROM fl CROSS JOIN dd),
+       |r AS (SELECT doc_id, lang, row_number() OVER (
+       |  PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rnk FROM documents)
+       |SELECT r.doc_id, r.lang, CAST(r.rnk AS INT) AS rnk
+       |FROM r JOIN al USING (lang) WHERE r.rnk <= al.k""".stripMargin.replace("\n", " ")
+
+  // -------------------------------- rendezvous-hash shard stability
+
+  val HrwShards = 8
+
+  /** q192 — RENDEZVOUS (highest-random-weight) SHARD ASSIGNMENT and its
+    * resize-stability audit: every doc goes to argmax_s md5(doc:s) over
+    * [[HrwShards]] shards, and the audit recomputes the assignment with
+    * ONE MORE shard, emitting the (shard_old, shard_new) movement
+    * matrix. HRW's guarantee — the reason incremental corpus rebuilds
+    * shard this way instead of `id % S` (which moves (S-1)/S of all
+    * docs on resize) — is that a doc moves ONLY INTO the new shard,
+    * with probability exactly 1/(S+1): the matrix must be diagonal
+    * plus one column, and the spec pins that structurally. q172's
+    * snake deal balances a STATIC corpus perfectly; HRW is the
+    * GROWING-corpus dual (perfectly stable, statistically balanced).
+    *
+    * Pure per-row map (argmax over a constant-size literal struct
+    * array — codegen'd, no shuffle) into an (S+1)²-bounded aggregate;
+    * scan-speed at any corpus size. */
+  def rendezvousStability(s: SparkSession, d: String): DataFrame = {
+    def shardOf(n: Int): Column =
+      array_max(array((0 until n).map(i => struct(
+        md5(concat_ws(":", col("doc_id"), lit(i))).as("h"),
+        lit(i).as("s"))): _*)).getField("s")
+    Tables.documents(s, d)
+      .select(shardOf(HrwShards).as("shard_old"),
+        shardOf(HrwShards + 1).as("shard_new"))
+      .groupBy("shard_old", "shard_new")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val rendezvousStabilitySql: String =
+    s"""WITH e AS (SELECT doc_id, s,
+       |  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)) AS h
+       |  FROM documents CROSS JOIN range(${HrwShards + 1}) t(s)),
+       |a AS (SELECT doc_id,
+       |  CAST(arg_max(s, h) FILTER (WHERE s < $HrwShards) AS INT) AS shard_old,
+       |  CAST(arg_max(s, h) AS INT) AS shard_new
+       |  FROM e GROUP BY doc_id)
+       |SELECT shard_old, shard_new, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM a GROUP BY 1, 2""".stripMargin.replace("\n", " ")
 }
