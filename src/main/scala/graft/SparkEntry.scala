@@ -425,6 +425,12 @@ object SparkEntry {
     // round-15: rendezvous-hash shard stability — moves only into the
     // new shard, (S+1)²-bounded audit of a pure map
     "q192_hrw_stability"       -> (graft.text.CorpusOps.rendezvousStability _),
+    // round-15: k-anonymity release audit — quasi-identifier classes
+    // below k, per-source exposure rollup, one class-grain aggregate
+    "q193_k_anonymity"         -> (graft.ops.Maintenance.kAnonymityAudit _),
+    // round-15: matryoshka prefix-dim search graded by the shared
+    // integer recall contract (q112/q150 family)
+    "q194_matryoshka_recall"   -> (graft.sim.SimilarityQueries.matryoshkaRecall _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -626,5 +632,7 @@ object SparkEntry {
     "q190_curation_waterfall"  -> graft.text.Scrub.curationWaterfallSql,
     "q191_hamilton_eval"       -> graft.text.CorpusOps.hamiltonEvalSampleSql,
     "q192_hrw_stability"       -> graft.text.CorpusOps.rendezvousStabilitySql,
+    "q193_k_anonymity"         -> graft.ops.Maintenance.kAnonymityAuditSql,
+    "q194_matryoshka_recall"   -> graft.sim.SimilarityQueries.matryoshkaRecallSql,
   )
 }

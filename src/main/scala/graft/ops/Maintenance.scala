@@ -274,6 +274,43 @@ object Maintenance {
       |FROM events e LEFT JOIN req r ON e.user_id = r.user_id
       |GROUP BY event_type""".stripMargin
 
+  val KAnonK       = 5L
+  val KAnonCharBin = 256L
+
+  /** Beyond-reference: K-ANONYMITY RISK AUDIT over the document
+    * catalog's quasi-identifiers — the privacy report that pairs with
+    * [[gdprDeleteAudit]]: before releasing a corpus (or its metadata),
+    * count the (lang, source, length-bin) equivalence classes with
+    * fewer than k members; a doc alone in its class is re-identifiable
+    * from "just metadata" (Sweeney's k-anonymity). Emits every class
+    * below [[KAnonK]] with its size, plus the per-source exposure
+    * rollup a release decision actually reads: n_risky_classes and
+    * n_exposed_docs under ONE pass over the class table.
+    *
+    * ONE corpus aggregate to the class grain (map-side combinable;
+    * the grain is |langs|·|sources|·|bins| ≪ N), then class-grain
+    * algebra. Scan-speed at any corpus size. */
+  def kAnonymityAudit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"),
+        expr(s"n_chars div $KAnonCharBin").as("char_bin"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") < KAnonK)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_risky_classes"),
+        sum("n_docs").as("n_exposed_docs"),
+        min("n_docs").as("min_class_size"))
+
+  val kAnonymityAuditSql: String =
+    s"""WITH cls AS (SELECT lang, source, n_chars // $KAnonCharBin AS char_bin,
+       |  count(*) AS n_docs FROM documents GROUP BY 1, 2, 3)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_risky_classes,
+       |  CAST(sum(n_docs) AS BIGINT) AS n_exposed_docs,
+       |  CAST(min(n_docs) AS BIGINT) AS min_class_size
+       |FROM cls WHERE n_docs < $KAnonK GROUP BY source""".stripMargin
+      .replace("\n", " ")
+
   /** Beyond-reference: TIME-TRAVEL (AS OF) READ over the q153 SCD2
     * history — reconstruct, for every user, the state that was valid
     * at an instant T: the row with valid_from ≤ T < valid_to (open

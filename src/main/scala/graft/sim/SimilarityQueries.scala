@@ -381,6 +381,57 @@ object SimilarityQueries {
 
   val annRecallSql: String = recallSqlOver(ivfTopKSql, cosineTopKSql)
 
+  // ------------------------------- matryoshka truncation recall eval
+
+  val MatryoshkaDims = 16 // 64-dim corpus → 4× cheaper prefix search
+
+  /** The q20 brute-force top-k run on the first [[MatryoshkaDims]]
+    * coordinates only — the Matryoshka-representation-learning search
+    * posture: MRL-trained encoders front-load information so the
+    * d/4-prefix ranks nearly as well at a quarter of the scan FLOPs
+    * and bandwidth (Kusupati et al. 2022); at 100 TB the prefix IS the
+    * index you keep hot, with full-dim rerank only on its candidates.
+    * Same bounded TopKByScore aggregate, same tie discipline
+    * (round-6 prefix-cos desc, vec_id asc) as q20. */
+  def matryoshkaTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        slice(col("embedding").cast("array<double>"), 1, MatryoshkaDims).as("e"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineExpr("qe", "e"))
+      .groupBy("qid")
+      .agg(graft.ops.TopKAggregator.topKByScore(k)(
+        round(col("cos"), 6), col("vec_id"), col("cos"), lit(0)).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("rk", "e")))
+      .select(col("qid"), col("e._2").as("neighbor_id"),
+        (col("rk") + 1).as("rank"))
+  }
+
+  val matryoshkaTopKSql: String =
+    s"WITH e AS (SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:$MatryoshkaDims] AS emb FROM embeddings), " +
+      "q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id % 100 = 0), " +
+      "scored AS (SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.emb) AS cos FROM e CROSS JOIN q WHERE e.vec_id <> q.qid), " +
+      "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, vec_id) AS rank FROM scored) " +
+      "SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= 5"
+
+  /** q194 — MATRYOSHKA TRUNCATION RECALL: grade the prefix-dimension
+    * search against the full-dim exact top-k through the shared q112/
+    * q150 integer-only recall contract. The number this emits is the
+    * go/no-go for shipping the truncated index: how much ranking
+    * quality the dimension cut actually costs ON THIS CORPUS (here a
+    * synthetic isotropic space — the honest floor; an MRL encoder's
+    * space is the ceiling). Eval cost is two k-row tables joined —
+    * negligible next to either search. */
+  def matryoshkaRecall(s: SparkSession, d: String): DataFrame =
+    recallEvalFrom(
+      matryoshkaTopK(s, d),
+      cosineTopK(s, d).select(col("qid"), col("neighbor_id")))
+
+  val matryoshkaRecallSql: String = recallSqlOver(matryoshkaTopKSql, cosineTopKSql)
+
   // --------------------------------------------------- semantic dedup
 
   /** The ε-ball radius for q88. Corpus-calibrated, as SemDeDup's ε
