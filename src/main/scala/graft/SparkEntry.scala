@@ -431,6 +431,9 @@ object SparkEntry {
     // round-15: matryoshka prefix-dim search graded by the shared
     // integer recall contract (q112/q150 family)
     "q194_matryoshka_recall"   -> (graft.sim.SimilarityQueries.matryoshkaRecall _),
+    // round-15: perceptual-hash image dedup — real PNG encode→JDK
+    // decode→exact block-average aHash; cluster structure oracle-checked
+    "q195_image_phash"         -> (graft.multimodal.Multimodal.imagePhashDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -634,5 +637,6 @@ object SparkEntry {
     "q192_hrw_stability"       -> graft.text.CorpusOps.rendezvousStabilitySql,
     "q193_k_anonymity"         -> graft.ops.Maintenance.kAnonymityAuditSql,
     "q194_matryoshka_recall"   -> graft.sim.SimilarityQueries.matryoshkaRecallSql,
+    "q195_image_phash"         -> graft.multimodal.Multimodal.imagePhashDedupSql,
   )
 }

@@ -635,4 +635,144 @@ object Multimodal {
        |  16 AS frame_h, CAST((doc_id * 31 + i * 7) % 251 AS INT) AS mean_gray,
        |  w AS header_w, n_frames * 40 AS duration_ms
        |FROM e""".stripMargin.replace("\n", " ")
+
+  // --------------------------------- perceptual-hash image dedup
+
+  val ImgDocs     = 120L // docs carrying a synthetic image payload
+  val ImgPatterns = 17L  // distinct visual contents; doc % 17 shares one
+  val ImgGrid     = 8    // aHash grid — 64-bit hash
+
+  /** Deterministic 8×8 gray for pattern `pid` at grid cell (r, c). */
+  def imgGray(pid: Long, r: Int, c: Int): Int =
+    java.lang.Math.floorMod(
+      Hashing.splitmix64(pid * 64 + r * 8 + c), 256L).toInt
+
+  /** Render pattern `pid` as a REAL PNG at `scale`: each grid cell
+    * becomes a scale×scale uniform block, encoded through the JDK
+    * codec. Same pid at different scales = the same picture, larger —
+    * the scale-invariance case a perceptual hash exists to catch. */
+  def encodePatternPng(pid: Long, scale: Int): Array[Byte] = {
+    val side = ImgGrid * scale
+    val img = new java.awt.image.BufferedImage(
+      side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < ImgGrid) {
+      var c = 0
+      while (c < ImgGrid) {
+        val g = imgGray(pid, r, c)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = r * scale
+        while (y < (r + 1) * scale) {
+          var x = c * scale
+          while (x < (c + 1) * scale) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit AVERAGE HASH (aHash) of a decoded image: exact integer
+    * block-average down to the [[ImgGrid]]² grid, then one bit per
+    * cell — "above the median gray" (integer median: 2·g > g₍₃₁₎+g₍₃₂₎,
+    * no float anywhere). Uniform blocks make the downsample EXACT, so
+    * re-encodes and integer rescales of one picture hash identically —
+    * the invariance the dedup below relies on. None when no JDK codec
+    * recognizes the payload. */
+  def aHash(payload: Array[Byte]): Option[Long] =
+    readImage(payload).flatMap(aHashImg)
+
+  /** [[aHash]] over an already-decoded image (one decode per row in
+    * the batch path). */
+  def aHashImg(img0: java.awt.image.BufferedImage): Option[Long] =
+    Some(img0).filter(i =>
+      i.getWidth % ImgGrid == 0 && i.getHeight % ImgGrid == 0).map { img =>
+      val bw = img.getWidth / ImgGrid
+      val bh = img.getHeight / ImgGrid
+      val g = new Array[Long](ImgGrid * ImgGrid)
+      var r = 0
+      while (r < ImgGrid) {
+        var c = 0
+        while (c < ImgGrid) {
+          var sum = 0L
+          var y = r * bh
+          while (y < (r + 1) * bh) {
+            var x = c * bw
+            while (x < (c + 1) * bw) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+            y += 1
+          }
+          g(r * ImgGrid + c) = sum / (bw.toLong * bh)
+          c += 1
+        }
+        r += 1
+      }
+      val sorted = g.sorted
+      val m2 = sorted(31) + sorted(32)
+      var h = 0L
+      var i = 0
+      while (i < 64) { if (2 * g(i) > m2) h |= (1L << i); i += 1 }
+      h
+    }
+
+  /** q195 — PERCEPTUAL-HASH IMAGE DEDUP, the multimodal face of the
+    * dedup family: payloads that LOOK the same must land in one
+    * cluster even when their bytes differ (here: the same pattern
+    * rendered at 1×/2×/3× and re-encoded — different PNG streams,
+    * same picture). The pipeline is the real shape end-to-end —
+    * opaque binary column → per-partition REAL JDK decode →
+    * [[aHash]] → ONE hash-keyed aggregate — and the oracle checks the
+    * resulting CLUSTER STRUCTURE (members, sizes-per-cluster) from
+    * the generator arithmetic, which is exactly the contract a
+    * perceptual dedup owes: bit-identical hashes for visually
+    * identical content, regardless of encoding.
+    *
+    * Scale: hashes are 8 bytes/image; the aggregate is hash-keyed
+    * (map-side combinable); decode is the per-partition batch path of
+    * every op in this file. Swap [[aHash]] for a pHash/DCT or an
+    * embedding under the SAME plan when codecs and models allow. */
+  def imagePhashDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.ops.Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") < ImgDocs)
+    val genSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val genEnc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(genSchema)
+    val images = docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, encodePatternPng(id % ImgPatterns, (1 + id % 3).toInt))
+      }
+    }(genEnc)
+    val hashSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ahash", LongType),
+      StructField("side", IntegerType)))
+    val hashEnc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(hashSchema)
+    images.mapPartitions { rows =>
+      rows.flatMap { r =>
+        for {
+          img <- readImage(r.getAs[Array[Byte]](1))
+          h <- aHashImg(img)
+        } yield Row(r.getLong(0), h, img.getWidth)
+      }
+    }(hashEnc)
+      .groupBy("ahash")
+      .agg(
+        min("doc_id").as("rep_doc_id"),
+        count(lit(1)).as("n_members"),
+        countDistinct("side").as("n_scales"))
+      .select("rep_doc_id", "n_members", "n_scales")
+  }
+
+  val imagePhashDedupSql: String =
+    s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < $ImgDocs)
+       |SELECT min(doc_id) AS rep_doc_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(count(DISTINCT 1 + doc_id % 3) AS BIGINT) AS n_scales
+       |FROM ids GROUP BY doc_id % $ImgPatterns""".stripMargin.replace("\n", " ")
 }

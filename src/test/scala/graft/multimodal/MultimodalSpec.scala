@@ -287,4 +287,37 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getFloat(2) == (50 + r.getInt(1)).toFloat)
     }
   }
+
+  test("q195 aHash: scale- and re-encode-invariant, pattern-injective") {
+    // the invariance contract: one pattern, three scales, one hash
+    (0L until graft.multimodal.Multimodal.ImgPatterns).foreach { pid =>
+      val hs = (1 to 3).map(s => graft.multimodal.Multimodal
+        .aHash(graft.multimodal.Multimodal.encodePatternPng(pid, s)))
+      assert(hs.forall(_.isDefined), s"pattern $pid failed to hash")
+      assert(hs.distinct.size == 1, s"pattern $pid not scale-invariant")
+    }
+    // injectivity across the generator's pattern space (what lets the
+    // oracle predict clusters from arithmetic alone)
+    val all = (0L until graft.multimodal.Multimodal.ImgPatterns).map(pid =>
+      graft.multimodal.Multimodal.aHash(
+        graft.multimodal.Multimodal.encodePatternPng(pid, 1)).get)
+    assert(all.distinct.size == all.size, "aHash collision across patterns")
+    // non-multiple-of-grid sizes are refused, junk bytes are refused
+    assert(graft.multimodal.Multimodal.aHash(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("q195 clusters: every pattern's docs collapse to one row (sf0.001)") {
+    val spark = SparkSpec.spark
+    val rows = graft.multimodal.Multimodal
+      .imagePhashDedup(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Long]("rep_doc_id"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("n_scales")))
+    val n = graft.multimodal.Multimodal.ImgPatterns
+    assert(rows.length.toLong == n)
+    assert(rows.map(_._2).sum == graft.multimodal.Multimodal.ImgDocs)
+    // reps are the first occurrence of each pattern: exactly 0..16
+    assert(rows.map(_._1).sorted.toSeq == (0L until n))
+    // 120 docs over 17 patterns and 3 scales: every cluster spans >1 scale
+    assert(rows.forall(_._3 >= 2))
+  }
 }
