@@ -434,6 +434,9 @@ object SparkEntry {
     // round-15: perceptual-hash image dedup — real PNG encode→JDK
     // decode→exact block-average aHash; cluster structure oracle-checked
     "q195_image_phash"         -> (graft.multimodal.Multimodal.imagePhashDedup _),
+    // round-15: audio fingerprint dedup — real WAV decode, exact
+    // window-mean fingerprint, time-stretch invariance
+    "q196_audio_fingerprint"   -> (graft.multimodal.Multimodal.audioFingerprintDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -638,5 +641,6 @@ object SparkEntry {
     "q193_k_anonymity"         -> graft.ops.Maintenance.kAnonymityAuditSql,
     "q194_matryoshka_recall"   -> graft.sim.SimilarityQueries.matryoshkaRecallSql,
     "q195_image_phash"         -> graft.multimodal.Multimodal.imagePhashDedupSql,
+    "q196_audio_fingerprint"   -> graft.multimodal.Multimodal.audioFingerprintDedupSql,
   )
 }

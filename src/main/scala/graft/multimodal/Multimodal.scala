@@ -775,4 +775,141 @@ object Multimodal {
        |SELECT min(doc_id) AS rep_doc_id, CAST(count(*) AS BIGINT) AS n_members,
        |  CAST(count(DISTINCT 1 + doc_id % 3) AS BIGINT) AS n_scales
        |FROM ids GROUP BY doc_id % $ImgPatterns""".stripMargin.replace("\n", " ")
+
+  // ----------------------------------- audio fingerprint dedup
+
+  val AudDocs     = 96L  // docs carrying a synthetic audio payload
+  val AudPatterns = 13L  // distinct audio contents; doc % 13 shares one
+  val AudWindows  = 64   // fingerprint windows — 64-bit hash
+  val AudBaseLen  = 16   // samples per window at stretch 1
+  val AudRate     = 8000
+
+  /** Deterministic window amplitude for audio pattern `pid`. */
+  def audAmp(pid: Long, w: Int): Short =
+    (java.lang.Math.floorMod(
+      Hashing.splitmix64(pid * 997 + w), 32768L) - 16384L).toShort
+
+  /** Render audio pattern `pid` as a REAL 16-bit PCM mono WAV at
+    * time-stretch `stretch`: window w holds [[AudBaseLen]]·stretch
+    * samples of constant amplitude [[audAmp]](pid, w). Same pid at
+    * different stretches = the same signal, slower — the duration-
+    * invariance case an audio fingerprint exists to catch. */
+  def encodePatternWav(pid: Long, stretch: Int): Array[Byte] = {
+    val n = AudWindows * AudBaseLen * stretch
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val a = audAmp(pid, i / (AudBaseLen * stretch))
+      data(2 * i) = (a & 0xff).toByte
+      data(2 * i + 1) = ((a >> 8) & 0xff).toByte
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    // RIFF/WAVE header: PCM, 1 channel, 16-bit LE
+    def le32(v: Int) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    bos.write("RIFF".getBytes("US-ASCII")); bos.write(le32(36 + data.length))
+    bos.write("WAVE".getBytes("US-ASCII"))
+    bos.write("fmt ".getBytes("US-ASCII")); bos.write(le32(16))
+    bos.write(le16(1)); bos.write(le16(1)) // PCM, mono
+    bos.write(le32(AudRate)); bos.write(le32(AudRate * 2))
+    bos.write(le16(2)); bos.write(le16(16)) // block align, bits
+    bos.write("data".getBytes("US-ASCII")); bos.write(le32(data.length))
+    bos.write(data)
+    bos.toByteArray
+  }
+
+  /** 64-bit audio fingerprint of a decoded 16-bit PCM mono stream:
+    * exact integer mean over [[AudWindows]] equal windows, one bit per
+    * window — "above the median level" (the [[aHashImg]] idiom on the
+    * time axis). Constant windows make the mean EXACT under integer
+    * time-stretch, so stretched re-encodes of one signal fingerprint
+    * identically. None when no JDK codec recognizes the payload or
+    * the sample count doesn't tile the windows. */
+  def audioFingerprint(payload: Array[Byte]): Option[Long] =
+    try {
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val bytes = raw.readAllBytes()
+        val n = bytes.length / 2
+        if (n == 0 || n % AudWindows != 0) None
+        else {
+          val wlen = n / AudWindows
+          val m = new Array[Long](AudWindows)
+          var w = 0
+          while (w < AudWindows) {
+            var sum = 0L
+            var i = w * wlen
+            while (i < (w + 1) * wlen) {
+              sum += (((bytes(2 * i + 1) & 0xff) << 8) |
+                (bytes(2 * i) & 0xff)).toShort
+              i += 1
+            }
+            m(w) = sum / wlen
+            w += 1
+          }
+          val sorted = m.sorted
+          val m2 = sorted(31) + sorted(32)
+          var h = 0L
+          var k = 0
+          while (k < 64) { if (2 * m(k) > m2) h |= (1L << k); k += 1 }
+          Some(h)
+        }
+      } finally raw.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+           _: java.io.IOException | _: RuntimeException => None
+    }
+
+  /** q196 — AUDIO FINGERPRINT DEDUP: the audio face of q195 —
+    * payloads that SOUND the same must cluster even when their bytes
+    * differ (the same signal at 1×/2×/3× time-stretch is a different
+    * WAV stream). Same end-to-end shape: opaque binary → per-partition
+    * REAL `javax.sound` decode → [[audioFingerprint]] → ONE hash-keyed
+    * aggregate, cluster structure oracle-checked from the generator
+    * arithmetic. With q195 (image) and q122 (video frames), each
+    * modality now has a REAL decode path driving a registered,
+    * oracle-gated operator. */
+  def audioFingerprintDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.ops.Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") < AudDocs)
+    val genSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val genEnc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(genSchema)
+    val sounds = docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, encodePatternWav(id % AudPatterns, (1 + id % 3).toInt))
+      }
+    }(genEnc)
+    val fpSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("fp", LongType),
+      StructField("n_bytes", IntegerType)))
+    val fpEnc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(fpSchema)
+    sounds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        audioFingerprint(payload).map(h => Row(r.getLong(0), h, payload.length))
+      }
+    }(fpEnc)
+      .groupBy("fp")
+      .agg(
+        min("doc_id").as("rep_doc_id"),
+        count(lit(1)).as("n_members"),
+        countDistinct("n_bytes").as("n_stretches"))
+      .select("rep_doc_id", "n_members", "n_stretches")
+  }
+
+  val audioFingerprintDedupSql: String =
+    s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < $AudDocs)
+       |SELECT min(doc_id) AS rep_doc_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(count(DISTINCT 1 + doc_id % 3) AS BIGINT) AS n_stretches
+       |FROM ids GROUP BY doc_id % $AudPatterns""".stripMargin.replace("\n", " ")
 }

@@ -320,4 +320,29 @@ class MultimodalSpec extends AnyFunSuite {
     // 120 docs over 17 patterns and 3 scales: every cluster spans >1 scale
     assert(rows.forall(_._3 >= 2))
   }
+
+  test("q196 audio fingerprint: stretch-invariant, pattern-injective, junk-safe") {
+    val M = graft.multimodal.Multimodal
+    (0L until M.AudPatterns).foreach { pid =>
+      val hs = (1 to 3).map(s => M.audioFingerprint(M.encodePatternWav(pid, s)))
+      assert(hs.forall(_.isDefined), s"pattern $pid failed to fingerprint")
+      assert(hs.distinct.size == 1, s"pattern $pid not stretch-invariant")
+    }
+    val all = (0L until M.AudPatterns).map(pid =>
+      M.audioFingerprint(M.encodePatternWav(pid, 1)).get)
+    assert(all.distinct.size == all.size, "fingerprint collision across patterns")
+    assert(M.audioFingerprint(Array[Byte](9, 9, 9)).isEmpty)
+  }
+
+  test("q196 clusters: every audio pattern collapses to one row (sf0.001)") {
+    val spark = SparkSpec.spark
+    val M = graft.multimodal.Multimodal
+    val rows = M.audioFingerprintDedup(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Long]("rep_doc_id"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("n_stretches")))
+    assert(rows.length.toLong == M.AudPatterns)
+    assert(rows.map(_._2).sum == M.AudDocs)
+    assert(rows.map(_._1).sorted.toSeq == (0L until M.AudPatterns))
+    assert(rows.forall(_._3 >= 2))
+  }
 }
