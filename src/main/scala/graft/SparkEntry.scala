@@ -437,6 +437,8 @@ object SparkEntry {
     // round-15: audio fingerprint dedup — real WAV decode, exact
     // window-mean fingerprint, time-stretch invariance
     "q196_audio_fingerprint"   -> (graft.multimodal.Multimodal.audioFingerprintDedup _),
+    // round-15: shot-boundary detection over real-decoded video frames
+    "q197_shot_boundaries"     -> (graft.multimodal.Multimodal.shotBoundaries _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -642,5 +644,6 @@ object SparkEntry {
     "q194_matryoshka_recall"   -> graft.sim.SimilarityQueries.matryoshkaRecallSql,
     "q195_image_phash"         -> graft.multimodal.Multimodal.imagePhashDedupSql,
     "q196_audio_fingerprint"   -> graft.multimodal.Multimodal.audioFingerprintDedupSql,
+    "q197_shot_boundaries"     -> graft.multimodal.Multimodal.shotBoundariesSql,
   )
 }

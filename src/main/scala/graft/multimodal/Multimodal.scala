@@ -776,6 +776,45 @@ object Multimodal {
        |  CAST(count(DISTINCT 1 + doc_id % 3) AS BIGINT) AS n_scales
        |FROM ids GROUP BY doc_id % $ImgPatterns""".stripMargin.replace("\n", " ")
 
+  val CutThr = 100
+
+  /** q197 — SHOT-BOUNDARY DETECTION over the REAL-decoded q122 frame
+    * stream: a cut is a frame whose decoded mean gray jumps more than
+    * [[CutThr]] from its predecessor — the standard threshold detector
+    * that seeds video scene segmentation (and decides which frames a
+    * multimodal training pipeline samples: one per shot beats every
+    * k-th frame). Runs on [[videoFrames]]'s output — container walk,
+    * per-frame JPEG decode through the JDK codec, then ONE per-video
+    * lag window (frame counts are container-bounded, so the window
+    * partition is tiny by construction) into a video-grain rollup.
+    * The oracle replays the generator arithmetic: +7 mod 251 gray
+    * steps only exceed the threshold at the modular wrap, so expected
+    * cuts are exactly the wraps. */
+  def shotBoundaries(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    videoFrames(s, d)
+      .select(col("doc_id"), col("frame_idx"), col("mean_gray"))
+      .withColumn("jump",
+        abs(col("mean_gray") - lag("mean_gray", 1).over(w)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(when(col("jump") > CutThr, 1L).otherwise(0L)).as("n_cuts"),
+        coalesce(max("jump"), lit(0)).cast("int").as("max_jump"))
+  }
+
+  val shotBoundariesSql: String =
+    s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < $VideoDocs),
+       |f AS (SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS n_frames FROM ids),
+       |e AS (SELECT doc_id, unnest(range(0, n_frames)) AS i FROM f),
+       |g AS (SELECT doc_id, i, (doc_id * 31 + i * 7) % 251 AS gray FROM e),
+       |j AS (SELECT doc_id, abs(gray - lag(gray) OVER (PARTITION BY doc_id ORDER BY i)) AS jump FROM g)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+       |  CAST(sum(CASE WHEN jump > $CutThr THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       |  CAST(coalesce(max(jump), 0) AS INT) AS max_jump
+       |FROM j GROUP BY doc_id""".stripMargin.replace("\n", " ")
+
   // ----------------------------------- audio fingerprint dedup
 
   val AudDocs     = 96L  // docs carrying a synthetic audio payload

@@ -345,4 +345,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_._1).sorted.toSeq == (0L until M.AudPatterns))
     assert(rows.forall(_._3 >= 2))
   }
+
+  test("q197 shot boundaries: cuts are exactly the modular wraps of the generator") {
+    val spark = SparkSpec.spark
+    val M = graft.multimodal.Multimodal
+    val rows = M.shotBoundaries(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_frames"), r.getAs[Long]("n_cuts"),
+          r.getAs[Int]("max_jump")))).toMap
+    (0L until M.VideoDocs).foreach { id =>
+      val n = (4 + id % 5).toInt
+      val grays = (0 until n).map(i => M.grayOf(id, i))
+      val jumps = grays.sliding(2).map { case Seq(a, b) => math.abs(b - a) }.toSeq
+      val expect = (n.toLong, jumps.count(_ > M.CutThr).toLong,
+        if (jumps.isEmpty) 0 else jumps.max)
+      assert(rows(id) === expect, s"video $id")
+    }
+    // the fixture must exercise both classes: videos with and without cuts
+    assert(rows.values.exists(_._2 > 0) && rows.values.exists(_._2 == 0))
+  }
 }
