@@ -439,6 +439,16 @@ object SparkEntry {
     "q196_audio_fingerprint"   -> (graft.multimodal.Multimodal.audioFingerprintDedup _),
     // round-15: shot-boundary detection over real-decoded video frames
     "q197_shot_boundaries"     -> (graft.multimodal.Multimodal.shotBoundaries _),
+    // round-15: exact-integer two-sample KS statistic per source pair
+    "q198_ks_drift"            -> (graft.ops.Quality.ksDrift _),
+    // round-15: plurality label-propagation communities (fixed rounds)
+    "q199_lpa_communities"     -> (graft.dedup.DedupQueries.lpaCommunities _),
+    // round-15: l-diversity release audit (q193's homogeneity dual)
+    "q200_l_diversity"         -> (graft.ops.Maintenance.lDiversityAudit _),
+    // round-15: deterministic per-epoch shuffle → batch manifest
+    "q201_epoch_shuffle"       -> (graft.text.CorpusOps.epochShuffleManifest _),
+    // round-15: VAD segmentation over real-decoded WAV energies
+    "q202_vad_segments"        -> (graft.multimodal.Multimodal.vadSegmentation _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -645,5 +655,10 @@ object SparkEntry {
     "q195_image_phash"         -> graft.multimodal.Multimodal.imagePhashDedupSql,
     "q196_audio_fingerprint"   -> graft.multimodal.Multimodal.audioFingerprintDedupSql,
     "q197_shot_boundaries"     -> graft.multimodal.Multimodal.shotBoundariesSql,
+    "q198_ks_drift"            -> graft.ops.Quality.ksDriftSql,
+    "q199_lpa_communities"     -> graft.dedup.DedupQueries.lpaCommunitiesSql,
+    "q200_l_diversity"         -> graft.ops.Maintenance.lDiversityAuditSql,
+    "q201_epoch_shuffle"       -> graft.text.CorpusOps.epochShuffleManifestSql,
+    "q202_vad_segments"        -> graft.multimodal.Multimodal.vadSegmentationSql,
   )
 }

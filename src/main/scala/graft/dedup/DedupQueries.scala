@@ -1993,6 +1993,101 @@ object DedupQueries {
       .stripMargin.replace("\n", " ")
   }
 
+  // ------------------------------ label-propagation communities (LPA)
+
+  val LpaRounds = 3
+
+  /** q199 — synchronous LABEL-PROPAGATION community detection over the
+    * q179 bipartite trade graph: each round, every node adopts the
+    * PLURALITY label among its neighbors AND itself (count desc,
+    * label asc on ties — fully deterministic, no random sweep order).
+    * The community primitive the graph family still lacked: CC
+    * (q45/q64) answers "connected at all?" — one bridge edge glues
+    * two dense groups into one component; LPA splits along sparse
+    * cuts because a node follows where MOST of its neighbors sit, not
+    * any single edge. Nodes are namespaced into one integer id space
+    * (cust → 2k, supp → 2k+1) so labels are totally ordered and the
+    * min tie-break is pure integer compare on both engines.
+    *
+    * SELF-INCLUSION (a self-loop per node) is load-bearing, not a
+    * tweak: under neighbors-only synchronous update on a bipartite
+    * graph, labels swap sides every round — cust nodes forever hold
+    * supp-origin labels and vice versa, so no community ever mixes
+    * the two sides (LpaSpec caught exactly this). The self-vote
+    * breaks the side-parity and is the standard retention fix.
+    *
+    * Fixed [[LpaRounds]] synchronous rounds (the q116/q183/q187
+    * fixed-point contract: deterministic, oracle-unrollable; LPA
+    * famously oscillates under synchronous update, so a fixed budget
+    * is the PRINCIPLED stop rule here, not a compromise). Per round:
+    * one dst-keyed join with the label state, one (node, label)-grain
+    * count, one node-partitioned plurality window, localCheckpoint'ed
+    * — O(1) plan depth per round, work ∝ directed edges. Output is
+    * community-grain. At 100 TB the directed edge table is the one
+    * graph-sized artifact, built once and re-joined by key each
+    * round. */
+  def lpaCommunities(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.lineitem(s, d)
+      .filter(col("l_quantity") <= BfsMaxQty)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("cu"), (col("l_suppkey") * 2 + 1).as("su"))
+      .distinct()
+    val both = e.select(col("cu").as("src"), col("su").as("dst"))
+      .union(e.select(col("su").as("src"), col("cu").as("dst")))
+    val nodes = both.select(col("src").as("node")).distinct()
+    val und = both
+      .union(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .localCheckpoint(true) // re-joined every round (self-loops included)
+    var labels = nodes
+      .select(col("node"), col("node").as("lab"))
+      .localCheckpoint(true)
+    val plurality = Window.partitionBy("node")
+      .orderBy(col("c").desc, col("lab").asc)
+    for (_ <- 1 to LpaRounds) {
+      labels = und
+        .join(labels.select(col("node").as("dst"), col("lab")), "dst")
+        .groupBy(col("src").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(plurality))
+        .filter(col("rn") === 1)
+        .select("node", "lab")
+        .localCheckpoint(true)
+    }
+    labels.groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_cust"),
+        sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_supp"),
+        min("node").as("min_node"), max("node").as("max_node"))
+  }
+
+  val lpaCommunitiesSql: String = {
+    def round(t: Int): String =
+      s"""c$t AS (SELECT u.src AS node, l.lab, count(*) AS c
+         |  FROM u JOIN l${t - 1} l ON u.dst = l.node GROUP BY 1, 2),
+         |l$t AS MATERIALIZED (SELECT node, lab FROM (SELECT node, lab,
+         |  row_number() OVER (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
+         |  FROM c$t) WHERE rn = 1)""".stripMargin
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS cu,
+       |  l_suppkey * 2 + 1 AS su
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_quantity <= $BfsMaxQty),
+       |b AS (SELECT cu AS src, su AS dst FROM e
+       |  UNION ALL SELECT su, cu FROM e),
+       |nd AS (SELECT DISTINCT src AS node FROM b),
+       |u AS MATERIALIZED (SELECT src, dst FROM b
+       |  UNION ALL SELECT node, node FROM nd),
+       |l0 AS MATERIALIZED (SELECT node, node AS lab FROM nd),
+       |${(1 to LpaRounds).map(round).mkString(", ")}
+       |SELECT CAST(lab AS BIGINT) AS community,
+       |  CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(count(*) FILTER (WHERE node % 2 = 0) AS BIGINT) AS n_cust,
+       |  CAST(count(*) FILTER (WHERE node % 2 = 1) AS BIGINT) AS n_supp,
+       |  CAST(min(node) AS BIGINT) AS min_node,
+       |  CAST(max(node) AS BIGINT) AS max_node
+       |FROM l$LpaRounds GROUP BY lab""".stripMargin.replace("\n", " ")
+  }
+
   // --------------------------------- exact containment join (quotes)
 
   val ContainGramN = 5  // 3-grams measured 20.6 s at sf0.1: the fixed

@@ -833,32 +833,8 @@ object Multimodal {
     * samples of constant amplitude [[audAmp]](pid, w). Same pid at
     * different stretches = the same signal, slower — the duration-
     * invariance case an audio fingerprint exists to catch. */
-  def encodePatternWav(pid: Long, stretch: Int): Array[Byte] = {
-    val n = AudWindows * AudBaseLen * stretch
-    val data = new Array[Byte](n * 2)
-    var i = 0
-    while (i < n) {
-      val a = audAmp(pid, i / (AudBaseLen * stretch))
-      data(2 * i) = (a & 0xff).toByte
-      data(2 * i + 1) = ((a >> 8) & 0xff).toByte
-      i += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    // RIFF/WAVE header: PCM, 1 channel, 16-bit LE
-    def le32(v: Int) = Array[Byte](
-      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-    bos.write("RIFF".getBytes("US-ASCII")); bos.write(le32(36 + data.length))
-    bos.write("WAVE".getBytes("US-ASCII"))
-    bos.write("fmt ".getBytes("US-ASCII")); bos.write(le32(16))
-    bos.write(le16(1)); bos.write(le16(1)) // PCM, mono
-    bos.write(le32(AudRate)); bos.write(le32(AudRate * 2))
-    bos.write(le16(2)); bos.write(le16(16)) // block align, bits
-    bos.write("data".getBytes("US-ASCII")); bos.write(le32(data.length))
-    bos.write(data)
-    bos.toByteArray
-  }
+  def encodePatternWav(pid: Long, stretch: Int): Array[Byte] =
+    encodeWindowsWav(stretch, w => audAmp(pid, w))
 
   /** 64-bit audio fingerprint of a decoded 16-bit PCM mono stream:
     * exact integer mean over [[AudWindows]] equal windows, one bit per
@@ -951,4 +927,181 @@ object Multimodal {
        |SELECT min(doc_id) AS rep_doc_id, CAST(count(*) AS BIGINT) AS n_members,
        |  CAST(count(DISTINCT 1 + doc_id % 3) AS BIGINT) AS n_stretches
        |FROM ids GROUP BY doc_id % $AudPatterns""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------ voice-activity segmentation
+
+  /** Window w of VAD pattern `pid` is ACTIVE iff (w·(pid+3)) % 7 ≠ 0 —
+    * integer arithmetic BOTH the generator and the DuckDB oracle can
+    * evaluate, unlike splitmix64. Active windows render at a level
+    * floor ≥ [[VadFloor]]; silent windows render at exactly 0, so the
+    * energy threshold below separates them with no boundary cases. */
+  def vadActive(pid: Long, w: Int): Boolean = (w * (pid + 3)) % 7 != 0
+
+  val VadFloor     = 1000L // min |amplitude| of an active window
+  val VadThreshold = 500L  // mean-|amp| cut between speech and silence
+
+  /** Active-window amplitude: [[audAmp]] pushed outside ±[[VadFloor]],
+    * sign preserved — still pattern-dependent, never near-silent. */
+  def vadAmp(pid: Long, w: Int): Short = {
+    val a = audAmp(pid, w).toLong
+    val lifted = if (a >= 0) VadFloor + a % (16384 - VadFloor)
+                 else -(VadFloor + (-a) % (16384 - VadFloor))
+    lifted.toShort
+  }
+
+  /** Render VAD pattern `pid` at time-stretch `stretch` as a real WAV:
+    * [[vadAmp]] in active windows, digital silence elsewhere. */
+  def encodeVadWav(pid: Long, stretch: Int): Array[Byte] =
+    encodeWindowsWav(stretch,
+      w => if (vadActive(pid, w)) vadAmp(pid, w) else 0)
+
+  /** Shared constant-window WAV renderer (q196's encoder with the
+    * amplitude function lifted out). */
+  def encodeWindowsWav(stretch: Int, amp: Int => Short): Array[Byte] = {
+    val n = AudWindows * AudBaseLen * stretch
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val a = amp(i / (AudBaseLen * stretch))
+      data(2 * i) = (a & 0xff).toByte
+      data(2 * i + 1) = ((a >> 8) & 0xff).toByte
+      i += 1
+    }
+    wavHeader(data)
+  }
+
+  private def wavHeader(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    bos.write("RIFF".getBytes("US-ASCII")); bos.write(le32(36 + data.length))
+    bos.write("WAVE".getBytes("US-ASCII"))
+    bos.write("fmt ".getBytes("US-ASCII")); bos.write(le32(16))
+    bos.write(le16(1)); bos.write(le16(1)) // PCM, mono
+    bos.write(le32(AudRate)); bos.write(le32(AudRate * 2))
+    bos.write(le16(2)); bos.write(le16(16)) // block align, bits
+    bos.write("data".getBytes("US-ASCII")); bos.write(le32(data.length))
+    bos.write(data)
+    bos.toByteArray
+  }
+
+  /** VAD segments of a decoded 16-bit PCM mono stream: per-window
+    * exact integer mean-|amplitude| energy over [[AudWindows]] equal
+    * windows, threshold at [[VadThreshold]], then merge RUNS of
+    * active windows into (start_w, end_w) segments — all from the
+    * DECODED samples, never from generator arithmetic. None when no
+    * JDK codec recognizes the payload or windows don't tile. */
+  def vadSegments(payload: Array[Byte]): Option[Seq[(Int, Int)]] =
+    try {
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val bytes = raw.readAllBytes()
+        val n = bytes.length / 2
+        if (n == 0 || n % AudWindows != 0) None
+        else {
+          val wlen = n / AudWindows
+          val active = (0 until AudWindows).map { w =>
+            var sum = 0L
+            var i = w * wlen
+            while (i < (w + 1) * wlen) {
+              sum += math.abs((((bytes(2 * i + 1) & 0xff) << 8) |
+                (bytes(2 * i) & 0xff)).toShort.toLong)
+              i += 1
+            }
+            sum / wlen > VadThreshold
+          }
+          val segs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          var w = 0
+          while (w < AudWindows) {
+            if (active(w)) {
+              val start = w
+              while (w < AudWindows && active(w)) w += 1
+              segs += ((start, w - 1))
+            } else w += 1
+          }
+          Some(segs.toSeq)
+        }
+      } finally raw.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+           _: java.io.IOException | _: RuntimeException => None
+    }
+
+  /** q202 — VOICE-ACTIVITY SEGMENTATION: the temporal-segmentation op
+    * for audio, completing the modality square (q195 image identity,
+    * q196 audio identity, q197 video boundaries, THIS audio
+    * boundaries). Opaque WAV payloads → per-partition REAL
+    * `javax.sound` decode → exact integer window energies → threshold
+    * → gaps-and-islands merge into speech segments with integer-ms
+    * timestamps (ms = window · [[AudBaseLen]] · stretch · 1000 /
+    * [[AudRate]] — exact: 16·1000/8000 = 2). The activity pattern is
+    * generator arithmetic the oracle replays COLD (window-index
+    * islands in SQL); the operator itself reads only the decoded
+    * samples — the spec swaps in silence to prove it.
+    *
+    * Scale shape: identical to q196 — decode and segment are a pure
+    * flatMap at payload grain (the mapInPandas posture for a real
+    * codec fleet), output is segment-grain, and the only exchange is
+    * the optional per-doc rollup the query ends with (none here:
+    * segment rows ship as-is, doc-partitioned by the scan). */
+  def vadSegmentation(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.ops.Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") < AudDocs)
+    val genSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("stretch", IntegerType),
+      StructField("payload", BinaryType)))
+    val genEnc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(genSchema)
+    val sounds = docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val stretch = (1 + id % 3).toInt
+        Row(id, stretch, encodeVadWav(id % AudPatterns, stretch))
+      }
+    }(genEnc)
+    val segSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("seg_idx", LongType),
+      StructField("start_ms", LongType),
+      StructField("end_ms", LongType),
+      StructField("n_windows", LongType)))
+    val segEnc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(segSchema)
+    sounds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val msPerW = AudBaseLen.toLong * r.getInt(1) * 1000L / AudRate
+        vadSegments(r.getAs[Array[Byte]](2)).toSeq.flatMap { segs =>
+          segs.zipWithIndex.map { case ((a, b), i) =>
+            Row(id, i.toLong, a * msPerW, (b + 1) * msPerW,
+              (b - a + 1).toLong)
+          }
+        }
+      }
+    }(segEnc)
+  }
+
+  // Oracle: replay the activity arithmetic cold — islands of
+  // consecutive active windows via the w − row_number() trick.
+  val vadSegmentationSql: String =
+    s"""WITH ids AS (SELECT doc_id, doc_id % $AudPatterns AS pid,
+       |  1 + doc_id % 3 AS stretch FROM documents WHERE doc_id < $AudDocs),
+       |act AS (SELECT i.doc_id, i.stretch, w.w
+       |  FROM ids i CROSS JOIN (SELECT unnest(generate_series(0, ${AudWindows - 1})) AS w) w
+       |  WHERE (w.w * (i.pid + 3)) % 7 != 0),
+       |isl AS (SELECT doc_id, stretch, w,
+       |  w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+       |  FROM act),
+       |seg AS (SELECT doc_id, stretch, grp, min(w) AS sw, max(w) AS ew,
+       |  count(*) AS nw FROM isl GROUP BY 1, 2, 3)
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sw) - 1 AS BIGINT) AS seg_idx,
+       |  CAST(sw * $AudBaseLen * stretch * 1000 // $AudRate AS BIGINT) AS start_ms,
+       |  CAST((ew + 1) * $AudBaseLen * stretch * 1000 // $AudRate AS BIGINT) AS end_ms,
+       |  CAST(nw AS BIGINT) AS n_windows
+       |FROM seg""".stripMargin.replace("\n", " ")
 }

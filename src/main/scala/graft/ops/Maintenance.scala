@@ -311,6 +311,55 @@ object Maintenance {
        |FROM cls WHERE n_docs < $KAnonK GROUP BY source""".stripMargin
       .replace("\n", " ")
 
+  /** l-diversity floor: a class is language-homogeneous below this
+    * many distinct `lang` values. */
+  val LDivL = 3L
+
+  /** Finer release grid than q193's [[KAnonCharBin]]: homogeneity is a
+    * small-class phenomenon — at 256-char bins every k-passing class
+    * already mixes ≥3 langs at all tested SFs, so the audit would be
+    * vacuously green. */
+  val LDivCharBin = 64L
+
+  /** q200 — L-DIVERSITY audit over the SAME release grid as q193, with
+    * the roles rotated: quasi-identifiers = (source, char_bin),
+    * sensitive attribute = lang. k-anonymity (q193) only bounds class
+    * SIZE; a class can be large yet have every member share one
+    * sensitive value — the homogeneity attack k-anonymity misses.
+    * This op flags classes that PASS the k floor (so q193 would
+    * release them) but carry fewer than [[LDivL]] distinct sensitive
+    * values, i.e. the classes where membership alone leaks the
+    * attribute. Together the two audits are the standard
+    * k-anonymity + l-diversity release gate for corpus metadata.
+    *
+    * Scale shape: ONE class-grain aggregate over the scan (the
+    * count-distinct is exact — lang cardinality per class is tiny, so
+    * the expand is bounded), then a source-grain rollup of the
+    * failing classes. Output is report-grain; nothing after the first
+    * exchange is corpus-sized — the q193/q173 designed-flat family. */
+  def lDiversityAudit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"), expr(s"n_chars div $LDivCharBin").as("char_bin"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("lang")).as("n_langs"))
+      .filter(col("n_docs") >= KAnonK && col("n_langs") < LDivL)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_homog_classes"),
+        sum("n_docs").as("n_docs_at_risk"),
+        max("n_docs").as("max_class_size"),
+        min("n_langs").as("min_diversity"))
+
+  val lDiversityAuditSql: String =
+    s"""WITH cls AS (SELECT source, n_chars // $LDivCharBin AS char_bin,
+       |  count(*) AS n_docs, count(DISTINCT lang) AS n_langs
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_homog_classes,
+       |  CAST(sum(n_docs) AS BIGINT) AS n_docs_at_risk,
+       |  CAST(max(n_docs) AS BIGINT) AS max_class_size,
+       |  CAST(min(n_langs) AS BIGINT) AS min_diversity
+       |FROM cls WHERE n_docs >= $KAnonK AND n_langs < $LDivL
+       |GROUP BY source""".stripMargin.replace("\n", " ")
+
   /** Beyond-reference: TIME-TRAVEL (AS OF) READ over the q153 SCD2
     * history — reconstruct, for every user, the state that was valid
     * at an instant T: the row with valid_from ≤ T < valid_to (open

@@ -189,6 +189,87 @@ object Quality {
        |FROM bins b JOIN tot t USING (dim)""".stripMargin.replace("\n", " ")
   }
 
+  // ---------------------- two-sample KS drift between source pairs
+
+  /** ks_ppm scale: the statistic ships as parts-per-million. */
+  val KsScale = 1000000L
+
+  /** q198 — two-sample KOLMOGOROV–SMIRNOV statistic between every PAIR
+    * of sources over the document-length distribution: the
+    * distribution-comparison primitive PSI (q148) does not give you.
+    * PSI is binned and snapshot-vs-snapshot; KS is binless (supremum
+    * gap between the two empirical CDFs), detects location/shape
+    * shifts PSI's coarse bins smear out, and here runs source-vs-
+    * source — the "is corpus B length-distributed like corpus A?"
+    * check run before admitting a new source into a training mixture.
+    *
+    * EXACT INTEGER fixed point, no floats anywhere: for pair (a,b)
+    * with sizes n_a, n_b, at every distinct length v,
+    * |F_a(v) − F_b(v)| = |cum_a(v)·n_b − cum_b(v)·n_a| / (n_a·n_b),
+    * so ks_num = max_v |cum_a(v)·n_b − cum_b(v)·n_a| is a BIGINT both
+    * engines compute bit-identically, and ks_ppm = ks_num·1e6 div
+    * (n_a·n_b) its portable headline. (Headroom: n_a·n_b·1e6 < 2^63
+    * up to ~3·10^6 docs per source; past that, ship ks_num and the
+    * sizes and let the consumer take the ratio in wide arithmetic.)
+    *
+    * Scale shape: ONE (source, length)-grain count aggregate over the
+    * scan — the only corpus-sized exchange; everything after is
+    * VALUE-grain. Each grid row fans out to its (|S|−1) pairs against
+    * the broadcast pair table; the per-pair CDF-gap window partitions
+    * by pair and orders by length, so its input is bounded by
+    * |pairs|·|distinct lengths| — document-length support, not corpus
+    * size. At 100 TB the grid is ~|S|·max_len rows: trivially small. */
+  def ksDrift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnts = Tables.documents(s, d)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // grid-sized; read for totals AND both fan-outs
+    val ns = cnts.groupBy("source").agg(sum("c").as("n"))
+    val pairs = ns.select(col("source").as("sa"), col("n").as("na"))
+      .join(ns.select(col("source").as("sb"), col("n").as("nb")),
+        col("sa") < col("sb"))
+      .localCheckpoint(true) // |S|² rows; frozen so both fan-outs agree
+    val da = cnts.join(broadcast(pairs), col("source") === col("sa"))
+      .select(col("sa"), col("sb"), col("v"), (col("c") * col("nb")).as("delta"))
+    val db = cnts.join(broadcast(pairs), col("source") === col("sb"))
+      .select(col("sa"), col("sb"), col("v"), (-col("c") * col("na")).as("delta"))
+    da.union(db)
+      .groupBy("sa", "sb", "v").agg(sum("delta").as("delta"))
+      .withColumn("cum", sum(col("delta")).over(
+        Window.partitionBy("sa", "sb").orderBy("v")))
+      .groupBy("sa", "sb").agg(max(abs(col("cum"))).as("ks_num"))
+      .join(broadcast(pairs), Seq("sa", "sb"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("na").as("n_a"), col("nb").as("n_b"), col("ks_num"),
+        expr(s"ks_num * $KsScale div (na * nb)").as("ks_ppm"))
+  }
+
+  // Every running/window SUM is CAST BIGINT — DuckDB window sums
+  // produce HUGEINT (the q167 lesson, ADVICE r14).
+  val ksDriftSql: String =
+    s"""WITH c AS (SELECT source, n_chars AS v, count(*) AS c
+       |  FROM documents GROUP BY 1, 2),
+       |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+       |p AS (SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+       |  FROM n a JOIN n b ON a.source < b.source),
+       |d AS (SELECT p.sa, p.sb, c.v, c.c * p.nb AS delta
+       |    FROM c JOIN p ON c.source = p.sa
+       |  UNION ALL
+       |  SELECT p.sa, p.sb, c.v, -(c.c * p.na)
+       |    FROM c JOIN p ON c.source = p.sb),
+       |g AS (SELECT sa, sb, v, CAST(sum(delta) AS BIGINT) AS delta
+       |  FROM d GROUP BY 1, 2, 3),
+       |w AS (SELECT sa, sb,
+       |  CAST(sum(delta) OVER (PARTITION BY sa, sb ORDER BY v) AS BIGINT) AS cum
+       |  FROM g),
+       |m AS (SELECT sa, sb, CAST(max(abs(cum)) AS BIGINT) AS ks_num
+       |  FROM w GROUP BY 1, 2)
+       |SELECT m.sa AS source_a, m.sb AS source_b, p.na AS n_a, p.nb AS n_b,
+       |  m.ks_num, CAST(m.ks_num * $KsScale // (p.na * p.nb) AS BIGINT) AS ks_ppm
+       |FROM m JOIN p ON m.sa = p.sa AND m.sb = p.sb""".stripMargin
+      .replace("\n", " ")
+
   /** Per-row constraint-violation flags for the EVENTS table — the
     * shared expression layer under the streaming quality gate
     * ([[graft.streaming.StreamingFraud.qualityGateStream]]) and its

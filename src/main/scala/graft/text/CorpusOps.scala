@@ -1221,6 +1221,64 @@ object CorpusOps {
        |    ELSE $SnakeShardCount - 1 - (rnk - 1) % $SnakeShardCount END AS BIGINT) AS shard
        |FROM r""".stripMargin.replace("\n", " ")
 
+  // ------------------------------------- epoch shuffle batch manifest
+
+  val ShuffleEpochs = 3L
+  val ShuffleBatch  = 256L
+
+  /** q201 — DETERMINISTIC EPOCH-SHUFFLE MANIFEST: for each training
+    * epoch, an independent pseudo-random permutation of the corpus
+    * (order key = 53-bit md5 of "ep:{epoch}:{doc_id}" — a fresh
+    * keyed permutation per epoch, reproducible from the data alone,
+    * no RNG state to ship) cut into fixed-size batches; emitted at
+    * batch grain with a doc_id-sum checksum. This is the missing
+    * bookkeeping op between sharding (q172 balances MASS across
+    * workers) and packing (q55/q167 fill CONTEXTS in order): a
+    * trainer that wants "epoch 2, batch 417" byte-reproducible on any
+    * re-run — after a preemption, on a different cluster — needs the
+    * permutation to be a pure function of (epoch, doc_id), which this
+    * manifest pins and the checksum lets it audit.
+    *
+    * Scale shape: the corpus×E expansion is a pure flatMap (no
+    * exchange); the per-epoch rank rides ONE [[graft.ops.Distributed
+    * .globalRowNumber]] over (epoch, key, doc_id) — range-partitioned
+    * parallel sort, never a single-task window; each epoch holds
+    * exactly |D| rows, so rank-within-epoch = global_rank − epoch·|D|
+    * (one scalar count, no second exchange). The batch rollup reuses
+    * the same range partitioning (batch is a prefix function of the
+    * sort order — AQE-local). One sort exchange end-to-end at any SF. */
+  def epochShuffleManifest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    val nDocs = docs.count() // scalar: the per-epoch rank offset
+    val keyed = docs
+      .withColumn("epoch",
+        explode(expr(s"sequence(0L, ${ShuffleEpochs - 1}L)")))
+      .withColumn("k", graft.functions.GraftFunctions.md5Lower53(
+        concat(lit("ep:"), col("epoch").cast("string"),
+          lit(":"), col("doc_id").cast("string"))))
+    graft.ops.Distributed
+      .globalRowNumber(keyed, Seq("epoch", "k", "doc_id"), "grn")
+      .select(col("epoch"), col("doc_id"),
+        expr(s"(grn - epoch * ${nDocs}L - 1) div $ShuffleBatch").as("batch_id"))
+      .groupBy("epoch", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("doc_sum"))
+  }
+
+  val epochShuffleManifestSql: String =
+    s"""WITH ep AS (SELECT CAST(e AS BIGINT) AS epoch
+       |  FROM unnest(generate_series(0, ${ShuffleEpochs - 1})) AS t(e)),
+       |k AS (SELECT ep.epoch, d.doc_id,
+       |  md5_number_lower('ep:' || CAST(ep.epoch AS VARCHAR) || ':'
+       |    || CAST(d.doc_id AS VARCHAR)) >> 11 AS k
+       |  FROM documents d CROSS JOIN ep),
+       |r AS (SELECT epoch, doc_id,
+       |  row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS rn
+       |  FROM k)
+       |SELECT epoch, CAST((rn - 1) // $ShuffleBatch AS BIGINT) AS batch_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(doc_id) AS BIGINT) AS doc_sum
+       |FROM r GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+
   // ---------------------------------------------- Pareto-frontier (skyline)
 
   /** Dominance of row `b` over row `a` on the curation criteria:

@@ -346,6 +346,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(_._3 >= 2))
   }
 
+  test("q202 VAD: segments come from the DECODED samples and tile the active set") {
+    val M = graft.multimodal.Multimodal
+    // segmentation equals the generator's island structure at every stretch
+    (0L until M.AudPatterns).foreach { pid =>
+      val truth = {
+        val act = (0 until M.AudWindows).map(w => M.vadActive(pid, w))
+        val segs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var w = 0
+        while (w < M.AudWindows) {
+          if (act(w)) { val s = w; while (w < M.AudWindows && act(w)) w += 1
+            segs += ((s, w - 1)) } else w += 1
+        }
+        segs.toSeq
+      }
+      (1 to 3).foreach { st =>
+        assert(M.vadSegments(M.encodeVadWav(pid, st)) === Some(truth),
+          s"pattern $pid stretch $st")
+      }
+    }
+    // the operator reads the AUDIO, not the arithmetic: all-silence and
+    // all-active payloads segment by their samples alone
+    assert(M.vadSegments(M.encodeWindowsWav(1, _ => 0)) === Some(Seq.empty))
+    assert(M.vadSegments(M.encodeWindowsWav(1, _ => 2000)) ===
+      Some(Seq((0, M.AudWindows - 1))))
+    assert(M.vadSegments(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("q202 VAD segments: registered query matches per-doc replay (sf0.001)") {
+    val spark = SparkSpec.spark
+    val M = graft.multimodal.Multimodal
+    val rows = M.vadSegmentation(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seg_idx")) ->
+        ((r.getAs[Long]("start_ms"), r.getAs[Long]("end_ms"),
+          r.getAs[Long]("n_windows"))))
+    val byDoc = rows.groupBy(_._1._1)
+    byDoc.foreach { case (id, segs) =>
+      val st = 1 + id % 3
+      val truth = M.vadSegments(M.encodeVadWav(id % M.AudPatterns, st.toInt)).get
+      assert(segs.length == truth.length, s"doc $id")
+      val segMap = segs.toMap
+      truth.zipWithIndex.foreach { case ((a, b), i) =>
+        assert(segMap((id, i.toLong)) ===
+          ((a * 2 * st, (b + 1) * 2 * st, (b - a + 1).toLong)), s"doc $id seg $i")
+      }
+    }
+    // all-silent patterns (pid+3 ≡ 0 mod 7) contribute ZERO rows
+    val silentPids = (0L until M.AudPatterns).filter(p => (p + 3) % 7 == 0)
+    assert(silentPids.nonEmpty)
+    assert(byDoc.keySet.forall(id => !silentPids.contains(id % M.AudPatterns)))
+  }
+
   test("q197 shot boundaries: cuts are exactly the modular wraps of the generator") {
     val spark = SparkSpec.spark
     val M = graft.multimodal.Multimodal

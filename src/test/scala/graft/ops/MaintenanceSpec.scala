@@ -171,4 +171,37 @@ class MaintenanceSpec extends AnyFunSuite {
     // every snapshot row's interval actually contains T
     assert(snap.forall(_.getAs[Long]("valid_from_ms") <= t))
   }
+
+  test("q200 l-diversity flags exactly the k-passing homogeneous classes (sf0.01)") {
+    val spark = SparkSpec.spark
+    val dir01 = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, dir01)
+      .select("source", "lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val classes = docs.groupBy { case (src, _, nc) =>
+      (src, nc / Maintenance.LDivCharBin)
+    }
+    val failing = classes.filter { case (_, rows) =>
+      rows.length >= Maintenance.KAnonK &&
+        rows.map(_._2).distinct.length < Maintenance.LDivL
+    }
+    val truth = failing.groupBy(_._1._1).map { case (src, cls) =>
+      src -> ((cls.size.toLong, cls.values.map(_.length.toLong).sum,
+        cls.values.map(_.length.toLong).max,
+        cls.values.map(_.map(_._2).distinct.length.toLong).min))
+    }
+    val got = Maintenance.lDiversityAudit(spark, dir01).collect().map { r =>
+      r.getAs[String]("source") -> ((r.getAs[Long]("n_homog_classes"),
+        r.getAs[Long]("n_docs_at_risk"), r.getAs[Long]("max_class_size"),
+        r.getAs[Long]("min_diversity")))
+    }.toMap
+    assert(got === truth)
+    // the audit has teeth on this corpus: at least one k-passing class
+    // is language-homogeneous, and every flagged class passed the k floor
+    assert(got.nonEmpty)
+    assert(got.values.forall { case (n, docs2, mx, mindiv) =>
+      n > 0 && docs2 >= n * Maintenance.KAnonK && mx >= Maintenance.KAnonK &&
+        mindiv < Maintenance.LDivL
+    })
+  }
 }

@@ -529,4 +529,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("Expand"), p)
   }
+
+  test("q198 KS drift: value-grain after one corpus exchange, pairs broadcast") {
+    val spark = SparkSpec.spark
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = graft.SparkEntry.queries("q198_ks_drift")(spark, sfDir)
+      .queryExecution.executedPlan
+    val p = exec.toString
+    // the (source, v) count grid is localCheckpoint'ed before this plan,
+    // so the corpus-sized exchange is already paid; everything visible
+    // here is value-grain: the pair fan-outs join BROADCAST, the CDF-gap
+    // window partitions by pair (never unpartitioned), and hash
+    // exchanges stay within the delta/max grain
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    val unpartitioned = exec.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, s"single-task global window: $unpartitioned")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q201 epoch shuffle: two-phase rank — no unpartitioned window, range-partitioned sort") {
+    val spark = SparkSpec.spark
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = graft.SparkEntry.queries("q201_epoch_shuffle")(spark, sfDir)
+      .queryExecution.executedPlan
+    val unpartitioned = exec.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, s"single-task global window: $unpartitioned")
+  }
 }
