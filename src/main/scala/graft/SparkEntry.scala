@@ -449,6 +449,11 @@ object SparkEntry {
     "q201_epoch_shuffle"       -> (graft.text.CorpusOps.epochShuffleManifest _),
     // round-15: VAD segmentation over real-decoded WAV energies
     "q202_vad_segments"        -> (graft.multimodal.Multimodal.vadSegmentation _),
+    // round-15: 1-bit binary quantization — Hamming shortlist + rescore
+    "q203_bq_topk"             -> ((s: SparkSession, d: String) =>
+      graft.sim.BinaryQuantization.bqTopK(s, d)),
+    "q204_bq_recall"           -> ((s: SparkSession, d: String) =>
+      graft.sim.BinaryQuantization.bqRecall(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -660,5 +665,7 @@ object SparkEntry {
     "q200_l_diversity"         -> graft.ops.Maintenance.lDiversityAuditSql,
     "q201_epoch_shuffle"       -> graft.text.CorpusOps.epochShuffleManifestSql,
     "q202_vad_segments"        -> graft.multimodal.Multimodal.vadSegmentationSql,
+    "q203_bq_topk"             -> graft.sim.BinaryQuantization.bqTopKSql,
+    "q204_bq_recall"           -> graft.sim.BinaryQuantization.bqRecallSql,
   )
 }
