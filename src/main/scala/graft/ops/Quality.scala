@@ -219,12 +219,24 @@ object Quality {
     * by pair and orders by length, so its input is bounded by
     * |pairs|·|distinct lengths| — document-length support, not corpus
     * size. At 100 TB the grid is ~|S|·max_len rows: trivially small. */
-  def ksDrift(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cnts = Tables.documents(s, d)
-      .groupBy(col("source"), col("n_chars").as("v"))
+  /** The (source, length)-grain count grid under q198 — shared with
+    * the streaming drift twin ([[graft.streaming.StreamingFraud
+    * .ksCountsStream]]): counts are ADDITIVE, so micro-batch partials
+    * fold into the same cells partition partials do, and
+    * [[ksFromCounts]] over a state snapshot reproduces the full q198
+    * pair matrix without re-touching the corpus. */
+  def ksCounts(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"), col("n_chars").as("v"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // grid-sized; read for totals AND both fan-outs
+
+  def ksDrift(s: SparkSession, d: String): DataFrame =
+    ksFromCounts(ksCounts(Tables.documents(s, d))
+      .localCheckpoint(true)) // grid-sized; read for totals AND both fan-outs
+
+  /** The value-grain KS tail over ANY (source, v, c) grid (batch scan
+    * or streaming state snapshot). */
+  def ksFromCounts(cnts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ns = cnts.groupBy("source").agg(sum("c").as("n"))
     val pairs = ns.select(col("source").as("sa"), col("n").as("na"))
       .join(ns.select(col("source").as("sb"), col("n").as("nb")),

@@ -686,6 +686,19 @@ object StreamingFraud {
   def kmvSketchStream(docs: DataFrame): DataFrame =
     graft.ops.Sketches.kmvSourceSketches(docs)
 
+  /** Streaming twin of q198's count grid — the ONLINE KS DRIFT
+    * MONITOR's state: (source, length) doc counts as running additive
+    * cells (the [[distributionDriftStream]] posture, unbinned —
+    * KS needs the raw value support). Counts only ratchet upward, no
+    * watermark; state is length-support × sources, never corpus-sized.
+    * [[graft.ops.Quality.ksFromCounts]] over a state snapshot then
+    * reproduces the registered q198 pair matrix EXACTLY without
+    * re-touching the corpus (StreamingFraudSpec pins it) — the live
+    * "is source B still length-distributed like source A" alarm.
+    * Input schema: (source, n_chars). */
+  def ksCountsStream(docs: DataFrame): DataFrame =
+    graft.ops.Quality.ksCounts(docs)
+
   def blocklistScreenStream(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

@@ -923,6 +923,45 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming KS count grid converges to batch; ksFromCounts reproduces q198") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val input = MemoryStream[(String, Long)]
+    val stream = input.toDF().toDF("source", "n_chars")
+    val query = StreamingFraud.ksCountsStream(stream)
+      .writeStream.format("memory").queryName("kscnt")
+      .outputMode("update").start()
+    try {
+      val (b1, rest) = docs.splitAt(docs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      // update mode re-emits a cell per touch; counts only ratchet up
+      val state = spark.sql("select source, v, c from kscnt").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .groupBy(_._1).map { case (k, rs) => (k._1, k._2, rs.map(_._2).max) }
+        .toSeq
+      val batchGrid = graft.ops.Quality
+        .ksCounts(graft.ops.Tables.documents(spark, sfDir)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(state.toSet === batchGrid, "stream state must equal the batch grid")
+      // the value-grain tail re-runs on the snapshot and must equal q198
+      val fromState = graft.ops.Quality
+        .ksFromCounts(state.toDF("source", "v", "c")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+      val q198 = graft.ops.Quality.ksDrift(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+      assert(fromState === q198)
+    } finally query.stop()
+  }
+
   test("streaming KMV distinct-users: exact below k, merges across micro-batches") {
     val spark = SparkSpec.spark
     import spark.implicits._
