@@ -454,6 +454,8 @@ object SparkEntry {
       graft.sim.BinaryQuantization.bqTopK(s, d)),
     "q204_bq_recall"           -> ((s: SparkSession, d: String) =>
       graft.sim.BinaryQuantization.bqRecall(s, d)),
+    // round-15: Hilbert-curve layout manifest (q126's Morton upgraded)
+    "q205_hilbert_layout"      -> (graft.ops.Layout.hilbertLayout _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -667,5 +669,6 @@ object SparkEntry {
     "q202_vad_segments"        -> graft.multimodal.Multimodal.vadSegmentationSql,
     "q203_bq_topk"             -> graft.sim.BinaryQuantization.bqTopKSql,
     "q204_bq_recall"           -> graft.sim.BinaryQuantization.bqRecallSql,
+    "q205_hilbert_layout"      -> graft.ops.Layout.hilbertLayoutSql,
   )
 }

@@ -537,4 +537,92 @@ object Layout {
        |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
        |FROM z GROUP BY 1""".stripMargin.replace("\n", " ")
   }
+
+  // ------------------------------------- Hilbert-curve layout
+
+  /** One Hilbert round at scale `s` (the classic xy2d, unrolled):
+    * extract the quadrant bits, accumulate d += s²·((3·rx) XOR ry)
+    * — spelled `3·rx + ry − 2·rx·ry`, the same values without a bit
+    * operator — then reflect-and-swap INTO the s-sized subcell
+    * (reducing mod s each round is equivalent to the textbook
+    * full-width rot: n−1−x agrees with s−1−(x mod s) on every bit
+    * that later rounds read). Expressions per engine via `divOp`. */
+  private def hilbertRound(s: Long, divOp: String): (String, String, String) = {
+    val rx = s"((hx $divOp $s) % 2)"
+    val ry = s"((hy $divOp $s) % 2)"
+    val d  = s"hd + $s * $s * (3 * $rx + $ry - 2 * $rx * $ry)"
+    val nx = s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 " +
+      s"THEN $s - 1 - (hy % $s) ELSE hy % $s END) ELSE hx % $s END"
+    val ny = s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 " +
+      s"THEN $s - 1 - (hx % $s) ELSE hx % $s END) ELSE hy % $s END"
+    (d, nx, ny)
+  }
+
+  /** q205 — HILBERT-CURVE layout manifest: q126's clustering write
+    * with the Morton interleave swapped for the Hilbert curve — the
+    * layout Delta/Iceberg grew after Z-order (`OPTIMIZE ... HILBERT`)
+    * because Hilbert has strictly better locality: CONSECUTIVE curve
+    * positions are always grid-ADJACENT (unit Manhattan step,
+    * LayoutSpec pins it cell-by-cell), where Morton's bit-interleave
+    * jumps across the grid at every power-of-two boundary. Tighter
+    * runs → tighter per-file min/max boxes → more files skipped by
+    * the same rect predicate (the spec measures both layouts on the
+    * q126 rect query).
+    *
+    * Same scale shape as q126: the curve is [[ZBits]] unrolled rounds
+    * of pure per-row div/mod/CASE arithmetic (whole-stage codegen, no
+    * UDF, no bit operators — engine-portable like [[mortonExpr]]),
+    * and the manifest is one file-grain aggregate. At 100 TB this is
+    * a one-extra-column sort before the write, identical cost to
+    * Z-order, better pruning forever after. */
+  def hilbertLayout(s: SparkSession, d: String): DataFrame =
+    hilbertLayoutFrom(Tables.events(s, d))
+
+  /** `df` (with LONG `x`, `y` in [0, 2^ZBits)) plus `hd`, the Hilbert
+    * index — the round chain itself, shared by the op and LayoutSpec's
+    * full-grid equality drive. */
+  def withHilbert(df: DataFrame): DataFrame = {
+    var cur = df
+      .withColumn("hx", col("x")).withColumn("hy", col("y"))
+      .withColumn("hd", lit(0L))
+    for (k <- (ZBits - 1) to 0 by -1) {
+      val (d, nx, ny) = hilbertRound(1L << k, "div")
+      cur = cur
+        .withColumn("hd", expr(d))
+        .withColumn("nx", expr(nx)).withColumn("ny", expr(ny))
+        .withColumn("hx", col("nx")).withColumn("hy", col("ny"))
+        .drop("nx", "ny")
+    }
+    cur.drop("hx", "hy")
+  }
+
+  def hilbertLayoutFrom(events: DataFrame): DataFrame =
+    withHilbert(events.select(
+      expr(s"CAST(user_id div $XDiv AS BIGINT)").as("x"),
+      expr("CAST(day(ts) - 1 AS BIGINT)").as("y")))
+      .select(col("x"), col("y"),
+        expr(s"CAST(hd div $ZPerFile AS BIGINT)").as("file_id"))
+      .groupBy("file_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+
+  val hilbertLayoutSql: String = {
+    // one CTE per round: in a single SELECT every expression reads the
+    // INPUT row, so hd/hx/hy update simultaneously with no staging
+    val rounds = ((ZBits - 1) to 0 by -1).zipWithIndex.map { case (k, i) =>
+      val (d, nx, ny) = hilbertRound(1L << k, "//")
+      s"h${i + 1} AS (SELECT x, y, $d AS hd, $nx AS hx, $ny AS hy FROM h$i)"
+    }
+    s"""WITH h0 AS (SELECT CAST(user_id // $XDiv AS BIGINT) AS x,
+       |  CAST(date_part('day', ts) - 1 AS BIGINT) AS y,
+       |  CAST(user_id // $XDiv AS BIGINT) AS hx,
+       |  CAST(date_part('day', ts) - 1 AS BIGINT) AS hy,
+       |  CAST(0 AS BIGINT) AS hd FROM events),
+       |${rounds.mkString(", ")}
+       |SELECT CAST(hd // $ZPerFile AS BIGINT) AS file_id, count(*) AS n_events,
+       |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+       |FROM h$ZBits GROUP BY 1""".stripMargin.replace("\n", " ")
+  }
 }

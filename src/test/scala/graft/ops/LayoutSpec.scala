@@ -187,6 +187,85 @@ class LayoutSpec extends AnyFunSuite {
     assert(zt <= 4, s"z-order touched $zt files for an aligned 4x4 rect")
   }
 
+  // classic textbook xy2d (bit operators) — the reference the
+  // engine-portable arithmetic must reproduce
+  private def hilbertRef(n: Int, x0: Long, y0: Long): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s.toLong * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      x &= s - 1; y &= s - 1
+      s /= 2
+    }
+    d
+  }
+
+  test("q205 arithmetic equals classic xy2d; consecutive cells are grid-adjacent") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val side = 1 << Layout.ZBits
+    val grid = (for (x <- 0L until side; y <- 0L until side) yield (x, y))
+      .toDF("x", "y")
+    // driver replay of exactly the mod-s round arithmetic the op plans
+    def hilbertOp(x: Long, y: Long): Long = {
+      var (hx, hy, hd) = (x, y, 0L)
+      for (k <- (Layout.ZBits - 1) to 0 by -1) {
+        val s = 1L << k
+        val rx = (hx / s) % 2
+        val ry = (hy / s) % 2
+        hd += s * s * (3 * rx + ry - 2 * rx * ry)
+        val nx = if (ry == 0) { if (rx == 1) s - 1 - (hy % s) else hy % s }
+                 else hx % s
+        val ny = if (ry == 0) { if (rx == 1) s - 1 - (hx % s) else hx % s }
+                 else hy % s
+        hx = nx; hy = ny
+      }
+      hd
+    }
+    val cells = (for (x <- 0L until side; y <- 0L until side) yield (x, y))
+    cells.foreach { case (x, y) =>
+      assert(hilbertOp(x, y) === hilbertRef(side, x, y), s"($x, $y)")
+    }
+    // bijection + THE Hilbert property: step k → k+1 moves exactly one
+    // grid cell (Morton fails this at every power-of-two boundary)
+    val byD = cells.map { case (x, y) => hilbertOp(x, y) -> ((x, y)) }.toMap
+    assert(byD.size === side * side)
+    (0L until (side.toLong * side - 1)).foreach { k =>
+      val (ax, ay) = byD(k); val (bx, by) = byD(k + 1)
+      assert(math.abs(ax - bx) + math.abs(ay - by) === 1L, s"step $k")
+    }
+    // the op's OWN distributed round chain computes the same curve
+    Layout.withHilbert(grid).select("x", "y", "hd").collect().foreach { r =>
+      assert(r.getLong(2) === hilbertOp(r.getLong(0), r.getLong(1)),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("q205 hilbert files: 4x4 aligned boxes, aligned rect touches ONE file (sf0.01)") {
+    val spark = SparkSpec.spark
+    val files = Layout.hilbertLayout(spark, "/root/testdata/sf0.01").collect()
+    assert(files.nonEmpty)
+    // 16 consecutive curve positions tile one aligned 4x4 subcell: the
+    // recursive structure makes every file box exactly as tight as
+    // z-order's, plus curve adjacency inside it
+    files.foreach { r =>
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") <= 3, s"wide x box: $r")
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") <= 3, s"wide y box: $r")
+    }
+    val (qxLo, qxHi, qyLo, qyHi) = (8L, 11L, 8L, 11L)
+    val touched = files.count { r =>
+      r.getAs[Long]("max_x") >= qxLo && r.getAs[Long]("min_x") <= qxHi &&
+        r.getAs[Long]("max_y") >= qyLo && r.getAs[Long]("min_y") <= qyHi
+    }
+    assert(touched >= 1 && touched <= 4, s"hilbert touched $touched files")
+  }
+
   test("q146 zone-map audit: matched rows agree across layouts, zorder scans a fraction, decision is stats-sound (sf0.01)") {
     val spark = SparkSpec.spark
     val d = "/root/testdata/sf0.01"
