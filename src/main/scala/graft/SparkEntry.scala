@@ -456,6 +456,8 @@ object SparkEntry {
       graft.sim.BinaryQuantization.bqRecall(s, d)),
     // round-15: Hilbert-curve layout manifest (q126's Morton upgraded)
     "q205_hilbert_layout"      -> (graft.ops.Layout.hilbertLayout _),
+    // round-15: Kneser–Ney bigram LM table (continuation counts)
+    "q206_kn_bigram_lm"        -> (graft.text.TextQueries.knBigramLm _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -670,5 +672,6 @@ object SparkEntry {
     "q203_bq_topk"             -> graft.sim.BinaryQuantization.bqTopKSql,
     "q204_bq_recall"           -> graft.sim.BinaryQuantization.bqRecallSql,
     "q205_hilbert_layout"      -> graft.ops.Layout.hilbertLayoutSql,
+    "q206_kn_bigram_lm"        -> graft.text.TextQueries.knBigramLmSql,
   )
 }

@@ -508,6 +508,75 @@ object TextQueries {
        |WHERE c12 >= $CollocMinSupport
        |ORDER BY pmi DESC, w1, w2 LIMIT $CollocTopN""".stripMargin.replace("\n", " ")
 
+  // --------------------------------------- Kneser–Ney bigram LM table
+
+  val KnTopN = 100
+  /** Absolute discount — 0.75 is the standard KN choice and FP-exact. */
+  val KnD = "0.75"
+
+  /** q206 — KNESER–NEY smoothed bigram LM table: the production
+    * n-gram-LM estimator next to q84's add-k baseline. KN's insight is
+    * the CONTINUATION count: the backoff weight of a word is how many
+    * DISTINCT contexts it follows, not how often it occurs — the
+    * "Francisco problem" (frequent, but only ever after "San", so it
+    * deserves almost no backoff mass). Per bigram:
+    * P_KN(w2|w1) = max(c−D,0)/c(w1·) + D·N1+(w1·)/c(w1·) · N1+(·w2)/T
+    * with c(w1·) the bigram-token total for w1, N1+(w1·)/N1+(·w2) the
+    * distinct-continuation counts, T the bigram-type total.
+    *
+    * Every input is an exact integer off the (w1, w2) count grid; the
+    * probability is ONE fixed double expression tree over them
+    * (IEEE-identical cross-engine, ±0 ULP — the q148 discipline),
+    * shipped rounded to 6dp. Top-[[KnTopN]] by count (w1, w2
+    * tiebreak) plans TakeOrderedAndProject, never a global sort.
+    *
+    * Scale shape: one corpus scan → bigram explode → ONE (w1, w2)
+    * count aggregate; c(w1·), N1+(w1·), N1+(·w2) and T all derive
+    * from that GRID (two grid-grain aggregates + one broadcast
+    * scalar), so nothing after the first exchange is corpus-sized —
+    * at 100 TB the grid is vocabulary², and on natural text the
+    * observed-bigram-type count grows far slower than tokens. */
+  def knBigramLm(s: SparkSession, d: String): DataFrame = {
+    val c12 = Tables.documents(s, d)
+      .withColumn("toks", expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+      .select(explode(expr(
+        "zip_with(slice(toks, 1, greatest(size(toks)-1, 0)), " +
+          "slice(toks, 2, greatest(size(toks)-1, 0)), (a, b) -> struct(a, b))")).as("p"))
+      .select(col("p.a").as("w1"), col("p.b").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true) // grid-sized; feeds all three marginals
+    val w1m = c12.groupBy("w1")
+      .agg(sum("c12").as("c1tot"), count(lit(1)).as("n1fwd"))
+    val w2m = c12.groupBy("w2").agg(count(lit(1)).as("n1bwd"))
+    val types = c12.agg(count(lit(1)).as("t"))
+    c12
+      .join(w1m, "w1").join(w2m, "w2")
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c12"),
+        col("c1tot"), col("n1fwd"), col("n1bwd"),
+        expr(s"round(greatest(CAST(c12 AS DOUBLE) - $KnD, 0.0) / c1tot + " +
+          s"(($KnD * n1fwd) / c1tot) * (CAST(n1bwd AS DOUBLE) / t), 6)")
+          .as("kn_prob6"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(KnTopN)
+  }
+
+  val knBigramLmSql: String =
+    s"""WITH t AS (SELECT regexp_extract_all(text, '[a-z0-9]+') AS toks FROM documents),
+       |bg AS (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS p FROM t),
+       |c12 AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+       |w1m AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1tot, count(*) AS n1fwd
+       |  FROM c12 GROUP BY 1),
+       |w2m AS (SELECT w2, count(*) AS n1bwd FROM c12 GROUP BY 1),
+       |ty AS (SELECT count(*) AS t FROM c12)
+       |SELECT c12.w1, c12.w2, c12.c12, w1m.c1tot, w1m.n1fwd, w2m.n1bwd,
+       |  round(greatest(CAST(c12.c12 AS DOUBLE) - $KnD, 0.0) / w1m.c1tot +
+       |    (($KnD * w1m.n1fwd) / w1m.c1tot) * (CAST(w2m.n1bwd AS DOUBLE) / ty.t), 6)
+       |    AS kn_prob6
+       |FROM c12 JOIN w1m USING (w1) JOIN w2m USING (w2) CROSS JOIN ty
+       |ORDER BY c12.c12 DESC, c12.w1, c12.w2 LIMIT $KnTopN""".stripMargin
+      .replace("\n", " ")
+
   // --------------------------------------------------- lexical diversity
 
   /** q97 — per-document LEXICAL DIVERSITY signals: unigram entropy and
