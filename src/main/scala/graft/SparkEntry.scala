@@ -458,6 +458,8 @@ object SparkEntry {
     "q205_hilbert_layout"      -> (graft.ops.Layout.hilbertLayout _),
     // round-15: Kneser–Ney bigram LM table (continuation counts)
     "q206_kn_bigram_lm"        -> (graft.text.TextQueries.knBigramLm _),
+    // round-15: leave-one-source-out curation ablation (rep promotion exact)
+    "q207_source_ablation"     -> (graft.text.Scrub.sourceAblation _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -673,5 +675,6 @@ object SparkEntry {
     "q204_bq_recall"           -> graft.sim.BinaryQuantization.bqRecallSql,
     "q205_hilbert_layout"      -> graft.ops.Layout.hilbertLayoutSql,
     "q206_kn_bigram_lm"        -> graft.text.TextQueries.knBigramLmSql,
+    "q207_source_ablation"     -> graft.text.Scrub.sourceAblationSql,
   )
 }

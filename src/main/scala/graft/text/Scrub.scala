@@ -313,6 +313,105 @@ object Scrub {
       "ELSE '5_kept' END AS stage, CAST(count(*) AS BIGINT) AS n_docs " +
       "FROM fpk GROUP BY 1, 2"
 
+  // ------------------------------------ leave-one-source-out ablation
+
+  /** q207 — LEAVE-ONE-SOURCE-OUT CURATION ABLATION: for every source,
+    * the EXACT kept-corpus size if that source were dropped from the
+    * q48 pipeline — the source-ablation table a mixture owner reads
+    * before renegotiating a feed (q107 scores sources by quality LIFT;
+    * this scores them by marginal CONTRIBUTION, dedup effects
+    * included). The subtlety that makes naive per-source subtraction
+    * WRONG is rep promotion: q48 keeps each duplicate cluster's
+    * min-doc_id rep, so dropping a source re-crowns clusters it used
+    * to represent, and the new rep may pass gates the old one failed
+    * (or vice versa).
+    *
+    * Exact in ONE pass by the two-extrema trick: per cluster, only
+    * the global rep m1 and the first rep from any OTHER source m2
+    * matter — dropping s ≠ m1.source changes nothing; dropping
+    * m1.source crowns exactly m2 (the min over other sources).
+    * kept_without(s) = K_full − Σ_{m1.src=s} pass(m1) +
+    * Σ_{m1.src=s} pass(m2). Per-doc gates (quality, benchmark slice,
+    * contamination vs the FIXED eval set) are rep-independent, so
+    * they ride as one flag column.
+    *
+    * Scale shape: two (fp)-keyed aggregates on the same key (one
+    * exchange layout, AQE-reused) + a source-grain rollup + one
+    * broadcast scalar. Output is |sources| rows; nothing after the
+    * fp aggregates is corpus-sized. */
+  def sourceAblation(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nTok = size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    val stopPred = Seq("the", "a", "of", "and", "is", "to")
+      .map(w => s"t = '$w'").mkString(" OR ")
+    val nStop = size(expr(s"filter(split(text, ' '), t -> $stopPred)"))
+    val isGood = nTok >= 20 &&
+      nStop.cast("long") * 5 < nTok.cast("long") * 3
+    val contaminated = decontaminate(s, d).select("doc_id").distinct()
+      .withColumn("is_cont", lit(1))
+    val flagged = docs
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("pass",
+        when(isGood && col("doc_id") % BenchStride =!= BenchOffset &&
+          col("is_cont").isNull, 1L).otherwise(0L))
+      .select("fp", "doc_id", "source", "pass")
+      .localCheckpoint(true) // read twice: m1 and the m2 re-join
+    val m1 = flagged.groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("source"), col("pass"))).as("m1"))
+      .localCheckpoint(true)
+    val m2 = flagged.join(m1, "fp")
+      .filter(col("source") =!= col("m1.source"))
+      .groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("source"), col("pass"))).as("m2"))
+    val bySrc = m1.join(m2, Seq("fp"), "left")
+      .groupBy(col("m1.source").as("source"))
+      .agg(count(lit(1)).as("n_reps"),
+        sum(col("m1.pass")).as("n_kept_reps"),
+        sum(coalesce(col("m2.pass"), lit(0L))).as("n_promoted_kept"))
+    val kFull = bySrc.agg(sum("n_kept_reps").as("k_full"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(bySrc, Seq("source"), "left")
+      .na.fill(0L, Seq("n_reps", "n_kept_reps", "n_promoted_kept"))
+      .crossJoin(broadcast(kFull))
+      .select(col("source"), col("n_docs"), col("n_reps"), col("n_kept_reps"),
+        (col("k_full") - col("n_kept_reps") + col("n_promoted_kept"))
+          .as("kept_without"),
+        (col("n_promoted_kept") - col("n_kept_reps")).as("delta_kept"))
+  }
+
+  val sourceAblationSql: String =
+    s"""WITH f AS (SELECT doc_id, source,
+       |  md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents),
+       |good AS (SELECT doc_id FROM (${TextQueries.qualitySql}) WHERE quality = 'good'),
+       |cont AS (SELECT DISTINCT doc_id FROM ($decontaminateSql)),
+       |fl AS (SELECT f.fp, f.doc_id, f.source,
+       |  CASE WHEN f.doc_id % $BenchStride <> $BenchOffset
+       |    AND f.doc_id IN (SELECT doc_id FROM good)
+       |    AND f.doc_id NOT IN (SELECT doc_id FROM cont)
+       |  THEN 1 ELSE 0 END AS pass FROM f),
+       |m1 AS (SELECT fp, doc_id, source, pass FROM (SELECT fl.*,
+       |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fl)
+       |  WHERE rn = 1),
+       |m2 AS (SELECT fp, pass FROM (SELECT fl.fp, fl.pass,
+       |  row_number() OVER (PARTITION BY fl.fp ORDER BY fl.doc_id) AS rn
+       |  FROM fl JOIN m1 ON fl.fp = m1.fp AND fl.source <> m1.source)
+       |  WHERE rn = 1),
+       |by_src AS (SELECT m1.source, count(*) AS n_reps,
+       |  CAST(sum(m1.pass) AS BIGINT) AS n_kept_reps,
+       |  CAST(sum(coalesce(m2.pass, 0)) AS BIGINT) AS n_promoted
+       |  FROM m1 LEFT JOIN m2 ON m1.fp = m2.fp GROUP BY 1),
+       |kf AS (SELECT CAST(sum(n_kept_reps) AS BIGINT) AS k_full FROM by_src),
+       |sz AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+       |SELECT sz.source, sz.n_docs,
+       |  CAST(coalesce(b.n_reps, 0) AS BIGINT) AS n_reps,
+       |  coalesce(b.n_kept_reps, 0) AS n_kept_reps,
+       |  kf.k_full - coalesce(b.n_kept_reps, 0) + coalesce(b.n_promoted, 0)
+       |    AS kept_without,
+       |  coalesce(b.n_promoted, 0) - coalesce(b.n_kept_reps, 0) AS delta_kept
+       |FROM sz LEFT JOIN by_src b ON sz.source = b.source CROSS JOIN kf"""
+      .stripMargin.replace("\n", " ")
+
   // ------------------------------------------------ cross-doc chunk dedup
 
   /** Cross-document repeated-chunk removal — the line-level dedup of
