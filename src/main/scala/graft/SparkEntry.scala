@@ -460,6 +460,8 @@ object SparkEntry {
     "q206_kn_bigram_lm"        -> (graft.text.TextQueries.knBigramLm _),
     // round-15: leave-one-source-out curation ablation (rep promotion exact)
     "q207_source_ablation"     -> (graft.text.Scrub.sourceAblation _),
+    // round-15: tie-corrected Spearman rank correlation per language
+    "q208_spearman_quality"    -> (graft.ops.Quality.spearmanQuality _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -676,5 +678,6 @@ object SparkEntry {
     "q205_hilbert_layout"      -> graft.ops.Layout.hilbertLayoutSql,
     "q206_kn_bigram_lm"        -> graft.text.TextQueries.knBigramLmSql,
     "q207_source_ablation"     -> graft.text.Scrub.sourceAblationSql,
+    "q208_spearman_quality"    -> graft.ops.Quality.spearmanQualitySql,
   )
 }

@@ -282,6 +282,90 @@ object Quality {
        |FROM m JOIN p ON m.sa = p.sa AND m.sb = p.sb""".stripMargin
       .replace("\n", " ")
 
+  // ----------------------- Spearman rank correlation (tie-corrected)
+
+  /** q208 — SPEARMAN RANK CORRELATION per language between document
+    * length and the stopword-density quality proxy: "are longer docs
+    * systematically lower-quality?" as a MONOTONE-association audit.
+    * q99 ships Pearson, which only sees LINEAR association and is
+    * wrecked by the heavy right tail every length distribution has;
+    * Spearman is Pearson on RANKS — outlier-proof, capturing any
+    * monotone relation, and the standard correlation for curation
+    * signals that live on arbitrary monotone scales.
+    *
+    * Tie-corrected and integer-exact up to the final expression:
+    * average ranks for ties are half-integers, so rows carry DOUBLED
+    * ranks r2 = 2·|{v' < v}| + |{v'' = v}| + 1 = rank() + count()
+    * under ONE ordered window (the count's default RANGE frame
+    * includes peers, so it is |v' ≤ v|). The five comoment sums over
+    * are exact BIGINTs (≤ ~5·10¹⁴ at sf1; headroom to ~10⁷ rows per
+    * group, past which this op scales its ranks), and rho is ONE
+    * fixed double expression tree over them (the q148/q206 ±0-ULP
+    * discipline), shipped at 6dp.
+    *
+    * Scale shape: one scan → ONE (lang) exchange carrying both rank
+    * windows and the final per-language aggregate (same partitioning,
+    * same sort — Catalyst plans one Sort under both Windows); output
+    * is |langs| rows. Languages parallelize; no global window. */
+  def spearmanQuality(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stopPred = Seq("the", "a", "of", "and", "is", "to")
+      .map(w => s"t = '$w'").mkString(" OR ")
+    val sig = Tables.documents(s, d)
+      .select(col("lang"), col("n_chars").as("x"),
+        expr(s"size(filter(split(text, ' '), t -> $stopPred))").cast("long")
+          .as("nstop"),
+        expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").cast("long")
+          .as("ntok"))
+      .select(col("lang"), col("x"),
+        expr("nstop * 10000 div greatest(ntok, 1)").as("y"))
+    // doubled tie-average rank, one ordered window per signal:
+    // r2 = (1+|less|) + (|less|+|eq|) = rank() + count() — the count's
+    // default RANGE frame includes peers, so it IS |v' ≤ v|; both
+    // functions share the (lang, c) sort, no (lang, c)-keyed exchange
+    def rank2(c: String) = {
+      val byV = Window.partitionBy("lang").orderBy(col(c))
+      (rank().over(byV) + count(lit(1)).over(byV)).cast("long")
+    }
+    sig
+      .withColumn("rx", rank2("x"))
+      .withColumn("ry", rank2("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(expr("rx * rx")).as("sxx"), sum(expr("ry * ry")).as("syy"),
+        sum(expr("rx * ry")).as("sxy"))
+      .select(col("lang"), col("n"),
+        expr("""round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+          (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+           sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)"""
+          .replace("\n", " ")).as("rho6"))
+  }
+
+  val spearmanQualitySql: String = {
+    val stopPred = Seq("the", "a", "of", "and", "is", "to")
+      .map(w => s"t = '$w'").mkString(" OR ")
+    s"""WITH sig AS (SELECT lang, n_chars AS x,
+       |  len(list_filter(string_split(text, ' '), t -> $stopPred)) * 10000
+       |    // greatest(len(regexp_extract_all(text, '[a-z0-9]+')), 1) AS y
+       |  FROM documents),
+       |r AS (SELECT lang,
+       |  CAST(rank() OVER (PARTITION BY lang ORDER BY x)
+       |    + count(*) OVER (PARTITION BY lang ORDER BY x) AS BIGINT) AS rx,
+       |  CAST(rank() OVER (PARTITION BY lang ORDER BY y)
+       |    + count(*) OVER (PARTITION BY lang ORDER BY y) AS BIGINT) AS ry
+       |  FROM sig),
+       |m AS (SELECT lang, count(*) AS n,
+       |  CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+       |  CAST(sum(rx * rx) AS BIGINT) AS sxx, CAST(sum(ry * ry) AS BIGINT) AS syy,
+       |  CAST(sum(rx * ry) AS BIGINT) AS sxy FROM r GROUP BY 1)
+       |SELECT lang, n,
+       |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+       |    (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+       |     sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS rho6
+       |FROM m""".stripMargin.replace("\n", " ")
+  }
+
   /** Per-row constraint-violation flags for the EVENTS table — the
     * shared expression layer under the streaming quality gate
     * ([[graft.streaming.StreamingFraud.qualityGateStream]]) and its
