@@ -462,6 +462,8 @@ object SparkEntry {
     "q207_source_ablation"     -> (graft.text.Scrub.sourceAblation _),
     // round-15: tie-corrected Spearman rank correlation per language
     "q208_spearman_quality"    -> (graft.ops.Quality.spearmanQuality _),
+    // round-15: exact Gini decision-stump search over labeled embeddings
+    "q209_gini_stump"          -> (graft.ml.Stump.giniStump _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -679,5 +681,6 @@ object SparkEntry {
     "q206_kn_bigram_lm"        -> graft.text.TextQueries.knBigramLmSql,
     "q207_source_ablation"     -> graft.text.Scrub.sourceAblationSql,
     "q208_spearman_quality"    -> graft.ops.Quality.spearmanQualitySql,
+    "q209_gini_stump"          -> graft.ml.Stump.giniStumpSql,
   )
 }
