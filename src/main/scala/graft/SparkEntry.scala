@@ -464,6 +464,8 @@ object SparkEntry {
     "q208_spearman_quality"    -> (graft.ops.Quality.spearmanQuality _),
     // round-15: exact Gini decision-stump search over labeled embeddings
     "q209_gini_stump"          -> (graft.ml.Stump.giniStump _),
+    // round-15: chi-square independence test over the lang × source grid
+    "q210_chi_square"          -> (graft.ops.Quality.chiSquareLangSource _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -682,5 +684,6 @@ object SparkEntry {
     "q207_source_ablation"     -> graft.text.Scrub.sourceAblationSql,
     "q208_spearman_quality"    -> graft.ops.Quality.spearmanQualitySql,
     "q209_gini_stump"          -> graft.ml.Stump.giniStumpSql,
+    "q210_chi_square"          -> graft.ops.Quality.chiSquareLangSourceSql,
   )
 }

@@ -366,6 +366,60 @@ object Quality {
        |FROM m""".stripMargin.replace("\n", " ")
   }
 
+  // --------------------- chi-square independence test (lang × source)
+
+  /** q210 — CHI-SQUARE INDEPENDENCE TEST over the lang × source
+    * contingency table, cell-grain: is language composition
+    * independent of source? The categorical-association audit that
+    * completes the statistics trio (q198 KS: continuous two-sample;
+    * q208 Spearman: monotone rank; this: categorical cross-tab) —
+    * the mixture-design question behind per-source language quotas
+    * (q89/q106) asked as a test instead of a target.
+    *
+    * Everything up to the final division is EXACT integers off ONE
+    * (lang, source) count grid: with margins R (lang total), C
+    * (source total), N, the cell statistic is
+    * (O·N − R·C)² / (N·R·C) — the DIFFERENCE is an exact BIGINT
+    * (headroom to ~10¹⁰ docs at this grid's margins); the square and
+    * the division happen in doubles as ONE fixed expression tree per
+    * cell (correctly-rounded IEEE ops over identical inputs — the
+    * q148 discipline), 6dp ship. Σ contrib6 downstream is the
+    * headline χ², and
+    * |cells| − |langs| − |sources| + 1 its degrees of freedom.
+    *
+    * Scale shape: one count exchange, two margin rollups of the GRID
+    * (bins-bounded), one broadcast scalar; output is grid-grain. */
+  def chiSquareLangSource(s: SparkSession, d: String): DataFrame = {
+    val grid = Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      .localCheckpoint(true) // grid-sized; feeds margins and the join
+    val rTot = grid.groupBy("lang").agg(sum("o").as("r"))
+    val cTot = grid.groupBy("source").agg(sum("o").as("c"))
+    val n = grid.agg(sum("o").as("n"))
+    grid
+      .join(broadcast(rTot), "lang")
+      .join(broadcast(cTot), "source")
+      .crossJoin(broadcast(n))
+      .select(col("lang"), col("source"), col("o"),
+        expr("r * c * 1000000 div n").as("expected_ppm"),
+        expr("round((CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)) " +
+          "/ (CAST(n AS DOUBLE) * r * c), 6)").as("contrib6"))
+  }
+
+  val chiSquareLangSourceSql: String =
+    s"""WITH grid AS (SELECT lang, source, count(*) AS o
+       |  FROM documents GROUP BY 1, 2),
+       |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM grid GROUP BY 1),
+       |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM grid GROUP BY 1),
+       |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM grid)
+       |SELECT g.lang, g.source, g.o,
+       |  CAST(rt.r * ct.c * 1000000 // nn.n AS BIGINT) AS expected_ppm,
+       |  round((CAST(g.o * nn.n - rt.r * ct.c AS DOUBLE)
+       |    * CAST(g.o * nn.n - rt.r * ct.c AS DOUBLE))
+       |    / (CAST(nn.n AS DOUBLE) * rt.r * ct.c), 6) AS contrib6
+       |FROM grid g JOIN rt USING (lang) JOIN ct USING (source)
+       |CROSS JOIN nn""".stripMargin.replace("\n", " ")
+
   /** Per-row constraint-violation flags for the EVENTS table — the
     * shared expression layer under the streaming quality gate
     * ([[graft.streaming.StreamingFraud.qualityGateStream]]) and its
