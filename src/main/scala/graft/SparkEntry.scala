@@ -466,6 +466,10 @@ object SparkEntry {
     "q209_gini_stump"          -> (graft.ml.Stump.giniStump _),
     // round-15: chi-square independence test over the lang × source grid
     "q210_chi_square"          -> (graft.ops.Quality.chiSquareLangSource _),
+    // round-15: max-min fair water-filling token-budget allocation
+    "q211_waterfill_budget"    -> (graft.text.CorpusOps.waterfillBudget _),
+    // round-15: Benford first-digit audit over order amounts
+    "q212_benford_audit"       -> (graft.ops.Quality.benfordAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -685,5 +689,7 @@ object SparkEntry {
     "q208_spearman_quality"    -> graft.ops.Quality.spearmanQualitySql,
     "q209_gini_stump"          -> graft.ml.Stump.giniStumpSql,
     "q210_chi_square"          -> graft.ops.Quality.chiSquareLangSourceSql,
+    "q211_waterfill_budget"    -> graft.text.CorpusOps.waterfillBudgetSql,
+    "q212_benford_audit"       -> graft.ops.Quality.benfordAuditSql,
   )
 }

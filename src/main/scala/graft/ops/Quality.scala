@@ -420,6 +420,70 @@ object Quality {
        |FROM grid g JOIN rt USING (lang) JOIN ct USING (source)
        |CROSS JOIN nn""".stripMargin.replace("\n", " ")
 
+  // --------------------------------- Benford first-digit audit
+
+  /** log10(1 + 1/d) for d = 1..9, parts-per-million (integer literals
+    * so neither engine computes a transcendental). */
+  val BenfordPpm = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+    66947L, 57992L, 51153L, 45757L)
+
+  /** q212 — BENFORD'S-LAW FIRST-DIGIT AUDIT over order amounts: the
+    * classic forensic-accounting screen (fabricated amounts are
+    * uniform-ish in the leading digit; organic multiplicative amounts
+    * follow log10(1+1/d)) — squarely in the reference's fraud domain,
+    * and the audit run on any numeric feed before trusting it. Per
+    * digit d: observed count, Benford-expected count, and the
+    * chi-square contribution against the EXACT expectation
+    * (o·10⁶ − n·ppm_d)² / (10⁶·n·ppm_d) — difference exact BIGINT
+    * (headroom ~10¹² rows), square+division one fixed double tree at
+    * 6dp (the q210 cell shape). Leading digit extracted from
+    * floor()'d amounts as STRING-OF-INTEGER — floor because
+    * double→BIGINT CAST truncates in Spark but ROUNDS in DuckDB (a
+    * real cross-engine trap), string because it needs no log10.
+    *
+    * Scale shape: one conditional-count aggregate over the scan into
+    * a 9-row grid; everything after is digit-grain. All nine digits
+    * ship (zero-observed included) so the audit can't silently lose a
+    * band. */
+  def benfordAudit(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val obs = Tables.orders(s, d)
+      .filter(col("o_totalprice") >= 1)
+      .select(substring(expr("CAST(floor(o_totalprice) AS BIGINT)")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("o"))
+    val grid = BenfordPpm.zipWithIndex
+      .map { case (p, i) => (i + 1, p) }.toDF("digit", "expected_ppm")
+    grid
+      .join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(obs.agg(sum("o").as("n"))))
+      .select(col("digit"), col("o"), col("n"), col("expected_ppm"),
+        expr("n * expected_ppm div 1000000").as("expected"),
+        expr("round((CAST(o * 1000000 - n * expected_ppm AS DOUBLE) " +
+          "* CAST(o * 1000000 - n * expected_ppm AS DOUBLE)) " +
+          "/ (1000000.0 * n * expected_ppm), 6)").as("contrib6"))
+  }
+
+  val benfordAuditSql: String = {
+    val vals = BenfordPpm.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, ${p})" }.mkString(", ")
+    s"""WITH obs AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+       |    AS VARCHAR), 1, 1) AS INT) AS digit, count(*) AS o
+       |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+       |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+       |grid(digit, expected_ppm) AS (VALUES $vals)
+       |SELECT g.digit, CAST(coalesce(obs.o, 0) AS BIGINT) AS o, nn.n,
+       |  CAST(g.expected_ppm AS BIGINT) AS expected_ppm,
+       |  CAST(nn.n * g.expected_ppm // 1000000 AS BIGINT) AS expected,
+       |  round((CAST(coalesce(obs.o, 0) * 1000000 - nn.n * g.expected_ppm AS DOUBLE)
+       |    * CAST(coalesce(obs.o, 0) * 1000000 - nn.n * g.expected_ppm AS DOUBLE))
+       |    / (1000000.0 * nn.n * g.expected_ppm), 6) AS contrib6
+       |FROM grid g LEFT JOIN obs ON obs.digit = g.digit
+       |CROSS JOIN nn""".stripMargin.replace("\n", " ")
+  }
+
   /** Per-row constraint-violation flags for the EVENTS table — the
     * shared expression layer under the streaming quality gate
     * ([[graft.streaming.StreamingFraud.qualityGateStream]]) and its

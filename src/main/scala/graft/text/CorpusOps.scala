@@ -727,6 +727,86 @@ object CorpusOps {
        |  CAST((sum(n_tok) * 10000 + count(*) // 2) // count(*) AS BIGINT) AS avg_tok_x10k
        |FROM b GROUP BY 1, 2""".stripMargin.replace("\n", " ")
 
+  // ------------------------------ water-filling budget allocation
+
+  /** Fraction of total token supply the q211 budget allocates. */
+  val WaterFrac = 3L
+
+  /** q211 — MAX-MIN FAIR (water-filling) token-budget allocation over
+    * the (lang, source) mixture cells: given each cell's token supply
+    * and a global budget B = total div [[WaterFrac]], allocate
+    * a_i = min(supply_i, L) with the water level L the largest
+    * integer keeping Σ a_i ≤ B. This is THE fair-mixture primitive
+    * between q89's temperature resampling (fixed exponent) and
+    * q106's upsampling (fixed targets): no cell gets more than it
+    * has, no unsaturated cell gets less than any other, and the
+    * level is a pure function of the supply profile — the allocation
+    * a data-mixture owner publishes when sources must share a token
+    * budget without starving the small ones.
+    *
+    * EXACT integer water level by the sorted-prefix closed form: with
+    * supplies s_1 ≤ … ≤ s_m, the unique rank r where the level lies
+    * has cand_r = (B − prefix_{r−1}) div (m−r+1) with
+    * s_{r−1} ≤ cand_r < s_r; if no rank qualifies the budget covers
+    * everything (L = s_m, all saturated). One ordered window over the
+    * CELL GRID — grid-bounded like q191's apportionment, never
+    * corpus-sized (the only corpus-sized work is the supply
+    * aggregate) — then a scalar level broadcast back to the cells. */
+  def waterfillBudget(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.documents(s, d)
+      .select(col("lang"), col("source"), nTokCol.as("n_tok"))
+      .groupBy("lang", "source").agg(sum("n_tok").as("supply"))
+      .localCheckpoint(true) // grid; read for the level AND the join
+    val w = Window.orderBy("supply", "lang", "source")
+    val ranked = cells
+      .withColumn("r", row_number().over(w))
+      .withColumn("pfx", sum("supply").over(w))
+      .withColumn("prev_s", lag("supply", 1, 0L).over(w))
+      .crossJoin(broadcast(cells.agg(
+        sum("supply").as("tot"), count(lit(1)).as("m"))))
+      .withColumn("b", expr(s"tot div $WaterFrac"))
+      .withColumn("cand", expr("(b - (pfx - supply)) div (m - r + 1)"))
+    // numerator-≥0 guard: past-the-level ranks can go negative, where
+    // Spark's div truncates but DuckDB's // floors — exclude them (the
+    // true level rank always has budget remaining, so this is free)
+    val level = ranked
+      .agg(coalesce(
+        max(when(col("pfx") - col("supply") <= col("b") &&
+          col("prev_s") <= col("cand") && col("cand") < col("supply"),
+          col("cand"))),
+        max("supply")).as("level"))
+    cells.crossJoin(broadcast(level))
+      .select(col("lang"), col("source"), col("supply"), col("level"),
+        least(col("supply"), col("level")).as("alloc"),
+        when(col("supply") <= col("level"), 1L).otherwise(0L).as("saturated"))
+  }
+
+  val waterfillBudgetSql: String =
+    s"""WITH cells AS (SELECT lang, source,
+       |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT)
+       |    AS supply
+       |  FROM documents GROUP BY 1, 2),
+       |tm AS (SELECT CAST(sum(supply) AS BIGINT) AS tot, count(*) AS m FROM cells),
+       |rk AS (SELECT lang, source, supply,
+       |  row_number() OVER (ORDER BY supply, lang, source) AS r,
+       |  CAST(sum(supply) OVER (ORDER BY supply, lang, source
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pfx,
+       |  CAST(coalesce(lag(supply) OVER (ORDER BY supply, lang, source), 0)
+       |    AS BIGINT) AS prev_s
+       |  FROM cells),
+       |lv AS (SELECT coalesce(
+       |    max(CASE WHEN pfx - supply <= tm.tot // $WaterFrac
+       |      AND prev_s <= (tm.tot // $WaterFrac - (pfx - supply)) // (tm.m - r + 1)
+       |      AND (tm.tot // $WaterFrac - (pfx - supply)) // (tm.m - r + 1) < supply
+       |      THEN (tm.tot // $WaterFrac - (pfx - supply)) // (tm.m - r + 1) END),
+       |    max(supply)) AS level
+       |  FROM rk CROSS JOIN tm)
+       |SELECT c.lang, c.source, c.supply, CAST(lv.level AS BIGINT) AS level,
+       |  CAST(least(c.supply, lv.level) AS BIGINT) AS alloc,
+       |  CAST(CASE WHEN c.supply <= lv.level THEN 1 ELSE 0 END AS BIGINT) AS saturated
+       |FROM cells c CROSS JOIN lv""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------- temperature resampling
 
   /** Denominator of the q89 budget: keep Σn / [[TempBudgetFrac]] docs. */
