@@ -550,6 +550,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q206 KN bigram LM: top-N plans TakeOrderedAndProject, no global sort") {
+    val p = plan("q206_kn_bigram_lm")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the marginals are grid-grain joins; no corpus-sized sort anywhere
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Sort ") && l.contains("global=true")), p)
+  }
+
+  test("q207 source ablation: keyed joins only — no cartesian, scalar side broadcast") {
+    val p = plan("q207_source_ablation")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q201 epoch shuffle: two-phase rank — no unpartitioned window, range-partitioned sort") {
     val spark = SparkSpec.spark
     import org.apache.spark.sql.execution.window.WindowExec
