@@ -470,6 +470,9 @@ object SparkEntry {
     "q211_waterfill_budget"    -> (graft.text.CorpusOps.waterfillBudget _),
     // round-15: Benford first-digit audit over order amounts
     "q212_benford_audit"       -> (graft.ops.Quality.benfordAudit _),
+    // round-15: reciprocal-rank fusion of the three approximate searchers
+    "q213_rrf_fusion"          -> (graft.sim.RankFusion.rrfFusion _),
+    "q214_rrf_recall"          -> (graft.sim.RankFusion.rrfRecall _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -691,5 +694,7 @@ object SparkEntry {
     "q210_chi_square"          -> graft.ops.Quality.chiSquareLangSourceSql,
     "q211_waterfill_budget"    -> graft.text.CorpusOps.waterfillBudgetSql,
     "q212_benford_audit"       -> graft.ops.Quality.benfordAuditSql,
+    "q213_rrf_fusion"          -> graft.sim.RankFusion.rrfFusionSql,
+    "q214_rrf_recall"          -> graft.sim.RankFusion.rrfRecallSql,
   )
 }
