@@ -715,7 +715,7 @@ object Sketches {
        |ci AS (SELECT p.src_a, p.src_b, count(*) AS n_inter FROM pr p
        |  JOIN topk ka ON ka.source = p.src_a AND ka.h < p.theta
        |  JOIN topk kb ON kb.source = p.src_b AND kb.h = ka.h GROUP BY 1, 2)
-       |SELECT p.src_a, p.src_b, p.theta,
+       |SELECT p.src_a, p.src_b, CAST(p.theta AS BIGINT) AS theta,
        |  CAST(coalesce(ca.n_a, 0) AS BIGINT) AS n_a,
        |  CAST(coalesce(cb.n_b, 0) AS BIGINT) AS n_b,
        |  CAST(coalesce(ci.n_inter, 0) AS BIGINT) AS n_inter,

@@ -699,6 +699,22 @@ object StreamingFraud {
   def ksCountsStream(docs: DataFrame): DataFrame =
     graft.ops.Quality.ksCounts(docs)
 
+  /** Streaming twin of q212's digit grid — the LIVE BENFORD MONITOR:
+    * leading-digit counts of arriving amounts as nine additive cells
+    * (same floor+string digit extraction as the batch audit, same
+    * reason — CAST rounds in DuckDB, truncates here). State is ≤ 9
+    * counters forever; the batch tail (expected counts + chi-square
+    * cells against the integer ppm table) re-runs on any snapshot.
+    * The forensic screen as an alarm: a feed whose first-digit mass
+    * drifts off log10(1+1/d) mid-stream is flagging fabricated or
+    * truncated amounts while they arrive. Input schema: (amount). */
+  def benfordCountsStream(amounts: DataFrame): DataFrame =
+    amounts
+      .filter(col("amount") >= 1)
+      .select(substring(expr("CAST(floor(amount) AS BIGINT)")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("o"))
+
   def blocklistScreenStream(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

@@ -962,6 +962,35 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming Benford digit grid converges to the batch audit's observed counts") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val amounts = graft.ops.Tables.orders(spark, sfDir)
+      .select("o_totalprice").collect().map(_.getDouble(0))
+    val input = MemoryStream[Double]
+    val stream = input.toDF().toDF("amount")
+    val query = StreamingFraud.benfordCountsStream(stream)
+      .writeStream.format("memory").queryName("benf")
+      .outputMode("update").start()
+    try {
+      val (b1, b2) = amounts.splitAt(amounts.length / 2)
+      Seq(b1, b2).foreach { b =>
+        input.addData(b.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      // update mode re-emits per touch; counts only ratchet up
+      val state = spark.sql("select digit, o from benf").collect()
+        .map(r => r.getInt(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).max }
+      val batch = graft.ops.Quality.benfordAudit(spark, sfDir).collect()
+        .map(r => r.getAs[Int]("digit") -> r.getAs[Long]("o"))
+        .filter(_._2 > 0).toMap
+      assert(state === batch, "stream state must equal the batch digit grid")
+    } finally query.stop()
+  }
+
   test("streaming KMV distinct-users: exact below k, merges across micro-batches") {
     val spark = SparkSpec.spark
     import spark.implicits._
