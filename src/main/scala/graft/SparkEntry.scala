@@ -473,6 +473,14 @@ object SparkEntry {
     // round-15: reciprocal-rank fusion of the three approximate searchers
     "q213_rrf_fusion"          -> (graft.sim.RankFusion.rrfFusion _),
     "q214_rrf_recall"          -> (graft.sim.RankFusion.rrfRecall _),
+    // round-16: Cohen's kappa between the cheap and content screens
+    "q215_kappa_labelers"      -> (graft.ops.Quality.kappaLabelers _),
+    // round-16: Mann–Whitney U location test per source pair
+    "q216_mwu_drift"           -> (graft.ops.Quality.mannWhitneyDrift _),
+    // round-16: CUSUM change-point monitor over daily event volume
+    "q217_cusum_drift"         -> (graft.ops.Quality.cusumDrift _),
+    // round-16: tokenizer fertility / byte-cost accounting grid
+    "q218_tokenizer_stats"     -> (graft.text.CorpusOps.tokenizerStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -696,5 +704,9 @@ object SparkEntry {
     "q212_benford_audit"       -> graft.ops.Quality.benfordAuditSql,
     "q213_rrf_fusion"          -> graft.sim.RankFusion.rrfFusionSql,
     "q214_rrf_recall"          -> graft.sim.RankFusion.rrfRecallSql,
+    "q215_kappa_labelers"      -> graft.ops.Quality.kappaLabelersSql,
+    "q216_mwu_drift"           -> graft.ops.Quality.mannWhitneyDriftSql,
+    "q217_cusum_drift"         -> graft.ops.Quality.cusumDriftSql,
+    "q218_tokenizer_stats"     -> graft.text.CorpusOps.tokenizerStatsSql,
   )
 }

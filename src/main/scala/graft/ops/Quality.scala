@@ -548,4 +548,272 @@ object Quality {
       |  m.n_rows AS total_rows,
       |  CAST(CASE WHEN r.violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
       |FROM rows_out r, m""".stripMargin.replace("\n", " ")
+
+  // ------------------- Cohen's kappa between two curation labelers
+
+  /** The q215 stopword type list — the q208 list, reused so the two
+    * quality signals describe the same lexicon. */
+  val KappaStops = Seq("the", "a", "of", "and", "is", "to")
+  val KappaMinStopTypes = 2
+  val KappaMinTok = 20L
+  val KappaLenLo = 150L
+  val KappaLenHi = 450L
+
+  /** q215 — COHEN'S KAPPA between two independent document screens:
+    * the cheap length gate (A: `n_chars` in [[KappaLenLo]]..[[KappaLenHi]])
+    * and the content gate (B: ≥ [[KappaMinStopTypes]] distinct stopword
+    * TYPES present and ≥ [[KappaMinTok]] tokens). Raw agreement is the
+    * wrong number when both screens pass most documents — kappa is
+    * agreement BEYOND CHANCE, κ = (p_o − p_e)/(1 − p_e), the standard
+    * inter-annotator statistic — and the audit run before replacing an
+    * expensive filter with a cheap proxy (κ ≈ 1: proxy safe; κ ≈ 0:
+    * the screens agree only as often as independent coins would).
+    *
+    * EXACT integers to the last step: the 2×2 confusion cells
+    * (n11, n10, n01, n00) come from ONE conditional-count aggregate;
+    * with N = Σcells, p_o·N = n11+n00 and p_e·N² =
+    * (n11+n10)(n11+n01) + (n01+n00)(n10+n00) are BIGINTs (headroom
+    * ~3·10⁹ docs), so κ = (N·po_num − pe_num)/(N² − pe_num) is one
+    * fixed double division at 6dp (the q210 discipline), and
+    * po_ppm/pe_ppm ship as exact integer div ratios alongside.
+    *
+    * Scale shape: one full scan into a single 1-row aggregate —
+    * map-side partial counts, one scalar exchange; output is one row.
+    * Stopword-type membership is six array_contains flags (no
+    * distinct-intersection list op: the 6-term sum is codegen'd and
+    * engine-portable). */
+  def kappaLabelers(s: SparkSession, d: String): DataFrame = {
+    val stopTypes = KappaStops
+      .map(w => when(array_contains(split(col("text"), " "), w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val flags = Tables.documents(s, d)
+      .select(
+        (col("n_chars") >= KappaLenLo && col("n_chars") <= KappaLenHi).as("pa"),
+        (stopTypes >= KappaMinStopTypes &&
+          expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))") >= KappaMinTok)
+          .as("pb"))
+    def cell(a: Boolean, b: Boolean, n: String) =
+      sum(when(col("pa") === a && col("pb") === b, 1L).otherwise(0L)).as(n)
+    flags
+      .agg(cell(true, true, "n11"), cell(true, false, "n10"),
+        cell(false, true, "n01"), cell(false, false, "n00"))
+      .select(col("n11"), col("n10"), col("n01"), col("n00"),
+        (col("n11") + col("n10") + col("n01") + col("n00")).as("n"),
+        ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+         (col("n01") + col("n00")) * (col("n10") + col("n00"))).as("pe_num"))
+      .select(col("n11"), col("n10"), col("n01"), col("n00"), col("n"),
+        expr("(n11 + n00) * 1000000 div n").as("po_ppm"),
+        expr("pe_num * 1000000 div (n * n)").as("pe_ppm"),
+        expr("round(CAST(n * (n11 + n00) - pe_num AS DOUBLE) " +
+          "/ CAST(n * n - pe_num AS DOUBLE), 6)").as("kappa6"))
+  }
+
+  val kappaLabelersSql: String = {
+    val stopTypes = KappaStops
+      .map(w => s"CASE WHEN list_contains(string_split(text, ' '), '$w') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH f AS (SELECT
+       |  n_chars >= $KappaLenLo AND n_chars <= $KappaLenHi AS pa,
+       |  ($stopTypes) >= $KappaMinStopTypes
+       |    AND len(regexp_extract_all(text, '[a-z0-9]+')) >= $KappaMinTok AS pb
+       |  FROM documents),
+       |c AS (SELECT
+       |  CAST(count(*) FILTER (WHERE pa AND pb) AS BIGINT) AS n11,
+       |  CAST(count(*) FILTER (WHERE pa AND NOT pb) AS BIGINT) AS n10,
+       |  CAST(count(*) FILTER (WHERE NOT pa AND pb) AS BIGINT) AS n01,
+       |  CAST(count(*) FILTER (WHERE NOT pa AND NOT pb) AS BIGINT) AS n00
+       |  FROM f),
+       |m AS (SELECT *, n11 + n10 + n01 + n00 AS n,
+       |  (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS pe_num
+       |  FROM c)
+       |SELECT n11, n10, n01, n00, n,
+       |  CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_ppm,
+       |  CAST(pe_num * 1000000 // (n * n) AS BIGINT) AS pe_ppm,
+       |  round(CAST(n * (n11 + n00) - pe_num AS DOUBLE)
+       |    / CAST(n * n - pe_num AS DOUBLE), 6) AS kappa6
+       |FROM m""".stripMargin.replace("\n", " ")
+  }
+
+  // -------------- Mann–Whitney U test between source pairs (lengths)
+
+  /** q216 — MANN–WHITNEY U between every source pair over document
+    * length: the rank-sum LOCATION test that completes q198's KS.
+    * KS's supremum-gap statistic reacts to ANY distribution
+    * difference (shape, variance, location) — this one asks the
+    * sharper curation question "does source B run systematically
+    * LONGER than A?", is distribution-free, and with the normal
+    * approximation gives a comparable z across pairs of very
+    * different sizes.
+    *
+    * EXACT integers off the SAME (source, length, count) grid as
+    * q198 ([[ksCounts]]): for pair (a,b), the DOUBLED U of side a is
+    * u2_a = Σ_v ca(v)·(2·cumb(v) − cb(v)) (cumb inclusive running sum
+    * of b's counts in length order — ties contribute cb/2 each, hence
+    * the doubling; the q208 doubled-rank discipline). The tie term
+    * T = Σ_v (t³ − t) over combined counts t = ca+cb is BIGINT too
+    * (headroom: T < n³ caps at ~2·10⁶ rows per pair; past that ship
+    * the integers and divide in wide arithmetic downstream). The only
+    * double is the final z6 = (u2_a − na·nb) / (2·σ) with the
+    * tie-corrected σ² = na·nb/12·((n+1) − T/(n(n−1))) — ONE fixed
+    * expression tree, 6dp (no continuity correction: a convention
+    * choice made identically on both engines).
+    *
+    * Scale shape: inherits q198's — one corpus-grain count aggregate,
+    * then everything is VALUE-grain (|pairs| × length-support rows);
+    * the per-pair running sum partitions by pair. At 100 TB the grid
+    * is ~|S|·max_len rows: trivially small. */
+  def mannWhitneyDrift(s: SparkSession, d: String): DataFrame =
+    mwuFromCounts(ksCounts(Tables.documents(s, d)).localCheckpoint(true))
+
+  /** The value-grain MWU tail over ANY (source, v, c) grid — shares
+    * [[ksCounts]] with q198 and the streaming drift twin, so one
+    * state snapshot answers both "has it drifted?" (KS) and "which
+    * way does it lean?" (U/z). */
+  def mwuFromCounts(cnts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ns = cnts.groupBy("source").agg(sum("c").as("n"))
+    val pairs = ns.select(col("source").as("sa"), col("n").as("na"))
+      .join(ns.select(col("source").as("sb"), col("n").as("nb")),
+        col("sa") < col("sb"))
+      .localCheckpoint(true) // |S|² rows; frozen so both fan-outs agree
+    val da = cnts.join(broadcast(pairs), col("source") === col("sa"))
+      .select(col("sa"), col("sb"), col("v"), col("c").as("ca"), lit(0L).as("cb"))
+    val db = cnts.join(broadcast(pairs), col("source") === col("sb"))
+      .select(col("sa"), col("sb"), col("v"), lit(0L).as("ca"), col("c").as("cb"))
+    da.union(db)
+      .groupBy("sa", "sb", "v")
+      .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+      .withColumn("cumb", sum(col("cb")).over(
+        Window.partitionBy("sa", "sb").orderBy("v")))
+      .groupBy("sa", "sb")
+      .agg(
+        sum(expr("ca * (2 * cumb - cb)")).as("u2_a"),
+        sum(expr("(ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)")).as("tie_t"))
+      .join(broadcast(pairs), Seq("sa", "sb"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("na").as("n_a"), col("nb").as("n_b"), col("u2_a"), col("tie_t"),
+        expr(mwuZExpr("u2_a", "na", "nb", "tie_t")).as("z6"))
+  }
+
+  /** The shared z expression — identical operation tree on both
+    * engines (doubles only, no integer division), column names passed
+    * in so each engine's qualified references slot in. */
+  private def mwuZExpr(u2: String, na: String, nb: String, t: String): String =
+    s"round(CAST($u2 - $na * $nb AS DOUBLE) / " +
+      s"(2.0 * sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE) / 12.0 * " +
+      s"((CAST($na + $nb AS DOUBLE) + 1.0) - CAST($t AS DOUBLE) / " +
+      s"(CAST($na + $nb AS DOUBLE) * (CAST($na + $nb AS DOUBLE) - 1.0))))), 6)"
+
+  val mannWhitneyDriftSql: String =
+    s"""WITH c AS (SELECT source, n_chars AS v, count(*) AS c
+       |  FROM documents GROUP BY 1, 2),
+       |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+       |p AS (SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+       |  FROM n a JOIN n b ON a.source < b.source),
+       |d AS (SELECT p.sa, p.sb, c.v, c.c AS ca, CAST(0 AS BIGINT) AS cb
+       |    FROM c JOIN p ON c.source = p.sa
+       |  UNION ALL
+       |  SELECT p.sa, p.sb, c.v, CAST(0 AS BIGINT), c.c
+       |    FROM c JOIN p ON c.source = p.sb),
+       |g AS (SELECT sa, sb, v, CAST(sum(ca) AS BIGINT) AS ca,
+       |  CAST(sum(cb) AS BIGINT) AS cb FROM d GROUP BY 1, 2, 3),
+       |w AS (SELECT sa, sb, ca, cb,
+       |  CAST(sum(cb) OVER (PARTITION BY sa, sb ORDER BY v) AS BIGINT) AS cumb
+       |  FROM g),
+       |u AS (SELECT sa, sb, CAST(sum(ca * (2 * cumb - cb)) AS BIGINT) AS u2_a,
+       |  CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT) AS tie_t
+       |  FROM w GROUP BY 1, 2)
+       |SELECT u.sa AS source_a, u.sb AS source_b, p.na AS n_a, p.nb AS n_b,
+       |  u.u2_a, u.tie_t,
+       |  ${mwuZExpr("u.u2_a", "p.na", "p.nb", "u.tie_t")} AS z6
+       |FROM u JOIN p ON u.sa = p.sa AND u.sb = p.sb"""
+      .stripMargin.replace("\n", " ")
+
+  // --------------------- CUSUM change-point monitor over daily volume
+
+  /** q217 alarm factor: alarm when the cumulative excess exceeds
+    * [[CusumH]]× the global daily mean. */
+  val CusumH = 2L
+
+  /** The day-grain count grid under q217 — shared with the streaming
+    * CUSUM twin ([[graft.streaming.StreamingFraud.cusumCountsStream]]):
+    * daily counts are ADDITIVE state, and [[cusumFromCounts]] over a
+    * snapshot reproduces the full alarm table without re-touching the
+    * events. */
+  def dailyCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+
+  /** q217 — CUSUM CHANGE-POINT MONITOR over daily event volume: the
+    * classic sequential drift detector (Page 1954) that catches the
+    * SLOW leak every threshold alarm misses — a feed running 10% hot
+    * for three weeks never crosses a 3σ daily gate, but its CUSUM
+    * climbs linearly. Two one-sided statistics vs the global daily
+    * mean m: S⁺_t = max(0, S⁺_{t−1} + x_t − m) (upshift) and
+    * S⁻_t = max(0, S⁻_{t−1} + m − x_t) (downshift), alarming when
+    * either exceeds [[CusumH]]·m.
+    *
+    * EXACT integers via two standard rewrites: (1) scale by D =
+    * |days| so the mean never divides — D·(x_t − m) = D·x_t − total
+    * is a BIGINT; (2) the reset-at-zero recurrence is a prefix
+    * extremum, S⁺_t = P_t − min(0, min_{j≤t} P_j) with P the running
+    * sum of D·x_j − total (and S⁻_t = max(0, max_{j≤t} P_j) − P_t) —
+    * so two windows (running sum, running extremum) replace the
+    * sequential loop and the whole op stays declarative. Alarm
+    * compare is integer too: S·D > H·m·D ⟺ s_num > H·total.
+    *
+    * Scale shape: ONE day-grain count aggregate over the scan (the
+    * only corpus-sized exchange, map-side partials); the ordered
+    * windows run on the DAYS GRID — bounded by the calendar (365
+    * rows/year), so the single-partition global window is a
+    * deliberate non-issue (same posture as q198's value grid). Gap
+    * days contribute nothing here (observed-days grain); compose
+    * with q176's gap-fill first when zero-days must count as
+    * violations. */
+  def cusumDrift(s: SparkSession, d: String): DataFrame =
+    cusumFromCounts(dailyCounts(Tables.events(s, d)).localCheckpoint(true))
+
+  /** The day-grain CUSUM tail over ANY (day, x) grid (batch scan or
+    * streaming state snapshot). */
+  def cusumFromCounts(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = daily.agg(sum("x").as("total"), count(lit(1)).as("dd"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .crossJoin(broadcast(tot))
+      .withColumn("p", sum(col("x") * col("dd") - col("total")).over(w))
+      .withColumn("pmin", min(col("p")).over(w))
+      .withColumn("pmax", max(col("p")).over(w))
+      .select(col("day"), col("x"), col("total"), col("dd"),
+        (col("p") - least(col("pmin"), lit(0L))).as("up_num"),
+        (greatest(col("pmax"), lit(0L)) - col("p")).as("dn_num"),
+        (col("p") - least(col("pmin"), lit(0L)) > lit(CusumH) * col("total"))
+          .as("alarm_up"),
+        (greatest(col("pmax"), lit(0L)) - col("p") > lit(CusumH) * col("total"))
+          .as("alarm_dn"))
+  }
+
+  // Window sums CAST BIGINT (the q167/q182 HUGEINT lesson).
+  val cusumDriftSql: String =
+    s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x
+       |  FROM events GROUP BY 1),
+       |t AS (SELECT CAST(sum(x) AS BIGINT) AS total,
+       |  CAST(count(*) AS BIGINT) AS dd FROM daily),
+       |w1 AS (SELECT day, x, total, dd,
+       |  CAST(sum(x * dd - total) OVER (ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+       |  FROM daily CROSS JOIN t),
+       |w AS (SELECT day, x, total, dd, p,
+       |  CAST(min(p) OVER (ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pmin,
+       |  CAST(max(p) OVER (ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pmax
+       |  FROM w1)
+       |SELECT day, CAST(x AS BIGINT) AS x, total, dd,
+       |  p - least(pmin, 0) AS up_num,
+       |  greatest(pmax, 0) - p AS dn_num,
+       |  p - least(pmin, 0) > $CusumH * total AS alarm_up,
+       |  greatest(pmax, 0) - p > $CusumH * total AS alarm_dn
+       |FROM w""".stripMargin.replace("\n", " ")
 }

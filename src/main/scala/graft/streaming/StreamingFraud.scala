@@ -715,6 +715,19 @@ object StreamingFraud {
         .cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("o"))
 
+  /** Streaming twin of q217's day grid — the LIVE CUSUM MONITOR's
+    * state: daily event counts as running additive cells (the
+    * [[ksCountsStream]]/[[benfordCountsStream]] posture at calendar
+    * grain). State is the days grid — bounded by the calendar, never
+    * event-sized; counts only ratchet upward, no watermark.
+    * [[graft.ops.Quality.cusumFromCounts]] over a state snapshot then
+    * reproduces the full q217 alarm table EXACTLY without re-touching
+    * the events (StreamingFraudSpec pins it) — the slow-leak detector
+    * (a feed running 10% hot never trips a daily 3σ gate; its CUSUM
+    * climbs linearly) running as a live alarm. Input schema: (ts). */
+  def cusumCountsStream(events: DataFrame): DataFrame =
+    graft.ops.Quality.dailyCounts(events)
+
   def blocklistScreenStream(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

@@ -1596,4 +1596,62 @@ object CorpusOps {
        |  FROM e GROUP BY doc_id)
        |SELECT shard_old, shard_new, CAST(count(*) AS BIGINT) AS n_docs
        |FROM a GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+
+  // --------------------------- tokenizer fertility / cost accounting
+
+  /** q218 — TOKENIZER FERTILITY AND BYTE-COST accounting per
+    * (lang, source) cell: documents, whitespace words, BPE-ish tokens
+    * ([[nTokCol]] — the q24/q108/q167 convention), characters and
+    * UTF-8 bytes, plus the two ratios every pretraining budget is
+    * written in: fertility (tokens per word) and bytes per token.
+    * This is the table that prices a corpus before training —
+    * token-budget ops (q108/q211) allocate in tokens, storage and
+    * egress bill in bytes, and fertility is the canonical "is the
+    * tokenizer a good fit for this language?" regression check
+    * (a fertility jump after a tokenizer change = that language got
+    * more expensive and its effective context shrank).
+    *
+    * FLOAT RULE: ratios ship as exact integer div in ppm
+    * (fert_ppm = toks·10⁶ div words; bpt_ppm = bytes·10⁶ div toks),
+    * raw sums alongside so any other ratio derives downstream.
+    * Headroom: bytes·10⁶ < 2^63 to ~9 TB per cell — past that, drop
+    * the ppm columns and divide in wide arithmetic downstream (the
+    * q198 convention).
+    *
+    * Scale shape: ONE scan, all five counters in one (lang, source)
+    * hash aggregate (map-side partials, grid-bounded output); the
+    * ratios are literals over the grid. Byte length is `octet_length`
+    * here / `strlen` in DuckDB — both the UTF-8 byte count. */
+  def tokenizerStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        expr("size(filter(split(text, '\\\\s+'), w -> w <> ''))").cast("long")
+          .as("words"),
+        nTokCol.as("toks"), col("n_chars"),
+        octet_length(col("text")).cast("long").as("bytes"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("words").as("n_words"),
+        sum("toks").as("n_toks"), sum("n_chars").as("n_chars"),
+        sum("bytes").as("n_bytes"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_words"),
+        col("n_toks"), col("n_chars"), col("n_bytes"),
+        expr("n_toks * 1000000 div greatest(n_words, 1)").as("fert_ppm"),
+        expr("n_bytes * 1000000 div greatest(n_toks, 1)").as("bpt_ppm"))
+
+  val tokenizerStatsSql: String =
+    """WITH t AS (SELECT lang, source,
+      |  CAST(len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS BIGINT) AS words,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS toks,
+      |  n_chars, CAST(strlen(text) AS BIGINT) AS bytes
+      |  FROM documents),
+      |g AS (SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(words) AS BIGINT) AS n_words,
+      |  CAST(sum(toks) AS BIGINT) AS n_toks,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(sum(bytes) AS BIGINT) AS n_bytes
+      |  FROM t GROUP BY 1, 2)
+      |SELECT lang, source, n_docs, n_words, n_toks, n_chars, n_bytes,
+      |  CAST(n_toks * 1000000 // greatest(n_words, 1) AS BIGINT) AS fert_ppm,
+      |  CAST(n_bytes * 1000000 // greatest(n_toks, 1) AS BIGINT) AS bpt_ppm
+      |FROM g""".stripMargin.replace("\n", " ")
 }

@@ -962,6 +962,42 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming CUSUM day grid replays the full q217 alarm table from a state snapshot") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val ts = graft.ops.Tables.events(spark, sfDir)
+      .select("ts").collect().map(_.getTimestamp(0))
+    val input = MemoryStream[java.sql.Timestamp]
+    val stream = input.toDF().toDF("ts")
+    val query = StreamingFraud.cusumCountsStream(stream)
+      .writeStream.format("memory").queryName("cuscnt")
+      .outputMode("update").start()
+    try {
+      val (b1, b2) = ts.splitAt(ts.length / 2)
+      Seq(b1, b2).foreach { b =>
+        input.addData(b.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      // update mode re-emits a cell per touch; counts only ratchet up
+      val state = spark.sql("select day, x from cuscnt").collect()
+        .map(r => r.getDate(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).max }.toSeq
+      val batchGrid = graft.ops.Quality
+        .dailyCounts(graft.ops.Tables.events(spark, sfDir)).collect()
+        .map(r => r.getDate(0) -> r.getLong(1)).toSet
+      assert(state.toSet === batchGrid, "stream state must equal the batch day grid")
+      // the day-grain tail re-runs on the snapshot and must equal q217
+      val fromState = graft.ops.Quality
+        .cusumFromCounts(state.toDF("day", "x")).collect()
+        .map(r => r.getDate(0) -> r.toSeq.drop(1)).toMap
+      val q217 = graft.ops.Quality.cusumDrift(spark, sfDir).collect()
+        .map(r => r.getDate(0) -> r.toSeq.drop(1)).toMap
+      assert(fromState === q217)
+    } finally query.stop()
+  }
+
   test("streaming Benford digit grid converges to the batch audit's observed counts") {
     val spark = SparkSpec.spark
     import spark.implicits._
