@@ -481,6 +481,15 @@ object SparkEntry {
     "q217_cusum_drift"         -> (graft.ops.Quality.cusumDrift _),
     // round-16: tokenizer fertility / byte-cost accounting grid
     "q218_tokenizer_stats"     -> (graft.text.CorpusOps.tokenizerStats _),
+    // round-16: reliability bins / expected-calibration-error audit
+    "q219_ece_calibration"     -> (graft.ops.Quality.eceCalibration _),
+    // round-16: graded nDCG@5 eval of the IVF searcher
+    "q220_ndcg_eval"           -> ((s: SparkSession, d: String) =>
+      graft.sim.SimilarityQueries.ndcgEval(s, d)),
+    // round-16: ORC sink+source round-trip proven by the q132 checksum
+    "q221_orc_roundtrip"       -> (graft.ops.Formats.orcRoundTrip _),
+    // round-16: common-neighbor/resource-allocation link prediction
+    "q222_link_prediction"     -> (graft.ops.Affinity.linkPrediction _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -708,5 +717,9 @@ object SparkEntry {
     "q216_mwu_drift"           -> graft.ops.Quality.mannWhitneyDriftSql,
     "q217_cusum_drift"         -> graft.ops.Quality.cusumDriftSql,
     "q218_tokenizer_stats"     -> graft.text.CorpusOps.tokenizerStatsSql,
+    "q219_ece_calibration"     -> graft.ops.Quality.eceCalibrationSql,
+    "q220_ndcg_eval"           -> graft.sim.SimilarityQueries.ndcgEvalSql,
+    "q221_orc_roundtrip"       -> graft.ops.Formats.orcRoundTripSql,
+    "q222_link_prediction"     -> graft.ops.Affinity.linkPredictionSql,
   )
 }

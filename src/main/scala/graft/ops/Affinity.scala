@@ -111,4 +111,110 @@ object Affinity {
        |JOIN ic ca ON ca.item = p.item_a
        |JOIN ic cb ON cb.item = p.item_b
        |WHERE n_ab >= $MinSupport""".stripMargin.replace("\n", " ")
+
+  // ----------------------------- link prediction over the co-graph
+
+  /** q222 emits the top-[[LinkPredTopN]] predicted links; the item
+    * graph keeps each item's [[LinkPredDeg]] strongest partners. */
+  val LinkPredTopN = 50
+  val LinkPredDeg = 8
+
+  /** q222 — LINK PREDICTION over the item k-NN graph: score every
+    * NON-adjacent item pair that shares at least one neighbor by
+    * (a) common-neighbor count and (b) the resource-allocation index
+    * Σ_m 1/deg(m) (Zhou et al. 2009 — Adamic–Adar's integer-friendly
+    * sibling: a shared neighbor linked to everything is weak
+    * evidence, one with two links is strong), and emit the
+    * top-[[LinkPredTopN]]. For a recommender this is "items that
+    * SHOULD co-engage but don't yet"; for mixture design, source/
+    * topic affinities one hop out from the observed matrix.
+    *
+    * The graph is each item's [[LinkPredDeg]] STRONGEST q164
+    * partners (n_ab desc, partner asc), symmetrized — NOT the raw
+    * support-threshold graph, which saturates: on a fixed item
+    * vocabulary every pair eventually crosses any fixed support as
+    * data grows (measured here: complete at sf0.01), leaving no
+    * non-edges to predict. The k-NN graph's degree is bounded BY
+    * CONSTRUCTION at any corpus size — the same reason ANN search
+    * (q44) and hard-negative mining (q104) work over k-NN structure.
+    *
+    * FLOAT RULE: RA ships as Σ (10⁴ div deg(m)) — each wedge's term
+    * an exact integer div both engines compute identically, summed
+    * exactly (deg ≤ 2·[[LinkPredDeg]]·items/items keeps terms
+    * nonzero at this scale; raise the scale with the degree cap).
+    *
+    * Scale shape: pair strengths come from q164's structurally-
+    * bounded plan (≤ C(cap,2) fan-out per user); the k-NN cut is an
+    * item-keyed window over the pair table (pair-mass input, item
+    * output); wedge enumeration is one self-join of the bounded-
+    * degree adjacency on the shared endpoint — ≤ |items|·deg² rows
+    * by construction (the saturating graph's Σdeg² had no such
+    * bound). Degrees broadcast onto the wedge stream; the anti-join
+    * removes already-linked pairs; the top-N is TakeOrdered. */
+  def linkPrediction(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairStrength = itemCooccurrence(s, d)
+      .select(col("item_a"), col("item_b"), col("n_ab"))
+    val directed = pairStrength
+      .select(col("item_a").as("u"), col("item_b").as("v"), col("n_ab"))
+      .union(pairStrength
+        .select(col("item_b").as("u"), col("item_a").as("v"), col("n_ab")))
+    val knn = directed
+      .withColumn("rn", row_number().over(Window.partitionBy("u")
+        .orderBy(col("n_ab").desc, col("v"))))
+      .filter(col("rn") <= LinkPredDeg)
+    val edges = knn
+      .select(least(col("u"), col("v")).as("item_a"),
+        greatest(col("u"), col("v")).as("item_b"))
+      .distinct()
+      .localCheckpoint(true) // feeds adjacency twice + the anti-join
+    val adj = edges.select(col("item_a").as("u"), col("item_b").as("v"))
+      .union(edges.select(col("item_b").as("u"), col("item_a").as("v")))
+    val deg = adj.groupBy(col("u").as("m")).agg(count(lit(1)).as("deg"))
+    val wedges = adj.select(col("v").as("a"), col("u").as("m"))
+      .join(adj.select(col("u").as("m2"), col("v").as("b")),
+        col("m") === col("m2") && col("a") < col("b"))
+      .join(broadcast(deg), "m")
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("10000 div deg")).as("ra_x10k"))
+    wedges
+      .join(edges, col("a") === col("item_a") && col("b") === col("item_b"),
+        "left_anti")
+      // TakeOrderedAndProject: per-partition top-N, merged on the
+      // driver — no global window ever sees the full candidate stream
+      .orderBy(col("cn").desc, col("ra_x10k").desc, col("a"), col("b"))
+      .limit(LinkPredTopN)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("cn").desc, col("ra_x10k").desc, col("a"), col("b"))))
+      .select(col("rank"), col("a").as("item_a"), col("b").as("item_b"),
+        col("cn"), col("ra_x10k"))
+  }
+
+  val linkPredictionSql: String =
+    s"""WITH co AS ($itemCooccurrenceSql),
+       |dir AS (SELECT item_a AS u, item_b AS v, n_ab FROM co
+       |  UNION ALL SELECT item_b, item_a, n_ab FROM co),
+       |knn AS (SELECT u, v FROM (SELECT u, v,
+       |    row_number() OVER (PARTITION BY u ORDER BY n_ab DESC, v) AS rn
+       |  FROM dir) WHERE rn <= $LinkPredDeg),
+       |e AS (SELECT DISTINCT least(u, v) AS item_a, greatest(u, v) AS item_b
+       |  FROM knn),
+       |adj AS (SELECT item_a AS u, item_b AS v FROM e
+       |  UNION ALL SELECT item_b, item_a FROM e),
+       |dg AS (SELECT u AS m, count(*) AS deg FROM adj GROUP BY 1),
+       |w AS (SELECT x.v AS a, y.v AS b, x.u AS m
+       |  FROM adj x JOIN adj y ON x.u = y.u AND x.v < y.v),
+       |cand AS (SELECT w.a, w.b, count(*) AS cn,
+       |  CAST(sum(10000 // dg.deg) AS BIGINT) AS ra_x10k
+       |  FROM w JOIN dg ON dg.m = w.m
+       |  GROUP BY 1, 2),
+       |nonadj AS (SELECT c.* FROM cand c
+       |  LEFT JOIN e ON e.item_a = c.a AND e.item_b = c.b
+       |  WHERE e.item_a IS NULL)
+       |SELECT rank, item_a, item_b, cn, ra_x10k FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY cn DESC, ra_x10k DESC, a, b)
+       |    AS INT) AS rank, a AS item_a, b AS item_b, cn, ra_x10k
+       |  FROM nonadj)
+       |WHERE rank <= $LinkPredTopN""".stripMargin.replace("\n", " ")
 }

@@ -729,6 +729,84 @@ object Quality {
        |FROM u JOIN p ON u.sa = p.sa AND u.sb = p.sb"""
       .stripMargin.replace("\n", " ")
 
+  // -------------------- calibration audit (reliability bins / ECE)
+
+  /** q219 calibration bin count (confidence deciles). */
+  val EceBins = 10L
+
+  /** q219 — CALIBRATION AUDIT (reliability table / expected
+    * calibration error) of the cheap stopword-DENSITY score against
+    * the q215 content label: bin documents by the score's claimed
+    * confidence, and per bin compare claimed confidence to observed
+    * label rate. A screen can have good accuracy and terrible
+    * calibration — and a pipeline that THRESHOLDS a score (q77's
+    * quota admission, q120's selection) is implicitly trusting its
+    * calibration, which is exactly what this table audits (the ML
+    * counterpart is a reliability diagram over classifier
+    * probabilities; the operator is identical).
+    *
+    * EXACT integers end to end (no floats at all): confidence is the
+    * basis-10⁴ density score conf_b4 = min(nstop·4·10⁴ div ntok, 10⁴)
+    * (×4: the corpus' density ceiling ~25% maps to full confidence);
+    * bins are conf_b4 div 10³ capped to [[EceBins]]−1; per bin the
+    * integers (n, Σlabel, Σconf_b4) make the observed rate, claimed
+    * rate, and gap exact: gap_num = |Σlabel·10⁴ − Σconf_b4| — and
+    * ECE = Σ_bins gap_num / (N·10⁴) derives downstream (FLOAT RULE:
+    * ship the integers, not the ratio). acc/conf ship in ppm by
+    * exact div for readability.
+    *
+    * Scale shape: ONE scan into a bins-bounded hash aggregate
+    * (map-side partials); output ≤ [[EceBins]] rows. */
+  def eceCalibration(s: SparkSession, d: String): DataFrame = {
+    val stopPred = KappaStops.map(w => s"t = '$w'").mkString(" OR ")
+    val stopTypes = KappaStops
+      .map(w => when(array_contains(split(col("text"), " "), w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    Tables.documents(s, d)
+      .select(
+        expr(s"size(filter(split(text, ' '), t -> $stopPred))").cast("long")
+          .as("nstop"),
+        expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").cast("long")
+          .as("ntok"),
+        (stopTypes >= KappaMinStopTypes).as("btypes"))
+      .select(
+        least(expr("nstop * 40000 div greatest(ntok, 1)"), lit(10000L))
+          .as("conf_b4"),
+        when(col("btypes") && col("ntok") >= KappaMinTok, 1L).otherwise(0L)
+          .as("label"))
+      .groupBy(least(expr("conf_b4 div 1000"), lit(EceBins - 1)).as("bin"))
+      .agg(count(lit(1)).as("n"), sum("label").as("sum_label"),
+        sum("conf_b4").as("sum_conf_b4"))
+      .select(col("bin"), col("n"), col("sum_label"), col("sum_conf_b4"),
+        expr("sum_label * 1000000 div n").as("acc_ppm"),
+        expr("sum_conf_b4 * 100 div n").as("conf_ppm"),
+        abs(col("sum_label") * 10000 - col("sum_conf_b4")).as("gap_num"))
+  }
+
+  val eceCalibrationSql: String = {
+    val stopPred = KappaStops.map(w => s"t = '$w'").mkString(" OR ")
+    val stopTypes = KappaStops
+      .map(w => s"CASE WHEN list_contains(string_split(text, ' '), '$w') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH f AS (SELECT
+       |  CAST(len(list_filter(string_split(text, ' '), t -> $stopPred)) AS BIGINT) AS nstop,
+       |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS ntok,
+       |  ($stopTypes) >= $KappaMinStopTypes AS btypes
+       |  FROM documents),
+       |s AS (SELECT least(nstop * 40000 // greatest(ntok, 1), 10000) AS conf_b4,
+       |  CASE WHEN btypes AND ntok >= $KappaMinTok THEN 1 ELSE 0 END AS label
+       |  FROM f),
+       |g AS (SELECT least(conf_b4 // 1000, ${EceBins - 1}) AS bin, count(*) AS n,
+       |  CAST(sum(label) AS BIGINT) AS sum_label,
+       |  CAST(sum(conf_b4) AS BIGINT) AS sum_conf_b4
+       |  FROM s GROUP BY 1)
+       |SELECT CAST(bin AS BIGINT) AS bin, n, sum_label, sum_conf_b4,
+       |  CAST(sum_label * 1000000 // n AS BIGINT) AS acc_ppm,
+       |  CAST(sum_conf_b4 * 100 // n AS BIGINT) AS conf_ppm,
+       |  CAST(abs(sum_label * 10000 - sum_conf_b4) AS BIGINT) AS gap_num
+       |FROM g""".stripMargin.replace("\n", " ")
+  }
+
   // --------------------- CUSUM change-point monitor over daily volume
 
   /** q217 alarm factor: alarm when the cumulative excess exceeds

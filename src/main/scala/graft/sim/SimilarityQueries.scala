@@ -381,6 +381,84 @@ object SimilarityQueries {
 
   val annRecallSql: String = recallSqlOver(ivfTopKSql, cosineTopKSql)
 
+  // ------------------------------- graded relevance eval (nDCG@k)
+
+  /** 1/log₂(r+1) rank discounts for r = 1..5, parts-per-million
+    * integer literals (the q212 Benford convention: neither engine
+    * computes a transcendental). */
+  val NdcgDiscPpm = Seq(1000000L, 630930L, 500000L, 430677L, 386853L)
+
+  /** The shared discount lookup as one CASE expression — identical
+    * text on both engines. */
+  private def ndcgDisc(c: String): String =
+    NdcgDiscPpm.zipWithIndex
+      .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }
+      .mkString(s"CASE $c ", " ", " ELSE 0 END")
+
+  /** q220 — nDCG@5 of the IVF searcher against the exact top-k:
+    * the GRADED retrieval eval the recall family (q112/q150/q204/
+    * q214) cannot express. Recall treats the exact #1 and exact #5
+    * as equally valuable and position 1 like position 5; nDCG grades
+    * each surfaced neighbor by how good it truly is (gain = k+1 −
+    * exact_rank, 0 for non-neighbors) and discounts by where the
+    * searcher PUT it (1/log₂(rank+1)) — so an index that finds the
+    * right neighbors but inverts their order is separated from one
+    * that misses them outright, which is exactly the difference that
+    * decides whether a rerank stage is needed.
+    *
+    * EXACT integers: gains are small ints, discounts the ppm literal
+    * table, so dcg_num = Σ gain·disc_ppm(rank) and the per-query
+    * ideal idcg_num = Σ gain·disc_ppm(exact_rank) are BIGINTs both
+    * engines compute identically; ndcg_ppm = dcg_num·10⁶ div
+    * idcg_num ships alongside the integers (FLOAT RULE).
+    *
+    * Scale shape: both inputs are k-rows-per-query tables (the
+    * searches are the graded plans); the eval is one (qid,
+    * neighbor_id) join + two |queries|-bounded aggregates —
+    * negligible next to either search at any corpus size. */
+  def ndcgEval(s: SparkSession, d: String, k: Int = 5,
+               nProbe: Int = NProbe): DataFrame =
+    ndcgEvalFrom(
+      ivfTopK(s, d, k, nProbe).select(col("qid"), col("neighbor_id"), col("rank")),
+      cosineTopK(s, d, k).select(col("qid"), col("neighbor_id"), col("rank")),
+      k)
+
+  /** The graded eval over ANY (qid, neighbor_id, rank) approximate
+    * result and ANY (qid, neighbor_id, rank) exact result. */
+  def ndcgEvalFrom(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val idcg = exact
+      .groupBy("qid")
+      .agg(sum(expr(s"(${k + 1} - rank) * ${ndcgDisc("rank")}")).as("idcg_num"))
+    approx
+      .join(exact.select(col("qid"), col("neighbor_id"),
+          col("rank").as("erank")),
+        Seq("qid", "neighbor_id"), "left")
+      .groupBy("qid")
+      .agg(sum(expr(
+        s"coalesce(${k + 1} - erank, 0) * ${ndcgDisc("rank")}")).as("dcg_num"))
+      .join(idcg, "qid")
+      .select(col("qid"), col("dcg_num"), col("idcg_num"),
+        expr("dcg_num * 1000000 div idcg_num").as("ndcg_ppm"))
+  }
+
+  /** DuckDB twin of [[ndcgEvalFrom]] over two CTE bodies. */
+  def ndcgSqlOver(approxSql: String, exactSql: String, k: Int): String =
+    s"""WITH ex AS ($exactSql), ap AS ($approxSql),
+       |i AS (SELECT qid,
+       |  CAST(sum((${k + 1} - rank) * ${ndcgDisc("rank")}) AS BIGINT) AS idcg_num
+       |  FROM ex GROUP BY qid),
+       |dc AS (SELECT ap.qid,
+       |  CAST(sum(coalesce(${k + 1} - ex.rank, 0) * ${ndcgDisc("ap.rank")})
+       |    AS BIGINT) AS dcg_num
+       |  FROM ap LEFT JOIN ex
+       |    ON ex.qid = ap.qid AND ex.neighbor_id = ap.neighbor_id
+       |  GROUP BY ap.qid)
+       |SELECT dc.qid, dc.dcg_num, i.idcg_num,
+       |  CAST(dc.dcg_num * 1000000 // i.idcg_num AS BIGINT) AS ndcg_ppm
+       |FROM dc JOIN i ON i.qid = dc.qid""".stripMargin.replace("\n", " ")
+
+  val ndcgEvalSql: String = ndcgSqlOver(ivfTopKSql, cosineTopKSql, 5)
+
   // ------------------------------- matryoshka truncation recall eval
 
   val MatryoshkaDims = 16 // 64-dim corpus → 4× cheaper prefix search
