@@ -490,6 +490,13 @@ object SparkEntry {
     "q221_orc_roundtrip"       -> (graft.ops.Formats.orcRoundTrip _),
     // round-16: common-neighbor/resource-allocation link prediction
     "q222_link_prediction"     -> (graft.ops.Affinity.linkPrediction _),
+    // round-16: zlib compression-ratio quality screen — the first op
+    // with NO DuckDB oracle (deflate is not SQL-expressible): the
+    // driver records the rows-only check; CompressibilitySpec pins
+    // exact values, determinism, and the screen semantics instead
+    "q223_compression_probe"   -> (graft.text.Compressibility.compressionProbe _),
+    // round-16: per-source Gini concentration of document length
+    "q224_length_gini"         -> (graft.ops.Quality.lengthGini _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -721,5 +728,8 @@ object SparkEntry {
     "q220_ndcg_eval"           -> graft.sim.SimilarityQueries.ndcgEvalSql,
     "q221_orc_roundtrip"       -> graft.ops.Formats.orcRoundTripSql,
     "q222_link_prediction"     -> graft.ops.Affinity.linkPredictionSql,
+    // q223_compression_probe: deliberately absent — DEFLATE has no SQL
+    // twin; the driver's weaker rows-only check applies (see scaladoc).
+    "q224_length_gini"         -> graft.ops.Quality.lengthGiniSql,
   )
 }

@@ -729,6 +729,56 @@ object Quality {
        |FROM u JOIN p ON u.sa = p.sa AND u.sb = p.sb"""
       .stripMargin.replace("\n", " ")
 
+  // ------------------- per-source Gini concentration of doc length
+
+  /** q224 — GINI COEFFICIENT of document length per source: the
+    * inequality audit behind "is this source a long tail of stubs
+    * dominated by a few megadocs?" — the concentration question that
+    * decides whether a per-DOC quota (q77) or a per-TOKEN budget
+    * (q108/q211) is the right admission unit for a source (high Gini:
+    * doc counts misrepresent token mass; low Gini: either works).
+    *
+    * EXACT integers via the sorted-rank identity: with lengths
+    * ranked 1..n within the source (any fixed tiebreak — the sum is
+    * invariant under permutation of equals), Gini's mean-absolute-
+    * difference numerator is Σᵢ (2·rᵢ − n − 1)·xᵢ, an exact BIGINT
+    * (headroom ~10⁹ rows·chars per source), and
+    * gini_ppm = num·10⁶ div (n·Σx) ships by exact div (FLOAT RULE).
+    *
+    * Scale shape: ONE (source) exchange carrying the rank window and
+    * the final per-source aggregate (same partitioning, same sort —
+    * the q208 posture); output is |sources| rows. Sources
+    * parallelize; no global window. */
+  def lengthGini(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+        sum(expr("(2 * r - 1) * n_chars")).as("rsum"))
+      .select(col("source"), col("n"), col("sum_chars"),
+        (col("rsum") - col("n") * col("sum_chars")).as("gini_num"),
+        expr("(rsum - n * sum_chars) * 1000000 div (n * sum_chars)")
+          .as("gini_ppm"))
+  }
+
+  val lengthGiniSql: String =
+    """WITH r AS (SELECT source, n_chars,
+      |  CAST(row_number() OVER (PARTITION BY source
+      |    ORDER BY n_chars, doc_id) AS BIGINT) AS r
+      |  FROM documents),
+      |g AS (SELECT source, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum((2 * r - 1) * n_chars) AS BIGINT) AS rsum
+      |  FROM r GROUP BY 1)
+      |SELECT source, n, sum_chars,
+      |  rsum - n * sum_chars AS gini_num,
+      |  CAST((rsum - n * sum_chars) * 1000000 // (n * sum_chars)
+      |    AS BIGINT) AS gini_ppm
+      |FROM g""".stripMargin.replace("\n", " ")
+
   // -------------------- calibration audit (reliability bins / ECE)
 
   /** q219 calibration bin count (confidence deciles). */
