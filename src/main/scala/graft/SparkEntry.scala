@@ -497,6 +497,14 @@ object SparkEntry {
     "q223_compression_probe"   -> (graft.text.Compressibility.compressionProbe _),
     // round-16: per-source Gini concentration of document length
     "q224_length_gini"         -> (graft.ops.Quality.lengthGini _),
+    // round-16: jackknife source influence on the corpus mean length
+    "q225_jackknife_sources"   -> (graft.ops.Quality.jackknifeSources _),
+    // round-16: OLS trend (slope/intercept) over daily event volume
+    "q226_ols_trend"           -> (graft.ops.Quality.olsDailyTrend _),
+    // round-16: two-term proximity search (min token gap, top-N)
+    "q227_proximity_search"    -> (graft.text.TextQueries.proximitySearch _),
+    // round-16: functional-dependency audit (g3 violation counts)
+    "q228_fd_audit"            -> (graft.ops.Quality.fdAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -731,5 +739,9 @@ object SparkEntry {
     // q223_compression_probe: deliberately absent — DEFLATE has no SQL
     // twin; the driver's weaker rows-only check applies (see scaladoc).
     "q224_length_gini"         -> graft.ops.Quality.lengthGiniSql,
+    "q225_jackknife_sources"   -> graft.ops.Quality.jackknifeSourcesSql,
+    "q226_ols_trend"           -> graft.ops.Quality.olsDailyTrendSql,
+    "q227_proximity_search"    -> graft.text.TextQueries.proximitySearchSql,
+    "q228_fd_audit"            -> graft.ops.Quality.fdAuditSql,
   )
 }

@@ -729,6 +729,180 @@ object Quality {
        |FROM u JOIN p ON u.sa = p.sa AND u.sb = p.sb"""
       .stripMargin.replace("\n", " ")
 
+  // ------------------- functional-dependency audit (g3 violations)
+
+  /** q228 — FUNCTIONAL-DEPENDENCY AUDIT over a fixed candidate
+    * catalog: for each A → B candidate, the g₃ violation count —
+    * the MINIMUM rows to delete so the FD holds, Σ_a (n_a −
+    * max_b n_{a,b}) — plus the determinant cardinality and the holds
+    * verdict. This is the data-profiling primitive (Metanome/
+    * Papenbrock lineage) behind schema inference, normalization
+    * advice, and "is this column derivable?" pruning decisions; as a
+    * QUALITY gate it catches referential rot the q145 constraint
+    * suite can't express (a dependency that held silently until an
+    * upstream merge broke it).
+    *
+    * Catalog: documents lang→source and source→lang (both directions
+    * of the same grid — association ≠ dependency, and the asymmetry
+    * IS the finding), orders o_orderstatus→o_orderpriority and
+    * o_custkey→o_orderstatus. All counts exact BIGINTs (FLOAT RULE).
+    *
+    * Scale shape: one (A,B) count grid per candidate pair — the
+    * documents pair SHARES one grid for both directions; per-A max
+    * and sum are grid-grain aggregates. Grids are value-space-
+    * bounded except custkey's (|customers| rows — still one exchange,
+    * map-side partials, never row-grain after it). */
+  def fdAudit(s: SparkSession, d: String): DataFrame = {
+    def g3(grid: DataFrame, tbl: String, det: String, dep: String,
+           a: String, b: String): DataFrame =
+      grid
+        .groupBy(col(a))
+        .agg(sum("c").as("n_a"), max("c").as("max_b"))
+        .agg(count(lit(1)).as("n_det"), sum("n_a").as("n_rows"),
+          sum(col("n_a") - col("max_b")).as("violations"))
+        .select(lit(tbl).as("tbl"), lit(det).as("det"), lit(dep).as("dep"),
+          col("n_rows"), col("n_det"), col("violations"),
+          when(col("violations") === 0, 1L).otherwise(0L).as("holds"))
+    val docGrid = Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // grid-sized; feeds both directions
+    val stGrid = Tables.orders(s, d)
+      .groupBy("o_orderstatus", "o_orderpriority").agg(count(lit(1)).as("c"))
+    val ckGrid = Tables.orders(s, d)
+      .groupBy("o_custkey", "o_orderstatus").agg(count(lit(1)).as("c"))
+    g3(docGrid, "documents", "lang", "source", "lang", "source")
+      .unionAll(g3(docGrid.select(col("source"), col("lang"), col("c")),
+        "documents", "source", "lang", "source", "lang"))
+      .unionAll(g3(stGrid, "orders", "o_orderstatus", "o_orderpriority",
+        "o_orderstatus", "o_orderpriority"))
+      .unionAll(g3(ckGrid, "orders", "o_custkey", "o_orderstatus",
+        "o_custkey", "o_orderstatus"))
+  }
+
+  val fdAuditSql: String = {
+    def g3(src: String, a: String, b: String, tbl: String): String =
+      s"""SELECT '$tbl' AS tbl, '$a' AS det, '$b' AS dep,
+         |  CAST(sum(n_a) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_det,
+         |  CAST(sum(n_a - max_b) AS BIGINT) AS violations,
+         |  CAST(CASE WHEN sum(n_a - max_b) = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
+         |FROM (SELECT $a, CAST(sum(c) AS BIGINT) AS n_a,
+         |      CAST(max(c) AS BIGINT) AS max_b
+         |  FROM (SELECT $a, $b, count(*) AS c FROM $src GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin.replace("\n", " ")
+    Seq(
+      g3("documents", "lang", "source", "documents"),
+      g3("documents", "source", "lang", "documents"),
+      g3("orders", "o_orderstatus", "o_orderpriority", "orders"),
+      g3("orders", "o_custkey", "o_orderstatus", "orders")
+    ).mkString(" UNION ALL ")
+  }
+
+  // ------------------ jackknife source influence on the corpus mean
+
+  /** q225 — JACKKNIFE (leave-one-source-out) influence of every
+    * source on the corpus mean document length: how far does the
+    * mean move if a source is dropped? The cheap data-valuation
+    * screen that complements q207's full curation ablation — q207
+    * re-runs the dedup pipeline per held-out source (expensive,
+    * exact); this one answers the first-order question from ONE
+    * grid of per-source sums, which is what you consult before
+    * paying for the full ablation. The same table is the jackknife
+    * variance estimate of the corpus mean — the error bar every
+    * "mean doc length = X" report should carry.
+    *
+    * EXACT integers (FLOAT RULE): per source, the LOO mean ships as
+    * milli-chars by exact div — loo_mean_milli = (ΣX − x_s)·10³ div
+    * (N − n_s) — and influence_milli = loo_mean_milli −
+    * full_mean_milli is the signed displacement. Headroom: Σchars·10³
+    * < 2⁶³ to ~9·10¹⁵ chars (≈ 9 PB of text); past that divide in
+    * wide arithmetic downstream.
+    *
+    * Scale shape: ONE (source) count/sum aggregate over the scan;
+    * totals broadcast back onto the |sources|-row grid. Nothing
+    * after the aggregate is data-sized. */
+  def jackknifeSources(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_s"), sum("n_chars").as("chars_s"))
+      .localCheckpoint(true) // grid-sized; feeds totals AND the output
+    val tot = per.agg(sum("n_s").as("n"), sum("chars_s").as("chars"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"), col("chars_s"),
+        expr("(chars - chars_s) * 1000 div (n - n_s)").as("loo_mean_milli"),
+        expr("(chars - chars_s) * 1000 div (n - n_s) - chars * 1000 div n")
+          .as("influence_milli"))
+  }
+
+  val jackknifeSourcesSql: String =
+    """WITH per AS (SELECT source, count(*) AS n_s,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_s
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n,
+      |  CAST(sum(chars_s) AS BIGINT) AS chars FROM per)
+      |SELECT source, n_s, chars_s,
+      |  CAST((chars - chars_s) * 1000 // (n - n_s) AS BIGINT) AS loo_mean_milli,
+      |  CAST((chars - chars_s) * 1000 // (n - n_s) - chars * 1000 // n
+      |    AS BIGINT) AS influence_milli
+      |FROM per CROSS JOIN t""".stripMargin.replace("\n", " ")
+
+  // --------------------------- OLS trend over daily event volume
+
+  /** q226 — ORDINARY-LEAST-SQUARES TREND of daily event volume: the
+    * slope/intercept line through (day index, count) — the monotone
+    * drift detector that pairs with q217's CUSUM (CUSUM says WHEN the
+    * level shifted; the OLS slope says the sustained RATE of growth
+    * or decay, the number capacity planning actually consumes).
+    *
+    * EXACT integers to the last step: day index t = days since the
+    * first observed day (exact int on both engines), and the five
+    * moments (n, Σt, Σx, Σt², Σtx) are BIGINTs, so slope_num =
+    * n·Σtx − Σt·Σx and slope_den = n·Σt² − (Σt)² are exact — ships
+    * with slope6/intercept6 as one fixed double tree each (6dp, the
+    * q208 discipline). Headroom: t ≤ 10⁴ days, counts ≤ 10¹⁰/day
+    * before Σtx presses 2⁶³.
+    *
+    * Scale shape: ONE day-grain count aggregate (the q217 grid,
+    * map-side partials), min-day broadcast onto the bounded grid,
+    * one scalar aggregate; output is ONE row. */
+  def olsDailyTrend(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyCounts(Tables.events(s, d))
+      .localCheckpoint(true) // grid-sized; feeds min-day AND the moments
+    val d0 = daily.agg(min("day").as("d0"))
+    daily.crossJoin(broadcast(d0))
+      .select(datediff(col("day"), col("d0")).cast("long").as("t"), col("x"))
+      .agg(count(lit(1)).as("n"), sum("t").as("st"), sum("x").as("sx"),
+        sum(expr("t * t")).as("stt"), sum(expr("t * x")).as("stx"))
+      .select(col("n"), col("st"), col("sx"), col("stt"), col("stx"),
+        (col("n") * col("stx") - col("st") * col("sx")).as("slope_num"),
+        (col("n") * col("stt") - col("st") * col("st")).as("slope_den"))
+      .select(col("n"), col("slope_num"), col("slope_den"),
+        expr(OlsSlopeExpr).as("slope6"), expr(OlsInterceptExpr).as("intercept6"))
+  }
+
+  // Shared double trees — identical text on both engines.
+  private val OlsSlopeExpr =
+    "round(CAST(slope_num AS DOUBLE) / CAST(slope_den AS DOUBLE), 6)"
+  private val OlsInterceptExpr =
+    "round((CAST(sx AS DOUBLE) * CAST(slope_den AS DOUBLE) - " +
+      "CAST(slope_num AS DOUBLE) * CAST(st AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(slope_den AS DOUBLE)), 6)"
+
+  val olsDailyTrendSql: String =
+    s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x
+       |  FROM events GROUP BY 1),
+       |d0 AS (SELECT min(day) AS d0 FROM daily),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(t) AS BIGINT) AS st, CAST(sum(x) AS BIGINT) AS sx,
+       |  CAST(sum(t * t) AS BIGINT) AS stt, CAST(sum(t * x) AS BIGINT) AS stx
+       |  FROM (SELECT CAST(datediff('day', d0, day) AS BIGINT) AS t, x
+       |        FROM daily CROSS JOIN d0)),
+       |k AS (SELECT *, n * stx - st * sx AS slope_num,
+       |  n * stt - st * st AS slope_den FROM m)
+       |SELECT n, slope_num, slope_den,
+       |  $OlsSlopeExpr AS slope6, $OlsInterceptExpr AS intercept6
+       |FROM k""".stripMargin.replace("\n", " ")
+
   // ------------------- per-source Gini concentration of doc length
 
   /** q224 — GINI COEFFICIENT of document length per source: the

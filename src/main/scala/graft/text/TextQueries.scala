@@ -746,4 +746,89 @@ object TextQueries {
        |    AND n_stop >= 2 AND n_alpha * 5 >= n_words * 4 AS BIGINT) AS keep
        |FROM s""".stripMargin.replace("\n", " ")
   }
+
+  // ----------------------------- term-proximity search (min gap)
+
+  /** q227's fixed two-term query (both in the generator's shared
+    * vocabulary so the search is non-vacuous at every SF). */
+  val ProxTermA = "table"
+  val ProxTermB = "query"
+  val ProxTopN = 25
+
+  /** q227 — TERM-PROXIMITY SEARCH: the top-[[ProxTopN]] documents
+    * containing BOTH query terms, ranked by the minimum token
+    * distance between any occurrence pair (then by fewer tokens,
+    * then doc_id). Proximity is the retrieval signal BM25 (q82)
+    * throws away — bag-of-words scores "new york" and "york … new"
+    * identically; phrase/near operators in every production engine
+    * rank by exactly this min-gap.
+    *
+    * The min over occurrence PAIRS is computed without enumerating
+    * pairs (the merged-stream identity): walk the doc's term
+    * positions in order, and for each occurrence of one term the
+    * only candidate partner that can realize the minimum is the
+    * LATEST preceding occurrence of the other term — two running
+    * maxima over one (doc_id, pos) window replace the quadratic
+    * cross product (the q104 adjacent-candidates discipline).
+    *
+    * Scale shape: the position stream is filtered to the two terms
+    * right after the explode (candidate-grain, not token-grain, past
+    * the first projection); one (doc_id) window + one (doc_id)
+    * aggregate share the exchange; the top-N is TakeOrdered. All
+    * integers. */
+  def proximitySearch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hits = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(expr("filter(split(text, ' '), x -> x <> '')"))
+          .as(Seq("pos", "w")))
+      .filter(col("w") === ProxTermA || col("w") === ProxTermB)
+    hits
+      .withColumn("last_a", max(when(col("w") === ProxTermA, col("pos"))).over(w))
+      .withColumn("last_b", max(when(col("w") === ProxTermB, col("pos"))).over(w))
+      .select(col("doc_id"),
+        when(col("w") === ProxTermA && col("last_b").isNotNull,
+          col("pos") - col("last_b"))
+          .when(col("w") === ProxTermB && col("last_a").isNotNull,
+            col("pos") - col("last_a")).as("gap"))
+      .groupBy("doc_id")
+      .agg(min("gap").as("min_gap"), count(lit(1)).as("n_occ"))
+      .filter(col("min_gap").isNotNull)
+      .select(col("doc_id"), col("min_gap").cast("long").as("min_gap"),
+        col("n_occ"))
+      .orderBy(col("min_gap"), col("n_occ").desc, col("doc_id"))
+      .limit(ProxTopN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("min_gap"), col("n_occ").desc, col("doc_id"))))
+  }
+
+  // Spark's posexplode is 0-based, DuckDB's generate_subscripts
+  // 1-based — gaps are position DIFFERENCES, so the offset cancels.
+  val proximitySearchSql: String =
+    s"""WITH ex AS (SELECT doc_id, unnest(ws) AS w,
+       |  CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |        FROM documents)),
+       |tok AS (SELECT doc_id, w, pos FROM ex
+       |  WHERE w IN ('$ProxTermA', '$ProxTermB')),
+       |r AS (SELECT doc_id, w, pos,
+       |  max(CASE WHEN w = '$ProxTermA' THEN pos END)
+       |    OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_a,
+       |  max(CASE WHEN w = '$ProxTermB' THEN pos END)
+       |    OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_b
+       |  FROM tok),
+       |g AS (SELECT doc_id,
+       |  CASE WHEN w = '$ProxTermA' AND last_b IS NOT NULL THEN pos - last_b
+       |       WHEN w = '$ProxTermB' AND last_a IS NOT NULL THEN pos - last_a
+       |  END AS gap FROM r),
+       |m AS (SELECT doc_id, CAST(min(gap) AS BIGINT) AS min_gap,
+       |  count(*) AS n_occ FROM g GROUP BY 1 HAVING min(gap) IS NOT NULL)
+       |SELECT doc_id, min_gap, n_occ, CAST(row_number() OVER
+       |  (ORDER BY min_gap, n_occ DESC, doc_id) AS INT) AS rank
+       |FROM m ORDER BY min_gap, n_occ DESC, doc_id LIMIT $ProxTopN"""
+      .stripMargin.replace("\n", " ")
 }

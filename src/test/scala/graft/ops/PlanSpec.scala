@@ -574,4 +574,63 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(unpartitioned.isEmpty, s"single-task global window: $unpartitioned")
   }
+
+  test("q215/q219 screen audits: ONE scan into one aggregate, no join, no window") {
+    for (q <- Seq("q215_kappa_labelers", "q219_ece_calibration")) {
+      val p = plan(q)
+      assert(p.linesIterator.count(_.contains("Scan parquet")) === 1, s"$q: $p")
+      assert(!p.contains("Join"), s"$q: $p")
+      assert(!p.contains("Window"), s"$q: $p")
+      assert(p.contains("partial_"), s"$q: $p") // map-side partials
+    }
+  }
+
+  test("q218/q224 grid audits: ONE corpus exchange, partials before it") {
+    for ((q, key) <- Seq("q218_tokenizer_stats" -> "lang",
+      "q224_length_gini" -> "source")) {
+      val p = plan(q)
+      val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(ex.size === 1 && ex.head.contains(key), s"$q: $p")
+      assert(p.contains("partial_"), s"$q: $p")
+    }
+  }
+
+  test("q216 MWU: pair fan-outs broadcast, windows keyed by pair — no corpus-keyed second exchange") {
+    val p = plan("q216_mwu_drift")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the ordered window partitions on (sa, sb) — never unpartitioned
+    val spark = SparkSpec.spark
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = graft.SparkEntry.queries("q216_mwu_drift")(spark, sfDir)
+      .queryExecution.executedPlan
+    val unpartitioned = exec.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(unpartitioned.isEmpty, s"single-task global window: $unpartitioned")
+  }
+
+  test("q217 CUSUM: windows and totals run on the frozen day grid, never the corpus") {
+    val p = plan("q217_cusum_drift")
+    // the day-count aggregate is checkpointed (grid-sized, feeds the
+    // totals AND the window chain), so the registered plan reads the
+    // frozen grid twice and contains NO corpus-keyed exchange at all —
+    // only the deliberate single-partition moves on the bounded grid
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.linesIterator.count(_.contains("Window ")) === 2, p)
+    assert(p.contains("BroadcastExchange"), p) // scalar totals broadcast
+  }
+
+  test("q222 link prediction: top-N is TakeOrdered, never a global sort of candidates") {
+    val p = plan("q222_link_prediction")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Sort ") && l.contains("global=true")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q223 compression probe: a pure map — no exchange anywhere") {
+    val p = plan("q223_compression_probe")
+    assert(!p.contains("Exchange"), p)
+  }
 }

@@ -959,6 +959,14 @@ class StreamingFraudSpec extends AnyFunSuite {
       val q198 = graft.ops.Quality.ksDrift(spark, sfDir).collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
       assert(fromState === q198)
+      // the SAME snapshot answers the location question too: the q216
+      // Mann–Whitney tail over it equals the registered batch query
+      val mwuFromState = graft.ops.Quality
+        .mwuFromCounts(state.toDF("source", "v", "c")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+      val q216 = graft.ops.Quality.mannWhitneyDrift(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+      assert(mwuFromState === q216)
     } finally query.stop()
   }
 
