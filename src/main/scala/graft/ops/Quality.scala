@@ -583,14 +583,18 @@ object Quality {
     * distinct-intersection list op: the 6-term sum is codegen'd and
     * engine-portable). */
   def kappaLabelers(s: SparkSession, d: String): DataFrame = {
+    // split ONCE into a projected column — six array_contains over the
+    // same split would otherwise re-tokenize the text six times (no
+    // CSE across when-branches; measured 17× for 10× data before this)
     val stopTypes = KappaStops
-      .map(w => when(array_contains(split(col("text"), " "), w), 1L).otherwise(0L))
+      .map(w => when(array_contains(col("toks"), w), 1L).otherwise(0L))
       .reduce(_ + _)
     val flags = Tables.documents(s, d)
+      .select(col("n_chars"), split(col("text"), " ").as("toks"),
+        expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").as("ntok"))
       .select(
         (col("n_chars") >= KappaLenLo && col("n_chars") <= KappaLenHi).as("pa"),
-        (stopTypes >= KappaMinStopTypes &&
-          expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))") >= KappaMinTok)
+        (stopTypes >= KappaMinStopTypes && col("ntok") >= KappaMinTok)
           .as("pb"))
     def cell(a: Boolean, b: Boolean, n: String) =
       sum(when(col("pa") === a && col("pb") === b, 1L).otherwise(0L)).as(n)
@@ -984,14 +988,15 @@ object Quality {
   def eceCalibration(s: SparkSession, d: String): DataFrame = {
     val stopPred = KappaStops.map(w => s"t = '$w'").mkString(" OR ")
     val stopTypes = KappaStops
-      .map(w => when(array_contains(split(col("text"), " "), w), 1L).otherwise(0L))
+      .map(w => when(array_contains(col("toks"), w), 1L).otherwise(0L))
       .reduce(_ + _)
     Tables.documents(s, d)
-      .select(
-        expr(s"size(filter(split(text, ' '), t -> $stopPred))").cast("long")
-          .as("nstop"),
+      .select(split(col("text"), " ").as("toks"), // tokenize ONCE (q215)
         expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").cast("long")
-          .as("ntok"),
+          .as("ntok"))
+      .select(
+        expr(s"size(filter(toks, t -> $stopPred))").cast("long").as("nstop"),
+        col("ntok"),
         (stopTypes >= KappaMinStopTypes).as("btypes"))
       .select(
         least(expr("nstop * 40000 div greatest(ntok, 1)"), lit(10000L))

@@ -424,8 +424,14 @@ object SimilarityQueries {
       k)
 
   /** The graded eval over ANY (qid, neighbor_id, rank) approximate
-    * result and ANY (qid, neighbor_id, rank) exact result. */
-  def ndcgEvalFrom(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    * result and ANY (qid, neighbor_id, rank) exact result. The exact
+    * side feeds TWO consumers (the ideal-DCG aggregate and the gain
+    * join) — checkpointed so the expensive search underneath executes
+    * once, not once per consumer (it is |Q|·k rows; measured 55 s →
+    * ~q112-level at sf1 with the brute-force side deduplicated). */
+  def ndcgEvalFrom(approxIn: DataFrame, exactIn: DataFrame, k: Int): DataFrame = {
+    val exact = exactIn.localCheckpoint(true)
+    val approx = approxIn
     val idcg = exact
       .groupBy("qid")
       .agg(sum(expr(s"(${k + 1} - rank) * ${ndcgDisc("rank")}")).as("idcg_num"))
