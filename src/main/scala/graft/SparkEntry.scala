@@ -505,6 +505,12 @@ object SparkEntry {
     "q227_proximity_search"    -> (graft.text.TextQueries.proximitySearch _),
     // round-16: functional-dependency audit (g3 violation counts)
     "q228_fd_audit"            -> (graft.ops.Quality.fdAudit _),
+    // round-16: one-way ANOVA F over source length means (omnibus)
+    "q229_anova_length"        -> (graft.ops.Quality.anovaLength _),
+    // round-16: trimmed mean per source (robust center)
+    "q230_trimmed_mean"        -> (graft.ops.Quality.trimmedMeanLength _),
+    // round-16: t-closeness — the release-privacy trio completed
+    "q231_t_closeness"         -> (graft.ops.Maintenance.tClosenessAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -743,5 +749,8 @@ object SparkEntry {
     "q226_ols_trend"           -> graft.ops.Quality.olsDailyTrendSql,
     "q227_proximity_search"    -> graft.text.TextQueries.proximitySearchSql,
     "q228_fd_audit"            -> graft.ops.Quality.fdAuditSql,
+    "q229_anova_length"        -> graft.ops.Quality.anovaLengthSql,
+    "q230_trimmed_mean"        -> graft.ops.Quality.trimmedMeanLengthSql,
+    "q231_t_closeness"         -> graft.ops.Maintenance.tClosenessAuditSql,
   )
 }

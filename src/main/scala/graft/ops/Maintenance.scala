@@ -360,6 +360,77 @@ object Maintenance {
        |FROM cls WHERE n_docs >= $KAnonK AND n_langs < $LDivL
        |GROUP BY source""".stripMargin.replace("\n", " ")
 
+  /** q231 t-closeness breach threshold (total-variation distance in
+    * ppm): a class whose sensitive-attribute distribution sits
+    * further than this from the global one leaks even when l-diverse. */
+  val TClosePpm = 150000L
+
+  /** q231 — T-CLOSENESS audit, completing the release-privacy trio:
+    * k-anonymity (q193) bounds re-identification, l-diversity (q200)
+    * bounds attribute DISCLOSURE by requiring ≥ l sensitive values
+    * per class — and still leaks by SKEW (a class that is 95% one
+    * lang "has 3 languages" yet practically reveals the attribute).
+    * t-closeness (Li et al. 2007) bounds exactly that: the distance
+    * between each class's sensitive distribution and the GLOBAL one
+    * must stay ≤ t. For an unordered categorical attribute the
+    * distance is total variation, TVD = ½·Σ_v |p_class(v) − p(v)| —
+    * EXACT integers here: tvd_num = Σ_v |c_{class,v}·N − g_v·n_class|
+    * is a BIGINT (headroom ~3·10⁹ docs), and
+    * tvd_ppm = tvd_num·10⁶ div (2·n_class·N) ships by exact div.
+    * Same quasi-identifier classes as q193/q200 ((source, char_bin),
+    * k-anonymous classes only) so the three audits read as one table.
+    *
+    * Scale shape: ONE (class, lang) count grid over the scan; global
+    * lang marginals are a grid-grain rollup joined back broadcast;
+    * the per-class sum is grid-grain. Output is class-grain. */
+  def tClosenessAudit(s: SparkSession, d: String): DataFrame = {
+    val grid = Tables.documents(s, d)
+      .groupBy(col("source"), expr(s"n_chars div $LDivCharBin").as("char_bin"),
+        col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // grid-sized; feeds marginals AND the sum
+    val global = grid.groupBy("lang").agg(sum("c").as("g"))
+    val classes = grid.groupBy("source", "char_bin")
+      .agg(sum("c").as("n_class"))
+      .filter(col("n_class") >= KAnonK) // the q193 gate: released classes only
+    val tot = grid.agg(sum("c").as("nn"))
+    // a lang ABSENT from a class still contributes |0·N − g·n_class|:
+    // fan the released classes out over the full lang marginal table
+    // (classes × langs rows — grid-bounded) and left-join observed counts
+    classes
+      .crossJoin(broadcast(global.crossJoin(tot)))
+      .join(grid, Seq("source", "char_bin", "lang"), "left")
+      .na.fill(0L, Seq("c"))
+      .groupBy("source", "char_bin")
+      .agg(max("n_class").as("n_class"), max("nn").as("nn"),
+        sum(abs(col("c") * col("nn") - col("g") * col("n_class")))
+          .as("tvd_num"))
+      .select(col("source"), col("char_bin"), col("n_class"), col("tvd_num"),
+        expr("tvd_num * 1000000 div (2 * n_class * nn)").as("tvd_ppm"),
+        (expr("tvd_num * 1000000 div (2 * n_class * nn)") > TClosePpm)
+          .as("breach"))
+  }
+
+  val tClosenessAuditSql: String =
+    s"""WITH grid AS (SELECT source, n_chars // $LDivCharBin AS char_bin, lang,
+       |  count(*) AS c FROM documents GROUP BY 1, 2, 3),
+       |gl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS g FROM grid GROUP BY 1),
+       |cls AS (SELECT source, char_bin, CAST(sum(c) AS BIGINT) AS n_class
+       |  FROM grid GROUP BY 1, 2 HAVING sum(c) >= $KAnonK),
+       |tt AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM grid),
+       |x AS (SELECT cls.source, cls.char_bin, cls.n_class, gl.lang, gl.g,
+       |  tt.nn, CAST(coalesce(grid.c, 0) AS BIGINT) AS c
+       |  FROM cls CROSS JOIN gl CROSS JOIN tt
+       |  LEFT JOIN grid ON grid.source = cls.source
+       |    AND grid.char_bin = cls.char_bin AND grid.lang = gl.lang),
+       |agg AS (SELECT source, char_bin, max(n_class) AS n_class, max(nn) AS nn,
+       |  CAST(sum(abs(c * nn - g * n_class)) AS BIGINT) AS tvd_num
+       |  FROM x GROUP BY 1, 2)
+       |SELECT source, CAST(char_bin AS BIGINT) AS char_bin, n_class, tvd_num,
+       |  CAST(tvd_num * 1000000 // (2 * n_class * nn) AS BIGINT) AS tvd_ppm,
+       |  tvd_num * 1000000 // (2 * n_class * nn) > $TClosePpm AS breach
+       |FROM agg""".stripMargin.replace("\n", " ")
+
   /** Beyond-reference: TIME-TRAVEL (AS OF) READ over the q153 SCD2
     * history — reconstruct, for every user, the state that was valid
     * at an instant T: the row with valid_from ≤ T < valid_to (open

@@ -733,6 +733,113 @@ object Quality {
        |FROM u JOIN p ON u.sa = p.sa AND u.sb = p.sb"""
       .stripMargin.replace("\n", " ")
 
+  // -------------------- one-way ANOVA F over source length means
+
+  /** q229 — ONE-WAY ANOVA F-statistic for document length across
+    * sources: the parametric member of the drift quartet (q198 KS:
+    * any-shape two-sample; q216 MWU: pairwise location; q210 χ²:
+    * categorical; this: do the k source MEANS differ at all, in one
+    * number?) — the omnibus test run before pairwise drilling, so a
+    * fleet of sources is monitored with ONE statistic instead of
+    * C(k,2) pair alarms.
+    *
+    * Integer discipline: per-source moments (n_g, Σx, Σx²) are exact
+    * BIGINTs; the between/within sums of squares use the identity
+    * SSB = Σ_g Sg²/n_g − S²/N and SSW = Σ_g (Qg − Sg²/n_g) with each
+    * Sg²/n_g taken as EXACT INTEGER DIV — the truncation is < 1 char²
+    * per group (< k total, documented), and critically the group SUM
+    * is an integer sum, so no float accumulates in any order. F6 is
+    * then ONE fixed double tree over (ssb_num, ssw_num, k, N).
+    * Headroom: Sg² < 2⁶³ caps a source at ~3·10⁹ chars (~3 GB of
+    * text); past that ship the per-group moments and divide in wide
+    * arithmetic downstream (the q198 convention).
+    *
+    * Scale shape: ONE (source) moment aggregate over the scan;
+    * everything after is k-row grid math. Output is one row. */
+  def anovaLength(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_g"), sum("n_chars").as("s_g"),
+        sum(expr("n_chars * n_chars")).as("q_g"))
+      .agg(count(lit(1)).as("k"), sum("n_g").as("n"), sum("s_g").as("s"),
+        sum(expr("s_g * s_g div n_g")).as("sb_part"),
+        sum(expr("q_g - s_g * s_g div n_g")).as("ssw_num"))
+      .select(col("k"), col("n"),
+        (col("sb_part") - expr("s * s div n")).as("ssb_num"), col("ssw_num"))
+      .select(col("k"), col("n"), col("ssb_num"), col("ssw_num"),
+        expr(AnovaFExpr).as("f6"))
+  }
+
+  // Shared double tree — identical text on both engines.
+  private val AnovaFExpr: String =
+    "round((CAST(ssb_num AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)) / " +
+      "(CAST(ssw_num AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)"
+
+  val anovaLengthSql: String =
+    s"""WITH g AS (SELECT source, count(*) AS n_g,
+       |  CAST(sum(n_chars) AS BIGINT) AS s_g,
+       |  CAST(sum(n_chars * n_chars) AS BIGINT) AS q_g
+       |  FROM documents GROUP BY 1),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+       |  CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s,
+       |  CAST(sum(s_g * s_g // n_g) AS BIGINT) AS sb_part,
+       |  CAST(sum(q_g - s_g * s_g // n_g) AS BIGINT) AS ssw_num FROM g),
+       |f AS (SELECT k, n, sb_part - s * s // n AS ssb_num, ssw_num FROM m)
+       |SELECT k, n, ssb_num, ssw_num, $AnovaFExpr AS f6
+       |FROM f""".stripMargin.replace("\n", " ")
+
+  // ------------------------- trimmed mean per source (robust center)
+
+  /** q230 trim fraction: drop the bottom and top [[TrimPct]]% by
+    * rank. */
+  val TrimPct = 5L
+
+  /** q230 — TRIMMED MEAN of document length per source: the robust
+    * center that pairs with q93's MAD outlier screen — a mean that a
+    * few megadocs cannot drag (exactly the failure q224's Gini
+    * measures the extent of). Per source, rows ranked by (length,
+    * doc_id); the bottom and top [[TrimPct]]% by COUNT (lo = n·pct
+    * div 100, exact integer — both engines truncate identically) are
+    * excluded and the mean of the rest ships in exact milli-chars.
+    *
+    * Scale shape: the q224 posture — ONE (source) exchange carries
+    * the rank window and the aggregate; output is |sources| rows. */
+  def trimmedMeanLength(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLen = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    val whole = Window.partitionBy("source")
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("r", row_number().over(byLen).cast("long"))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("lo", expr(s"n * $TrimPct div 100"))
+      .groupBy("source")
+      .agg(max("n").as("n"), sum("n_chars").as("sum_all"),
+        sum(when(col("r") > col("lo") && col("r") <= col("n") - col("lo"),
+          col("n_chars")).otherwise(0L)).as("sum_kept"),
+        sum(when(col("r") > col("lo") && col("r") <= col("n") - col("lo"), 1L)
+          .otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n"), col("n_kept"),
+        expr("sum_all * 1000 div n").as("mean_milli"),
+        expr("sum_kept * 1000 div n_kept").as("trimmed_mean_milli"))
+  }
+
+  val trimmedMeanLengthSql: String =
+    s"""WITH r AS (SELECT source, n_chars,
+       |  CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+       |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM documents),
+       |t AS (SELECT source, n_chars, r, n, n * $TrimPct // 100 AS lo FROM r)
+       |SELECT source, CAST(max(n) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN r > lo AND r <= n - lo THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept,
+       |  CAST(sum(n_chars) * 1000 // max(n) AS BIGINT) AS mean_milli,
+       |  CAST(sum(CASE WHEN r > lo AND r <= n - lo THEN n_chars ELSE 0 END)
+       |    * 1000 // sum(CASE WHEN r > lo AND r <= n - lo THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS trimmed_mean_milli
+       |FROM t GROUP BY source""".stripMargin.replace("\n", " ")
+
   // ------------------- functional-dependency audit (g3 violations)
 
   /** q228 — FUNCTIONAL-DEPENDENCY AUDIT over a fixed candidate

@@ -1003,6 +1003,21 @@ class StreamingFraudSpec extends AnyFunSuite {
       val q217 = graft.ops.Quality.cusumDrift(spark, sfDir).collect()
         .map(r => r.getDate(0) -> r.toSeq.drop(1)).toMap
       assert(fromState === q217)
+      // the SAME day-grid snapshot also replays the q226 OLS trend —
+      // one piece of bounded state feeds both volume monitors
+      def olsOf(df: org.apache.spark.sql.DataFrame) = {
+        val daily = df.localCheckpoint(true)
+        val d0 = daily.agg(org.apache.spark.sql.functions.min("day").as("d0"))
+        import org.apache.spark.sql.functions._
+        daily.crossJoin(broadcast(d0))
+          .select(datediff(col("day"), col("d0")).cast("long").as("t"), col("x"))
+          .agg(count(lit(1)), sum("t"), sum("x"),
+            sum(expr("t * t")), sum(expr("t * x")))
+          .collect().head.toSeq
+      }
+      assert(olsOf(state.toDF("day", "x")) ===
+        olsOf(graft.ops.Quality.dailyCounts(
+          graft.ops.Tables.events(spark, sfDir))))
     } finally query.stop()
   }
 
