@@ -511,6 +511,10 @@ object SparkEntry {
     "q230_trimmed_mean"        -> (graft.ops.Quality.trimmedMeanLength _),
     // round-16: t-closeness — the release-privacy trio completed
     "q231_t_closeness"         -> (graft.ops.Maintenance.tClosenessAudit _),
+    // round-16: first/last/linear multi-touch attribution, one table
+    "q232_attribution"         -> (RelationalQueries.multiTouchAttribution _),
+    // round-16: discrete survival table with censoring (churn hazard)
+    "q233_survival_table"      -> (RelationalQueries.survivalTable _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -752,5 +756,7 @@ object SparkEntry {
     "q229_anova_length"        -> graft.ops.Quality.anovaLengthSql,
     "q230_trimmed_mean"        -> graft.ops.Quality.trimmedMeanLengthSql,
     "q231_t_closeness"         -> graft.ops.Maintenance.tClosenessAuditSql,
+    "q232_attribution"         -> RelationalQueries.multiTouchAttributionSql,
+    "q233_survival_table"      -> RelationalQueries.survivalTableSql,
   )
 }

@@ -1435,4 +1435,147 @@ object RelationalQueries {
       |  last_value(raw IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
       |FROM j""".stripMargin.replace("\n", " ")
+
+  // ----------------------- multi-touch conversion attribution
+
+  /** q232 lookback window: touches inside this many hours before the
+    * purchase participate in its journey. */
+  val AttribLookbackHours = 24L
+
+  /** q232 — MULTI-TOUCH ATTRIBUTION: distribute each purchase's
+    * credit over the user's preceding touches (view/click/signup
+    * within [[AttribLookbackHours]]) under the three standard models
+    * at once — first-touch, last-touch, linear — summed per channel.
+    * q155 answers "which view converted within the hour" (a range
+    * join); this answers the marketing-mix question "which CHANNELS
+    * earn the conversions", and running the models side by side in
+    * one table is the point: first-vs-last disagreement IS the
+    * funnel-position finding.
+    *
+    * FLOAT RULE: credit is integer ppm of a conversion — first/last
+    * award 10⁶ to one touch; linear awards 10⁶ div n_touches to each
+    * (the ≤ n_touches−1 ppm truncation per journey is the documented
+    * quantization, identical on both engines).
+    *
+    * Scale shape: touches join purchases per user under the time
+    * bound (the q155 range-join posture — per-user fan-out bounded by
+    * activity within the lookback, never all-pairs); journey ranks
+    * are ONE (purchase_id)-keyed window; the final per-channel
+    * aggregate is channels-bounded. */
+  def multiTouchAttribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val touches = ev
+      .filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("ts").as("t_ts"), col("event_id").as("t_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val j = touches.join(purchases, Seq("user_id"))
+      .filter(col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - expr(s"INTERVAL $AttribLookbackHours HOURS"))
+    val byJourney = Window.partitionBy("purchase_id")
+    val asc = byJourney.orderBy(col("t_ts"), col("t_id"))
+    val desc = byJourney.orderBy(col("t_ts").desc, col("t_id").desc)
+    j
+      .withColumn("rf", row_number().over(asc))
+      .withColumn("rl", row_number().over(desc))
+      .withColumn("nt", count(lit(1)).over(byJourney))
+      .groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_touches"),
+        countDistinct(col("purchase_id")).as("n_journeys"),
+        sum(when(col("rf") === 1, 1000000L).otherwise(0L)).as("first_ppm"),
+        sum(when(col("rl") === 1, 1000000L).otherwise(0L)).as("last_ppm"),
+        sum(expr("1000000 div nt")).as("linear_ppm"))
+  }
+
+  val multiTouchAttributionSql: String =
+    s"""WITH t AS (SELECT user_id, event_type AS channel, ts AS t_ts,
+       |  event_id AS t_id FROM events
+       |  WHERE event_type IN ('view', 'click', 'signup')),
+       |p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+       |  FROM events WHERE event_type = 'purchase'),
+       |j AS (SELECT t.channel, p.purchase_id, t.t_ts, t.t_id
+       |  FROM t JOIN p ON t.user_id = p.user_id
+       |  AND t.t_ts < p.p_ts
+       |  AND t.t_ts >= p.p_ts - INTERVAL $AttribLookbackHours HOURS),
+       |r AS (SELECT channel, purchase_id,
+       |  row_number() OVER (PARTITION BY purchase_id ORDER BY t_ts, t_id) AS rf,
+       |  row_number() OVER (PARTITION BY purchase_id ORDER BY t_ts DESC, t_id DESC) AS rl,
+       |  count(*) OVER (PARTITION BY purchase_id) AS nt
+       |  FROM j)
+       |SELECT channel, count(*) AS n_touches,
+       |  CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_journeys,
+       |  CAST(sum(CASE WHEN rf = 1 THEN 1000000 ELSE 0 END) AS BIGINT) AS first_ppm,
+       |  CAST(sum(CASE WHEN rl = 1 THEN 1000000 ELSE 0 END) AS BIGINT) AS last_ppm,
+       |  CAST(sum(1000000 // nt) AS BIGINT) AS linear_ppm
+       |FROM r GROUP BY channel""".stripMargin.replace("\n", " ")
+
+  // ----------------------- discrete survival table (churn hazard)
+
+  /** q233 censoring buffer: a user whose last event falls within this
+    * many days of the horizon is censored (still alive), not churned. */
+  val SurvCensorDays = 7L
+
+  /** q233 — DISCRETE SURVIVAL TABLE over user lifetimes (the
+    * Kaplan–Meier life table at day grain): for each account age t,
+    * how many users were still at risk, and how many churned exactly
+    * there. Lifespan = days between a user's first and last event;
+    * users whose last event is within [[SurvCensorDays]] of the data
+    * horizon are CENSORED — treating them as churned is the classic
+    * retention-curve mistake this op exists to avoid (they count in
+    * n_risk up to their observed age, then leave the denominator).
+    * q131's cohort retention is calendar-grain marketing view; this
+    * is the age-grain actuarial view models consume.
+    *
+    * FLOAT RULE: hazard ships as exact ppm div; the survival curve
+    * S(t) = Π(1 − h) is the consumer's fold over this table.
+    *
+    * Scale shape: ONE (user) aggregate over the scan → a bounded
+    * age-grain grid (≤ calendar days); the at-risk suffix sums are
+    * two windows on that grid (the q217 bounded-grid posture). */
+  def survivalTable(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+    val users = ev.groupBy("user_id")
+      .agg(min("day").as("first_day"), max("day").as("last_day"))
+    val horizon = ev.agg(max("day").as("horizon"))
+    val lifes = users.crossJoin(broadcast(horizon))
+      .select(datediff(col("last_day"), col("first_day")).cast("long").as("t"),
+        (datediff(col("horizon"), col("last_day")) < SurvCensorDays)
+          .as("censored"))
+    val grid = lifes.groupBy("t")
+      .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("d_churn"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("d_censor"))
+    val w = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("n_risk", sum(col("d_churn") + col("d_censor")).over(w))
+      .select(col("t"), col("n_risk"), col("d_churn"), col("d_censor"),
+        expr("d_churn * 1000000 div n_risk").as("hazard_ppm"))
+  }
+
+  // Window sums CAST BIGINT (the q167/q182 HUGEINT lesson).
+  val survivalTableSql: String =
+    s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+       |u AS (SELECT user_id, min(day) AS first_day, max(day) AS last_day
+       |  FROM ev GROUP BY 1),
+       |h AS (SELECT max(day) AS horizon FROM ev),
+       |l AS (SELECT CAST(datediff('day', first_day, last_day) AS BIGINT) AS t,
+       |  datediff('day', last_day, horizon) < $SurvCensorDays AS censored
+       |  FROM u CROSS JOIN h),
+       |g AS (SELECT t,
+       |  CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d_churn,
+       |  CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS d_censor
+       |  FROM l GROUP BY 1),
+       |r AS (SELECT t, d_churn, d_censor,
+       |  CAST(sum(d_churn + d_censor) OVER (ORDER BY t DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+       |  FROM g)
+       |SELECT t, n_risk, d_churn, d_censor,
+       |  CAST(d_churn * 1000000 // n_risk AS BIGINT) AS hazard_ppm
+       |FROM r""".stripMargin.replace("\n", " ")
 }
