@@ -515,6 +515,8 @@ object SparkEntry {
     "q232_attribution"         -> (RelationalQueries.multiTouchAttribution _),
     // round-16: discrete survival table with censoring (churn hazard)
     "q233_survival_table"      -> (RelationalQueries.survivalTable _),
+    // round-16: Markov removal-effect attribution (fixed-point chain)
+    "q234_markov_removal"      -> (graft.ops.Markov.markovRemoval _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -758,5 +760,6 @@ object SparkEntry {
     "q231_t_closeness"         -> graft.ops.Maintenance.tClosenessAuditSql,
     "q232_attribution"         -> RelationalQueries.multiTouchAttributionSql,
     "q233_survival_table"      -> RelationalQueries.survivalTableSql,
+    "q234_markov_removal"      -> graft.ops.Markov.markovRemovalSql,
   )
 }
