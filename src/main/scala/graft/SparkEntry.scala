@@ -517,6 +517,12 @@ object SparkEntry {
     "q233_survival_table"      -> (RelationalQueries.survivalTable _),
     // round-16: Markov removal-effect attribution (fixed-point chain)
     "q234_markov_removal"      -> (graft.ops.Markov.markovRemoval _),
+    // round-16: k-center coreset (farthest-first, O(k) jobs)
+    "q235_kcenter_coreset"     -> (graft.sim.KCenter.kCenterCoreset _),
+    // round-16: OOV rate per language vs the q40 vocabulary
+    "q236_oov_rate"            -> (graft.text.TextQueries.oovRate _),
+    // round-16: exact DAU/WAU/MAU stickiness table
+    "q237_active_users"        -> (RelationalQueries.activeUserStickiness _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -761,5 +767,8 @@ object SparkEntry {
     "q232_attribution"         -> RelationalQueries.multiTouchAttributionSql,
     "q233_survival_table"      -> RelationalQueries.survivalTableSql,
     "q234_markov_removal"      -> graft.ops.Markov.markovRemovalSql,
+    "q235_kcenter_coreset"     -> graft.sim.KCenter.kCenterCoresetSql,
+    "q236_oov_rate"            -> graft.text.TextQueries.oovRateSql,
+    "q237_active_users"        -> RelationalQueries.activeUserStickinessSql,
   )
 }

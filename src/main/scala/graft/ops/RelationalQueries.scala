@@ -1436,6 +1436,68 @@ object RelationalQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
       |FROM j""".stripMargin.replace("\n", " ")
 
+  // ------------------------- DAU / WAU / MAU stickiness table
+
+  /** q237 — ACTIVE-USER STICKINESS: per day, exact distinct users
+    * that day (DAU), over the trailing 7 days (WAU) and 28 days
+    * (MAU), plus the DAU/WAU and WAU/MAU ratios — the canonical
+    * product-engagement table, and the denominator discipline
+    * matters: these are EXACT windowed distincts (a user active 5×
+    * this week counts once), not sums of daily counts. The sketch
+    * alternative at extreme cardinality is q117's HLL; this is the
+    * exact path.
+    *
+    * Implementation: `count(DISTINCT)` over a RANGE window is
+    * unsupported, so the (user, day) activity grid fans out to the
+    * days it supports — each activity row feeds ≤ 28 (grid_day, user)
+    * rows via the broadcast day spine, and ONE aggregate takes the
+    * three conditional distincts. Fan-out is user-days × 28, never
+    * events × 28 (the activity grid dedupes first).
+    *
+    * FLOAT RULE: ratios in exact ppm.
+    *
+    * Scale shape: one (user, day) distinct aggregate over the scan;
+    * the spine join is a broadcast range join (|days| rows); the
+    * final (grid_day) aggregate carries the distinct expansion —
+    * 3 distincts over ≤28× the activity grid. */
+  def activeUserStickiness(s: SparkSession, d: String): DataFrame = {
+    val act = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+      .localCheckpoint(true) // grid-sized; feeds the spine AND the join
+    val spine = act.select(col("day").as("grid_day")).distinct()
+    act.join(broadcast(spine),
+        datediff(col("grid_day"), col("day")).between(0, 27))
+      .select(col("grid_day"), col("user_id"),
+        datediff(col("grid_day"), col("day")).as("age"))
+      .groupBy("grid_day")
+      .agg(
+        countDistinct(when(col("age") === 0, col("user_id"))).as("dau"),
+        countDistinct(when(col("age") <= 6, col("user_id"))).as("wau"),
+        countDistinct(col("user_id")).as("mau"))
+      .select(col("grid_day").as("day"), col("dau"), col("wau"), col("mau"),
+        expr("dau * 1000000 div wau").as("dau_wau_ppm"),
+        expr("wau * 1000000 div mau").as("wau_mau_ppm"))
+  }
+
+  val activeUserStickinessSql: String =
+    """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |  FROM events),
+      |spine AS (SELECT DISTINCT day AS grid_day FROM act),
+      |j AS (SELECT s.grid_day, a.user_id,
+      |  datediff('day', a.day, s.grid_day) AS age
+      |  FROM act a JOIN spine s
+      |  ON datediff('day', a.day, s.grid_day) BETWEEN 0 AND 27)
+      |SELECT grid_day AS day,
+      |  CAST(count(DISTINCT CASE WHEN age = 0 THEN user_id END) AS BIGINT) AS dau,
+      |  CAST(count(DISTINCT CASE WHEN age <= 6 THEN user_id END) AS BIGINT) AS wau,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS mau,
+      |  CAST(count(DISTINCT CASE WHEN age = 0 THEN user_id END) * 1000000
+      |    // count(DISTINCT CASE WHEN age <= 6 THEN user_id END) AS BIGINT) AS dau_wau_ppm,
+      |  CAST(count(DISTINCT CASE WHEN age <= 6 THEN user_id END) * 1000000
+      |    // count(DISTINCT user_id) AS BIGINT) AS wau_mau_ppm
+      |FROM j GROUP BY grid_day""".stripMargin.replace("\n", " ")
+
   // ----------------------- multi-touch conversion attribution
 
   /** q232 lookback window: touches inside this many hours before the

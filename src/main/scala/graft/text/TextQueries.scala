@@ -295,6 +295,65 @@ object TextQueries {
     s"SELECT token, count(*) AS freq FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS token FROM documents) " +
       s"GROUP BY token ORDER BY freq DESC, token LIMIT $VocabTopN"
 
+  // ------------------------------------- vocabulary coverage (OOV rate)
+
+  /** q236 coverage-vocabulary size — deliberately TIGHTER than q40's
+    * [[VocabTopN]]: the generator's whole whitespace vocabulary fits
+    * inside the top-50 (measured: zero OOV corpus-wide), which would
+    * make the audit vacuous; a top-25 vocabulary leaves a real tail
+    * to measure, which is the production situation (vocabularies
+    * never cover the stream). */
+  val OovVocabN = 25
+
+  /** q236 — OUT-OF-VOCABULARY RATE per language against the
+    * top-[[OovVocabN]] frequency vocabulary (q40's construction, its
+    * own size): the tokenizer-coverage regression check. A vocabulary
+    * trained on yesterday's mixture quietly shreds a newly-added
+    * language into byte fallbacks — OOV rate per language is the
+    * number that catches it before fertility (q218) degrades
+    * downstream. Same whitespace-token convention as q40 so
+    * vocabulary and coverage describe the same token stream.
+    *
+    * FLOAT RULE: oov_ppm by exact div; raw counts alongside.
+    *
+    * Scale shape: the vocab is an [[OovVocabN]]-row bounded
+    * TakeOrdered broadcast onto ONE token-stream scan; per-(lang)
+    * conditional counts in one grid aggregate. */
+  def oovRate(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(OovVocabN)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    Tables.documents(s, d)
+      .select(col("lang"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .join(broadcast(v), Seq("token"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_toks"), col("n_oov"),
+        expr("n_oov * 1000000 div n_toks").as("oov_ppm"))
+  }
+
+  val oovRateSql: String =
+    s"""WITH v AS (SELECT token, count(*) AS freq FROM
+       |  (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+       |    t -> t <> '')) AS token FROM documents)
+       |  GROUP BY token ORDER BY freq DESC, token LIMIT $OovVocabN),
+       |t AS (SELECT lang, unnest(list_filter(
+       |  string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS token
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_toks,
+       |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000
+       |    // count(*) AS BIGINT) AS oov_ppm
+       |FROM t LEFT JOIN v ON v.token = t.token
+       |GROUP BY lang""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------- LM quality scoring
 
   /** Per-document cross-entropy under an add-one-smoothed BIGRAM model
