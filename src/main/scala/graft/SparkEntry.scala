@@ -523,6 +523,12 @@ object SparkEntry {
     "q236_oov_rate"            -> (graft.text.TextQueries.oovRate _),
     // round-16: exact DAU/WAU/MAU stickiness table
     "q237_active_users"        -> (RelationalQueries.activeUserStickiness _),
+    // round-16: delta+varint posting-list compression accounting
+    "q238_postings_compression" -> (graft.text.CorpusOps.postingsCompression _),
+    // round-16: column-encoding advisor (plain vs dict vs RLE, exact)
+    "q239_encoding_advisor"    -> (graft.ops.Layout.encodingAdvisor _),
+    // round-16: seasonal-naive vs naive forecast backtest
+    "q240_seasonal_backtest"   -> (graft.ops.Quality.seasonalBacktest _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -770,5 +776,8 @@ object SparkEntry {
     "q235_kcenter_coreset"     -> graft.sim.KCenter.kCenterCoresetSql,
     "q236_oov_rate"            -> graft.text.TextQueries.oovRateSql,
     "q237_active_users"        -> RelationalQueries.activeUserStickinessSql,
+    "q238_postings_compression" -> graft.text.CorpusOps.postingsCompressionSql,
+    "q239_encoding_advisor"    -> graft.ops.Layout.encodingAdvisorSql,
+    "q240_seasonal_backtest"   -> graft.ops.Quality.seasonalBacktestSql,
   )
 }

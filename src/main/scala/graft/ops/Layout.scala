@@ -625,4 +625,85 @@ object Layout {
        |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
        |FROM h$ZBits GROUP BY 1""".stripMargin.replace("\n", " ")
   }
+
+  // --------------------- column-encoding advisor (dict / RLE / plain)
+
+  /** q239 — COLUMN-ENCODING ADVISOR over the documents table: per
+    * column, the exact byte cost under the three fundamental parquet
+    * encodings — PLAIN (rendered values), DICTIONARY (one copy of
+    * each distinct value + an index per row), RLE (one copy + a
+    * 4-byte run length per value RUN in doc_id order) — so the write
+    * path can pick per column instead of guessing. This is the
+    * column-level companion to the file-level layout family
+    * (q126/q136/q146/q205): those place ROWS; this prices CELLS, and
+    * the run count it measures is exactly what Z-ordering improves.
+    *
+    * Cost model (simple, integer, engine-portable — documented, not
+    * hidden): value bytes = UTF-8 length of the value's string
+    * rendering; dict index = 1/2/4 B by distinct count; RLE run
+    * header = 4 B. Real parquet adds bit-packing and hybrid modes;
+    * the RANKING of encodings under this model is what the advisor
+    * ships, and it is exact.
+    *
+    * Scale shape: one pass per column over ONE global doc_id
+    * ordering: run boundaries are a lag window (the 3 columns share
+    * the one sort), distinct/length sums are column aggregates. The
+    * global window is the documented q170 two-phase-rank candidate at
+    * extreme scale; at table grain it is one range exchange. */
+  def encodingAdvisor(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("doc_id")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars").cast("string").as("n_chars"))
+    def one(c: String): DataFrame =
+      docs
+        .select(col("doc_id"), col(c).as("v"))
+        .withColumn("chg",
+          when(lag(col("v"), 1).over(w).isNull ||
+            lag(col("v"), 1).over(w) =!= col("v"), 1L).otherwise(0L))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("v")).as("n_distinct"),
+          sum(octet_length(col("v"))).as("plain_bytes"),
+          sum(col("chg")).as("n_runs"),
+          sum(when(col("chg") === 1, octet_length(col("v")).cast("long"))
+            .otherwise(0L)).as("run_value_bytes"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_distinct"),
+          col("n_runs"), col("plain_bytes"),
+          (col("n_rows") *
+            when(col("n_distinct") <= 256, 1L)
+              .when(col("n_distinct") <= 65536, 2L).otherwise(4L))
+            .as("dict_index_bytes"),
+          (col("run_value_bytes") + col("n_runs") * 4).as("rle_bytes"))
+    one("lang").unionAll(one("source")).unionAll(one("n_chars"))
+      .withColumn("best",
+        when(col("rle_bytes") <= col("dict_index_bytes") &&
+          col("rle_bytes") <= col("plain_bytes"), "rle")
+          .when(col("dict_index_bytes") <= col("plain_bytes"), "dict")
+          .otherwise("plain"))
+  }
+
+  val encodingAdvisorSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS column_name, n_rows, n_distinct, n_runs, plain_bytes,
+         |  n_rows * (CASE WHEN n_distinct <= 256 THEN 1
+         |    WHEN n_distinct <= 65536 THEN 2 ELSE 4 END) AS dict_index_bytes,
+         |  run_value_bytes + n_runs * 4 AS rle_bytes
+         |FROM (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+         |  CAST(sum(strlen(v)) AS BIGINT) AS plain_bytes,
+         |  CAST(sum(chg) AS BIGINT) AS n_runs,
+         |  CAST(sum(CASE WHEN chg = 1 THEN strlen(v) ELSE 0 END) AS BIGINT)
+         |    AS run_value_bytes
+         |  FROM (SELECT v, CASE WHEN lag(v) OVER (ORDER BY doc_id) IS NULL
+         |      OR lag(v) OVER (ORDER BY doc_id) <> v THEN 1 ELSE 0 END AS chg
+         |    FROM (SELECT doc_id, CAST($c AS VARCHAR) AS v FROM documents)))"""
+        .stripMargin.replace("\n", " ")
+    s"""SELECT *, CASE
+       |  WHEN rle_bytes <= dict_index_bytes AND rle_bytes <= plain_bytes THEN 'rle'
+       |  WHEN dict_index_bytes <= plain_bytes THEN 'dict'
+       |  ELSE 'plain' END AS best
+       |FROM (${one("lang")} UNION ALL ${one("source")}
+       |  UNION ALL ${one("n_chars")})""".stripMargin.replace("\n", " ")
+  }
 }

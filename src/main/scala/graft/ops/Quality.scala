@@ -840,6 +840,66 @@ object Quality {
        |    AS BIGINT) AS trimmed_mean_milli
        |FROM t GROUP BY source""".stripMargin.replace("\n", " ")
 
+  // ----------------- seasonal-naive forecast backtest (model pick)
+
+  /** q240 — SEASONAL-NAIVE BACKTEST over daily volume per event type:
+    * compare the two zero-parameter forecasters every capacity model
+    * must beat — naive (tomorrow = today) and seasonal-naive
+    * (tomorrow = same weekday last week) — by exact sum of absolute
+    * errors over the backtest days where BOTH have a forecast. The
+    * winner column is the model-selection evidence: a weekly-seasonal
+    * feed picks lag-7, a trending one picks lag-1, and "which baseline
+    * wins" is the first question before fitting anything richer
+    * (q226's OLS slope is the trend member of this family).
+    *
+    * Lags are POSITIONAL over observed days (documented: a gap day
+    * shifts the season; compose with q176's gap-fill when calendar
+    * lags must be exact). All integers: sae sums, n_eval, winner by
+    * comparison; mae ships ×1000 by exact div.
+    *
+    * Scale shape: one (type, day) count aggregate, one (type)-keyed
+    * double-lag window, one (type) aggregate sharing the exchange. */
+  def seasonalBacktest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day")
+    Tables.events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("f1", lag(col("x"), 1).over(w))
+      .withColumn("f7", lag(col("x"), 7).over(w))
+      .filter(col("f7").isNotNull) // f1 exists wherever f7 does
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("x") - col("f1"))).as("sae_naive"),
+        sum(abs(col("x") - col("f7"))).as("sae_seasonal"))
+      .select(col("event_type"), col("n_eval"),
+        col("sae_naive"), col("sae_seasonal"),
+        expr("sae_naive * 1000 div n_eval").as("mae_naive_milli"),
+        expr("sae_seasonal * 1000 div n_eval").as("mae_seasonal_milli"),
+        when(col("sae_seasonal") < col("sae_naive"), "seasonal")
+          .when(col("sae_seasonal") > col("sae_naive"), "naive")
+          .otherwise("tie").as("winner"))
+  }
+
+  val seasonalBacktestSql: String =
+    """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+      |l AS (SELECT event_type, x,
+      |  lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS f1,
+      |  lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS f7
+      |  FROM daily),
+      |a AS (SELECT event_type, count(*) AS n_eval,
+      |  CAST(sum(abs(x - f1)) AS BIGINT) AS sae_naive,
+      |  CAST(sum(abs(x - f7)) AS BIGINT) AS sae_seasonal
+      |  FROM l WHERE f7 IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n_eval, sae_naive, sae_seasonal,
+      |  CAST(sae_naive * 1000 // n_eval AS BIGINT) AS mae_naive_milli,
+      |  CAST(sae_seasonal * 1000 // n_eval AS BIGINT) AS mae_seasonal_milli,
+      |  CASE WHEN sae_seasonal < sae_naive THEN 'seasonal'
+      |       WHEN sae_seasonal > sae_naive THEN 'naive'
+      |       ELSE 'tie' END AS winner
+      |FROM a""".stripMargin.replace("\n", " ")
+
   // ------------------- functional-dependency audit (g3 violations)
 
   /** q228 — FUNCTIONAL-DEPENDENCY AUDIT over a fixed candidate

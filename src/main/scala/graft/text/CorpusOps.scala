@@ -282,6 +282,68 @@ object CorpusOps {
       s"array_to_string(list_sort(list(DISTINCT doc_id))[1:$PostingCap], ',') AS posting " +
       s"FROM terms GROUP BY term HAVING count(DISTINCT doc_id) >= $MinDf"
 
+  // ------------------- posting-list compression estimate (delta+varint)
+
+  /** q238 — POSTING-LIST COMPRESSION accounting: per term, the bytes
+    * its sorted posting list costs raw (8 B/doc_id) versus
+    * delta-encoded + varint-packed — THE storage format of every
+    * production inverted index (Lucene's VInt postings), estimated
+    * exactly from the gap distribution without materializing encoded
+    * bytes. The q59 index says what the postings ARE; this prices
+    * them, and the savings ratio is the go/no-go for shipping the
+    * index compressed at 100 TB (gap varint is why real indexes are
+    * ~5× smaller than raw id lists).
+    *
+    * EXACT integers: the first posting encodes its absolute id, each
+    * subsequent one its GAP to the predecessor (postings sorted, so
+    * gaps ≥ 1); varint cost is the exact CASE ladder (< 2⁷ → 1 B,
+    * < 2¹⁴ → 2 B, < 2²¹ → 3, < 2²⁸ → 4, else 5). savings_ppm by
+    * exact div.
+    *
+    * Scale shape: one (term, doc_id) distinct aggregate, one
+    * (term)-keyed lag window, one (term) aggregate — window and
+    * aggregate share the exchange (the q208 posture). Output is
+    * vocab-grain. */
+  def postingsCompression(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    val varint = (c: String) =>
+      s"CASE WHEN $c < 128 THEN 1 WHEN $c < 16384 THEN 2 " +
+        s"WHEN $c < 2097152 THEN 3 WHEN $c < 268435456 THEN 4 ELSE 5 END"
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(
+        "regexp_extract_all(text, '[a-z0-9]+', 0)")).as("term"))
+      .distinct()
+      .withColumn("gap",
+        coalesce(col("doc_id") - lag(col("doc_id"), 1).over(w), col("doc_id")))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum(expr(varint("gap"))).cast("long").as("varint_bytes"))
+      .filter(col("df") >= MinDf)
+      .select(col("term"), col("df"), (col("df") * 8).as("raw_bytes"),
+        col("varint_bytes"),
+        expr("(df * 8 - varint_bytes) * 1000000 div (df * 8)")
+          .as("savings_ppm"))
+  }
+
+  val postingsCompressionSql: String = {
+    def varint(c: String) =
+      s"CASE WHEN $c < 128 THEN 1 WHEN $c < 16384 THEN 2 " +
+        s"WHEN $c < 2097152 THEN 3 WHEN $c < 268435456 THEN 4 ELSE 5 END"
+    s"""WITH t0 AS (SELECT doc_id,
+       |  unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term FROM documents),
+       |t AS (SELECT DISTINCT doc_id, term FROM t0),
+       |g AS (SELECT term, coalesce(doc_id - lag(doc_id) OVER
+       |  (PARTITION BY term ORDER BY doc_id), doc_id) AS gap FROM t),
+       |a AS (SELECT term, count(*) AS df,
+       |  CAST(sum(${varint("gap")}) AS BIGINT) AS varint_bytes
+       |  FROM g GROUP BY 1 HAVING count(*) >= $MinDf)
+       |SELECT term, df, df * 8 AS raw_bytes, varint_bytes,
+       |  CAST((df * 8 - varint_bytes) * 1000000 // (df * 8) AS BIGINT)
+       |    AS savings_ppm
+       |FROM a""".stripMargin.replace("\n", " ")
+  }
+
   // ------------------------------------------------- corpus build (e2e)
 
   /** The END-TO-END corpus build — the pipeline a training-data run
