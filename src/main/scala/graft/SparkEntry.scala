@@ -529,6 +529,12 @@ object SparkEntry {
     "q239_encoding_advisor"    -> (graft.ops.Layout.encodingAdvisor _),
     // round-16: seasonal-naive vs naive forecast backtest
     "q240_seasonal_backtest"   -> (graft.ops.Quality.seasonalBacktest _),
+    // round-17: directional association rules off q164's capped pairs
+    "q241_association_rules"   -> (graft.ops.Affinity.associationRules _),
+    // round-17: two-proportion z-test per source pair (good-doc rate)
+    "q242_two_prop_z"          -> (graft.ops.Inference.twoPropZ _),
+    // round-17: Benjamini–Hochberg FDR step-up over the q242 grid
+    "q243_bh_fdr"              -> (graft.ops.Inference.bhFdr _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -779,5 +785,8 @@ object SparkEntry {
     "q238_postings_compression" -> graft.text.CorpusOps.postingsCompressionSql,
     "q239_encoding_advisor"    -> graft.ops.Layout.encodingAdvisorSql,
     "q240_seasonal_backtest"   -> graft.ops.Quality.seasonalBacktestSql,
+    "q241_association_rules"   -> graft.ops.Affinity.associationRulesSql,
+    "q242_two_prop_z"          -> graft.ops.Inference.twoPropZSql,
+    "q243_bh_fdr"              -> graft.ops.Inference.bhFdrSql,
   )
 }

@@ -44,19 +44,26 @@ object Affinity {
 
   /** q164 — item co-occurrence with lift, per-user capped. Output:
     * (item_a < item_b, n_ab users co-engaging both, lift ×10⁴). */
-  def itemCooccurrence(s: SparkSession, d: String): DataFrame = {
+  /** The shared cap stage: per user, the [[ItemCap]] strongest items
+    * as ONE sorted in-row array (see steps 1–2 of the plan above).
+    * q164 and q241 both start here, so the cap semantics — and the
+    * bounded fan-out guarantee — are one definition. */
+  private def cappedItems(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("long").as("item"))
       .filter(col("item").isNotNull)
-    val perUserItem = ev.groupBy("user_id", "item")
+    ev.groupBy("user_id", "item")
       .agg(count(lit(1)).as("n"))
-    val capped = perUserItem
       .groupBy("user_id")
       .agg(TopKAggregator.topK(ItemCap)(
         col("n").cast("double"), col("item")).as("top"))
       .select(col("user_id"),
         array_sort(expr("transform(top, t -> t._2)")).as("items"))
+  }
+
+  def itemCooccurrence(s: SparkSession, d: String): DataFrame = {
+    val capped = cappedItems(s, d)
     val pairs = capped
       .select(explode(expr(
         """flatten(transform(items, (x, i) ->
@@ -111,6 +118,100 @@ object Affinity {
        |JOIN ic ca ON ca.item = p.item_a
        |JOIN ic cb ON cb.item = p.item_b
        |WHERE n_ab >= $MinSupport""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------ association rules (a → b)
+
+  /** q241 keeps only rules at least this confident (×10⁴ fixed
+    * point): conf = P(b | a) ≥ 20%. */
+  val MinConf = 2000L
+
+  /** q241 — ASSOCIATION RULES over the q164 co-engagement matrix:
+    * the directional reading of co-occurrence. q164's lift is
+    * symmetric ("these travel together"); a rule a→b adds the
+    * direction a curator acts on — "users of a also take b with
+    * confidence c" — the classic market-basket output (Agrawal &
+    * Srikant's Apriori surface at itemset size 2), and for mixture
+    * design "sources whose audience reliably co-consumes source b".
+    *
+    * Each undirected support pair emits BOTH directions; confidence
+    * is conf_x10k = n_ab·10⁴ div n_antecedent (exact integer div,
+    * FLOAT RULE), lift stays q164's symmetric n_ab·U·10⁴ div
+    * (n_a·n_b); rules below [[MinConf]] drop. A rule can be
+    * confident but lift-negative (b is just popular) — shipping both
+    * lets the reader separate the two, the textbook confidence-vs-
+    * lift caveat.
+    *
+    * Scale shape: inherits q164's structural bound (pair fan-out ≤
+    * C(cap,2) per user); the direction expansion is a 2× in-row
+    * union AFTER the pair aggregate, marginals broadcast — nothing
+    * new shuffles, output is rule-grain. */
+  def associationRules(s: SparkSession, d: String): DataFrame = {
+    val capped = cappedItems(s, d)
+    val pairs = capped
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)),
+          |            y -> struct(x AS a, y AS b))))"""
+          .stripMargin.replace("\n", " "))).as("p"))
+      .groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= MinSupport)
+    val itemUsers = capped
+      .select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("ni"))
+    val nUsers = capped.agg(count(lit(1)).as("nu"))
+    val directed = pairs
+      .select(col("item_a").as("ante"), col("item_b").as("cons"), col("n_ab"))
+      .unionAll(pairs
+        .select(col("item_b").as("ante"), col("item_a").as("cons"), col("n_ab")))
+    directed
+      .join(broadcast(itemUsers.select(col("item").as("ante"),
+        col("ni").as("n_ante"))), "ante")
+      .join(broadcast(itemUsers.select(col("item").as("cons"),
+        col("ni").as("n_cons"))), "cons")
+      .crossJoin(broadcast(nUsers))
+      .select(col("ante"), col("cons"), col("n_ante"), col("n_cons"),
+        col("n_ab"),
+        expr("CAST(n_ab * 10000 div n_ante AS BIGINT)").as("conf_x10k"),
+        expr("CAST(n_ab * nu * 10000 div (n_ante * n_cons) AS BIGINT)")
+          .as("lift_x10k"))
+      .filter(col("conf_x10k") >= MinConf)
+  }
+
+  /** DuckDB twin: the q164 oracle's capped self-join, expanded to
+    * both directions with the same integer confidence cut. */
+  val associationRulesSql: String =
+    s"""WITH ui AS (
+       |  SELECT user_id,
+       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
+       |         count(*) AS n
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |  GROUP BY 1, 2),
+       |capped AS (
+       |  SELECT user_id, item FROM (
+       |    SELECT user_id, item,
+       |           row_number() OVER (PARTITION BY user_id
+       |                              ORDER BY n DESC, item) AS rn
+       |    FROM ui) WHERE rn <= $ItemCap),
+       |u AS (SELECT count(DISTINCT user_id) AS nu FROM capped),
+       |ic AS (SELECT item, count(*) AS ni FROM capped GROUP BY 1),
+       |p AS (
+       |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+       |  FROM capped a JOIN capped b
+       |    ON a.user_id = b.user_id AND a.item < b.item
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $MinSupport),
+       |dir AS (SELECT item_a AS ante, item_b AS cons, n_ab FROM p
+       |  UNION ALL SELECT item_b, item_a, n_ab FROM p)
+       |SELECT ante, cons, ca.ni AS n_ante, cb.ni AS n_cons, n_ab,
+       |       CAST(n_ab * 10000 // ca.ni AS BIGINT) AS conf_x10k,
+       |       CAST(n_ab * nu * 10000 // (ca.ni * cb.ni) AS BIGINT) AS lift_x10k
+       |FROM dir CROSS JOIN u
+       |JOIN ic ca ON ca.item = dir.ante
+       |JOIN ic cb ON cb.item = dir.cons
+       |WHERE n_ab * 10000 // ca.ni >= $MinConf"""
+      .stripMargin.replace("\n", " ")
 
   // ----------------------------- link prediction over the co-graph
 

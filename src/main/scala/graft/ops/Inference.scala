@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multiple-comparison inference over the source fleet: the
+  * two-proportion z-test grid (q242) and Benjamini–Hochberg FDR
+  * control over it (q243) — the layer that turns the drift quartet's
+  * per-pair alarms (q198 KS / q216 MWU / q210 χ² / q229 ANOVA) into
+  * a DECISION: with C(k,2) pairs tested every run, some alarms are
+  * guaranteed by chance alone, and BH (Benjamini & Hochberg 1995) is
+  * the standard correction that bounds the expected fraction of
+  * false alarms at α instead of strangling power the way Bonferroni
+  * does.
+  *
+  * FLOAT RULE (two layers):
+  *  - z6 is ONE double tree over exact per-pair integers using ONLY
+  *    IEEE correctly-rounded ops (+ − × ÷ sqrt) — bit-identical on
+  *    both engines, then round(·, 6).
+  *  - the BH p-value is the CANTELLI BOUND p = 1/(1+z²), a
+  *    distribution-free upper bound on P(|Z| ≥ z) that is RATIONAL —
+  *    no erf/exp, whose libm implementations the two engines need
+  *    not share. It is conservative (fewer rejections than the
+  *    normal-tail p), which for a drift gate is the safe direction;
+  *    at a site with a shared math kernel, swap in the asymptotic
+  *    normal p — the BH mechanics below are unchanged. p_ppm derives
+  *    from the ALREADY-ROUNDED z6 with correctly-rounded ops only,
+  *    so it is one integer both engines agree on, and every BH
+  *    comparison after that is exact integer arithmetic.
+  *
+  * Scale shape: ONE (source) aggregate over the corpus scan computes
+  * (n, x) per source; everything downstream — the pair grid, the
+  * rank, the step-up scan — is C(|sources|,2)-grain grid math. The
+  * rank window is a single-partition window over the PAIR GRID (190
+  * rows at 20 sources), never the corpus.
+  */
+object Inference {
+
+  /** BH target false-discovery rate: α = 5% (ppm fixed point). */
+  val AlphaPpm = 50000L
+
+  /** The success predicate whose rate is compared across sources:
+    * q23's integer-space quality cut (n_tok ≥ 20 ∧ 5·n_stop < 3·n_tok)
+    * — so q242 reads "did the GOOD-DOC RATE drift between these two
+    * feeds", the proportion twin of q216's location test. */
+  private def perSourceGood(s: SparkSession, d: String): DataFrame = {
+    val stopPred = Seq("the", "a", "of", "and", "is", "to")
+      .map(w => s"t = '$w'").mkString(" OR ")
+    Tables.documents(s, d)
+      .select(col("source"),
+        expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").cast("long")
+          .as("ntok"),
+        expr(s"size(filter(split(text, ' '), t -> $stopPred))").cast("long")
+          .as("nstop"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_g"),
+        sum(when(expr("ntok >= 20 AND 5 * nstop < 3 * ntok"), 1L)
+          .otherwise(0L)).as("x_g"))
+  }
+
+  // The shared z tree — identical text on both engines; only
+  // correctly-rounded IEEE ops, NULL on the degenerate pooled rates
+  // (x = 0 or x = N, where the variance is zero).
+  private def zExpr(xa: String, na: String, xb: String, nb: String): String = {
+    val x = s"($xa + $xb)"
+    val n = s"($na + $nb)"
+    s"CASE WHEN $x = 0 OR $x = $n THEN NULL ELSE " +
+      s"round((CAST($xa AS DOUBLE) / CAST($na AS DOUBLE) - " +
+      s"CAST($xb AS DOUBLE) / CAST($nb AS DOUBLE)) / " +
+      s"sqrt((CAST($x AS DOUBLE) / CAST($n AS DOUBLE)) * " +
+      s"(1.0 - CAST($x AS DOUBLE) / CAST($n AS DOUBLE)) * " +
+      s"(1.0 / CAST($na AS DOUBLE) + 1.0 / CAST($nb AS DOUBLE))), 6) END"
+  }
+
+  /** q242 — TWO-PROPORTION z-TEST per source pair on the good-doc
+    * rate: the proportion member of the drift family. Pooled
+    * variance (the standard score test): z = (p̂a − p̂b) /
+    * √(p̂(1−p̂)(1/na+1/nb)) with p̂ = (xa+xb)/(na+nb). */
+  def twoPropZ(s: SparkSession, d: String): DataFrame = {
+    val g = perSourceGood(s, d).localCheckpoint(true) // one corpus scan
+    val a = g.select(col("source").as("source_a"), col("n_g").as("n_a"),
+      col("x_g").as("x_a"))
+    val b = g.select(col("source").as("source_b"), col("n_g").as("n_b"),
+      col("x_g").as("x_b"))
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+        expr(zExpr("x_a", "n_a", "x_b", "n_b")).as("z6"))
+  }
+
+  private val perSourceGoodSql: String = {
+    val stopPred = Seq("the", "a", "of", "and", "is", "to")
+      .map(w => s"t = '$w'").mkString(" OR ")
+    "SELECT source, count(*) AS n_g, " +
+      "CAST(sum(CASE WHEN len(regexp_extract_all(text, '[a-z0-9]+')) >= 20 " +
+      s"AND 5 * len(list_filter(string_split(text, ' '), t -> $stopPred)) " +
+      "< 3 * len(regexp_extract_all(text, '[a-z0-9]+')) THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS x_g FROM documents GROUP BY 1"
+  }
+
+  val twoPropZSql: String =
+    s"""WITH g AS ($perSourceGoodSql)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST(a.n_g AS BIGINT) AS n_a, CAST(b.n_g AS BIGINT) AS n_b,
+       |  a.x_g AS x_a, b.x_g AS x_b,
+       |  ${zExpr("a.x_g", "a.n_g", "b.x_g", "b.n_g")} AS z6
+       |FROM g a JOIN g b ON a.source < b.source"""
+      .stripMargin.replace("\n", " ")
+
+  // Cantelli p in ppm from the rounded z — correctly-rounded ops on an
+  // already-identical double, then a deterministic half-up round.
+  private val PPpmExpr: String =
+    "CAST(CASE WHEN z6 IS NULL THEN 1000000 " +
+      "ELSE round(1000000.0 / (1.0 + z6 * z6), 0) END AS BIGINT)"
+
+  /** q243 — BENJAMINI–HOCHBERG step-up over the q242 pair grid:
+    * pairs ranked by p ascending; k* = max{k : p_(k) ≤ (k/m)·α};
+    * pairs ranked ≤ k* are rejected (drift CONFIRMED at FDR α).
+    * The step-up comparison is exact: p_ppm·m ≤ rank·[[AlphaPpm]]
+    * in BIGINTs. Output carries the evidence trail (z6, p_ppm, rank,
+    * the per-rank step-up flag's maximum k*) so the gate's decision
+    * is auditable row by row. */
+  def bhFdr(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = twoPropZ(s, d)
+      .withColumn("p_ppm", expr(PPpmExpr))
+    // pair-grid grain: the windows below see C(|sources|,2) rows
+    val byP = Window.orderBy(col("p_ppm"), col("source_a"), col("source_b"))
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    pairs
+      .withColumn("rank", row_number().over(byP).cast("long"))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("step_ok",
+        when(col("p_ppm") * col("m") <= col("rank") * AlphaPpm, col("rank"))
+          .otherwise(lit(0L)))
+      .withColumn("k_star", max(col("step_ok")).over(all))
+      .select(col("source_a"), col("source_b"), col("z6"), col("p_ppm"),
+        col("rank"), col("k_star"),
+        when(col("rank") <= col("k_star"), 1L).otherwise(0L).as("reject"))
+  }
+
+  val bhFdrSql: String =
+    s"""WITH z AS ($twoPropZSql),
+       |p AS (SELECT *, $PPpmExpr AS p_ppm FROM z),
+       |r AS (SELECT *, CAST(row_number() OVER
+       |    (ORDER BY p_ppm, source_a, source_b) AS BIGINT) AS rank,
+       |  CAST(count(*) OVER () AS BIGINT) AS m FROM p),
+       |k AS (SELECT *, max(CASE WHEN p_ppm * m <= rank * $AlphaPpm
+       |    THEN rank ELSE 0 END) OVER () AS k_star FROM r)
+       |SELECT source_a, source_b, z6, p_ppm, rank, k_star,
+       |  CAST(CASE WHEN rank <= k_star THEN 1 ELSE 0 END AS BIGINT) AS reject
+       |FROM k""".stripMargin.replace("\n", " ")
+}
