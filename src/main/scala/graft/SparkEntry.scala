@@ -535,6 +535,12 @@ object SparkEntry {
     "q242_two_prop_z"          -> (graft.ops.Inference.twoPropZ _),
     // round-17: Benjamini–Hochberg FDR step-up over the q242 grid
     "q243_bh_fdr"              -> (graft.ops.Inference.bhFdr _),
+    // round-17: exact Shapley attribution of the q48 curation gates
+    "q244_gate_shapley"        -> (graft.text.Scrub.gateShapley _),
+    // round-17: frequent contiguous event-type triples (+user support)
+    "q246_seq3_patterns"       -> (RelationalQueries.seq3Patterns _),
+    // round-17: Simpson's-paradox screen, per-type vs pooled OLS sign
+    "q248_simpson_slopes"      -> (graft.ops.Quality.simpsonSlopes _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -788,5 +794,8 @@ object SparkEntry {
     "q241_association_rules"   -> graft.ops.Affinity.associationRulesSql,
     "q242_two_prop_z"          -> graft.ops.Inference.twoPropZSql,
     "q243_bh_fdr"              -> graft.ops.Inference.bhFdrSql,
+    "q244_gate_shapley"        -> graft.text.Scrub.gateShapleySql,
+    "q246_seq3_patterns"       -> RelationalQueries.seq3PatternsSql,
+    "q248_simpson_slopes"      -> graft.ops.Quality.simpsonSlopesSql,
   )
 }

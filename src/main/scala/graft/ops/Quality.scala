@@ -1074,6 +1074,83 @@ object Quality {
        |  $OlsSlopeExpr AS slope6, $OlsInterceptExpr AS intercept6
        |FROM k""".stripMargin.replace("\n", " ")
 
+  // ---------------- Simpson's-paradox screen over per-type slopes
+
+  /** q248 — SIMPSON'S-PARADOX SCREEN: per event type, the OLS slope
+    * of event VALUE on HOUR-OF-DAY, against the same slope POOLED
+    * over all types — flagging types whose trend sign OPPOSES the
+    * pooled trend. The pooled line is what a dashboard shows; when
+    * event-type mix varies by hour (it does — that's the point of
+    * the screen), the pooled slope can carry a sign NO subgroup has
+    * (Simpson 1951), and every per-type flip this emits is a
+    * subgroup the aggregate actively misrepresents. The q207/q225
+    * lesson at the statistics layer: aggregates mislead; decompose
+    * before acting.
+    *
+    * EXACT integers: y in deci-units (round(value·10) — one
+    * correctly-rounded multiply+round both engines share), x = hour
+    * ∈ [0,23]; the five moments per type are BIGINTs and the pooled
+    * moments are their SUMS (moments are additive — the pooled line
+    * needs no second scan). slope_num = n·Σxy − Σx·Σy exact; the
+    * FLIP is sign arithmetic on the two exact numerators (slope_den
+    * > 0 always), so the flag never touches a float. slope6/pooled6
+    * are the q226 double tree. Headroom: deci-units keep n·Σxy under
+    * 2⁶³ to ~10⁷ events of value ≤ 500; past that, DECIMAL moments.
+    *
+    * Scale shape: ONE scan → |types|-bounded moment aggregate
+    * (map-side partials); pooling and flip logic are grid math on ≤
+    * |types| rows. Output is |types| rows. */
+  def simpsonSlopes(s: SparkSession, d: String): DataFrame = {
+    val perType = Tables.events(s, d)
+      .select(col("event_type"),
+        hour(col("ts")).cast("long").as("x"),
+        expr("CAST(round(value * 10) AS BIGINT)").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+      .localCheckpoint(true) // |types| rows; feeds the pooled fold too
+    val pooled = perType
+      .agg(sum("n").as("pn"), sum("sx").as("psx"), sum("sy").as("psy"),
+        sum("sxx").as("psxx"), sum("sxy").as("psxy"))
+      .select((col("pn") * col("psxy") - col("psx") * col("psy"))
+        .as("pooled_num"),
+        (col("pn") * col("psxx") - col("psx") * col("psx")).as("pooled_den"))
+    perType.crossJoin(broadcast(pooled))
+      .select(col("event_type"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+        col("pooled_num"), col("pooled_den"))
+      .select(col("event_type"), col("n"), col("slope_num"),
+        expr(OlsSlopeExpr).as("slope6"),
+        expr("round(CAST(pooled_num AS DOUBLE) / CAST(pooled_den AS DOUBLE), 6)")
+          .as("pooled_slope6"),
+        expr("CAST(CASE WHEN sign(slope_num) * sign(pooled_num) < 0 " +
+          "THEN 1 ELSE 0 END AS BIGINT)").as("flip"))
+  }
+
+  val simpsonSlopesSql: String =
+    s"""WITH e AS (SELECT event_type,
+       |  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+       |  CAST(round(value * 10) AS BIGINT) AS y FROM events),
+       |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM e GROUP BY 1),
+       |p AS (SELECT CAST(sum(n) AS BIGINT) * CAST(sum(sxy) AS BIGINT)
+       |    - CAST(sum(sx) AS BIGINT) * CAST(sum(sy) AS BIGINT) AS pooled_num,
+       |  CAST(sum(n) AS BIGINT) * CAST(sum(sxx) AS BIGINT)
+       |    - CAST(sum(sx) AS BIGINT) * CAST(sum(sx) AS BIGINT) AS pooled_den
+       |  FROM t),
+       |k AS (SELECT event_type, n, n * sxy - sx * sy AS slope_num,
+       |  n * sxx - sx * sx AS slope_den, pooled_num, pooled_den
+       |  FROM t CROSS JOIN p)
+       |SELECT event_type, n, slope_num, $OlsSlopeExpr AS slope6,
+       |  round(CAST(pooled_num AS DOUBLE) / CAST(pooled_den AS DOUBLE), 6)
+       |    AS pooled_slope6,
+       |  CAST(CASE WHEN sign(slope_num) * sign(pooled_num) < 0
+       |    THEN 1 ELSE 0 END AS BIGINT) AS flip
+       |FROM k""".stripMargin.replace("\n", " ")
+
   // ------------------- per-source Gini concentration of doc length
 
   /** q224 — GINI COEFFICIENT of document length per source: the

@@ -1378,6 +1378,42 @@ object RelationalQueries {
       |  CAST(n_trans * 10000 // sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS share_x10k
       |FROM t""".stripMargin.replace("\n", " ")
 
+  /** q246 — FREQUENT LENGTH-3 SEQUENCES: q160's transition matrix
+    * extended one step — counts of CONTIGUOUS (e1 → e2 → e3)
+    * event-type triples inside each user's (ts, event_id)-ordered
+    * stream, with occurrence count AND distinct-user support (the
+    * sequential-pattern-mining measure: a triple one bot loops on
+    * has high n_occ but support 1). The contiguous-window form is
+    * the exact member of the PrefixSpan family that needs no
+    * candidate growth: at a fixed event-type vocabulary the output
+    * is ≤ |types|³ rows BY CONSTRUCTION.
+    *
+    * Scale shape: two leads over ONE (user_id) exchange (both windows
+    * share the sort), then a types³-bounded hash aggregate with
+    * map-side partials; count_distinct(user_id) re-shuffles only the
+    * (triple, user) grain, itself bounded by users·types³. */
+  def seq3Patterns(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val seq3PatternsSql: String =
+    """WITH p AS (SELECT user_id, event_type AS e1,
+      |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+      |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      |  FROM events)
+      |SELECT e1, e2, e3, count(*) AS n_occ,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM p WHERE e3 IS NOT NULL GROUP BY 1, 2, 3"""
+      .stripMargin.replace("\n", " ")
+
   // ------------------------------------------- time-spine gap-fill
 
   /** q176 — DAILY GAP-FILL with LOCF: each user's event stream

@@ -313,6 +313,112 @@ object Scrub {
       "ELSE '5_kept' END AS stage, CAST(count(*) AS BIGINT) AS n_docs " +
       "FROM fpk GROUP BY 1, 2"
 
+  // ------------------------------------- gate Shapley attribution
+
+  /** q244 — EXACT SHAPLEY ATTRIBUTION of the four q48 curation gates:
+    * how much of the removed corpus mass is each gate RESPONSIBLE
+    * for, fairly? q190's waterfall attributes every doc to its FIRST
+    * failing gate in pipeline order — an ordering artifact: a doc
+    * failing both quality and contamination counts wholly against
+    * whichever gate happens to run first. The Shapley value (the
+    * unique attribution satisfying efficiency/symmetry/dummy —
+    * Shapley 1953) averages each gate's marginal removal over ALL
+    * 4! gate orders, so shared blame splits evenly and Σφ = total
+    * removed EXACTLY (the efficiency axiom, pinned in the spec).
+    *
+    * Exact and integer: per doc a 4-bit FAIL MASK (1=exact-dup,
+    * 2=benchmark-slice, 4=low-quality, 8=contaminated — q190's exact
+    * flag expressions, evaluated independently rather than
+    * first-failure); the game value v(S) = #docs with mask∧S ≠ 0
+    * (docs the coalition of gates S removes) is determined by the
+    * 16-cell mask histogram, and φ_g·4! = Σ_{S∌g} |S|!(3−|S|)!·
+    * |{m : m∧S=0, m∧g≠0}| is an exact BIGINT — ships as phi_x24
+    * (denominator 24) plus a div-1000 milli view, with the naive
+    * per-gate flag count alongside for contrast.
+    *
+    * Scale shape: ONE corpus scan builds the mask (same window/join
+    * exchanges as q48/q190 — fp window, quality inline, decontam
+    * anti-set); everything after is grid math over 16 histogram
+    * cells × 16 subsets × 4 gates, independent of corpus size. */
+  def gateShapley(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val nTok = size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    val stopPred = Seq("the", "a", "of", "and", "is", "to")
+      .map(w => s"t = '$w'").mkString(" OR ")
+    val nStop = size(expr(s"filter(split(text, ' '), t -> $stopPred)"))
+    val isGood = nTok >= 20 &&
+      nStop.cast("long") * 5 < nTok.cast("long") * 3
+    val contaminated = decontaminate(s, d).select("doc_id").distinct()
+      .withColumn("is_cont", lit(1))
+    val hist = docs
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
+      .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
+      .join(contaminated, Seq("doc_id"), "left")
+      .select((
+        when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L) +
+        when(col("doc_id") % BenchStride === BenchOffset, 2L).otherwise(0L) +
+        when(!isGood, 4L).otherwise(0L) +
+        when(col("is_cont") === 1, 8L).otherwise(0L)).as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // ≤ 16 rows; feeds two grid joins
+    import s.implicits._
+    val gates = Seq(
+      (1L, "exact_dup"), (2L, "benchmark_overlap"),
+      (4L, "low_quality"), (8L, "contaminated"))
+      .toDF("g", "gate")
+    val subsets = s.range(0, 16).toDF("sub")
+    // |S|!·(3−|S|)! over |S| = popcount(sub): 0→6, 1→2, 2→2, 3→6
+    val phi = gates
+      .crossJoin(subsets).filter(expr("(g & sub) = 0"))
+      .crossJoin(hist)
+      .filter(expr("(mask & sub) = 0 AND (mask & g) <> 0"))
+      .withColumn("w", expr(s"CASE $PopcountSub WHEN 0 THEN 6 " +
+        "WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END"))
+      .groupBy("gate").agg(sum(expr("w * cnt")).as("phi_x24"))
+    val flagged = gates
+      .crossJoin(hist).filter(expr("(mask & g) <> 0"))
+      .groupBy("gate").agg(sum("cnt").as("n_flagged"))
+    gates.select("gate")
+      .join(flagged, Seq("gate"), "left")
+      .join(phi, Seq("gate"), "left")
+      .select(col("gate"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        coalesce(col("phi_x24"), lit(0L)).as("phi_x24"),
+        expr("coalesce(phi_x24, 0) * 1000 div 24").as("phi_milli"))
+  }
+
+  private val PopcountSub: String =
+    "((sub % 2) + ((sub div 2) % 2) + ((sub div 4) % 2) + ((sub div 8) % 2))"
+
+  val gateShapleySql: String = {
+    val pc = "((sub % 2) + ((sub // 2) % 2) + ((sub // 4) % 2) + ((sub // 8) % 2))"
+    "WITH fpk AS (SELECT doc_id, " +
+      "min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) AS keep_id FROM documents), " +
+      s"good AS (SELECT doc_id FROM (${TextQueries.qualitySql}) WHERE quality = 'good'), " +
+      s"cont AS (SELECT DISTINCT doc_id FROM ($decontaminateSql)), " +
+      "f AS (SELECT CAST((CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) " +
+      s"+ (CASE WHEN doc_id % $BenchStride = $BenchOffset THEN 2 ELSE 0 END) " +
+      "+ (CASE WHEN doc_id NOT IN (SELECT doc_id FROM good) THEN 4 ELSE 0 END) " +
+      "+ (CASE WHEN doc_id IN (SELECT doc_id FROM cont) THEN 8 ELSE 0 END) AS BIGINT) AS mask FROM fpk), " +
+      "h AS (SELECT mask, CAST(count(*) AS BIGINT) AS cnt FROM f GROUP BY 1), " +
+      "sub AS (SELECT CAST(range AS BIGINT) AS sub FROM range(0, 16)), " +
+      "gt AS (SELECT CAST(g AS BIGINT) AS g, gate FROM (VALUES " +
+      "(1, 'exact_dup'), (2, 'benchmark_overlap'), (4, 'low_quality'), " +
+      "(8, 'contaminated')) AS t(g, gate)), " +
+      "phi AS (SELECT gate, CAST(sum((CASE " + pc + " WHEN 0 THEN 6 " +
+      "WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END) * cnt) AS BIGINT) AS phi_x24 " +
+      "FROM gt JOIN sub ON (g & sub) = 0 " +
+      "JOIN h ON (mask & sub) = 0 AND (mask & g) <> 0 GROUP BY 1), " +
+      "nf AS (SELECT gate, CAST(sum(cnt) AS BIGINT) AS n_flagged " +
+      "FROM gt JOIN h ON (mask & g) <> 0 GROUP BY 1) " +
+      "SELECT gt.gate, coalesce(nf.n_flagged, 0) AS n_flagged, " +
+      "coalesce(phi.phi_x24, 0) AS phi_x24, " +
+      "CAST(coalesce(phi.phi_x24, 0) * 1000 // 24 AS BIGINT) AS phi_milli " +
+      "FROM gt LEFT JOIN nf ON nf.gate = gt.gate " +
+      "LEFT JOIN phi ON phi.gate = gt.gate"
+  }
+
   // ------------------------------------ leave-one-source-out ablation
 
   /** q207 — LEAVE-ONE-SOURCE-OUT CURATION ABLATION: for every source,
