@@ -541,6 +541,10 @@ object SparkEntry {
     "q246_seq3_patterns"       -> (RelationalQueries.seq3Patterns _),
     // round-17: Simpson's-paradox screen, per-type vs pooled OLS sign
     "q248_simpson_slopes"      -> (graft.ops.Quality.simpsonSlopes _),
+    // round-17: rank-biased overlap between SQ8 and exact top-5
+    "q245_rbo_eval"            -> (graft.sim.RankFusion.rboEval _),
+    // round-17: isotonic (PAVA-by-minimax) recalibration of q219 bins
+    "q250_isotonic_calibration" -> (graft.ops.Quality.isotonicCalibration _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -797,5 +801,7 @@ object SparkEntry {
     "q244_gate_shapley"        -> graft.text.Scrub.gateShapleySql,
     "q246_seq3_patterns"       -> RelationalQueries.seq3PatternsSql,
     "q248_simpson_slopes"      -> graft.ops.Quality.simpsonSlopesSql,
+    "q245_rbo_eval"            -> graft.sim.RankFusion.rboEvalSql,
+    "q250_isotonic_calibration" -> graft.ops.Quality.isotonicCalibrationSql,
   )
 }

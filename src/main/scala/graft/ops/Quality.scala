@@ -1280,6 +1280,75 @@ object Quality {
        |FROM g""".stripMargin.replace("\n", " ")
   }
 
+  // ----------------- isotonic (PAVA) recalibration of the q219 bins
+
+  /** q250 — ISOTONIC RECALIBRATION of the q219 reliability table:
+    * the monotone-regression fit (what sklearn's
+    * IsotonicRegression / Zadrozny & Elkan's calibration method
+    * computes with PAVA) over the binned (confidence → observed
+    * rate) curve. q219 AUDITS miscalibration; this op emits the
+    * CORRECTED mapping a pipeline applies before thresholding
+    * (q77/q120) — the monotone step function closest (L2, n-weighted)
+    * to the observed rates.
+    *
+    * Computed by the MINIMAX IDENTITY instead of the sequential
+    * pool-adjacent-violators loop: iso_i = max_{j≤i} min_{k≥i}
+    * mean(y_j..y_k) — PAVA's fixed point in closed form (Robertson
+    * et al. 1988), which turns an inherently sequential driver-side
+    * recurrence into grid math over interval means: with B ≤ 10
+    * bins, all O(B²) interval means come off ONE prefix sum, and the
+    * max-min is a B³-bounded fold. Means are exact milli integers
+    * (1000·L div N — FLOAT RULE); minimax over them is monotone BY
+    * STRUCTURE (the j-set grows and the k-set shrinks with i), and
+    * the spec pins ≤1-milli agreement with an exact double PAVA.
+    *
+    * Scale shape: the corpus scan is q219's one bins-bounded
+    * aggregate; everything after is ≤ B³ grid rows. At 100 TB the
+    * bin grid is the same 10 rows — the fit costs the same. */
+  def isotonicCalibration(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = eceCalibration(s, d).select("bin", "n", "sum_label")
+      .localCheckpoint(true) // ≤ EceBins rows; feeds prefix + final join
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = g
+      .withColumn("cn", sum("n").over(w))
+      .withColumn("cl", sum("sum_label").over(w))
+    val j = c.select(col("bin").as("jb"), (col("cn") - col("n")).as("n0"),
+      (col("cl") - col("sum_label")).as("l0"))
+    val k = c.select(col("bin").as("kb"), col("cn"), col("cl"))
+    val intervals = j.join(k, col("jb") <= col("kb"))
+      .select(col("jb"), col("kb"),
+        expr("(cl - l0) * 1000 div (cn - n0)").as("mean_milli"))
+    val iso = g.select(col("bin"))
+      .join(intervals, col("jb") <= col("bin") && col("bin") <= col("kb"))
+      .groupBy("bin", "jb").agg(min("mean_milli").as("inner_min"))
+      .groupBy("bin").agg(max("inner_min").as("iso_milli"))
+    g.join(iso, "bin")
+      .select(col("bin"), col("n"), col("sum_label"),
+        expr("sum_label * 1000 div n").as("raw_milli"), col("iso_milli"))
+  }
+
+  val isotonicCalibrationSql: String =
+    s"""WITH e AS ($eceCalibrationSql),
+       |g AS (SELECT bin, n, sum_label FROM e),
+       |c AS (SELECT bin, n, sum_label,
+       |  CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+       |  CAST(sum(sum_label) OVER (ORDER BY bin) AS BIGINT) AS cl FROM g),
+       |iv AS (SELECT j.bin AS jb, k.bin AS kb,
+       |  (k.cl - (j.cl - j.sum_label)) * 1000
+       |    // (k.cn - (j.cn - j.n)) AS mean_milli
+       |  FROM c j JOIN c k ON j.bin <= k.bin),
+       |mm AS (SELECT g.bin, iv.jb, min(mean_milli) AS inner_min
+       |  FROM g JOIN iv ON iv.jb <= g.bin AND g.bin <= iv.kb
+       |  GROUP BY 1, 2),
+       |iso AS (SELECT bin, CAST(max(inner_min) AS BIGINT) AS iso_milli
+       |  FROM mm GROUP BY 1)
+       |SELECT g.bin, g.n, g.sum_label,
+       |  CAST(g.sum_label * 1000 // g.n AS BIGINT) AS raw_milli, iso.iso_milli
+       |FROM g JOIN iso ON iso.bin = g.bin"""
+      .stripMargin.replace("\n", " ")
+
   // --------------------- CUSUM change-point monitor over daily volume
 
   /** q217 alarm factor: alarm when the cumulative excess exceeds

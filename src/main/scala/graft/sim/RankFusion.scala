@@ -79,4 +79,58 @@ object RankFusion {
 
   val rrfRecallSql: String =
     SimilarityQueries.recallSqlOver(rrfFusionSql, SimilarityQueries.cosineTopKSql)
+
+  // ------------------------- rank-biased overlap (RBO) list diff
+
+  /** q245 — RANK-BIASED OVERLAP (Webber et al. 2010) between the SQ8
+    * searcher's top-5 and the exact top-5, per query: the list-
+    * similarity eval that recall@k (q150) cannot express. Recall
+    * counts membership; RBO weights AGREEMENT BY DEPTH with
+    * persistence p = 0.9 — two lists sharing their top result score
+    * far higher than two sharing only ranks 4–5, which is the right
+    * loss model when a downstream consumer reads results top-down
+    * (RAG context windows, rerankers with a depth budget). This is
+    * truncated RBO_min at depth 5: the mass above 1−p⁵ that deeper
+    * (unobserved) agreement could add is deliberately not
+    * extrapolated, so a perfect prefix match scores 0.40951·10⁸.
+    *
+    * EXACT integers: with p = 9/10 every weight (1−p)·p^{d−1}/d is
+    * rational; a matched pair first counted at depth dm = max(ra,rb)
+    * contributes the suffix sum Σ_{d≥dm} 10⁸⁻ᵈ·9^{d−1}·(60/d) —
+    * five precomputed BIGINT constants — and one div 60 at the end
+    * makes rbo_x1e8 exact on both engines (FLOAT RULE; lcm(1..5)=60
+    * clears every /d).
+    *
+    * Scale shape: both inputs are |Q|·k-grain searcher outputs; the
+    * diff is one (qid, neighbor_id) left join and a qid aggregate —
+    * candidate-grain, never corpus-grain. */
+  def rboEval(s: SparkSession, d: String): DataFrame = {
+    val a = ScalarQuantization.sqTopK(s, d)
+      .select(col("qid"), col("neighbor_id"), col("rank").as("ra"))
+    val b = SimilarityQueries.cosineTopK(s, d)
+      .select(col("qid"), col("neighbor_id"), col("rank").as("rb"))
+    a.join(b, Seq("qid", "neighbor_id"), "left")
+      .groupBy("qid")
+      .agg(count(col("rb")).as("n_overlap"),
+        expr(s"sum($RboSuffixExpr) div 60").as("rbo_x1e8"))
+  }
+
+  // Σ_{d ≥ max(ra,rb)} 10^{8−d}·9^{d−1}·(60/d), 0 on a miss.
+  private val RboSuffixExpr: String =
+    "CASE WHEN rb IS NULL THEN 0 " +
+      "WHEN greatest(ra, rb) = 1 THEN 1220082000 " +
+      "WHEN greatest(ra, rb) = 2 THEN 620082000 " +
+      "WHEN greatest(ra, rb) = 3 THEN 350082000 " +
+      "WHEN greatest(ra, rb) = 4 THEN 188082000 " +
+      "ELSE 78732000 END"
+
+  val rboEvalSql: String =
+    s"""WITH a AS (${ScalarQuantization.sqTopKSql}),
+       |b AS (${SimilarityQueries.cosineTopKSql}),
+       |j AS (SELECT a.qid, a.rank AS ra, b.rank AS rb
+       |  FROM a LEFT JOIN b
+       |    ON a.qid = b.qid AND a.neighbor_id = b.neighbor_id)
+       |SELECT qid, CAST(count(rb) AS BIGINT) AS n_overlap,
+       |  CAST(sum($RboSuffixExpr) // 60 AS BIGINT) AS rbo_x1e8
+       |FROM j GROUP BY qid""".stripMargin.replace("\n", " ")
 }
