@@ -545,6 +545,10 @@ object SparkEntry {
     "q245_rbo_eval"            -> (graft.sim.RankFusion.rboEval _),
     // round-17: isotonic (PAVA-by-minimax) recalibration of q219 bins
     "q250_isotonic_calibration" -> (graft.ops.Quality.isotonicCalibration _),
+    // round-17: CMS-priced 3-table join-order decision, accuracy in-band
+    "q247_join_order_advisor"  -> (graft.ops.Sketches.joinOrderAdvisor _),
+    // round-17: bitemporal as-of (valid time × system time, stale rows)
+    "q249_bitemporal_asof"     -> (graft.ops.Maintenance.bitemporalAsOf _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -803,5 +807,7 @@ object SparkEntry {
     "q248_simpson_slopes"      -> graft.ops.Quality.simpsonSlopesSql,
     "q245_rbo_eval"            -> graft.sim.RankFusion.rboEvalSql,
     "q250_isotonic_calibration" -> graft.ops.Quality.isotonicCalibrationSql,
+    "q247_join_order_advisor"  -> graft.ops.Sketches.joinOrderAdvisorSql,
+    "q249_bitemporal_asof"     -> graft.ops.Maintenance.bitemporalAsOfSql,
   )
 }

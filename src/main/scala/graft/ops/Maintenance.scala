@@ -468,4 +468,105 @@ object Maintenance {
       |FROM h CROSS JOIN tt
       |WHERE h.valid_from_ms <= tt.t
       |  AND (h.valid_to_ms IS NULL OR h.valid_to_ms > tt.t)""".stripMargin
+
+  // -------------------------------------------- bitemporal as-of
+
+  /** q249 system-time delay model: an event lands in the warehouse
+    * ((event_id % 72) + 1) hours after it happened — deterministic,
+    * so both engines (and a replay) agree on what was known when. */
+  val IngestDelayHours = 72L
+
+  /** q249 — BITEMPORAL AS-OF: q186 answers "what was VALID at time
+    * VT"; this adds the second time axis every audited warehouse
+    * carries — "what did we KNOW at system time ST" (Snodgrass;
+    * SQL:2011 system-versioned + application-time tables). The
+    * difference is late-arriving data: an event valid before VT but
+    * INGESTED after ST is invisible to the ST reader, so the state
+    * the warehouse reported then (state_known) can differ from the
+    * state the full history reports now (state_final) — and `stale`
+    * marks exactly the users whose history was silently revised,
+    * the rows a reproducibility audit ("rebuild last Tuesday's
+    * training set AS LAST TUESDAY SAW IT") exists to find.
+    *
+    * VT = the fact range midpoint (q186's instant); ST = VT + 24 h —
+    * close enough that the [[IngestDelayHours]]-bounded tail is
+    * still in flight. Both instants are integer-ms arithmetic off
+    * one 2-long min/max aggregate (both engines pick identical
+    * values).
+    *
+    * Scale shape: TWO q153 SCD2 builds (each one (user_id)
+    * exchange) — the known-side build consumes the ingest-filtered
+    * subset (filter pushed to the scan), the final-side the full
+    * fact; the compare is a user-grain left join riding the same
+    * key. At 100 TB the production form keeps the SCD2 history
+    * MATERIALIZED with an ingest_ms column and both reads are
+    * filters on it — this op proves the two reads agree with the
+    * from-scratch rebuild. */
+  def bitemporalAsOf(s: SparkSession, d: String): DataFrame =
+    bitemporalAsOfFrom(events(s, d))
+
+  def bitemporalAsOfFrom(ev: DataFrame): DataFrame = {
+    val b = ev.agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts")))).head()
+    val vt = (b.getLong(0) + b.getLong(1)) / 2
+    val st = vt + 86400000L
+    def asOf(h: DataFrame): DataFrame = h
+      .filter(col("valid_from_ms") <= vt &&
+        (col("valid_to_ms").isNull || col("valid_to_ms") > vt))
+    val known = asOf(scd2HistoryFrom(ev.filter(
+      unix_millis(col("ts")) +
+        (col("event_id") % IngestDelayHours + 1L) * 3600000L <= st)))
+      .select(col("user_id"), col("state").as("state_known"))
+    asOf(scd2HistoryFrom(ev))
+      .select(col("user_id"), col("state").as("state_final"),
+        col("valid_from_ms"), col("n_events"))
+      .join(known, Seq("user_id"), "left")
+      .select(col("user_id"), col("state_final"), col("state_known"),
+        col("valid_from_ms"), col("n_events"),
+        lit(vt).as("as_of_ms"), lit(st).as("sys_ms"),
+        expr("CAST(CASE WHEN state_known IS NULL " +
+          "OR state_known <> state_final THEN 1 ELSE 0 END AS BIGINT)")
+          .as("stale"))
+  }
+
+  /** The q153 gaps-and-islands SQL over an arbitrary event source. */
+  private def scd2SqlOver(src: String): String =
+    s"""SELECT user_id, run_id, state, valid_from_ms, n_events,
+      |       lead(valid_from_ms) OVER w2 AS valid_to_ms
+      |FROM (
+      |  SELECT user_id, run_id, min(state) AS state,
+      |         epoch_ms(min(ts)) AS valid_from_ms, count(*) AS n_events
+      |  FROM (
+      |    SELECT user_id, state, ts, event_id,
+      |           CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+      |    FROM (
+      |      SELECT user_id, event_id, ts, event_type AS state,
+      |             CASE WHEN lag(event_type) OVER w IS NULL
+      |                    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |      FROM $src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+      |  GROUP BY 1, 2)
+      |WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)""".stripMargin
+
+  val bitemporalAsOfSql: String =
+    s"""WITH tt AS (SELECT (epoch_ms(min(ts)) + epoch_ms(max(ts))) // 2 AS vt,
+      |  (epoch_ms(min(ts)) + epoch_ms(max(ts))) // 2 + 86400000 AS st FROM events),
+      |evk AS (SELECT e.* FROM events e CROSS JOIN tt
+      |  WHERE epoch_ms(ts) + (event_id % $IngestDelayHours + 1) * 3600000 <= tt.st),
+      |hk AS (${scd2SqlOver("evk")}),
+      |hf AS (${scd2SqlOver("events")}),
+      |known AS (SELECT hk.user_id, hk.state AS state_known
+      |  FROM hk CROSS JOIN tt WHERE hk.valid_from_ms <= tt.vt
+      |    AND (hk.valid_to_ms IS NULL OR hk.valid_to_ms > tt.vt)),
+      |fin AS (SELECT hf.user_id, hf.state AS state_final, hf.valid_from_ms,
+      |    CAST(hf.n_events AS BIGINT) AS n_events
+      |  FROM hf CROSS JOIN tt WHERE hf.valid_from_ms <= tt.vt
+      |    AND (hf.valid_to_ms IS NULL OR hf.valid_to_ms > tt.vt))
+      |SELECT fin.user_id, fin.state_final, known.state_known,
+      |  fin.valid_from_ms, fin.n_events,
+      |  CAST(tt.vt AS BIGINT) AS as_of_ms, CAST(tt.st AS BIGINT) AS sys_ms,
+      |  CAST(CASE WHEN known.state_known IS NULL
+      |    OR known.state_known <> fin.state_final THEN 1 ELSE 0 END AS BIGINT) AS stale
+      |FROM fin CROSS JOIN tt
+      |LEFT JOIN known ON known.user_id = fin.user_id"""
+      .stripMargin.replace("\n", " ")
 }

@@ -610,6 +610,109 @@ object Sketches {
        |SELECT exact_rows, est_rows, (est_rows - exact_rows) * 10000 // exact_rows AS over_x10k
        |FROM ex, est""".stripMargin.replace("\n", " ")
 
+  // --------------------------- sketch-driven join-order decision
+
+  /** q247 — JOIN-ORDER ADVISOR from stored CMS sketches: the q133
+    * primitive promoted to the decision it exists for. For the
+    * 3-table join σ(lineitem) ⋈ σ(orders) ⋈ σ(customer) the final
+    * cardinality is order-independent — what differs is the
+    * INTERMEDIATE: start with L⋈O (on orderkey) or with O⋈C (on
+    * custkey)? A cost-based optimizer answers from catalog
+    * statistics, never data; here each filtered input carries one
+    * Depth×[[JcWidth]] CMS per join key (per-table, mergeable,
+    * incrementally maintainable — what a 100 TB catalog would
+    * actually store), both intermediates are priced by the CMS
+    * inner-product estimate, and the row emits the estimates, the
+    * exact sizes, BOTH verdicts, and whether sketch-order == exact-
+    * order — so the advisor's accuracy is measured in-band, the
+    * q133/q157 discipline.
+    *
+    * Scale shape: one projected scan per table into bucket-grain
+    * grids (≤ Depth·Width rows each, map-side partials); estimates
+    * and the decision are grid math. The exact twins are key-grain
+    * aggregates emitted HERE for audit; a production advisor skips
+    * them — that asymmetry (sketches: O(grid); exact: O(data)) is
+    * the point. */
+  def joinOrderAdvisor(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions.md5Lower64
+    def grid(df: DataFrame, key: String, side: String): DataFrame =
+      df.select(col(key).cast("string").as("k"))
+        .select(explode(array((0 until CmDepth).map { i =>
+          struct(lit(i).as("r"),
+            md5Lower64(concat(lit(s"$i:"), col("k")))
+              .bitwiseAND(JcWidth - 1L).as("b"))
+        }: _*)).as("e"))
+        .groupBy(col("e.r").as("r"), col("e.b").as("b"))
+        .agg(count(lit(1)).as(s"c_$side"))
+    def dotMin(ga: DataFrame, gb: DataFrame, out: String): DataFrame =
+      ga.join(gb, Seq("r", "b"))
+        .groupBy("r")
+        .agg(sum(expr(s"${ga.columns.last} * ${gb.columns.last}")).as("dot"))
+        .agg(min("dot").as(out))
+    def exactDot(a: DataFrame, ka: String, b: DataFrame, kb: String,
+                 out: String): DataFrame =
+      a.groupBy(col(ka).as("k")).agg(count(lit(1)).as("ca"))
+        .join(b.groupBy(col(kb).as("k")).agg(count(lit(1)).as("cb")), "k")
+        .agg(coalesce(sum(expr("ca * cb")), lit(0L)).as(out))
+
+    val li = Tables.lineitem(s, d).filter(col("l_quantity") > 30)
+      .select("l_orderkey").localCheckpoint(true)
+    val ord = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+      .select("o_orderkey", "o_custkey").localCheckpoint(true)
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey").localCheckpoint(true)
+
+    val estLo = dotMin(grid(li, "l_orderkey", "a"),
+      grid(ord, "o_orderkey", "b"), "est_lo")
+    val estOc = dotMin(grid(ord, "o_custkey", "a"),
+      grid(cust, "c_custkey", "b"), "est_oc")
+    val exLo = exactDot(li, "l_orderkey", ord, "o_orderkey", "exact_lo")
+    val exOc = exactDot(ord, "o_custkey", cust, "c_custkey", "exact_oc")
+    estLo.crossJoin(estOc).crossJoin(exLo).crossJoin(exOc) // four 1-row sides
+      .select(col("est_lo"), col("est_oc"), col("exact_lo"), col("exact_oc"),
+        expr("CASE WHEN est_lo <= est_oc THEN 'lineitem_orders_first' " +
+          "ELSE 'orders_customer_first' END").as("sketch_order"),
+        expr("CASE WHEN exact_lo <= exact_oc THEN 'lineitem_orders_first' " +
+          "ELSE 'orders_customer_first' END").as("exact_order"))
+      .withColumn("agree",
+        expr("CAST(CASE WHEN sketch_order = exact_order THEN 1 ELSE 0 END AS BIGINT)"))
+  }
+
+  val joinOrderAdvisorSql: String = {
+    def grid(src: String, key: String) =
+      s"SELECT r, md5_number_lower(CAST(r AS VARCHAR) || ':' || CAST($key AS VARCHAR)) & ${JcWidth - 1} AS b, " +
+        s"count(*) AS c FROM $src, range($CmDepth) t(r) GROUP BY 1, 2"
+    s"""WITH li AS (SELECT l_orderkey FROM lineitem WHERE l_quantity > 30),
+       |ord AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'O'),
+       |cust AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+       |gl AS (${grid("li", "l_orderkey")}),
+       |go AS (${grid("ord", "o_orderkey")}),
+       |gc AS (${grid("ord", "o_custkey")}),
+       |gd AS (${grid("cust", "c_custkey")}),
+       |elo AS (SELECT CAST(min(dot) AS BIGINT) AS est_lo FROM
+       |  (SELECT gl.r, sum(gl.c * go.c) AS dot FROM gl
+       |   JOIN go ON gl.r = go.r AND gl.b = go.b GROUP BY 1)),
+       |eoc AS (SELECT CAST(min(dot) AS BIGINT) AS est_oc FROM
+       |  (SELECT gc.r, sum(gc.c * gd.c) AS dot FROM gc
+       |   JOIN gd ON gc.r = gd.r AND gc.b = gd.b GROUP BY 1)),
+       |xlo AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS exact_lo FROM
+       |  (SELECT l_orderkey AS k, count(*) AS ca FROM li GROUP BY 1) a
+       |  JOIN (SELECT o_orderkey AS k, count(*) AS cb FROM ord GROUP BY 1) b USING (k)),
+       |xoc AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS exact_oc FROM
+       |  (SELECT o_custkey AS k, count(*) AS ca FROM ord GROUP BY 1) a
+       |  JOIN (SELECT c_custkey AS k, count(*) AS cb FROM cust GROUP BY 1) b USING (k))
+       |SELECT est_lo, est_oc, exact_lo, exact_oc,
+       |  CASE WHEN est_lo <= est_oc THEN 'lineitem_orders_first'
+       |    ELSE 'orders_customer_first' END AS sketch_order,
+       |  CASE WHEN exact_lo <= exact_oc THEN 'lineitem_orders_first'
+       |    ELSE 'orders_customer_first' END AS exact_order,
+       |  CAST(CASE WHEN (CASE WHEN est_lo <= est_oc THEN 1 ELSE 0 END)
+       |    = (CASE WHEN exact_lo <= exact_oc THEN 1 ELSE 0 END)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS agree
+       |FROM elo, eoc, xlo, xoc""".stripMargin.replace("\n", " ")
+  }
+
   // ------------------------------------- theta-sketch set operations
 
   val SetOpK     = 128 // per-source KMV size — small enough that the

@@ -204,4 +204,28 @@ class MaintenanceSpec extends AnyFunSuite {
         mindiv < Maintenance.LDivL
     })
   }
+
+  test("q249 bitemporal as-of: stale iff known state differs; known side is the ingest-filtered q186 read") {
+    val spark = SparkSpec.spark
+    val dir01 = "/root/testdata/sf0.01"
+    val rows = Maintenance.bitemporalAsOf(spark, dir01).collect()
+    assert(rows.nonEmpty)
+    val vt = rows.head.getAs[Long]("as_of_ms")
+    val st = rows.head.getAs[Long]("sys_ms")
+    assert(st === vt + 86400000L)
+    rows.foreach { r =>
+      val known = Option(r.getAs[String]("state_known"))
+      val fin = r.getAs[String]("state_final")
+      val expectStale = known.forall(_ != fin)
+      assert(r.getAs[Long]("stale") === (if (expectStale) 1L else 0L))
+    }
+    // the final side must equal q186's snapshot at the same instant
+    val tt = Maintenance.timeTravelSnapshot(spark, dir01).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("state")).toMap
+    assert(rows.map(r => r.getAs[Long]("user_id") ->
+      r.getAs[String]("state_final")).toMap === tt)
+    // late data must actually bite on this corpus (revisions exist)
+    assert(rows.exists(_.getAs[Long]("stale") === 1L))
+    assert(rows.exists(_.getAs[Long]("stale") === 0L))
+  }
 }

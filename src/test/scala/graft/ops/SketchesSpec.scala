@@ -317,4 +317,19 @@ class SketchesSpec extends AnyFunSuite {
     // the driver corpus must actually exercise the sub-θ sketch path
     assert(rows.forall(_.getAs[Long]("theta") < Long.MaxValue))
   }
+
+  test("q247 join-order advisor: CMS estimates upper-bound exacts and pick the exact order here") {
+    val spark = graft.SparkSpec.spark
+    val r = Sketches.joinOrderAdvisor(spark, "/root/testdata/sf0.01").collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (estLo, estOc) = (row.getAs[Long]("est_lo"), row.getAs[Long]("est_oc"))
+    val (exLo, exOc) = (row.getAs[Long]("exact_lo"), row.getAs[Long]("exact_oc"))
+    // CMS inner product never under-estimates (Cormode & Muthukrishnan)
+    assert(estLo >= exLo && estOc >= exOc)
+    assert(row.getAs[String]("sketch_order") ===
+      (if (estLo <= estOc) "lineitem_orders_first" else "orders_customer_first"))
+    // on the driver corpus the orders differ by ~8x — the sketch must get it
+    assert(row.getAs[Long]("agree") === 1L)
+  }
 }
