@@ -42,11 +42,19 @@ object Inference {
   /** The success predicate whose rate is compared across sources:
     * q23's integer-space quality cut (n_tok ≥ 20 ∧ 5·n_stop < 3·n_tok)
     * — so q242 reads "did the GOOD-DOC RATE drift between these two
-    * feeds", the proportion twin of q216's location test. */
-  private def perSourceGood(s: SparkSession, d: String): DataFrame = {
+    * feeds", the proportion twin of q216's location test.
+    *
+    * Shaped as an ADDITIVE (source) count grid so it doubles as
+    * streaming state (the q198/q217 posture —
+    * [[graft.streaming.StreamingFraud.goodRateCountsStream]]): per
+    * source just (n_g, x_g), two counters that only ratchet upward,
+    * and [[twoPropZFromCounts]]/[[bhFdrFromCounts]] replay the full
+    * registered outputs from any state snapshot without re-touching
+    * the corpus. Input schema: (source, text). */
+  def goodRateCounts(docs: DataFrame): DataFrame = {
     val stopPred = Seq("the", "a", "of", "and", "is", "to")
       .map(w => s"t = '$w'").mkString(" OR ")
-    Tables.documents(s, d)
+    docs
       .select(col("source"),
         expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").cast("long")
           .as("ntok"),
@@ -57,6 +65,9 @@ object Inference {
         sum(when(expr("ntok >= 20 AND 5 * nstop < 3 * ntok"), 1L)
           .otherwise(0L)).as("x_g"))
   }
+
+  private def perSourceGood(s: SparkSession, d: String): DataFrame =
+    goodRateCounts(Tables.documents(s, d))
 
   // The shared z tree — identical text on both engines; only
   // correctly-rounded IEEE ops, NULL on the degenerate pooled rates
@@ -76,8 +87,12 @@ object Inference {
     * rate: the proportion member of the drift family. Pooled
     * variance (the standard score test): z = (p̂a − p̂b) /
     * √(p̂(1−p̂)(1/na+1/nb)) with p̂ = (xa+xb)/(na+nb). */
-  def twoPropZ(s: SparkSession, d: String): DataFrame = {
-    val g = perSourceGood(s, d).localCheckpoint(true) // one corpus scan
+  def twoPropZ(s: SparkSession, d: String): DataFrame =
+    twoPropZFromCounts(perSourceGood(s, d).localCheckpoint(true))
+
+  /** The pair-grid tail over a (source, n_g, x_g) count snapshot —
+    * batch and streaming replays share this exact code. */
+  def twoPropZFromCounts(g: DataFrame): DataFrame = {
     val a = g.select(col("source").as("source_a"), col("n_g").as("n_a"),
       col("x_g").as("x_a"))
     val b = g.select(col("source").as("source_b"), col("n_g").as("n_b"),
@@ -120,9 +135,13 @@ object Inference {
     * in BIGINTs. Output carries the evidence trail (z6, p_ppm, rank,
     * the per-rank step-up flag's maximum k*) so the gate's decision
     * is auditable row by row. */
-  def bhFdr(s: SparkSession, d: String): DataFrame = {
+  def bhFdr(s: SparkSession, d: String): DataFrame =
+    bhFdrFromCounts(perSourceGood(s, d).localCheckpoint(true))
+
+  /** The full BH decision replayed from a count snapshot. */
+  def bhFdrFromCounts(g: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = twoPropZ(s, d)
+    val pairs = twoPropZFromCounts(g)
       .withColumn("p_ppm", expr(PPpmExpr))
     // pair-grid grain: the windows below see C(|sources|,2) rows
     val byP = Window.orderBy(col("p_ppm"), col("source_a"), col("source_b"))

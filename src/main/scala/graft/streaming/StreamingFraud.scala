@@ -699,6 +699,20 @@ object StreamingFraud {
   def ksCountsStream(docs: DataFrame): DataFrame =
     graft.ops.Quality.ksCounts(docs)
 
+  /** Streaming twin of q242/q243's source grid — the LIVE PROPORTION-
+    * DRIFT GATE's state: per-source (docs seen, docs passing the q23
+    * quality cut) as two additive counters (the [[ksCountsStream]]
+    * posture at its smallest: state is 2·|sources| longs, forever).
+    * [[graft.ops.Inference.twoPropZFromCounts]] /
+    * [[graft.ops.Inference.bhFdrFromCounts]] over a state snapshot
+    * then reproduce the registered q242 pair grid and the q243 BH
+    * decision EXACTLY without re-touching the corpus
+    * (StreamingFraudSpec pins both) — the multiple-comparison-
+    * corrected "which feeds' quality rates have drifted apart" alarm
+    * running live. Input schema: (source, text). */
+  def goodRateCountsStream(docs: DataFrame): DataFrame =
+    graft.ops.Inference.goodRateCounts(docs)
+
   /** Streaming twin of q212's digit grid — the LIVE BENFORD MONITOR:
     * leading-digit counts of arriving amounts as nine additive cells
     * (same floor+string digit extraction as the batch audit, same

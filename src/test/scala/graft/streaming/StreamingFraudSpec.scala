@@ -970,6 +970,50 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming good-rate grid replays q242 and the q243 BH decision from a snapshot") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.ops.Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val input = MemoryStream[(String, String)]
+    val stream = input.toDF().toDF("source", "text")
+    val query = StreamingFraud.goodRateCountsStream(stream)
+      .writeStream.format("memory").queryName("goodrate")
+      .outputMode("update").start()
+    try {
+      val (b1, rest) = docs.splitAt(docs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      // update mode re-emits a cell per touch; counters only ratchet up
+      val state = spark.sql("select source, n_g, x_g from goodrate").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (src, rs) => (src, rs.map(_._2._1).max, rs.map(_._2._2).max) }
+        .toSeq
+      val batchGrid = graft.ops.Inference
+        .goodRateCounts(graft.ops.Tables.documents(spark, sfDir)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(state.toSet === batchGrid, "stream state must equal the batch grid")
+      val snap = state.toDF("source", "n_g", "x_g").localCheckpoint(true)
+      val zFromState = graft.ops.Inference.twoPropZFromCounts(snap).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+      val q242 = graft.ops.Inference.twoPropZ(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+      assert(zFromState === q242)
+      val bhFromState = graft.ops.Inference.bhFdrFromCounts(snap).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+      val q243 = graft.ops.Inference.bhFdr(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.toSeq.drop(2)).toMap
+      assert(bhFromState === q243)
+    } finally query.stop()
+  }
+
   test("streaming CUSUM day grid replays the full q217 alarm table from a state snapshot") {
     val spark = SparkSpec.spark
     import spark.implicits._
