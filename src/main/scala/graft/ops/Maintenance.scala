@@ -311,6 +311,54 @@ object Maintenance {
        |FROM cls WHERE n_docs < $KAnonK GROUP BY source""".stripMargin
       .replace("\n", " ")
 
+  /** q253 — K-ANONYMITY REPAIR (generalization): q193 FINDS classes
+    * below k; this op produces the release the auditor would accept —
+    * per source, the length quasi-identifier GENERALIZED into
+    * equi-depth rank bins that each hold ≥ [[KAnonK]] docs BY
+    * CONSTRUCTION, emitted as (bin, class size, [lo_chars, hi_chars]
+    * generalized range). The classic fixed-schedule cut of Mondrian
+    * multidimensional k-anonymization (LeFevre et al. 2006) in its
+    * 1-D exact form: n_bins = max(1, n div k) equi-depth bins give
+    * every class ⌊n/n_bins⌋ ≥ k members (sizes differ by ≤ 1), and
+    * rank-based cuts adapt to the length distribution where q193's
+    * FIXED 256-char grid is what produced the singletons.
+    *
+    * All exact: ranks and bin ids are integer arithmetic
+    * ((rank−1)·n_bins div n); the emitted ranges are min/max per
+    * class. Utility ships in-band as the range width a consumer must
+    * tolerate.
+    *
+    * Scale shape: ONE (source) exchange carries the rank window and
+    * the class aggregate (the q224/q230 posture); output is
+    * Σ n_bins ≈ N/k rows. At 100 TB with a heavy source, swap the
+    * rank window for the q170 two-phase global rank — cuts
+    * unchanged. */
+  def kAnonymityRepair(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy("source")))
+      .select(col("source"), col("n_chars"),
+        expr(s"(rk - 1) * greatest(n div $KAnonK, 1) div n").as("bin"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_class"),
+        min("n_chars").as("lo_chars"), max("n_chars").as("hi_chars"))
+  }
+
+  val kAnonymityRepairSql: String =
+    s"""WITH r AS (SELECT source, n_chars,
+       |  CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
+       |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM documents)
+       |SELECT source,
+       |  (rk - 1) * greatest(n // $KAnonK, 1) // n AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_class,
+       |  min(n_chars) AS lo_chars, max(n_chars) AS hi_chars
+       |FROM r GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+
   /** l-diversity floor: a class is language-homogeneous below this
     * many distinct `lang` values. */
   val LDivL = 3L

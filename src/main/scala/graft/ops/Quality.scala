@@ -1151,6 +1151,222 @@ object Quality {
        |    THEN 1 ELSE 0 END AS BIGINT) AS flip
        |FROM k""".stripMargin.replace("\n", " ")
 
+  // ----------------------- Theil–Sen robust trend per event type
+
+  /** q251 — THEIL–SEN ROBUST SLOPE of daily volume per event type:
+    * the median of all pairwise (day, count) slopes (Theil 1950, Sen
+    * 1968) next to the q226-style OLS slope on the same grid. OLS
+    * has breakdown point 0 — one bad ingest day (a backfill dump, an
+    * outage zero) swings it arbitrarily; Theil–Sen tolerates ~29%
+    * corrupted days, which is why monitoring pipelines prefer it for
+    * trend alarms. Types whose two slopes DISAGREE markedly are the
+    * ones where a few anomalous days, not a trend, drive the OLS
+    * number.
+    *
+    * Exactness: each pairwise slope is ONE correctly-rounded double
+    * division rounded to 6dp (identical on both engines); the median
+    * is the LOWER median by deterministic (slope6, t1, t2) order —
+    * an order statistic, no averaging, so the emitted value is one
+    * of the exact pair slopes. OLS ships as the exact-integer-moment
+    * tree (the q226 discipline).
+    *
+    * Scale shape: the day grid is CALENDAR-bounded — |days| per type
+    * never grows with corpus size, so the C(|days|,2) pair expansion
+    * (435 pairs per type on a 30-day window) is constant work at any
+    * SF; the only corpus-sized stage is the (type, day) count
+    * aggregate with map-side partials. */
+  def theilSenTrend(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true) // calendar-bounded grid; feeds 3 consumers
+    val d0 = daily.agg(min("day").as("d0"))
+    val g = daily.crossJoin(broadcast(d0))
+      .select(col("event_type"),
+        datediff(col("day"), col("d0")).cast("long").as("t"), col("x"))
+    val a = g.select(col("event_type"), col("t").as("t1"), col("x").as("x1"))
+    val b = g.select(col("event_type").as("et2"), col("t").as("t2"),
+      col("x").as("x2"))
+    val pairs = a.join(b,
+        col("event_type") === col("et2") && col("t1") < col("t2"))
+      .select(col("event_type"), col("t1"), col("t2"),
+        expr("round((CAST(x2 AS DOUBLE) - CAST(x1 AS DOUBLE)) / " +
+          "(CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE)), 6)").as("slope6"))
+    val med = pairs
+      .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("slope6"), col("t1"), col("t2"))).cast("long"))
+      .withColumn("np", count(lit(1))
+        .over(Window.partitionBy("event_type")))
+      .filter(col("rn") === expr("(np + 1) div 2"))
+      .select(col("event_type"), col("np").as("n_pairs"),
+        col("slope6").as("ts_slope6"))
+    val mom = g.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("t").as("st"), sum("x").as("sx"),
+        sum(expr("t * t")).as("stt"), sum(expr("t * x")).as("stx"))
+      .select(col("event_type"), col("n_days"),
+        (col("n_days") * col("stx") - col("st") * col("sx")).as("slope_num"),
+        (col("n_days") * col("stt") - col("st") * col("st")).as("slope_den"))
+      .select(col("event_type"), col("n_days"),
+        expr(OlsSlopeExpr).as("ols_slope6"))
+    med.join(mom, "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("ts_slope6"), col("ols_slope6"))
+  }
+
+  val theilSenTrendSql: String =
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |  count(*) AS x FROM events GROUP BY 1, 2),
+       |d0 AS (SELECT min(day) AS d0 FROM daily),
+       |g AS (SELECT event_type,
+       |  CAST(datediff('day', d0, day) AS BIGINT) AS t, x
+       |  FROM daily CROSS JOIN d0),
+       |p AS (SELECT a.event_type, a.t AS t1, b.t AS t2,
+       |  round((CAST(b.x AS DOUBLE) - CAST(a.x AS DOUBLE)) /
+       |    (CAST(b.t AS DOUBLE) - CAST(a.t AS DOUBLE)), 6) AS slope6
+       |  FROM g a JOIN g b ON a.event_type = b.event_type AND a.t < b.t),
+       |r AS (SELECT event_type, slope6,
+       |  CAST(row_number() OVER (PARTITION BY event_type
+       |    ORDER BY slope6, t1, t2) AS BIGINT) AS rn,
+       |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS np FROM p),
+       |med AS (SELECT event_type, np AS n_pairs, slope6 AS ts_slope6
+       |  FROM r WHERE rn = (np + 1) // 2),
+       |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       |  CAST(sum(t) AS BIGINT) AS st, CAST(sum(x) AS BIGINT) AS sx,
+       |  CAST(sum(t * t) AS BIGINT) AS stt, CAST(sum(t * x) AS BIGINT) AS stx
+       |  FROM g GROUP BY 1),
+       |k AS (SELECT event_type, n_days,
+       |  n_days * stx - st * sx AS slope_num,
+       |  n_days * stt - st * st AS slope_den FROM m),
+       |ols AS (SELECT event_type, n_days, $OlsSlopeExpr AS ols_slope6 FROM k)
+       |SELECT med.event_type, ols.n_days, med.n_pairs, med.ts_slope6,
+       |  ols.ols_slope6
+       |FROM med JOIN ols ON med.event_type = ols.event_type"""
+      .stripMargin.replace("\n", " ")
+
+  // -------------------- split-conformal coverage of the q219 score
+
+  /** q252 nominal miscoverage: α = 10% (prediction sets target ≥ 90%
+    * coverage). */
+  val ConformalAlphaPct = 10L
+
+  /** q252 — SPLIT-CONFORMAL PREDICTION SETS over the q219 confidence
+    * score: the distribution-free calibration guarantee (Vovk et al.;
+    * Papadopoulos et al. 2002). Odd doc_ids are the calibration
+    * split; per class c the threshold is the ⌈(n_c+1)(1−α)⌉-th
+    * smallest class-c nonconformity (class-conditional / Mondrian
+    * form, so the guarantee holds PER CLASS), and every even doc's
+    * prediction set contains class c iff its nonconformity ≤ thr_c.
+    * q219 said the score is miscalibrated; q250 re-mapped it; this
+    * op wraps it with the guarantee that needs NO calibration at
+    * all — only exchangeability — and measures the empirical
+    * coverage next to the nominal 90%.
+    *
+    * All integers: nonconformity for class 1 is 10⁴ − conf_b4, for
+    * class 0 conf_b4 (both exact b4 fixed point); the threshold rank
+    * k_c = (9·(n_c+1) + 9) div 10 is exact ceil arithmetic; coverage
+    * and mean set size ship as exact div ppm/milli.
+    *
+    * Scale shape: ONE scan scores and splits; thresholds are one
+    * per-class order statistic (a (class) window over the calibration
+    * half — 2 partitions); the eval half folds against the 2-row
+    * broadcast threshold table. Output: 2 rows. */
+  def conformalCoverage(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = scoredDocs(s, d).localCheckpoint(true) // one corpus scan
+    val cal = scored.filter(col("doc_id") % 2 === 1)
+      .select(col("label").as("cls"),
+        when(col("label") === 1L, lit(10000L) - col("conf_b4"))
+          .otherwise(col("conf_b4")).as("alpha"),
+        col("doc_id"))
+    val thr = cal
+      .withColumn("rn", row_number().over(Window.partitionBy("cls")
+        .orderBy(col("alpha"), col("doc_id"))).cast("long"))
+      .withColumn("n_cal", count(lit(1)).over(Window.partitionBy("cls")))
+      .filter(col("rn") ===
+        expr(s"(${100L - ConformalAlphaPct} * (n_cal + 1) + 90) div 100"))
+      .select(col("cls"), col("n_cal"), col("alpha").as("thr"))
+    val thrRow = thr.groupBy()
+      .agg(max(when(col("cls") === 0L, col("thr"))).as("thr0"),
+        max(when(col("cls") === 1L, col("thr"))).as("thr1"))
+    val eval = scored.filter(col("doc_id") % 2 === 0)
+      .crossJoin(broadcast(thrRow))
+      .select(col("label").as("cls"),
+        when(col("conf_b4") <= col("thr0"), 1L).otherwise(0L).as("in0"),
+        when(lit(10000L) - col("conf_b4") <= col("thr1"), 1L).otherwise(0L)
+          .as("in1"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("cls") === 1L, col("in1")).otherwise(col("in0")))
+          .as("n_covered"),
+        sum(expr("in0 + in1")).as("set_mass"))
+    thr.join(eval, "cls")
+      .select(col("cls"), col("n_cal"), col("thr"), col("n_eval"),
+        col("n_covered"),
+        expr("n_covered * 1000000 div n_eval").as("coverage_ppm"),
+        expr("set_mass * 1000 div n_eval").as("avg_set_milli"))
+  }
+
+  /** The per-doc (doc_id, conf_b4, label) frame under q219/q252 —
+    * q219 aggregates it to bins; q252 keeps the doc grain. */
+  private def scoredDocs(s: SparkSession, d: String): DataFrame = {
+    val stopPred = KappaStops.map(w => s"t = '$w'").mkString(" OR ")
+    val stopTypes = KappaStops
+      .map(w => when(array_contains(col("toks"), w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"),
+        expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").cast("long")
+          .as("ntok"))
+      .select(col("doc_id"),
+        expr(s"size(filter(toks, t -> $stopPred))").cast("long").as("nstop"),
+        col("ntok"),
+        (stopTypes >= KappaMinStopTypes).as("btypes"))
+      .select(col("doc_id"),
+        least(expr("nstop * 40000 div greatest(ntok, 1)"), lit(10000L))
+          .as("conf_b4"),
+        when(col("btypes") && col("ntok") >= KappaMinTok, 1L).otherwise(0L)
+          .as("label"))
+  }
+
+  val conformalCoverageSql: String = {
+    val stopPred = KappaStops.map(w => s"t = '$w'").mkString(" OR ")
+    val stopTypes = KappaStops
+      .map(w => s"CASE WHEN list_contains(string_split(text, ' '), '$w') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH f AS (SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), t -> $stopPred)) AS BIGINT) AS nstop,
+       |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS ntok,
+       |  ($stopTypes) >= $KappaMinStopTypes AS btypes
+       |  FROM documents),
+       |sc AS (SELECT doc_id,
+       |  least(nstop * 40000 // greatest(ntok, 1), 10000) AS conf_b4,
+       |  CAST(CASE WHEN btypes AND ntok >= $KappaMinTok THEN 1 ELSE 0 END AS BIGINT) AS label
+       |  FROM f),
+       |cal AS (SELECT label AS cls,
+       |  CASE WHEN label = 1 THEN 10000 - conf_b4 ELSE conf_b4 END AS alpha,
+       |  doc_id FROM sc WHERE doc_id % 2 = 1),
+       |thr AS (SELECT cls, n_cal, alpha AS thr FROM (
+       |  SELECT cls, alpha,
+       |    CAST(row_number() OVER (PARTITION BY cls ORDER BY alpha, doc_id) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY cls) AS BIGINT) AS n_cal FROM cal)
+       |  WHERE rn = (${100L - ConformalAlphaPct} * (n_cal + 1) + 90) // 100),
+       |tr AS (SELECT max(CASE WHEN cls = 0 THEN thr END) AS thr0,
+       |  max(CASE WHEN cls = 1 THEN thr END) AS thr1 FROM thr),
+       |ev AS (SELECT label AS cls,
+       |  CASE WHEN conf_b4 <= thr0 THEN 1 ELSE 0 END AS in0,
+       |  CASE WHEN 10000 - conf_b4 <= thr1 THEN 1 ELSE 0 END AS in1
+       |  FROM sc CROSS JOIN tr WHERE doc_id % 2 = 0),
+       |ag AS (SELECT cls, CAST(count(*) AS BIGINT) AS n_eval,
+       |  CAST(sum(CASE WHEN cls = 1 THEN in1 ELSE in0 END) AS BIGINT) AS n_covered,
+       |  CAST(sum(in0 + in1) AS BIGINT) AS set_mass FROM ev GROUP BY 1)
+       |SELECT thr.cls, thr.n_cal, thr.thr, ag.n_eval, ag.n_covered,
+       |  CAST(n_covered * 1000000 // n_eval AS BIGINT) AS coverage_ppm,
+       |  CAST(set_mass * 1000 // n_eval AS BIGINT) AS avg_set_milli
+       |FROM thr JOIN ag ON ag.cls = thr.cls"""
+      .stripMargin.replace("\n", " ")
+  }
+
   // ------------------- per-source Gini concentration of doc length
 
   /** q224 — GINI COEFFICIENT of document length per source: the
