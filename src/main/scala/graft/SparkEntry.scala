@@ -557,6 +557,12 @@ object SparkEntry {
     "q253_kanon_repair"        -> (graft.ops.Maintenance.kAnonymityRepair _),
     // round-17: hilbert vs zorder zone-map skipping, measured head-to-head
     "q254_hilbert_skipping"    -> (graft.ops.Layout.hilbertSkipping _),
+    // round-17: one-scan per-source datasheet (volume/quality/dup/diversity)
+    "q255_source_datacard"     -> (graft.ops.Quality.sourceDatacard _),
+    // round-17: deterministic Poisson-bootstrap CI for mean length
+    "q256_bootstrap_ci"        -> (graft.ops.Quality.bootstrapCi _),
+    // round-17: Wilson score interval per source (rank by lower bound)
+    "q257_wilson_bounds"       -> (graft.ops.Inference.wilsonBounds _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -821,5 +827,8 @@ object SparkEntry {
     "q252_conformal_coverage"  -> graft.ops.Quality.conformalCoverageSql,
     "q253_kanon_repair"        -> graft.ops.Maintenance.kAnonymityRepairSql,
     "q254_hilbert_skipping"    -> graft.ops.Layout.hilbertSkippingSql,
+    "q255_source_datacard"     -> graft.ops.Quality.sourceDatacardSql,
+    "q256_bootstrap_ci"        -> graft.ops.Quality.bootstrapCiSql,
+    "q257_wilson_bounds"       -> graft.ops.Inference.wilsonBoundsSql,
   )
 }

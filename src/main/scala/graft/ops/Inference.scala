@@ -159,6 +159,51 @@ object Inference {
         when(col("rank") <= col("k_star"), 1L).otherwise(0L).as("reject"))
   }
 
+  /** q257 — WILSON SCORE INTERVAL per source for the good-doc rate:
+    * the proportion CI that behaves at the extremes where the naive
+    * Wald interval collapses (x = 0 or x = n give Wald width 0;
+    * Wilson stays honest — Brown, Cai & DasGupta 2001 recommend it
+    * outright). The practical read: RANK SOURCES BY wilson_lo6 —
+    * "sort by lower bound" — so a 3/3 source never outranks a
+    * 940/1000 one. Pairs with q242/q243: the BH gate says WHICH
+    * pairs drifted; this says how certain each source's own rate is.
+    *
+    * FLOAT RULE: one double tree per bound over the exact (n, x)
+    * integers — center (p̂ + z²/2n) ∓ z·√(p̂(1−p̂)/n + z²/4n²), all
+    * over (1 + z²/n), with z = 1.96 a shared literal; only
+    * correctly-rounded IEEE ops (+ − × ÷ √), so both engines emit
+    * identical doubles, then round(·, 6).
+    *
+    * Scale shape: the q242 count grid (one corpus scan, additive —
+    * the streaming twin replays this too) plus per-row grid math;
+    * output is |sources| rows. */
+  def wilsonBounds(s: SparkSession, d: String): DataFrame =
+    wilsonBoundsFromCounts(perSourceGood(s, d))
+
+  def wilsonBoundsFromCounts(g: DataFrame): DataFrame =
+    g.select(col("source"), col("n_g").as("n"), col("x_g").as("x"),
+      expr("x_g * 1000000 div n_g").as("rate_ppm"),
+      expr(wilsonExpr("x_g", "n_g", "-")).as("wilson_lo6"),
+      expr(wilsonExpr("x_g", "n_g", "+")).as("wilson_hi6"))
+
+  // (p̂ + z²/2n ∓ z√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n), z = 1.96 —
+  // identical text on both engines, column names passed in.
+  private def wilsonExpr(x: String, n: String, sign: String): String = {
+    val p = s"(CAST($x AS DOUBLE) / CAST($n AS DOUBLE))"
+    val nD = s"CAST($n AS DOUBLE)"
+    s"round(($p + 3.8416 / (2.0 * $nD) $sign 1.96 * " +
+      s"sqrt($p * (1.0 - $p) / $nD + 3.8416 / (4.0 * $nD * $nD))) / " +
+      s"(1.0 + 3.8416 / $nD), 6)"
+  }
+
+  val wilsonBoundsSql: String =
+    s"""WITH g AS ($perSourceGoodSql)
+       |SELECT source, CAST(n_g AS BIGINT) AS n, x_g AS x,
+       |  CAST(x_g * 1000000 // n_g AS BIGINT) AS rate_ppm,
+       |  ${wilsonExpr("x_g", "n_g", "-")} AS wilson_lo6,
+       |  ${wilsonExpr("x_g", "n_g", "+")} AS wilson_hi6
+       |FROM g""".stripMargin.replace("\n", " ")
+
   val bhFdrSql: String =
     s"""WITH z AS ($twoPropZSql),
        |p AS (SELECT *, $PPpmExpr AS p_ppm FROM z),

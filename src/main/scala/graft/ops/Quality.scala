@@ -1417,6 +1417,173 @@ object Quality {
       |    AS BIGINT) AS gini_ppm
       |FROM g""".stripMargin.replace("\n", " ")
 
+  // --------------------------------- per-source datacard (q255)
+
+  /** q255 — SOURCE DATACARD: the one-scan "datasheet" row per ingest
+    * feed (Gebru et al., Datasheets for Datasets) — the numbers a
+    * mixture owner reads side by side before weighting sources:
+    * volume (docs, tokens), quality rate (q23's cut), exact-dup rate
+    * (q16's fingerprint), language concentration (Gini impurity —
+    * the log-free diversity surrogate: 0 = monolingual, →1 −
+    * 1/|langs| = uniform), and mean length. Every number exists
+    * elsewhere as its own audit; the datacard's job is ONE scan, ONE
+    * table, and the FLOAT RULE everywhere (×10⁴/milli exact div).
+    *
+    * Scale shape: the corpus scan carries the q16 fingerprint window
+    * (fp exchange — the one unavoidable dedup shuffle), lands in a
+    * (source, lang) aggregate (map-side partials), then a |sources|-
+    * grain rollup computes Σc² for the impurity. Output: |sources|
+    * rows. */
+  def sourceDatacard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stopPred = Seq("the", "a", "of", "and", "is", "to")
+      .map(w => s"t = '$w'").mkString(" OR ")
+    val cells = Tables.documents(s, d)
+      .withColumn("fp",
+        md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
+      .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
+      .select(col("source"), col("lang"), col("n_chars"),
+        expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").cast("long")
+          .as("ntok"),
+        expr(s"size(filter(split(text, ' '), t -> $stopPred))").cast("long")
+          .as("nstop"),
+        when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L).as("dup"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("c"), sum("ntok").as("tok"),
+        sum(when(expr("ntok >= 20 AND 5 * nstop < 3 * ntok"), 1L)
+          .otherwise(0L)).as("good"),
+        sum("dup").as("dups"), sum("n_chars").as("chars"))
+    cells.groupBy("source")
+      .agg(sum("c").as("n_docs"), sum("tok").as("n_tokens"),
+        sum("good").as("n_good"), sum("dups").as("n_dups"),
+        sum("chars").as("sum_chars"), sum(expr("c * c")).as("sum_c2"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_good * 10000 div n_docs").as("good_x10k"),
+        expr("n_dups * 10000 div n_docs").as("dup_x10k"),
+        expr("(n_docs * n_docs - sum_c2) * 10000 div (n_docs * n_docs)")
+          .as("lang_gini_x10k"),
+        expr("sum_chars * 1000 div n_docs").as("mean_chars_milli"))
+  }
+
+  val sourceDatacardSql: String = {
+    val stopPred = Seq("the", "a", "of", "and", "is", "to")
+      .map(w => s"t = '$w'").mkString(" OR ")
+    s"""WITH f AS (SELECT source, lang, n_chars, doc_id,
+       |  min(doc_id) OVER (PARTITION BY
+       |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) AS keep_id,
+       |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS ntok,
+       |  CAST(len(list_filter(string_split(text, ' '), t -> $stopPred)) AS BIGINT) AS nstop
+       |  FROM documents),
+       |cells AS (SELECT source, lang, count(*) AS c,
+       |  CAST(sum(ntok) AS BIGINT) AS tok,
+       |  CAST(sum(CASE WHEN ntok >= 20 AND 5 * nstop < 3 * ntok
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS good,
+       |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS dups,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars
+       |  FROM f GROUP BY 1, 2),
+       |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+       |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(good) AS BIGINT) AS n_good,
+       |  CAST(sum(dups) AS BIGINT) AS n_dups,
+       |  CAST(sum(chars) AS BIGINT) AS sum_chars,
+       |  CAST(sum(c * c) AS BIGINT) AS sum_c2
+       |  FROM cells GROUP BY 1)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST(n_good * 10000 // n_docs AS BIGINT) AS good_x10k,
+       |  CAST(n_dups * 10000 // n_docs AS BIGINT) AS dup_x10k,
+       |  CAST((n_docs * n_docs - sum_c2) * 10000 // (n_docs * n_docs) AS BIGINT)
+       |    AS lang_gini_x10k,
+       |  CAST(sum_chars * 1000 // n_docs AS BIGINT) AS mean_chars_milli
+       |FROM g""".stripMargin.replace("\n", " ")
+  }
+
+  // --------------------- Poisson-bootstrap CI for mean doc length
+
+  /** q256 replica count. */
+  val BootR = 100L
+  /** floor(CDF_Poisson(1)(k) · 2⁵³) for k = 0..5 — integer thresholds
+    * both engines compare the 53-bit md5 draw against, so the
+    * replica weights are deterministic and identical everywhere
+    * (weights ≥ 6 truncate to 6; P ≈ 6·10⁻⁴ tail, standard Poisson-
+    * bootstrap practice). */
+  val PoissonCdf53: Seq[Long] = Seq(
+    3313563428353948L, 6627126856707896L, 8283908570884870L,
+    8836169142277195L, 8974234285125276L, 9001847313694892L)
+
+  /** q256 — POISSON-BOOTSTRAP CONFIDENCE INTERVAL for mean document
+    * length per source (Chamandy et al. 2012, "Estimating uncertainty
+    * for massive data streams" — the Google-scale bootstrap): every
+    * (doc, replica r) pair draws a Poisson(1) weight from a
+    * DETERMINISTIC hash of (doc_id, r), so the R resampled means need
+    * ONE pass, no sampling-with-replacement shuffle, and any engine
+    * replays the identical replicas. The per-source 90% CI is the
+    * 5th/95th percentile of the R replica means — the error bar q230's
+    * trimmed mean and q93's MAD screen don't provide.
+    *
+    * All integers: weights are threshold-compares of the md5-53 draw
+    * against [[PoissonCdf53]]; replica means are exact milli divs;
+    * the CI bounds are order statistics (ranks ⌈0.05R⌉ and ⌈0.95R⌉)
+    * of those integers — no float crosses an engine boundary.
+    *
+    * Scale shape: the replica explosion is map-side (R in-row
+    * structs per doc) feeding a (source, r) aggregate with map-side
+    * partials — the shuffle carries |sources|·R cells, NEVER N·R
+    * rows; the CI is a window over R-row groups. */
+  def bootstrapCi(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wExpr = PoissonCdf53.zipWithIndex
+      .map { case (t, k) => s"WHEN h < ${t}L THEN ${k}L" }
+      .mkString("CASE ", " ", " ELSE 6L END")
+    val reps = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      // the explode is map-side: explode → hash → weight → partial
+      // aggregate fuse into one stage; only |sources|·R cells shuffle
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        explode(expr(s"sequence(0L, ${BootR - 1}L)")).as("r"))
+      .select(col("source"), col("n_chars"), col("r"),
+        graft.functions.GraftFunctions.md5Lower53(
+          concat(col("doc_id").cast("string"), lit(":"),
+            col("r").cast("string"))).as("h"))
+      .select(col("source"), col("n_chars"), col("r"), expr(wExpr).as("w"))
+      .groupBy("source", "r")
+      .agg(sum("w").as("nw"), sum(expr("w * n_chars")).as("sw"))
+      .select(col("source"), col("r"),
+        expr("sw * 1000 div greatest(nw, 1)").as("mean_milli"))
+    val byMean = Window.partitionBy("source")
+      .orderBy(col("mean_milli"), col("r"))
+    reps
+      .withColumn("rn", row_number().over(byMean).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_reps"),
+        max(when(col("rn") === (BootR * 5 + 99) / 100, col("mean_milli")))
+          .as("lo_milli"),
+        max(when(col("rn") === (BootR * 95 + 99) / 100, col("mean_milli")))
+          .as("hi_milli"),
+        expr("sum(mean_milli) div count(1)").as("boot_mean_milli"))
+  }
+
+  val bootstrapCiSql: String = {
+    val wExpr = PoissonCdf53.zipWithIndex
+      .map { case (t, k) => s"WHEN h < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 6 END")
+    s"""WITH reps AS (SELECT source, n_chars, r,
+       |  $wExpr AS w FROM (
+       |  SELECT source, n_chars, r,
+       |    md5_number_lower(CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)) >> 11 AS h
+       |  FROM documents, range(0, $BootR) t(r))),
+       |m AS (SELECT source, r,
+       |  CAST(sum(w * n_chars) * 1000 // greatest(sum(w), 1) AS BIGINT) AS mean_milli
+       |  FROM reps GROUP BY 1, 2),
+       |rk AS (SELECT source, mean_milli,
+       |  CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY mean_milli, r) AS BIGINT) AS rn FROM m)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_reps,
+       |  CAST(max(CASE WHEN rn = ${(BootR * 5 + 99) / 100} THEN mean_milli END) AS BIGINT) AS lo_milli,
+       |  CAST(max(CASE WHEN rn = ${(BootR * 95 + 99) / 100} THEN mean_milli END) AS BIGINT) AS hi_milli,
+       |  CAST(sum(mean_milli) // count(*) AS BIGINT) AS boot_mean_milli
+       |FROM rk GROUP BY source""".stripMargin.replace("\n", " ")
+  }
+
   // -------------------- calibration audit (reliability bins / ECE)
 
   /** q219 calibration bin count (confidence deciles). */
