@@ -563,6 +563,12 @@ object SparkEntry {
     "q256_bootstrap_ci"        -> (graft.ops.Quality.bootstrapCi _),
     // round-17: Wilson score interval per source (rank by lower bound)
     "q257_wilson_bounds"       -> (graft.ops.Inference.wilsonBounds _),
+    // round-17: (b,r) banding retune from the measured pair histogram
+    "q258_banding_planner"     -> (graft.dedup.DedupQueries.bandingPlanner _),
+    // round-17: RFM quintile segmentation (5=best on every axis)
+    "q259_rfm_segments"        -> (RelationalQueries.rfmSegments _),
+    // round-17: budgeted compaction scheduler (ROI-greedy over q136)
+    "q260_compaction_scheduler" -> (graft.ops.Layout.compactionScheduler _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -830,5 +836,8 @@ object SparkEntry {
     "q255_source_datacard"     -> graft.ops.Quality.sourceDatacardSql,
     "q256_bootstrap_ci"        -> graft.ops.Quality.bootstrapCiSql,
     "q257_wilson_bounds"       -> graft.ops.Inference.wilsonBoundsSql,
+    "q258_banding_planner"     -> graft.dedup.DedupQueries.bandingPlannerSql,
+    "q259_rfm_segments"        -> RelationalQueries.rfmSegmentsSql,
+    "q260_compaction_scheduler" -> graft.ops.Layout.compactionSchedulerSql,
   )
 }

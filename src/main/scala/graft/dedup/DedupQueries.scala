@@ -209,6 +209,104 @@ object DedupQueries {
         |FROM jj WHERE jx >= ${math.round(MinJaccard * 10000)}""").stripMargin.replace("\n", " ")
   }
 
+  // ------------------------------------------ banding planner (q258)
+
+  /** q258 candidate (bands, rows) splits of the 64-permutation
+    * budget, and the planner's stricter target threshold τ = 0.7. */
+  val PlannerConfigs: Seq[(Int, Int)] =
+    Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16), (2, 32))
+  val PlannerTauX10k = 7000L
+
+  /** q258 — BANDING PLANNER: pick (bands, rows) for a STRICTER dedup
+    * target (τ = 0.7) from the MEASURED similarity distribution of
+    * the current candidates, instead of eyeballing the S-curve. For
+    * each split b×r of the 64-permutation budget, the catch
+    * probability p(s) = 1 − (1 − s^r)^b is a CONSTANT per Jaccard
+    * bin — computed once driver-side (BigDecimal-rounded ppm
+    * literals embedded in BOTH engines' plans, so cross-engine
+    * equality is by construction, not libm luck) — and the planner
+    * weights those constants by the q19 pair histogram: expected
+    * recall on the must-keep mass (J ≥ τ) vs expected false-candidate
+    * rate on the shed-able mass (J < τ). Chosen = argmax(keep −
+    * shed), ties to fewer bands (cheaper index).
+    *
+    * Honest conditioning, documented: the histogram is over pairs the
+    * CURRENT (32×2, J ≥ 0.5) pipeline surfaced — the mass a RETUNE
+    * must keep or may shed. Pairs below today's threshold are not
+    * observable here; q138's sampled audit covers that tail.
+    *
+    * Scale shape: the pair histogram is candidate-grain (q19's
+    * bounded output) folded to ≤ 11 bins; everything after is a
+    * 6-config × 11-bin constant join. */
+  def bandingPlanner(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = minHashJaccardPairs(s, d)
+      .select(expr("CAST(round(jaccard * 10000) AS BIGINT) div 500").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("w"))
+    import s.implicits._
+    val cdf = plannerConstants.toDF("b", "r", "bin", "p_ppm")
+    val agg = hist.join(broadcast(cdf), "bin")
+      .groupBy("b", "r")
+      .agg(
+        sum(when(col("bin") >= PlannerTauX10k / 500, col("w") * col("p_ppm")))
+          .as("hi_mass"),
+        sum(when(col("bin") >= PlannerTauX10k / 500, col("w"))).as("hi_w"),
+        sum(when(col("bin") < PlannerTauX10k / 500, col("w") * col("p_ppm")))
+          .as("lo_mass"),
+        sum(when(col("bin") < PlannerTauX10k / 500, col("w"))).as("lo_w"))
+      .select(col("b"), col("r"),
+        expr("coalesce(hi_mass, 0) div greatest(coalesce(hi_w, 0), 1)")
+          .as("keep_recall_ppm"),
+        expr("coalesce(lo_mass, 0) div greatest(coalesce(lo_w, 0), 1)")
+          .as("shed_catch_ppm"))
+      .withColumn("score",
+        col("keep_recall_ppm") - col("shed_catch_ppm"))
+    agg.withColumn("rn", row_number().over(
+        Window.orderBy(col("score").desc, col("b"))).cast("long"))
+      .select(col("b"), col("r"), col("keep_recall_ppm"),
+        col("shed_catch_ppm"), col("score"),
+        when(col("rn") === 1L, 1L).otherwise(0L).as("chosen"))
+  }
+
+  /** The (b, r, bin, p_ppm) constant grid — p = 1 − (1 − s^r)^b at
+    * the bin center s = (bin·500 + 250)/10⁴ (bin 20, J = 1 exactly,
+    * takes p = 1), rounded half-up to ppm driver-side. */
+  private def plannerConstants: Seq[(Int, Int, Long, Long)] =
+    for {
+      (b, r) <- PlannerConfigs
+      bin <- 10L to 20L
+    } yield {
+      val s = if (bin >= 20L) 1.0 else (bin * 500L + 250L).toDouble / 10000.0
+      val p = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+      (b, r, bin,
+        BigDecimal(p * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+
+  val bandingPlannerSql: String = {
+    val values = plannerConstants
+      .map { case (b, r, bin, p) => s"($b, $r, $bin, $p)" }.mkString(", ")
+    val tauBin = PlannerTauX10k / 500
+    s"""WITH pairs AS ($minHashJaccardPairsSql),
+       |hist AS (SELECT CAST(round(jaccard * 10000) AS BIGINT) // 500 AS bin,
+       |  CAST(count(*) AS BIGINT) AS w FROM pairs GROUP BY 1),
+       |cdf AS (SELECT CAST(b AS INT) AS b, CAST(r AS INT) AS r,
+       |  CAST(bin AS BIGINT) AS bin, CAST(p_ppm AS BIGINT) AS p_ppm
+       |  FROM (VALUES $values) AS t(b, r, bin, p_ppm)),
+       |agg AS (SELECT b, r,
+       |  CAST(coalesce(sum(CASE WHEN hist.bin >= $tauBin THEN w * p_ppm END), 0)
+       |    // greatest(coalesce(sum(CASE WHEN hist.bin >= $tauBin THEN w END), 0), 1)
+       |    AS BIGINT) AS keep_recall_ppm,
+       |  CAST(coalesce(sum(CASE WHEN hist.bin < $tauBin THEN w * p_ppm END), 0)
+       |    // greatest(coalesce(sum(CASE WHEN hist.bin < $tauBin THEN w END), 0), 1)
+       |    AS BIGINT) AS shed_catch_ppm
+       |  FROM hist JOIN cdf ON cdf.bin = hist.bin GROUP BY 1, 2),
+       |sc AS (SELECT *, keep_recall_ppm - shed_catch_ppm AS score FROM agg)
+       |SELECT b, r, keep_recall_ppm, shed_catch_ppm, score,
+       |  CAST(CASE WHEN row_number() OVER (ORDER BY score DESC, b) = 1
+       |    THEN 1 ELSE 0 END AS BIGINT) AS chosen
+       |FROM sc""".stripMargin.replace("\n", " ")
+  }
+
   // -------------------------------------- banding recall audit (q138)
 
   /** Sampling modulus for the q138 audit's doc sample (final literal —

@@ -380,6 +380,66 @@ object Layout {
       .stripMargin.replace("\n", " ")
   }
 
+  // ---------------- budgeted compaction scheduler (q260)
+
+  /** q260 I/O budget: spend at most this fraction (×10⁴) of total
+    * table bytes on one maintenance window's rewrites. */
+  val CompactBudgetX10k = 2500L
+
+  /** q260 — BUDGETED COMPACTION SCHEDULER: the decision layer over
+    * q136's plan. A real maintenance window can't rewrite everything —
+    * it has an I/O budget — so the scheduler ranks q136's bins by
+    * RETURN ON I/O (files eliminated per byte rewritten, ×10⁹ fixed
+    * point: small fragmented bins first, the highest-leverage metadata
+    * relief) and greedily admits bins in that order until the
+    * cumulative rewrite bytes exceed [[CompactBudgetX10k]]/10⁴ of the
+    * table. Emits the full ranked table with the running total and
+    * the selected flag — the audit trail, not just the pick — and
+    * composes with q136's APPLY step (`applyCompactionPlan` takes any
+    * bin subset).
+    *
+    * All exact: ROI is integer fixed point ((n_files−1)·10⁹ div
+    * bytes), the greedy prefix is one ordered window over the
+    * BIN-GRAIN manifest (never rows), budget compare in BIGINTs.
+    * Scale shape: q136's plan aggregate is the only corpus-sized
+    * stage; the scheduler is manifest-grain grid math. */
+  def compactionScheduler(s: SparkSession, d: String): DataFrame =
+    compactionSchedulerFrom(compactionPlan(s, d))
+
+  def compactionSchedulerFrom(plan: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val total = plan.agg(sum("bytes").as("total_bytes"))
+    val byRoi = Window.orderBy(col("roi_x1e9").desc, col("lang"),
+      col("bin_id"))
+    plan
+      .select(col("lang"), col("bin_id"), col("n_files"), col("bytes"),
+        expr("(n_files - 1) * 1000000000 div bytes").as("roi_x1e9"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum_bytes",
+        sum("bytes").over(byRoi.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .select(col("lang"), col("bin_id"), col("n_files"), col("bytes"),
+        col("roi_x1e9"), col("cum_bytes"),
+        when(col("cum_bytes") * 10000 <= col("total_bytes") * CompactBudgetX10k,
+          1L).otherwise(0L).as("selected"))
+  }
+
+  // lazy: compactionPlanSql is declared later in the file (the r10
+  // init-cycle rule — a plain val here would interpolate null)
+  lazy val compactionSchedulerSql: String =
+    s"""WITH plan AS ($compactionPlanSql),
+       |t AS (SELECT CAST(sum(bytes) AS BIGINT) AS total_bytes FROM plan),
+       |r AS (SELECT lang, bin_id, CAST(n_files AS BIGINT) AS n_files, bytes,
+       |  CAST((n_files - 1) * 1000000000 // bytes AS BIGINT) AS roi_x1e9
+       |  FROM plan),
+       |c AS (SELECT *, CAST(sum(bytes) OVER (ORDER BY roi_x1e9 DESC, lang,
+       |    bin_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bytes
+       |  FROM r)
+       |SELECT lang, bin_id, n_files, bytes, roi_x1e9, cum_bytes,
+       |  CAST(CASE WHEN cum_bytes * 10000 <= total_bytes * $CompactBudgetX10k
+       |    THEN 1 ELSE 0 END AS BIGINT) AS selected
+       |FROM c CROSS JOIN t""".stripMargin.replace("\n", " ")
+
   // ------------------- hilbert vs zorder zone-map audit (q254)
 
   /** q254 — CURVE COMPARISON under the zone-map audit: q146 measured

@@ -1414,6 +1414,64 @@ object RelationalQueries {
       |FROM p WHERE e3 IS NOT NULL GROUP BY 1, 2, 3"""
       .stripMargin.replace("\n", " ")
 
+  /** q259 — RFM SEGMENTATION: per user, recency (days since last
+    * event vs the corpus max day), frequency (event count) and
+    * monetary mass (Σ value in exact cents), each cut into quintiles
+    * (ntile(5) with deterministic user_id tiebreaks — identical
+    * bucket arithmetic both engines), composed into the classic
+    * 3-digit RFM segment code (5 = best on every axis). The
+    * marketing-analytics staple — and for a data pipeline, the same
+    * op segments crawl SOURCES by recency/volume/yield before budget
+    * allocation (q211).
+    *
+    * Scale shape: ONE (user) aggregate over the events scan, then
+    * three ntile windows on the USER-grain table (|users| rows — the
+    * q170 two-phase-rank candidate at extreme scale, documented);
+    * the max-day scalar broadcasts. */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val perUser = events(s, d)
+      .groupBy("user_id")
+      .agg(max(col("ts").cast("date")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("monetary_cents"))
+    val maxDay = perUser.agg(max("last_day").as("max_day"))
+    val g = perUser.crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        datediff(col("max_day"), col("last_day")).cast("long")
+          .as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    // 5 = best on every axis: recent (small recency), frequent, heavy
+    val rQ = ntile(5).over(Window.orderBy(col("recency_days").desc,
+      col("user_id")))
+    val fQ = ntile(5).over(Window.orderBy(col("frequency"), col("user_id")))
+    val mQ = ntile(5).over(Window.orderBy(col("monetary_cents"),
+      col("user_id")))
+    g.select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        rQ.cast("long").as("r_q"), fQ.cast("long").as("f_q"),
+        mQ.cast("long").as("m_q"))
+      .withColumn("segment", expr("r_q * 100 + f_q * 10 + m_q"))
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH u AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+      |  count(*) AS frequency,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      |  FROM events GROUP BY 1),
+      |mx AS (SELECT max(last_day) AS max_day FROM u),
+      |g AS (SELECT user_id,
+      |  CAST(datediff('day', last_day, max_day) AS BIGINT) AS recency_days,
+      |  CAST(frequency AS BIGINT) AS frequency, monetary_cents
+      |  FROM u CROSS JOIN mx),
+      |q AS (SELECT *,
+      |  CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS BIGINT) AS r_q,
+      |  CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_q,
+      |  CAST(ntile(5) OVER (ORDER BY monetary_cents, user_id) AS BIGINT) AS m_q
+      |  FROM g)
+      |SELECT user_id, recency_days, frequency, monetary_cents, r_q, f_q, m_q,
+      |  r_q * 100 + f_q * 10 + m_q AS segment
+      |FROM q""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------- time-spine gap-fill
 
   /** q176 — DAILY GAP-FILL with LOCF: each user's event stream
