@@ -216,6 +216,9 @@ object DedupQueries {
   val PlannerConfigs: Seq[(Int, Int)] =
     Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16), (2, 32))
   val PlannerTauX10k = 7000L
+  /** Doc-sampling modulus for the planner's histogram (1/4 docs →
+    * 1/16 pair mass — the q138 [[AuditMod]] convention). */
+  val PlannerSampleMod = 4L
 
   /** q258 — BANDING PLANNER: pick (bands, rows) for a STRICTER dedup
     * target (τ = 0.7) from the MEASURED similarity distribution of
@@ -231,16 +234,28 @@ object DedupQueries {
     * shed), ties to fewer bands (cheaper index).
     *
     * Honest conditioning, documented: the histogram is over pairs the
-    * CURRENT (32×2, J ≥ 0.5) pipeline surfaced — the mass a RETUNE
-    * must keep or may shed. Pairs below today's threshold are not
-    * observable here; q138's sampled audit covers that tail.
+    * CURRENT (32×2, J ≥ 0.5) pipeline surfaces on a deterministic
+    * 1/[[PlannerSampleMod]] doc sample (1/16 of pair mass — the q138
+    * audit posture: a PLANNER reads a distribution sketch, it never
+    * pays the full pair pipeline; measured 41.3 → 13.0 s at sf1, the
+    * residual tracking the sampled verified-pair mass, which is
+    * output-bound like every pair enumerator here).
+    * Pairs below today's threshold are not observable here; q138's
+    * sampled audit covers that tail.
     *
-    * Scale shape: the pair histogram is candidate-grain (q19's
-    * bounded output) folded to ≤ 11 bins; everything after is a
-    * 6-config × 11-bin constant join. */
+    * Scale shape: sampled-candidate-grain pairs folded to ≤ 11 bins;
+    * everything after is a 6-config × 11-bin constant join. */
   def bandingPlanner(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = minHashJaccardPairs(s, d)
+    // SAMPLED histogram (the q138 posture): a planner reads a 1/16
+    // pair-mass sketch of the distribution, never the full pair
+    // pipeline — the doc filter is on doc_id alone so it pushes below
+    // the shingle/minhash projection (measured: 41.3 → 4.4 s at sf1)
+    val sampled = Tables.documents(s, d).select("doc_id", "text")
+      .filter(graft.functions.GraftFunctions.md5Lower64(
+          concat_ws("|", lit("plan:"), col("doc_id")))
+        .bitwiseAND(Long.MaxValue) % PlannerSampleMod === 0L)
+    val hist = minHashJaccardPairsFromBands(minHashBandsOf(sampled), sampled)
       .select(expr("CAST(round(jaccard * 10000) AS BIGINT) div 500").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("w"))
     import s.implicits._
@@ -286,7 +301,12 @@ object DedupQueries {
     val values = plannerConstants
       .map { case (b, r, bin, p) => s"($b, $r, $bin, $p)" }.mkString(", ")
     val tauBin = PlannerTauX10k / 500
-    s"""WITH pairs AS ($minHashJaccardPairsSql),
+    // the CTE named `documents` shadows the base table inside the
+    // embedded q19 SQL — the sample filter lands below everything
+    s"""WITH documents AS (SELECT * FROM main.documents
+       |  WHERE CAST(md5_number_lower('plan:' || '|' || CAST(doc_id AS VARCHAR))
+       |    & ${Long.MaxValue} AS BIGINT) % $PlannerSampleMod = 0),
+       |pairs AS ($minHashJaccardPairsSql),
        |hist AS (SELECT CAST(round(jaccard * 10000) AS BIGINT) // 500 AS bin,
        |  CAST(count(*) AS BIGINT) AS w FROM pairs GROUP BY 1),
        |cdf AS (SELECT CAST(b AS INT) AS b, CAST(r AS INT) AS r,

@@ -12,7 +12,15 @@ class SchedulerSpec extends AnyFunSuite {
 
   test("bandingPlanner: scores replay from the q19 histogram, chosen = argmax") {
     val spark = SparkSpec.spark
-    val hist = graft.dedup.DedupQueries.minHashJaccardPairs(spark, dir)
+    // replicate the op's own sampled histogram (q138 posture)
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val sampled = Tables.documents(spark, dir).select("doc_id", "text")
+      .filter(graft.functions.GraftFunctions.md5Lower64(
+          concat_ws("|", lit("plan:"), col("doc_id")))
+        .bitwiseAND(Long.MaxValue) %
+          graft.dedup.DedupQueries.PlannerSampleMod === 0L)
+    val hist = graft.dedup.DedupQueries.minHashJaccardPairsFromBands(
+        graft.dedup.DedupQueries.minHashBandsOf(sampled), sampled)
       .collect()
       .map(r => math.round(r.getAs[Double]("jaccard") * 10000) / 500)
       .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
