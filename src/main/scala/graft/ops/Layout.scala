@@ -406,8 +406,11 @@ object Layout {
   def compactionScheduler(s: SparkSession, d: String): DataFrame =
     compactionSchedulerFrom(compactionPlan(s, d))
 
-  def compactionSchedulerFrom(plan: DataFrame): DataFrame = {
+  def compactionSchedulerFrom(planIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // manifest-grain; feeds the totals AND the ranked table — without
+    // this the corpus scan under the plan runs twice (PlanSpec pins 1)
+    val plan = planIn.localCheckpoint(true)
     val total = plan.agg(sum("bytes").as("total_bytes"))
     val byRoi = Window.orderBy(col("roi_x1e9").desc, col("lang"),
       col("bin_id"))

@@ -633,4 +633,37 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q223_compression_probe")
     assert(!p.contains("Exchange"), p)
   }
+
+  test("q246 seq3: both leads share ONE (user) exchange; triple agg has partials") {
+    val p = plan("q246_seq3_patterns")
+    // one user exchange for the two lead windows, one for the triple
+    // aggregate, one for the distinct-user expansion — never more
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 3, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q255 datacard: ONE documents scan feeds the fp window and both aggregates") {
+    val p = plan("q255_source_datacard")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) === 1, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q256 bootstrap: the N·R explode stays map-side — partial agg before the (source,r) exchange") {
+    val p = plan("q256_bootstrap_ci")
+    val gen = p.indexOf("Generate explode")
+    val exch = p.indexOf("Exchange hashpartitioning(source")
+    assert(gen > 0 && exch > 0, p)
+    // a partial HashAggregate must sit between the explode and the
+    // exchange in the printed tree (exchange above, partial below it)
+    assert(p.substring(exch, gen).contains("HashAggregate"), p)
+  }
+
+  test("q260 scheduler: the plan materializes once — no second corpus scan, no corpus re-exchange") {
+    val p = plan("q260_compaction_scheduler")
+    // the checkpointed manifest feeds totals + ranked table: zero
+    // FileScans (both consumers read the checkpoint) and no
+    // corpus-keyed exchange on the scheduler side
+    assert(!p.contains("FileScan parquet"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0, p)
+  }
 }
