@@ -569,6 +569,12 @@ object SparkEntry {
     "q259_rfm_segments"        -> (RelationalQueries.rfmSegments _),
     // round-17: budgeted compaction scheduler (ROI-greedy over q136)
     "q260_compaction_scheduler" -> (graft.ops.Layout.compactionScheduler _),
+    // round-17: pairwise cosine between label centroids (integer grid)
+    "q261_label_affinity"      -> (graft.sim.SimilarityQueries.labelCentroidAffinity _),
+    // round-17: HLL-sketched DAU grid (q237's production counterpart)
+    "q262_hll_dau"             -> (graft.ops.Sketches.hllDau _),
+    // round-17: token-mass vs count median per source (admission unit)
+    "q263_token_mass_median"   -> (graft.ops.Quality.tokenMassMedian _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -839,5 +845,8 @@ object SparkEntry {
     "q258_banding_planner"     -> graft.dedup.DedupQueries.bandingPlannerSql,
     "q259_rfm_segments"        -> RelationalQueries.rfmSegmentsSql,
     "q260_compaction_scheduler" -> graft.ops.Layout.compactionSchedulerSql,
+    "q261_label_affinity"      -> graft.sim.SimilarityQueries.labelCentroidAffinitySql,
+    "q262_hll_dau"             -> graft.ops.Sketches.hllDauSql,
+    "q263_token_mass_median"   -> graft.ops.Quality.tokenMassMedianSql,
   )
 }

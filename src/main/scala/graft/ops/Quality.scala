@@ -1417,6 +1417,69 @@ object Quality {
       |    AS BIGINT) AS gini_ppm
       |FROM g""".stripMargin.replace("\n", " ")
 
+  // ---------------- token-mass median document length (q263)
+
+  /** q263 — TOKEN-MASS MEDIAN length per source: the smallest doc
+    * length L such that documents of length ≤ L hold at least HALF
+    * the source's TOKEN mass — the number that actually sizes chunk
+    * and batch budgets. The count-median (q51's p50) answers "what
+    * does a typical DOCUMENT look like"; a pretraining pipeline
+    * consumes TOKENS, and on a heavy-tailed source the two diverge
+    * wildly (high q224 Gini ⟹ mass-median ≫ count-median). Emits
+    * both medians and the divergence ratio so the q77-vs-q108
+    * admission-unit decision (per-doc quota vs per-token budget)
+    * reads off one row.
+    *
+    * Exact: one (source) window carries the rank AND the running
+    * token mass (same sort); both medians are order statistics
+    * (2·cum ≥ total / 2·rank ≥ n — first row crossing, integer
+    * compares); the ratio ships ×10⁴ by exact div.
+    *
+    * Scale shape: ONE (source) exchange (the q224/q230/q253
+    * posture); output is |sources| rows. */
+  def tokenMassMedian(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("ntok"), col("doc_id"))
+    val whole = Window.partitionBy("source")
+    val ranked = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        expr("CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT)")
+          .as("ntok"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("ntok").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("total", sum("ntok").over(whole))
+    ranked
+      .groupBy("source")
+      .agg(max("n").as("n_docs"), max("total").as("total_tokens"),
+        min(when(col("cum") * 2 >= col("total"), col("ntok")))
+          .as("mass_median_ntok"),
+        min(when(col("rk") * 2 >= col("n"), col("ntok")))
+          .as("count_median_ntok"))
+      .withColumn("mass_over_count_x10k",
+        expr("mass_median_ntok * 10000 div greatest(count_median_ntok, 1)"))
+  }
+
+  val tokenMassMedianSql: String =
+    """WITH r AS (SELECT source, doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS ntok
+      |  FROM documents),
+      |k AS (SELECT source, ntok,
+      |  CAST(row_number() OVER w AS BIGINT) AS rk,
+      |  CAST(sum(ntok) OVER (PARTITION BY source ORDER BY ntok, doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n,
+      |  CAST(sum(ntok) OVER (PARTITION BY source) AS BIGINT) AS total
+      |  FROM r WINDOW w AS (PARTITION BY source ORDER BY ntok, doc_id))
+      |SELECT source, max(n) AS n_docs, max(total) AS total_tokens,
+      |  min(CASE WHEN cum * 2 >= total THEN ntok END) AS mass_median_ntok,
+      |  min(CASE WHEN rk * 2 >= n THEN ntok END) AS count_median_ntok,
+      |  CAST(min(CASE WHEN cum * 2 >= total THEN ntok END) * 10000
+      |    // greatest(min(CASE WHEN rk * 2 >= n THEN ntok END), 1) AS BIGINT)
+      |    AS mass_over_count_x10k
+      |FROM k GROUP BY source""".stripMargin.replace("\n", " ")
+
   // --------------------------------- per-source datacard (q255)
 
   /** q255 — SOURCE DATACARD: the one-scan "datasheet" row per ingest

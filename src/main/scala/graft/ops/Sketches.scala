@@ -365,6 +365,67 @@ object Sketches {
        |  CAST(sum($HllScale >> mrank) + ($HllM - count(*)) * $HllScale AS BIGINT) AS denom_x2p50
        |FROM mr GROUP BY lang""".stripMargin.replace("\n", " ")
 
+  /** The (day, reg, rank) user-register rows under q262 — the same
+    * [[HllM]]/[[HllP]] algebra as q117's token registers with the key
+    * swapped to the calendar day and the hashed item to the user id.
+    * Shared by the batch query and the streaming twin so every
+    * consumer hashes identically. Input schema: (ts, user_id). */
+  def userDayRegisters(events: DataFrame): DataFrame =
+    events
+      .select(col("ts").cast("date").as("day"),
+        graft.functions.GraftFunctions.md5Lower53(
+          concat(lit("u:"), col("user_id").cast("string"))).as("h"))
+      .select(col("day"),
+        (col("h") % HllM).as("reg"),
+        shiftright(col("h"), HllP).as("v"))
+      .select(col("day"), col("reg"),
+        when(col("v") === 0L, lit(HllW + 1))
+          .otherwise(lit(HllW + 1) -
+            graft.functions.GraftFunctions.bitLength64(col("v"))).as("rank"))
+
+  /** The q117 fixed-point rollup over a (day, reg, mrank) register
+    * snapshot — the batch tail AND the streaming replay. */
+  def hllDauFromRegisters(regs: DataFrame): DataFrame =
+    regs.groupBy("day").agg(
+      count(lit(1)).as("m_used"),
+      sum("mrank").as("sum_rank"),
+      (sum(expr(s"shiftright(${HllScale}L, cast(mrank AS INT))")) +
+        (lit(HllM) - count(lit(1))) * HllScale).as("denom_x2p50"))
+
+  /** q262 — HLL DAU GRID: per-day distinct-user sketches in the q117
+    * integer register algebra. q237 computes DAU/WAU/MAU EXACTLY —
+    * the right call at audit time, but its per-day distinct expansion
+    * is the thing that stops scaling first (distinct user sets per
+    * day × 28-day fan-out). This is the production counterpart every
+    * analytics store actually ships (HLL-sketched actives): state is
+    * |days|·[[HllM]] registers FOREVER, days merge by register-max
+    * (so WAU/MAU roll up from the same grid without re-touching
+    * events), and the streaming twin
+    * ([[graft.streaming.StreamingFraud.hllDauRegistersStream]]) holds
+    * the identical grid as its only state — a snapshot replays this
+    * table bit-for-bit (StreamingFraudSpec pins it).
+    *
+    * All emitted cells are the q117 fixed-point integers; the float
+    * estimate is display-side (SketchesSpec checks it against q237's
+    * exact DAU within HLL tolerance). */
+  def hllDau(s: SparkSession, d: String): DataFrame =
+    hllDauFromRegisters(
+      userDayRegisters(Tables.events(s, d))
+        .groupBy("day", "reg").agg(max("rank").as("mrank")))
+
+  val hllDauSql: String =
+    s"""WITH h AS (SELECT CAST(ts AS DATE) AS day,
+       |  md5_number_lower('u:' || CAST(user_id AS VARCHAR)) >> 11 AS h53
+       |  FROM events),
+       |rk AS (SELECT day, h53 % $HllM AS reg,
+       |  CASE WHEN h53 >> $HllP = 0 THEN ${HllW + 1}
+       |       ELSE ${HllW + 1} - length(bin(h53 >> $HllP)) END AS rank FROM h),
+       |mr AS (SELECT day, reg, max(rank) AS mrank FROM rk GROUP BY 1, 2)
+       |SELECT day, count(*) AS m_used, CAST(sum(mrank) AS BIGINT) AS sum_rank,
+       |  CAST(sum($HllScale >> mrank) + ($HllM - count(*)) * $HllScale AS BIGINT)
+       |    AS denom_x2p50
+       |FROM mr GROUP BY day""".stripMargin.replace("\n", " ")
+
   /** q118 — cross-SOURCE distinct-token overlap from merged register
     * sketches: build ONE (source, register) max-rank table from the
     * single token scan, then every source-pair's union denominator is

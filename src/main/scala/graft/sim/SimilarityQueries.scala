@@ -74,6 +74,75 @@ object SimilarityQueries {
       "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, vec_id) AS rank FROM scored) " +
       "SELECT qid, vec_id AS neighbor_id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5"
 
+  /** q261 quantization scale: 2¹⁰ — a power of two, so q = e·1024 is
+    * FP-EXACT for every float input (the q169 Gram-matrix rule). */
+  val CentroidQ = 1024L
+
+  /** q261 — LABEL-CENTROID AFFINITY MATRIX: pairwise cosine between
+    * the mean embeddings of every label class — the cluster-level
+    * semantic-affinity table a mixture owner reads next to q88's
+    * doc-level semantic dedup and q189's split-leakage audit (two
+    * labels whose centroids sit at cos ≥ 0.9 are one topic the
+    * sampler should treat as one stratum). Scales where the
+    * doc-pair matrix can't: the corpus collapses to a
+    * |labels|·d integer grid FIRST, and the C(|labels|,2) cosine
+    * algebra never touches rows again.
+    *
+    * EXACT: elements quantize by the power-of-two [[CentroidQ]]
+    * (FP-exact), per-(label, dim) sums are BIGINTs, and the cosine
+    * between SUM vectors equals the cosine between means (the 1/n
+    * factors cancel) — so dot/norms are exact integers and cos6 is
+    * ONE sqrt/div double tree (headroom: Σq per cell < 2³¹ keeps the
+    * dot under 2⁶³ to ~10⁸ vectors/label; past that, DECIMAL).
+    *
+    * Scale shape: one explode→(label, dim) hash aggregate with
+    * map-side partials (d·|labels| cells), then grid math. */
+  def labelCentroidAffinity(s: SparkSession, d: String): DataFrame = {
+    val grid = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "e")))
+      .groupBy("label", "dim")
+      .agg(sum(expr(s"CAST(round(e * $CentroidQ) AS BIGINT)")).as("sq"))
+      .localCheckpoint(true) // |labels|·d cells; feeds norms AND pairs
+    val norms = grid.groupBy("label")
+      .agg(sum(expr("sq * sq")).as("nrm"))
+    val counts = Tables.embeddings(s, d)
+      .groupBy("label").agg(count(lit(1)).as("n"))
+    val a = grid.select(col("label").as("la"), col("dim"), col("sq").as("qa"))
+    val b = grid.select(col("label").as("lb"), col("dim"), col("sq").as("qb"))
+    a.join(b, Seq("dim")).filter(col("la") < col("lb"))
+      .groupBy("la", "lb")
+      .agg(sum(expr("qa * qb")).as("dot"))
+      .join(broadcast(norms.select(col("label").as("la"), col("nrm").as("na"))), "la")
+      .join(broadcast(norms.select(col("label").as("lb"), col("nrm").as("nb"))), "lb")
+      .join(broadcast(counts.select(col("label").as("la"), col("n").as("n_a"))), "la")
+      .join(broadcast(counts.select(col("label").as("lb"), col("n").as("n_b"))), "lb")
+      .select(col("la").as("label_a"), col("lb").as("label_b"),
+        col("n_a"), col("n_b"), col("dot"),
+        expr("round(CAST(dot AS DOUBLE) / " +
+          "sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)").as("cos6"))
+  }
+
+  val labelCentroidAffinitySql: String =
+    s"""WITH q AS (SELECT label, i - 1 AS dim,
+       |  CAST(round(CAST(embedding[i] AS DOUBLE) * $CentroidQ) AS BIGINT) AS qv
+       |  FROM embeddings, range(1, 65) t(i)),
+       |g AS (SELECT label, dim, CAST(sum(qv) AS BIGINT) AS sq
+       |  FROM q GROUP BY 1, 2),
+       |nr AS (SELECT label, CAST(sum(sq * sq) AS BIGINT) AS nrm FROM g GROUP BY 1),
+       |cn AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+       |p AS (SELECT a.label AS la, b.label AS lb,
+       |  CAST(sum(a.sq * b.sq) AS BIGINT) AS dot
+       |  FROM g a JOIN g b ON a.dim = b.dim AND a.label < b.label
+       |  GROUP BY 1, 2)
+       |SELECT p.la AS label_a, p.lb AS label_b,
+       |  CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b, p.dot,
+       |  round(CAST(p.dot AS DOUBLE) /
+       |    sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6) AS cos6
+       |FROM p JOIN nr na ON na.label = p.la JOIN nr nb ON nb.label = p.lb
+       |JOIN cn ca ON ca.label = p.la JOIN cn cb ON cb.label = p.lb"""
+      .stripMargin.replace("\n", " ")
+
   /** q72 — k-NN majority-vote LABEL PROPAGATION over the embedding
     * table: for each held-out query vector, the majority label among
     * its top-k cosine neighbors (ties to the smaller label id), next

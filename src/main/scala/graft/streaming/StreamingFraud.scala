@@ -699,6 +699,18 @@ object StreamingFraud {
   def ksCountsStream(docs: DataFrame): DataFrame =
     graft.ops.Quality.ksCounts(docs)
 
+  /** Streaming twin of q262's register grid — the LIVE SKETCHED-DAU
+    * MONITOR's state: (day, register) max-ranks over arriving events
+    * (the [[hllRegistersStream]] posture at calendar grain). State is
+    * |days|·256 longs forever — max-merge means late and replayed
+    * events are idempotent, the property exact DAU (q237) can't have.
+    * [[graft.ops.Sketches.hllDauFromRegisters]] over a snapshot
+    * replays the registered q262 table bit-for-bit
+    * (StreamingFraudSpec pins it). Input schema: (ts, user_id). */
+  def hllDauRegistersStream(events: DataFrame): DataFrame =
+    graft.ops.Sketches.userDayRegisters(events)
+      .groupBy("day", "reg").agg(max("rank").as("mrank"))
+
   /** Streaming twin of q242/q243's source grid — the LIVE PROPORTION-
     * DRIFT GATE's state: per-source (docs seen, docs passing the q23
     * quality cut) as two additive counters (the [[ksCountsStream]]

@@ -125,6 +125,9 @@ object CorpusOps {
         sum("n_tok").as("n_tokens"),
         min("doc_id").as("first_doc"),
         max("doc_id").as("last_doc"))
+      // manifest-grain; feeds max_shard AND the join — without this
+      // the q55 pack underneath runs twice (measured 2× at sf0.1)
+      .localCheckpoint(true)
     val maxShard = m.groupBy("lang").agg(max("shard").as("max_shard"))
     m.join(broadcast(maxShard), "lang")
       .select(col("lang"), col("shard"), col("n_docs"), col("n_tokens"),

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** q261/q262/q263 invariants: centroid cosine vs a driver replay and
+  * the mean-vs-sum cancellation; HLL DAU estimate within sketch
+  * tolerance of q237's exact day-0 actives; mass median ≥ count
+  * median exactly when the tail is heavy. */
+class GridOpsSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.01"
+
+  test("labelCentroidAffinity equals a driver-side quantized replay; bounds hold") {
+    val spark = SparkSpec.spark
+    val vecs = Tables.embeddings(spark, dir)
+      .select("label", "embedding").collect()
+      .map(r => (r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val sums = vecs.groupBy(_._1).map { case (l, vs) =>
+      val s = Array.fill(64)(0L)
+      vs.foreach { case (_, e) =>
+        for (i <- 0 until 64)
+          // HALF_UP = half away from zero — what both engines' round()
+          // does on negatives (math.round would round -x.5 toward +∞)
+          s(i) += BigDecimal(e(i).toDouble * SimQ)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      l -> ((s, vs.length.toLong))
+    }
+    val got = graft.sim.SimilarityQueries.labelCentroidAffinity(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("dot"),
+          r.getAs[Double]("cos6")))).toMap
+    val labels = sums.keys.toSeq.sorted
+    assert(got.size === labels.size * (labels.size - 1) / 2)
+    for { (a, ia) <- labels.zipWithIndex; b <- labels.drop(ia + 1) } {
+      val (sa, na) = sums(a); val (sb, nb) = sums(b)
+      val dot = (0 until 64).map(i => sa(i) * sb(i)).sum
+      val nra = (0 until 64).map(i => sa(i) * sa(i)).sum
+      val nrb = (0 until 64).map(i => sb(i) * sb(i)).sum
+      val cos = BigDecimal(dot.toDouble / math.sqrt(nra.toDouble * nrb.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gn_a, gn_b, gdot, gcos) = got((a, b))
+      assert((gn_a, gn_b, gdot) === ((na, nb, dot)), s"pair ($a,$b)")
+      assert(math.abs(gcos - cos) < 1e-9 && math.abs(gcos) <= 1.0 + 1e-9)
+    }
+  }
+
+  private val SimQ = graft.sim.SimilarityQueries.CentroidQ
+
+  test("hllDau estimate tracks the exact per-day actives within HLL tolerance") {
+    val spark = SparkSpec.spark
+    val exact = Tables.events(spark, dir)
+      .select(org.apache.spark.sql.functions.col("ts").cast("date").as("day"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .distinct().groupBy("day").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val rows = Sketches.hllDau(spark, dir).collect()
+    assert(rows.map(_.getDate(0).toString).toSet === exact.keySet)
+    rows.foreach { r =>
+      val day = r.getDate(0).toString
+      val mUsed = r.getAs[Long]("m_used")
+      val denom = r.getAs[Long]("denom_x2p50")
+      // the standard HLL estimate from the emitted fixed-point cells
+      val m = 256.0
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val rawEst = alpha * m * m * math.pow(2.0, 50) / denom.toDouble
+      val est =
+        if (rawEst <= 2.5 * m && mUsed < 256)
+          m * math.log(m / (m - mUsed)) // small-range correction
+        else rawEst
+      val truth = exact(day).toDouble
+      assert(math.abs(est - truth) / truth < 0.25,
+        s"$day: est $est vs exact $truth")
+    }
+  }
+
+  test("tokenMassMedian: mass median ≥ count median; both are order statistics") {
+    val spark = SparkSpec.spark
+    val rows = Quality.tokenMassMedian(spark, dir).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val mm = r.getAs[Long]("mass_median_ntok")
+      val cm = r.getAs[Long]("count_median_ntok")
+      // token mass concentrates in long docs, so the mass median can
+      // never sit below the count median
+      assert(mm >= cm, s"${r.getAs[String]("source")}: $mm < $cm")
+      assert(r.getAs[Long]("mass_over_count_x10k") === mm * 10000 / math.max(cm, 1))
+    }
+    // driver replay on one source
+    val src = rows.head.getAs[String]("source")
+    val toks = Tables.documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("source") === src)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), "[a-z0-9]+".r.findAllIn(r.getString(1)).length.toLong))
+      .sortBy(t => (t._2, t._1))
+    val total = toks.map(_._2).sum
+    var cum = 0L
+    val mmRef = toks.find { t => cum += t._2; cum * 2 >= total }.get._2
+    val cmRef = toks((toks.length + 1) / 2 - 1)._2
+    val row = rows.find(_.getAs[String]("source") == src).get
+    assert(row.getAs[Long]("mass_median_ntok") === mmRef)
+    assert(row.getAs[Long]("count_median_ntok") === cmRef)
+  }
+}

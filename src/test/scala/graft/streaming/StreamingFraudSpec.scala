@@ -970,6 +970,45 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming HLL-DAU register grid replays q262 from a snapshot") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = graft.ops.Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts)").as("tsus"), col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val input = MemoryStream[(Long, Long)]
+    val stream = input.toDF().toDF("tsus", "user_id")
+      .select(expr("timestamp_micros(tsus)").as("ts"), col("user_id"))
+    val query = StreamingFraud.hllDauRegistersStream(stream)
+      .writeStream.format("memory").queryName("hlldau")
+      .outputMode("update").start()
+    try {
+      val (b1, rest) = ev.splitAt(ev.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      // update mode re-emits a cell per touch; max-ranks only ratchet up
+      val state = spark.sql(
+          "select day, reg, cast(mrank as bigint) as mrank from hlldau")
+        .collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2))
+        .groupBy(_._1).map { case (k, rs) => (k._1, k._2, rs.map(_._2).max) }
+        .toSeq
+      val snap = state.map { case (d, r, m) => (java.sql.Date.valueOf(d), r, m) }
+        .toDF("day", "reg", "mrank")
+      val fromState = graft.ops.Sketches.hllDauFromRegisters(snap).collect()
+        .map(r => r.getDate(0).toString -> r.toSeq.drop(1)).toMap
+      val q262 = graft.ops.Sketches.hllDau(spark, sfDir).collect()
+        .map(r => r.getDate(0).toString -> r.toSeq.drop(1)).toMap
+      assert(fromState === q262)
+    } finally query.stop()
+  }
+
   test("streaming good-rate grid replays q242 and the q243 BH decision from a snapshot") {
     val spark = SparkSpec.spark
     import spark.implicits._
