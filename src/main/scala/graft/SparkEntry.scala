@@ -575,6 +575,10 @@ object SparkEntry {
     "q262_hll_dau"             -> (graft.ops.Sketches.hllDau _),
     // round-17: token-mass vs count median per source (admission unit)
     "q263_token_mass_median"   -> (graft.ops.Quality.tokenMassMedian _),
+    // round-17: weekday-seasonal residual outliers (median + MAD gate)
+    "q264_seasonal_outliers"   -> (graft.ops.Quality.seasonalOutliers _),
+    // round-17: corpus coverage of the eval set (best-neighbor histogram)
+    "q265_eval_coverage"       -> (graft.sim.SimilarityQueries.evalCoverage _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -848,5 +852,7 @@ object SparkEntry {
     "q261_label_affinity"      -> graft.sim.SimilarityQueries.labelCentroidAffinitySql,
     "q262_hll_dau"             -> graft.ops.Sketches.hllDauSql,
     "q263_token_mass_median"   -> graft.ops.Quality.tokenMassMedianSql,
+    "q264_seasonal_outliers"   -> graft.ops.Quality.seasonalOutliersSql,
+    "q265_eval_coverage"       -> graft.sim.SimilarityQueries.evalCoverageSql,
   )
 }

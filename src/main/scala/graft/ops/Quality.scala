@@ -859,6 +859,83 @@ object Quality {
     *
     * Scale shape: one (type, day) count aggregate, one (type)-keyed
     * double-lag window, one (type) aggregate sharing the exchange. */
+  /** q264 MAD alarm factor: |residual| > [[SeasonalK]]·MAD flags. */
+  val SeasonalK = 4L
+
+  /** q264 — WEEKDAY-SEASONAL RESIDUAL OUTLIERS: flag the days whose
+    * event volume is anomalous RELATIVE TO THEIR WEEKDAY, not to the
+    * overall level — the decomposition q240's backtest justified
+    * (seasonal-naive beats naive ⟹ weekday structure is real, so a
+    * Monday must be judged against Mondays). Per (type, weekday):
+    * exact lower-median of daily counts; residual = count − median;
+    * robust scale = lower-median |residual| over the type (the q93
+    * MAD move, seasonal-adjusted); alarm when |resid| > [[SeasonalK]]
+    * ·MAD. Catches the holiday dip a global 3σ gate calls normal and
+    * ignores the weekend trough a global gate calls an outage.
+    *
+    * All exact: medians are order statistics on the calendar-bounded
+    * grid; residuals and the K·MAD compare are integer arithmetic.
+    *
+    * Scale shape: one (type, day) count aggregate; the weekday
+    * medians, MAD, and flags are windows over the ≤ types·days grid
+    * (calendar-bounded — constant work at any SF, the q251 read). */
+  def seasonalOutliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("wd", dayofweek(col("day")).cast("long"))
+      .localCheckpoint(true) // calendar grid; feeds 3 window passes
+    val byWd = Window.partitionBy("event_type", "wd")
+    val medWd = daily
+      .withColumn("rk", row_number().over(byWd.orderBy(col("x"), col("day")))
+        .cast("long"))
+      .withColumn("n", count(lit(1)).over(byWd))
+      .groupBy("event_type", "wd")
+      .agg(min(when(col("rk") * 2 >= col("n"), col("x"))).as("wd_median"))
+    val resid = daily.join(medWd, Seq("event_type", "wd"))
+      .withColumn("resid", col("x") - col("wd_median"))
+    val byType = Window.partitionBy("event_type")
+    val mad = resid
+      .withColumn("ark", row_number().over(byType.orderBy(abs(col("resid")),
+        col("day"))).cast("long"))
+      .withColumn("an", count(lit(1)).over(byType))
+      .groupBy("event_type")
+      .agg(min(when(col("ark") * 2 >= col("an"), abs(col("resid"))))
+        .as("mad"))
+    resid.join(mad, "event_type")
+      .filter(abs(col("resid")) > lit(SeasonalK) * greatest(col("mad"), lit(1L)))
+      .select(col("event_type"), col("day"), col("wd"), col("x"),
+        col("wd_median"), col("resid"), col("mad"))
+  }
+
+  val seasonalOutliersSql: String =
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+       |wdd AS (SELECT *, CAST(dayofweek(day) + 1 AS BIGINT) AS wd FROM daily),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type, wd
+       |    ORDER BY x, day) AS BIGINT) AS rk,
+       |  CAST(count(*) OVER (PARTITION BY event_type, wd) AS BIGINT) AS n
+       |  FROM wdd),
+       |md AS (SELECT event_type, wd,
+       |  min(CASE WHEN rk * 2 >= n THEN x END) AS wd_median
+       |  FROM r GROUP BY 1, 2),
+       |res AS (SELECT wdd.event_type, wdd.day, wdd.wd, wdd.x, md.wd_median,
+       |  wdd.x - md.wd_median AS resid
+       |  FROM wdd JOIN md ON md.event_type = wdd.event_type AND md.wd = wdd.wd),
+       |ar AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+       |    ORDER BY abs(resid), day) AS BIGINT) AS ark,
+       |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS an
+       |  FROM res),
+       |mad AS (SELECT event_type,
+       |  CAST(min(CASE WHEN ark * 2 >= an THEN abs(resid) END) AS BIGINT) AS mad
+       |  FROM ar GROUP BY 1)
+       |SELECT res.event_type, res.day, res.wd, res.x, res.wd_median,
+       |  res.resid, mad.mad
+       |FROM res JOIN mad ON mad.event_type = res.event_type
+       |WHERE abs(res.resid) > $SeasonalK * greatest(mad.mad, 1)"""
+      .stripMargin.replace("\n", " ")
+
   def seasonalBacktest(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type").orderBy("day")

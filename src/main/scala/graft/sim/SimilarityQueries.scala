@@ -74,6 +74,43 @@ object SimilarityQueries {
       "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, vec_id) AS rank FROM scored) " +
       "SELECT qid, vec_id AS neighbor_id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5"
 
+  /** q265 — EVAL-COVERAGE AUDIT: the histogram of each query
+    * vector's BEST-neighbor cosine against the corpus — "how well
+    * does the training corpus COVER the eval set?" A q112-style
+    * recall eval asks whether the INDEX finds the true neighbors;
+    * this asks whether good neighbors EXIST at all: a query whose
+    * best match sits at cos 0.3 is out-of-distribution for the
+    * corpus, and the mass of such queries is the number a curation
+    * owner reads before blaming the retriever. Bins of 0.05 via
+    * floor(cos·20) — floor on an identical correctly-rounded double
+    * is engine-exact even for NEGATIVE cosines (integer div would
+    * truncate toward zero on one engine and floor on the other).
+    *
+    * Scale shape: the search is q20's brute plan (swap in q44's IVF
+    * at corpus scale — the histogram tail is searcher-agnostic);
+    * after rank-1 selection everything is |Q|-grain folded to ≤ 41
+    * bins with a broadcast total. */
+  def evalCoverage(s: SparkSession, d: String): DataFrame = {
+    val best = cosineTopK(s, d).filter(col("rank") === 1)
+      .select(expr("CAST(floor(cos * 20) AS BIGINT)").as("bin"))
+      .localCheckpoint(true) // |Q| rows; feeds the histogram AND total
+    val total = best.agg(count(lit(1)).as("n_q"))
+    best.groupBy("bin").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("bin"), col("n"),
+        expr("n * 1000000 div n_q").as("frac_ppm"))
+  }
+
+  val evalCoverageSql: String =
+    s"""WITH nb AS ($cosineTopKSql),
+       |b AS (SELECT CAST(floor(cos * 20) AS BIGINT) AS bin
+       |  FROM nb WHERE rank = 1),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM b)
+       |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(count(*) * 1000000 // n_q AS BIGINT) AS frac_ppm
+       |FROM b CROSS JOIN t GROUP BY bin, n_q"""
+      .stripMargin.replace("\n", " ")
+
   /** q261 quantization scale: 2¹⁰ — a power of two, so q = e·1024 is
     * FP-EXACT for every float input (the q169 Gram-matrix rule). */
   val CentroidQ = 1024L

@@ -77,6 +77,43 @@ class GridOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonalOutliers: every flagged day violates the K·MAD gate; medians are exact") {
+    val spark = SparkSpec.spark
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    val wdMed = daily.groupBy(t => (t._1, t._2.getDayOfWeek.getValue))
+      .map { case (k, rows) => k -> lowerMedian(rows.map(_._3).toSeq) }
+    val resid = daily.map { case (et, day, x) =>
+      (et, day, x - wdMed((et, day.getDayOfWeek.getValue)))
+    }
+    val mad = resid.groupBy(_._1).map { case (et, rs) =>
+      et -> lowerMedian(rs.map(r => math.abs(r._3)).toSeq)
+    }
+    val expect = resid.filter { case (et, _, r) =>
+      math.abs(r) > Quality.SeasonalK * math.max(mad(et), 1L)
+    }.map(t => (t._1, t._2.toString)).toSet
+    val got = Quality.seasonalOutliers(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString)).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "the gate has teeth on this corpus")
+  }
+
+  test("evalCoverage: bin mass sums to |Q|, fractions to ~1e6, bins ordered sanely") {
+    val spark = SparkSpec.spark
+    val rows = graft.sim.SimilarityQueries.evalCoverage(spark, dir).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"), r.getAs[Long]("frac_ppm")))
+    val nq = Tables.embeddings(spark, dir)
+      .filter(org.apache.spark.sql.functions.expr("vec_id % 100 = 0")).count()
+    assert(rows.map(_._2).sum === nq)
+    val fracSum = rows.map(_._3).sum
+    assert(fracSum >= 1000000 - rows.length && fracSum <= 1000000)
+    assert(rows.forall { case (b, _, _) => b >= -20 && b <= 20 })
+  }
+
   test("tokenMassMedian: mass median ≥ count median; both are order statistics") {
     val spark = SparkSpec.spark
     val rows = Quality.tokenMassMedian(spark, dir).collect()
