@@ -86,13 +86,26 @@ object SimilarityQueries {
     * is engine-exact even for NEGATIVE cosines (integer div would
     * truncate toward zero on one engine and floor on the other).
     *
-    * Scale shape: the search is q20's brute plan (swap in q44's IVF
-    * at corpus scale — the histogram tail is searcher-agnostic);
-    * after rank-1 selection everything is |Q|-grain folded to ≤ 41
-    * bins with a broadcast total. */
+    * An eval set is FIXED BY NATURE — it does not grow with the
+    * corpus — so the query side here is the constant set
+    * vec_id ∈ {0, 100, …, [[EvalCoverageQMax]]} (50 vectors at every
+    * SF), unlike the q112/q220 family whose fraction-scaled |Q| is a
+    * benchmark definition. Scale shape: brute search = |Q|·N with
+    * |Q| constant ⟹ linear in the corpus (swap in q44's IVF for the
+    * sub-linear path — the histogram tail is searcher-agnostic);
+    * after rank-1 selection everything is 50 rows into ≤ 41 bins. */
   def evalCoverage(s: SparkSession, d: String): DataFrame = {
-    val best = cosineTopK(s, d).filter(col("rank") === 1)
-      .select(expr("CAST(floor(cos * 20) AS BIGINT)").as("bin"))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val queries = emb
+      .filter(col("vec_id") % 100 === 0 && col("vec_id") <= EvalCoverageQMax)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val best = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineExpr("qe", "e"))
+      .groupBy("qid")
+      .agg(max(round(col("cos"), 4)).as("best_cos"))
+      .select(expr("CAST(floor(best_cos * 20) AS BIGINT)").as("bin"))
       .localCheckpoint(true) // |Q| rows; feeds the histogram AND total
     val total = best.agg(count(lit(1)).as("n_q"))
     best.groupBy("bin").agg(count(lit(1)).as("n"))
@@ -101,10 +114,19 @@ object SimilarityQueries {
         expr("n * 1000000 div n_q").as("frac_ppm"))
   }
 
+  /** q265's fixed eval-set id ceiling: ids {0, 100, …, 4900} exist at
+    * every SF (generators extend ids upward), so the query set is the
+    * IDENTICAL 50 vectors everywhere. */
+  val EvalCoverageQMax = 4900L
+
   val evalCoverageSql: String =
-    s"""WITH nb AS ($cosineTopKSql),
-       |b AS (SELECT CAST(floor(cos * 20) AS BIGINT) AS bin
-       |  FROM nb WHERE rank = 1),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS qid, emb AS qe FROM e
+       |  WHERE vec_id % 100 = 0 AND vec_id <= $EvalCoverageQMax),
+       |sc AS (SELECT q.qid, round(list_cosine_similarity(q.qe, e.emb), 4) AS cos
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+       |b AS (SELECT CAST(floor(max(cos) * 20) AS BIGINT) AS bin
+       |  FROM sc GROUP BY qid),
        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM b)
        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
        |  CAST(count(*) * 1000000 // n_q AS BIGINT) AS frac_ppm

@@ -107,7 +107,9 @@ class GridOpsSpec extends AnyFunSuite {
     val rows = graft.sim.SimilarityQueries.evalCoverage(spark, dir).collect()
       .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"), r.getAs[Long]("frac_ppm")))
     val nq = Tables.embeddings(spark, dir)
-      .filter(org.apache.spark.sql.functions.expr("vec_id % 100 = 0")).count()
+      .filter(org.apache.spark.sql.functions.expr(
+        s"vec_id % 100 = 0 AND vec_id <= ${graft.sim.SimilarityQueries.EvalCoverageQMax}"))
+      .count()
     assert(rows.map(_._2).sum === nq)
     val fracSum = rows.map(_._3).sum
     assert(fracSum >= 1000000 - rows.length && fracSum <= 1000000)
