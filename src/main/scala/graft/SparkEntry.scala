@@ -579,6 +579,8 @@ object SparkEntry {
     "q264_seasonal_outliers"   -> (graft.ops.Quality.seasonalOutliers _),
     // round-17: corpus coverage of the eval set (best-neighbor histogram)
     "q265_eval_coverage"       -> (graft.sim.SimilarityQueries.evalCoverage _),
+    // round-17: JSONL round-trip proven lossless (the q221 discipline)
+    "q266_json_roundtrip"      -> (graft.ops.Formats.jsonRoundTrip _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -854,5 +856,6 @@ object SparkEntry {
     "q263_token_mass_median"   -> graft.ops.Quality.tokenMassMedianSql,
     "q264_seasonal_outliers"   -> graft.ops.Quality.seasonalOutliersSql,
     "q265_eval_coverage"       -> graft.sim.SimilarityQueries.evalCoverageSql,
+    "q266_json_roundtrip"      -> graft.ops.Formats.jsonRoundTripSql,
   )
 }

@@ -62,4 +62,50 @@ object Formats {
        |  & ${Long.MaxValue} AS BIGINT) AS h FROM documents)
        |SELECT source, count(*) AS n_rows, CAST(bit_xor(h) AS BIGINT) AS xor_sum
        |FROM h GROUP BY 1""".stripMargin.replace("\n", " ")
+
+  /** q266 — JSON-LINES ROUND-TRIP CHECKSUM: q221's proof applied to
+    * the OTHER interchange format a pipeline actually meets — every
+    * crawl dump, API export, and event feed arrives as JSONL, and
+    * the writer/reader pair has more ways to corrupt a row than ORC
+    * does (string escaping, unicode, newlines-in-text, number
+    * rendering). Same q132 discipline: gzip-compressed JSONL written
+    * once per snapshot ([[DurableIndex]]), read back through Spark's
+    * native json source with the SCHEMA DECLARED (inference is both a
+    * second scan and a correctness hazard — a numeric-looking text
+    * column would come back as a number), then the per-source
+    * (count, XOR) cells against the parquet original.
+    *
+    * Scale shape: identical to q221 — one scan → one streamed
+    * compressed write, one JSONL scan into a |sources|-bounded
+    * aggregate with commutative map-side XOR partials. */
+  def jsonRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val tag = DurableIndex.snapshotTag(d, "documents.parquet")
+    val loc = DurableIndex.root.resolve(s"json-docs-$tag")
+    DurableIndex.locked(s"json-docs-$tag") {
+      if (!DurableIndex.complete(loc)) {
+        java.nio.file.Files.createDirectories(loc)
+        Tables.documents(s, d).write.mode("overwrite")
+          .option("compression", "gzip")
+          .json(loc.resolve("docs").toString)
+        DurableIndex.markComplete(loc)
+      }
+    }
+    val h = graft.functions.GraftFunctions.md5Lower64(
+      concat_ws("|", lit("jsonl:"), col("doc_id"), col("lang"),
+        col("n_chars"), col("text")))
+      .bitwiseAND(Long.MaxValue)
+    s.read.schema(Tables.documents(s, d).schema)
+      .json(loc.resolve("docs").toString)
+      .select(col("source"), h.as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"), bit_xor(col("h")).as("xor_sum"))
+  }
+
+  val jsonRoundTripSql: String =
+    s"""WITH h AS (SELECT source,
+       |  CAST(md5_number_lower('jsonl:' || '|' || CAST(doc_id AS VARCHAR)
+       |    || '|' || lang || '|' || CAST(n_chars AS VARCHAR) || '|' || text)
+       |  & ${Long.MaxValue} AS BIGINT) AS h FROM documents)
+       |SELECT source, count(*) AS n_rows, CAST(bit_xor(h) AS BIGINT) AS xor_sum
+       |FROM h GROUP BY 1""".stripMargin.replace("\n", " ")
 }

@@ -36,6 +36,23 @@ class FormatsSpec extends AnyFunSuite {
       Tables.documents(spark, dir).count())
   }
 
+  test("q266 JSONL-side cells equal the parquet original's (escaping/unicode survive)") {
+    val spark = SparkSpec.spark
+    val got = Formats.jsonRoundTrip(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val h = graft.functions.GraftFunctions.md5Lower64(
+      concat_ws("|", lit("jsonl:"), col("doc_id"), col("lang"),
+        col("n_chars"), col("text"))).bitwiseAND(Long.MaxValue)
+    val fromParquet = Tables.documents(spark, dir)
+      .select(col("source"), h.as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"), bit_xor(col("h")).as("xor_sum"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === fromParquet, "JSONL round-trip must be lossless")
+    assert(got.values.map(_._1).sum === Tables.documents(spark, dir).count())
+  }
+
   test("the checksum detects a single mutated row") {
     val spark = SparkSpec.spark
     val docs = Tables.documents(spark, dir)
