@@ -581,6 +581,12 @@ object SparkEntry {
     "q265_eval_coverage"       -> (graft.sim.SimilarityQueries.evalCoverage _),
     // round-17: JSONL round-trip proven lossless (the q221 discipline)
     "q266_json_roundtrip"      -> (graft.ops.Formats.jsonRoundTrip _),
+    // round-17: A/A null calibration of the drift gate (pseudo-arms)
+    "q267_aa_calibration"      -> (graft.ops.Inference.aaCalibration _),
+    // round-17: Calinski–Harabasz scatter ratio over embedding labels
+    "q268_scatter_ratio"       -> (graft.sim.SimilarityQueries.scatterRatio _),
+    // round-17: inter-event burstiness screen (Goh–Barabási B)
+    "q269_burstiness"          -> (graft.ops.Quality.burstiness _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -857,5 +863,8 @@ object SparkEntry {
     "q264_seasonal_outliers"   -> graft.ops.Quality.seasonalOutliersSql,
     "q265_eval_coverage"       -> graft.sim.SimilarityQueries.evalCoverageSql,
     "q266_json_roundtrip"      -> graft.ops.Formats.jsonRoundTripSql,
+    "q267_aa_calibration"      -> graft.ops.Inference.aaCalibrationSql,
+    "q268_scatter_ratio"       -> graft.sim.SimilarityQueries.scatterRatioSql,
+    "q269_burstiness"          -> graft.ops.Quality.burstinessSql,
   )
 }

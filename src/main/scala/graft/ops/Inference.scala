@@ -159,6 +159,75 @@ object Inference {
         when(col("rank") <= col("k_star"), 1L).otherwise(0L).as("reject"))
   }
 
+  /** q267 — A/A NULL CALIBRATION of the drift gate: split every
+    * source into two pseudo-arms by a deterministic doc_id hash and
+    * run the q242 two-proportion z WITHIN each source — where the
+    * null is true BY CONSTRUCTION. The statistical-hygiene op every
+    * experimentation platform runs before trusting its alarms
+    * (Kohavi's A/A test): if pseudo-pairs reject at more than α, the
+    * gate's variance model is broken (correlated docs, wrong
+    * pooling), and every real alarm it raised is suspect. Emits the
+    * per-source pseudo-z plus the realized false-alarm count at
+    * |z| > 1.96 — expected ~5% of sources.
+    *
+    * Same FLOAT RULE as q242 (one correctly-rounded double tree);
+    * the arm split is the md5-parity hash both engines share.
+    *
+    * Scale shape: ONE (source, arm) count aggregate over the scan;
+    * everything after is |sources|-grain. */
+  def aaCalibration(s: SparkSession, d: String): DataFrame = {
+    val stopPred = Seq("the", "a", "of", "and", "is", "to")
+      .map(w => s"t = '$w'").mkString(" OR ")
+    val arms = Tables.documents(s, d)
+      .select(col("source"),
+        (graft.functions.GraftFunctions.md5Lower64(
+          concat(lit("aa:"), col("doc_id").cast("string")))
+          .bitwiseAND(Long.MaxValue) % 2).as("arm"),
+        expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").cast("long")
+          .as("ntok"),
+        expr(s"size(filter(split(text, ' '), t -> $stopPred))").cast("long")
+          .as("nstop"))
+      .groupBy("source", "arm")
+      .agg(count(lit(1)).as("n"),
+        sum(when(expr("ntok >= 20 AND 5 * nstop < 3 * ntok"), 1L)
+          .otherwise(0L)).as("x"))
+    val a = arms.filter(col("arm") === 0)
+      .select(col("source"), col("n").as("n_a"), col("x").as("x_a"))
+    val b = arms.filter(col("arm") === 1)
+      .select(col("source"), col("n").as("n_b"), col("x").as("x_b"))
+    a.join(b, "source")
+      .select(col("source"), col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+        expr(zExpr("x_a", "n_a", "x_b", "n_b")).as("z6"))
+      .withColumn("false_alarm",
+        expr("CAST(CASE WHEN z6 IS NOT NULL AND abs(z6) > 1.96 " +
+          "THEN 1 ELSE 0 END AS BIGINT)"))
+  }
+
+  val aaCalibrationSql: String = {
+    val stopPred = Seq("the", "a", "of", "and", "is", "to")
+      .map(w => s"t = '$w'").mkString(" OR ")
+    s"""WITH arms AS (SELECT source,
+       |  CAST(md5_number_lower('aa:' || CAST(doc_id AS VARCHAR))
+       |    & ${Long.MaxValue} AS BIGINT) % 2 AS arm,
+       |  count(*) AS n,
+       |  CAST(sum(CASE WHEN len(regexp_extract_all(text, '[a-z0-9]+')) >= 20
+       |    AND 5 * len(list_filter(string_split(text, ' '), t -> $stopPred))
+       |    < 3 * len(regexp_extract_all(text, '[a-z0-9]+'))
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS x
+       |  FROM documents GROUP BY 1, 2),
+       |a AS (SELECT source, CAST(n AS BIGINT) AS n_a, x AS x_a
+       |  FROM arms WHERE arm = 0),
+       |b AS (SELECT source, CAST(n AS BIGINT) AS n_b, x AS x_b
+       |  FROM arms WHERE arm = 1),
+       |z AS (SELECT a.source, n_a, n_b, x_a, x_b,
+       |  ${zExpr("x_a", "n_a", "x_b", "n_b")} AS z6
+       |  FROM a JOIN b ON a.source = b.source)
+       |SELECT source, n_a, n_b, x_a, x_b, z6,
+       |  CAST(CASE WHEN z6 IS NOT NULL AND abs(z6) > 1.96
+       |    THEN 1 ELSE 0 END AS BIGINT) AS false_alarm
+       |FROM z""".stripMargin.replace("\n", " ")
+  }
+
   /** q257 — WILSON SCORE INTERVAL per source for the good-doc rate:
     * the proportion CI that behaves at the extremes where the naive
     * Wald interval collapses (x = 0 or x = n give Wald width 0;

@@ -1494,6 +1494,86 @@ object Quality {
       |    AS BIGINT) AS gini_ppm
       |FROM g""".stripMargin.replace("\n", " ")
 
+  // ------------------- inter-event burstiness screen (q269)
+
+  /** q269 minimum gap count for a stable burstiness estimate. */
+  val BurstMinGaps = 20L
+
+  /** q269 — INTER-EVENT BURSTINESS per user (Goh & Barabási 2008:
+    * B = (σ−μ)/(σ+μ) over the inter-event gaps): the temporal
+    * signature that separates humans from machines — a Poisson-ish
+    * human sits near B ≈ 0 (σ ≈ μ), a cron job or replayed log at
+    * B → −1 (regular: σ ≪ μ), scripted burst-and-sleep traffic at
+    * B → +1 — squarely the reference's fraud domain, on the axis
+    * (timing) none of the value/volume rules look at. Ships the
+    * exact integer gap moments (n, Σg, Σg² in ms) with B in 6dp and
+    * a 3-way verdict at the conventional ±0.25 cuts.
+    *
+    * EXACT: gaps are integer SECOND differences off ONE (user)
+    * window (ms² moments would press 2⁶³ at one 30-day gap; seconds
+    * buy 10⁶× headroom and burstiness is scale-free — B is invariant
+    * to the unit); moments are BIGINTs; σ enters only through the variance
+    * identity n·Σg² − (Σg)², and B6's double tree uses
+    * √(n·Σg²−(Σg)²)·… with correctly-rounded ops only. The verdict
+    * compares in integer cross-multiplied space — no float at the
+    * boundary (FLOAT RULE).
+    *
+    * Scale shape: one (user) exchange carries the lag window AND the
+    * moment aggregate; output is |users with ≥ [[BurstMinGaps]]
+    * gaps| rows. */
+  def burstiness(s: SparkSession, d: String): DataFrame =
+    burstinessFrom(Tables.events(s, d))
+
+  /** [[burstiness]] over an explicit events frame (needs user_id, ts,
+    * event_id) — the unit GridOpsSpec drives with constructed
+    * regular/bursty streams. */
+  def burstinessFrom(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_ms_",
+        unix_millis(col("ts")) - unix_millis(lag("ts", 1).over(w)))
+      .withColumn("gap_s", expr("gap_ms_ div 1000"))
+      .filter(col("gap_s").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap_s").as("sg"),
+        sum(expr("gap_s * gap_s")).as("sgg"))
+      .filter(col("n_gaps") >= BurstMinGaps)
+      .select(col("user_id"), col("n_gaps"), col("sg"), col("sgg"),
+        expr(BurstExpr).as("b6"),
+        // B > 0.25 ⟺ (σ−μ)·4 > σ+μ ⟺ 3σ > 5μ ⟺ 9·σ²·n... integer:
+        // 9·(n·Σg²−Σg²ᵤ)·... — cross-multiplied with σ² = (nΣg²−(Σg)²)/n²
+        // and μ = Σg/n: 3σ > 5μ ⟺ 9(nΣg²−(Σg)²) > 25(Σg)² and
+        // 5σ < 3μ ⟺ 25(nΣg²−(Σg)²) < 9(Σg)².
+        expr("CASE WHEN 9 * (n_gaps * sgg - sg * sg) > 25 * sg * sg " +
+          "THEN 'bursty' WHEN 25 * (n_gaps * sgg - sg * sg) < 9 * sg * sg " +
+          "THEN 'regular' ELSE 'poisson_like' END").as("verdict"))
+  }
+
+  // B = (σ−μ)/(σ+μ) with σ = √(nΣg²−(Σg)²)/n, μ = Σg/n — the n's
+  // cancel: B = (√(nΣg²−(Σg)²) − Σg) / (√(nΣg²−(Σg)²) + Σg).
+  private val BurstExpr: String =
+    "round((sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)) - CAST(sg AS DOUBLE))" +
+      " / (sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)) + CAST(sg AS DOUBLE))" +
+      ", 6)"
+
+  val burstinessSql: String =
+    s"""WITH g AS (SELECT user_id,
+       |  (epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id))) // 1000 AS gap_s
+       |  FROM events),
+       |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       |  CAST(sum(gap_s) AS BIGINT) AS sg,
+       |  CAST(sum(gap_s * gap_s) AS BIGINT) AS sgg
+       |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+       |  HAVING count(*) >= $BurstMinGaps)
+       |SELECT user_id, n_gaps, sg, sgg, $BurstExpr AS b6,
+       |  CASE WHEN 9 * (n_gaps * sgg - sg * sg) > 25 * sg * sg
+       |    THEN 'bursty' WHEN 25 * (n_gaps * sgg - sg * sg) < 9 * sg * sg
+       |    THEN 'regular' ELSE 'poisson_like' END AS verdict
+       |FROM m""".stripMargin.replace("\n", " ")
+
   // ---------------- token-mass median document length (q263)
 
   /** q263 — TOKEN-MASS MEDIAN length per source: the smallest doc

@@ -202,6 +202,80 @@ object SimilarityQueries {
        |JOIN cn ca ON ca.label = p.la JOIN cn cb ON cb.label = p.lb"""
       .stripMargin.replace("\n", " ")
 
+  /** q268 — BETWEEN/WITHIN SCATTER RATIO (Calinski–Harabasz 1974) of
+    * the embedding label classes: the one-number answer to "are
+    * these labels real CLUSTERS in embedding space?" — the
+    * multivariate cousin of q229's ANOVA F, and the internal
+    * validity index a pipeline checks before trusting label-keyed
+    * ops (q72's k-NN voting, q134's cluster-safe splits, q261's
+    * centroid affinities). CH = (B/(k−1)) / (W/(n−k)) with
+    * B = Σ_g n_g·‖μ_g−μ‖², W = Σ_g Σ_{x∈g} ‖x−μ_g‖².
+    *
+    * Exact integers by the q229 discipline lifted to d dimensions:
+    * quantized sums S_g (per dim) and squared mass Q_g are BIGINTs;
+    * W_num = Σ_g (Q_g − ‖S_g‖² div n_g) and B_num = Σ_g ‖S_g‖² div
+    * n_g − ‖S‖² div n use exact integer div (truncation < 1 cell²
+    * per group, documented); ch6 is ONE correctly-rounded double
+    * tree. Headroom: ‖S_g‖² < 2⁶³ caps a label at ~10⁸ quantized
+    * vectors; past that, DECIMAL.
+    *
+    * Scale shape: ONE explode→(label, dim) aggregate (the q261
+    * grid, with Σq² riding along), then ≤ k·d grid math; output is
+    * ONE row. */
+  def scatterRatio(s: SparkSession, d: String): DataFrame = {
+    val grid = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "e")))
+      .select(col("label"), col("dim"),
+        expr(s"CAST(round(e * $CentroidQ) AS BIGINT)").as("q"))
+      .groupBy("label", "dim")
+      .agg(sum("q").as("sq"), sum(expr("q * q")).as("qq"),
+        count(lit(1)).as("n_g"))
+    val perLabel = grid.groupBy("label")
+      .agg(sum(expr("sq * sq")).as("s2"), sum("qq").as("qg"),
+        max("n_g").as("n_g")) // n_g constant across dims
+    perLabel
+      .agg(count(lit(1)).as("k"), sum("n_g").as("n"),
+        sum(expr("s2 div n_g")).as("sb_part"),
+        sum(expr("qg - s2 div n_g")).as("w_num"))
+      .crossJoin(broadcast(
+        Tables.embeddings(s, d)
+          .select(posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("dim", "e")))
+          .select(col("dim"),
+            expr(s"CAST(round(e * $CentroidQ) AS BIGINT)").as("q"))
+          .groupBy("dim").agg(sum("q").as("st"))
+          .agg(sum(expr("st * st")).as("stot2"))))
+      .select(col("k"), col("n"),
+        (col("sb_part") - expr("stot2 div n")).as("b_num"), col("w_num"))
+      .select(col("k"), col("n"), col("b_num"), col("w_num"),
+        expr("round((CAST(b_num AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)) / " +
+          "(CAST(w_num AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))" +
+          ", 6)").as("ch6"))
+  }
+
+  val scatterRatioSql: String =
+    s"""WITH q AS (SELECT label, i - 1 AS dim,
+       |  CAST(round(CAST(embedding[i] AS DOUBLE) * $CentroidQ) AS BIGINT) AS q
+       |  FROM embeddings, range(1, 65) t(i)),
+       |g AS (SELECT label, dim, CAST(sum(q) AS BIGINT) AS sq,
+       |  CAST(sum(q * q) AS BIGINT) AS qq, count(*) AS n_g
+       |  FROM q GROUP BY 1, 2),
+       |pl AS (SELECT label, CAST(sum(sq * sq) AS BIGINT) AS s2,
+       |  CAST(sum(qq) AS BIGINT) AS qg, CAST(max(n_g) AS BIGINT) AS n_g
+       |  FROM g GROUP BY 1),
+       |tot AS (SELECT CAST(sum(st * st) AS BIGINT) AS stot2 FROM
+       |  (SELECT dim, CAST(sum(q) AS BIGINT) AS st FROM q GROUP BY 1)),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+       |  CAST(sum(n_g) AS BIGINT) AS n,
+       |  CAST(sum(s2 // n_g) AS BIGINT) AS sb_part,
+       |  CAST(sum(qg - s2 // n_g) AS BIGINT) AS w_num FROM pl)
+       |SELECT k, n, sb_part - stot2 // n AS b_num, w_num,
+       |  round((CAST(sb_part - stot2 // n AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
+       |    / (CAST(w_num AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+       |    AS ch6
+       |FROM m CROSS JOIN tot""".stripMargin.replace("\n", " ")
+
   /** q72 — k-NN majority-vote LABEL PROPAGATION over the embedding
     * table: for each held-out query vector, the majority label among
     * its top-k cosine neighbors (ties to the smaller label id), next

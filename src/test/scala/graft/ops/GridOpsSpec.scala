@@ -116,6 +116,54 @@ class GridOpsSpec extends AnyFunSuite {
     assert(rows.forall { case (b, _, _) => b >= -20 && b <= 20 })
   }
 
+  test("aaCalibration: null holds — false-alarm rate near α; z replays brute-force") {
+    val spark = SparkSpec.spark
+    val rows = Inference.aaCalibration(spark, dir).collect()
+    assert(rows.length === 20)
+    val alarms = rows.map(_.getAs[Long]("false_alarm")).sum
+    // 20 null tests at α=5%: P(>5 alarms) < 1e-4 — a failure here means
+    // the variance model is broken, which is exactly what q267 detects
+    assert(alarms <= 5, s"$alarms/20 pseudo-pairs alarmed — gate miscalibrated")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") === 25L)
+    }
+  }
+
+  test("scatterRatio: CH ≈ 1 on label-less synthetic space (no hallucinated structure)") {
+    val spark = SparkSpec.spark
+    val r = graft.sim.SimilarityQueries.scatterRatio(spark, dir).collect().head
+    assert(r.getAs[Long]("k") === 10 && r.getAs[Long]("n") === 500)
+    val ch = r.getAs[Double]("ch6")
+    // synthetic embeddings carry no label structure: CH must sit near 1
+    // (an index that reported strong clusters here would be lying)
+    assert(ch > 0.5 && ch < 2.0, s"CH $ch")
+    assert(r.getAs[Long]("b_num") > 0 && r.getAs[Long]("w_num") > 0)
+  }
+
+  test("burstiness: constructed regular/bursty streams land on the right verdicts") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    // user 1: perfectly regular (every 100 s); user 2: bursty
+    // (99 one-second gaps then one huge gap, repeated)
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val regular = (0L until 50L).map(i => (1L, ts(i * 100), i))
+    val bursty = (0L until 50L).map { i =>
+      val base = (i / 10) * 100000L + (i % 10)
+      (2L, ts(base), 100 + i)
+    }
+    val ev = (regular ++ bursty).toDF("user_id", "ts", "event_id")
+    val out = Quality.burstinessFrom(ev).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("verdict")).toMap
+    assert(out(1L) === "regular", s"got $out")
+    assert(out(2L) === "bursty")
+    // and on the real corpus: B bounded, moments exact
+    Quality.burstiness(spark, dir).collect().foreach { r =>
+      val b = r.getAs[Double]("b6")
+      assert(b >= -1.0 && b <= 1.0)
+      assert(r.getAs[Long]("n_gaps") >= Quality.BurstMinGaps)
+    }
+  }
+
   test("tokenMassMedian: mass median ≥ count median; both are order statistics") {
     val spark = SparkSpec.spark
     val rows = Quality.tokenMassMedian(spark, dir).collect()
