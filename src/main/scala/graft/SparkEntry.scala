@@ -587,6 +587,8 @@ object SparkEntry {
     "q268_scatter_ratio"       -> (graft.sim.SimilarityQueries.scatterRatio _),
     // round-17: inter-event burstiness screen (Goh–Barabási B)
     "q269_burstiness"          -> (graft.ops.Quality.burstiness _),
+    // round-17: growth accounting (new/retained/resurrected/churned)
+    "q270_growth_accounting"   -> (RelationalQueries.growthAccounting _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -866,5 +868,6 @@ object SparkEntry {
     "q267_aa_calibration"      -> graft.ops.Inference.aaCalibrationSql,
     "q268_scatter_ratio"       -> graft.sim.SimilarityQueries.scatterRatioSql,
     "q269_burstiness"          -> graft.ops.Quality.burstinessSql,
+    "q270_growth_accounting"   -> RelationalQueries.growthAccountingSql,
   )
 }

@@ -1414,6 +1414,67 @@ object RelationalQueries {
       |FROM p WHERE e3 IS NOT NULL GROUP BY 1, 2, 3"""
       .stripMargin.replace("\n", " ")
 
+  /** q270 — GROWTH ACCOUNTING: the per-day decomposition every DAU
+    * chart hides — new (first-ever activity), retained (also active
+    * the previous day), resurrected (returning after a gap), and
+    * churned-from-yesterday (active d−1, silent d) — with the
+    * identity dau(d) = new + retained + resurrected and
+    * dau(d−1) = retained + churned(d) holding EXACTLY per row (the
+    * spec pins both). q237 counts actives; this says WHY the count
+    * moved, which is the number a growth review actually reads.
+    *
+    * Exact: (user, day) distinct activity, classification by ONE lag
+    * (gap = 1 retained, > 1 resurrected, null new) and churn by the
+    * matching lead on the same sort; day rollup is grid-bounded.
+    *
+    * Scale shape: one (user, day) distinct aggregate, one (user)
+    * window carrying lag AND lead on one sort, one day-grain
+    * aggregate. Output is |days| rows. */
+  def growthAccounting(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val act = events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+      .withColumn("prev_gap",
+        datediff(col("day"), lag("day", 1).over(w)).cast("long"))
+      .withColumn("next_gap",
+        datediff(lead("day", 1).over(w), col("day")).cast("long"))
+      .localCheckpoint(true) // (user, day) grain; feeds both rollups
+    val byDay = act.groupBy("day").agg(
+      count(lit(1)).as("dau"),
+      sum(when(col("prev_gap").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("prev_gap") === 1L, 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("prev_gap") > 1L, 1L).otherwise(0L)).as("n_resurrected"))
+    // churned INTO day d+1: active at d with no activity at d+1
+    val churn = act
+      .filter(col("next_gap").isNull || col("next_gap") > 1L)
+      .select(date_add(col("day"), 1).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_churned"))
+    byDay.join(churn, Seq("day"), "left")
+      .select(col("day"), col("dau"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), coalesce(col("n_churned"), lit(0L))
+          .as("n_churned"))
+  }
+
+  val growthAccountingSql: String =
+    """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |g AS (SELECT user_id, day,
+      |  CAST(datediff('day', lag(day) OVER w, day) AS BIGINT) AS prev_gap,
+      |  CAST(datediff('day', day, lead(day) OVER w) AS BIGINT) AS next_gap
+      |  FROM act WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |byday AS (SELECT day, count(*) AS dau,
+      |  CAST(sum(CASE WHEN prev_gap IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(sum(CASE WHEN prev_gap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |  CAST(sum(CASE WHEN prev_gap > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM g GROUP BY 1),
+      |ch AS (SELECT day + 1 AS day, count(*) AS n_churned
+      |  FROM g WHERE next_gap IS NULL OR next_gap > 1 GROUP BY 1)
+      |SELECT byday.day, byday.dau, byday.n_new, byday.n_retained,
+      |  byday.n_resurrected,
+      |  CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
+      |FROM byday LEFT JOIN ch ON ch.day = byday.day"""
+      .stripMargin.replace("\n", " ")
+
   /** q259 — RFM SEGMENTATION: per user, recency (days since last
     * event vs the corpus max day), frequency (event count) and
     * monetary mass (Σ value in exact cents), each cut into quintiles

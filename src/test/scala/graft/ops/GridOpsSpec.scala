@@ -164,6 +164,31 @@ class GridOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("growthAccounting: both accounting identities hold on every day") {
+    val spark = SparkSpec.spark
+    val rows = RelationalQueries.growthAccounting(spark, dir).collect()
+      .map(r => r.getDate(0).toLocalDate ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("n_new"),
+          r.getAs[Long]("n_retained"), r.getAs[Long]("n_resurrected"),
+          r.getAs[Long]("n_churned"))))
+      .sortBy(_._1.toEpochDay)
+    assert(rows.nonEmpty)
+    // identity 1: dau = new + retained + resurrected, every day
+    rows.foreach { case (day, (dau, nw, rt, rs, _)) =>
+      assert(dau === nw + rt + rs, s"$day")
+    }
+    // identity 2: dau(d-1) = retained(d) + churned(d) on consecutive days
+    rows.sliding(2).foreach {
+      case Array((d1, (dau1, _, _, _, _)), (d2, (_, _, rt2, _, ch2)))
+        if d2.toEpochDay == d1.toEpochDay + 1 =>
+        assert(dau1 === rt2 + ch2, s"$d1 -> $d2")
+      case _ => ()
+    }
+    // total new across all days = distinct users ever active
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(rows.map(_._2._2).sum === users)
+  }
+
   test("tokenMassMedian: mass median ≥ count median; both are order statistics") {
     val spark = SparkSpec.spark
     val rows = Quality.tokenMassMedian(spark, dir).collect()
