@@ -589,6 +589,8 @@ object SparkEntry {
     "q269_burstiness"          -> (graft.ops.Quality.burstiness _),
     // round-17: growth accounting (new/retained/resurrected/churned)
     "q270_growth_accounting"   -> (RelationalQueries.growthAccounting _),
+    // round-17: dedup-cluster size telemetry (mega-cluster vs long tail)
+    "q271_cluster_sizes"       -> (graft.dedup.DedupQueries.clusterSizeHistogram _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -869,5 +871,6 @@ object SparkEntry {
     "q268_scatter_ratio"       -> graft.sim.SimilarityQueries.scatterRatioSql,
     "q269_burstiness"          -> graft.ops.Quality.burstinessSql,
     "q270_growth_accounting"   -> RelationalQueries.growthAccountingSql,
+    "q271_cluster_sizes"       -> graft.dedup.DedupQueries.clusterSizeHistogramSql,
   )
 }

@@ -600,6 +600,41 @@ object DedupQueries {
       "UNION SELECT a.src, r.lbl FROM adj a JOIN reach r ON r.doc_id = a.nb) " +
       "SELECT doc_id, min(lbl) AS cluster FROM reach GROUP BY doc_id"
 
+  /** q271 — DEDUP-CLUSTER SIZE DISTRIBUTION: the telemetry row a
+    * dedup owner reads after every run — is the duplicate mass a few
+    * MEGA-clusters (template spam, mirrored sites: one representative
+    * saves thousands of docs) or a long tail of pairs (benign
+    * near-edits: diminishing returns)? Per cluster size: how many
+    * clusters, how many docs they hold, and the doc mass the q105
+    * keep-one-representative policy would remove at that size (size−1
+    * per cluster). The q45 labels feed a size-grain rollup; singleton
+    * "clusters" (never matched) are the size-1 row, so Σ n_docs =
+    * |corpus| exactly (spec-pinned).
+    *
+    * Scale shape: the clustering is the cost and runs on the q64
+    * LARGE/SMALL-STAR path (O(log n) rounds — q45's per-hop
+    * propagation is the oracle-side contract, identical labels); the
+    * size histogram is one (cluster) count aggregate + one (size)
+    * rollup — both bounded by cluster count. Residual growth tracks
+    * verified-pair mass (the documented output-bound pair-enumerator
+    * read). */
+  def clusterSizeHistogram(s: SparkSession, d: String): DataFrame =
+    dedupClustersLargeStar(s, d)
+      .groupBy("cluster").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_docs"),
+        sum(expr("sz - 1")).as("docs_removed_by_keep_one"))
+
+  val clusterSizeHistogramSql: String =
+    s"""WITH cl AS ($dedupClustersSql),
+       |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz
+       |  FROM cl GROUP BY 1)
+       |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(sz) AS BIGINT) AS n_docs,
+       |  CAST(sum(sz - 1) AS BIGINT) AS docs_removed_by_keep_one
+       |FROM cs GROUP BY 1""".stripMargin.replace("\n", " ")
+
   /** q105 — cluster REPRESENTATIVE selection: after near-dup
     * clustering (q45), each cluster keeps its best member — longest
     * text, id tiebreak, the q103 policy applied at the CLUSTER grain

@@ -189,6 +189,22 @@ class GridOpsSpec extends AnyFunSuite {
     assert(rows.map(_._2._2).sum === users)
   }
 
+  test("clusterSizeHistogram: sizes partition the corpus; removal mass = docs - clusters") {
+    val spark = SparkSpec.spark
+    val rows = graft.dedup.DedupQueries.clusterSizeHistogram(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("docs_removed_by_keep_one")))
+    val total = Tables.documents(spark, dir).count()
+    assert(rows.map(_._3).sum === total, "sizes partition the corpus")
+    rows.foreach { case (sz, nc, nd, rem) =>
+      assert(nd === sz * nc)
+      assert(rem === nd - nc)
+    }
+    // the synthetic corpus plants near-dups: a size > 1 row must exist
+    assert(rows.exists(_._1 > 1))
+  }
+
   test("tokenMassMedian: mass median ≥ count median; both are order statistics") {
     val spark = SparkSpec.spark
     val rows = Quality.tokenMassMedian(spark, dir).collect()
