@@ -879,11 +879,21 @@ object Quality {
     * Scale shape: one (type, day) count aggregate; the weekday
     * medians, MAD, and flags are windows over the ≤ types·days grid
     * (calendar-bounded — constant work at any SF, the q251 read). */
-  def seasonalOutliers(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val daily = Tables.events(s, d)
-      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+  def seasonalOutliers(s: SparkSession, d: String): DataFrame =
+    seasonalOutliersFromCounts(typeDayCounts(Tables.events(s, d)))
+
+  /** The ADDITIVE (event_type, day) count grid shared by q240, q251
+    * and q264 — and the whole state of the streaming twin
+    * ([[graft.streaming.StreamingFraud.typeDayCountsStream]]): a
+    * snapshot replays all three registered tables exactly without
+    * re-touching the events (StreamingFraudSpec pins q264's). */
+  def typeDayCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), col("ts").cast("date").as("day"))
       .agg(count(lit(1)).as("x"))
+
+  def seasonalOutliersFromCounts(dailyIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = dailyIn
       .withColumn("wd", dayofweek(col("day")).cast("long"))
       .localCheckpoint(true) // calendar grid; feeds 3 window passes
     val byWd = Window.partitionBy("event_type", "wd")
@@ -936,12 +946,13 @@ object Quality {
        |WHERE abs(res.resid) > $SeasonalK * greatest(mad.mad, 1)"""
       .stripMargin.replace("\n", " ")
 
-  def seasonalBacktest(s: SparkSession, d: String): DataFrame = {
+  def seasonalBacktest(s: SparkSession, d: String): DataFrame =
+    seasonalBacktestFromCounts(typeDayCounts(Tables.events(s, d)))
+
+  def seasonalBacktestFromCounts(daily: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type").orderBy("day")
-    Tables.events(s, d)
-      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
-      .agg(count(lit(1)).as("x"))
+    daily
       .withColumn("f1", lag(col("x"), 1).over(w))
       .withColumn("f7", lag(col("x"), 7).over(w))
       .filter(col("f7").isNotNull) // f1 exists wherever f7 does
@@ -1252,11 +1263,12 @@ object Quality {
     * (435 pairs per type on a 30-day window) is constant work at any
     * SF; the only corpus-sized stage is the (type, day) count
     * aggregate with map-side partials. */
-  def theilSenTrend(s: SparkSession, d: String): DataFrame = {
+  def theilSenTrend(s: SparkSession, d: String): DataFrame =
+    theilSenFromCounts(typeDayCounts(Tables.events(s, d)))
+
+  def theilSenFromCounts(dailyIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = Tables.events(s, d)
-      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
-      .agg(count(lit(1)).as("x"))
+    val daily = dailyIn
       .localCheckpoint(true) // calendar-bounded grid; feeds 3 consumers
     val d0 = daily.agg(min("day").as("d0"))
     val g = daily.crossJoin(broadcast(d0))

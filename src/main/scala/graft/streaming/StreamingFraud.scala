@@ -699,6 +699,18 @@ object StreamingFraud {
   def ksCountsStream(docs: DataFrame): DataFrame =
     graft.ops.Quality.ksCounts(docs)
 
+  /** Streaming twin of the (event_type, day) count grid — ONE state
+    * that replays THREE registered tables: q240's seasonal-vs-naive
+    * backtest, q251's Theil–Sen robust trend, and q264's
+    * weekday-seasonal outlier gate, each via its `FromCounts` tail
+    * over a snapshot (`Quality.typeDayCounts` is the shared grid
+    * builder, so every consumer counts identically). State is
+    * |types|·|days| additive cells, calendar-bounded forever — the
+    * [[cusumCountsStream]] posture with the type key carried along.
+    * Input schema: (ts, event_type). */
+  def typeDayCountsStream(events: DataFrame): DataFrame =
+    graft.ops.Quality.typeDayCounts(events)
+
   /** Streaming twin of q262's register grid — the LIVE SKETCHED-DAU
     * MONITOR's state: (day, register) max-ranks over arriving events
     * (the [[hllRegistersStream]] posture at calendar grain). State is

@@ -970,6 +970,51 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming (type, day) grid replays q240, q251 and q264 from one snapshot") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = graft.ops.Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts)").as("tsus"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("tsus", "event_type")
+      .select(expr("timestamp_micros(tsus)").as("ts"), col("event_type"))
+    val query = StreamingFraud.typeDayCountsStream(stream)
+      .writeStream.format("memory").queryName("tdgrid")
+      .outputMode("update").start()
+    try {
+      val (b1, rest) = ev.splitAt(ev.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      val state = spark.sql(
+          "select event_type, day, cast(x as bigint) as x from tdgrid")
+        .collect()
+        .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2))
+        .groupBy(_._1).map { case (k, rs) => (k._1, k._2, rs.map(_._2).max) }
+        .toSeq
+      val snap = state
+        .map { case (t, d, x) => (t, java.sql.Date.valueOf(d), x) }
+        .toDF("event_type", "day", "x").localCheckpoint(true)
+      def m(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.toSeq.head -> r.toSeq.tail).toMap
+      assert(m(graft.ops.Quality.seasonalBacktestFromCounts(snap)) ===
+        m(graft.ops.Quality.seasonalBacktest(spark, sfDir)))
+      assert(m(graft.ops.Quality.theilSenFromCounts(snap)) ===
+        m(graft.ops.Quality.theilSenTrend(spark, sfDir)))
+      val outFromState = graft.ops.Quality.seasonalOutliersFromCounts(snap)
+        .collect().map(r => (r.getString(0), r.getDate(1).toString)).toSet
+      val q264 = graft.ops.Quality.seasonalOutliers(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getDate(1).toString)).toSet
+      assert(outFromState === q264)
+    } finally query.stop()
+  }
+
   test("streaming HLL-DAU register grid replays q262 from a snapshot") {
     import org.apache.spark.sql.functions.{col, expr}
     val spark = SparkSpec.spark
