@@ -591,6 +591,8 @@ object SparkEntry {
     "q270_growth_accounting"   -> (RelationalQueries.growthAccounting _),
     // round-17: dedup-cluster size telemetry (mega-cluster vs long tail)
     "q271_cluster_sizes"       -> (graft.dedup.DedupQueries.clusterSizeHistogram _),
+    // round-16 (driver counter): unigram-LM tokenizer seed statistics
+    "q272_unigram_seed"        -> (graft.text.Unigram.seedStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -822,8 +824,7 @@ object SparkEntry {
     "q220_ndcg_eval"           -> graft.sim.SimilarityQueries.ndcgEvalSql,
     "q221_orc_roundtrip"       -> graft.ops.Formats.orcRoundTripSql,
     "q222_link_prediction"     -> graft.ops.Affinity.linkPredictionSql,
-    // q223_compression_probe: deliberately absent — DEFLATE has no SQL
-    // twin; the driver's weaker rows-only check applies (see scaladoc).
+    "q223_compression_probe"   -> graft.text.Compressibility.compressionProbeSql,
     "q224_length_gini"         -> graft.ops.Quality.lengthGiniSql,
     "q225_jackknife_sources"   -> graft.ops.Quality.jackknifeSourcesSql,
     "q226_ols_trend"           -> graft.ops.Quality.olsDailyTrendSql,
@@ -872,5 +873,6 @@ object SparkEntry {
     "q269_burstiness"          -> graft.ops.Quality.burstinessSql,
     "q270_growth_accounting"   -> RelationalQueries.growthAccountingSql,
     "q271_cluster_sizes"       -> graft.dedup.DedupQueries.clusterSizeHistogramSql,
+    "q272_unigram_seed"        -> graft.text.Unigram.seedStatsSql,
   )
 }

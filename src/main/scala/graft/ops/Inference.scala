@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   *  - z6 is ONE double tree over exact per-pair integers using ONLY
   *    IEEE correctly-rounded ops (+ − × ÷ sqrt) — bit-identical on
   *    both engines, then round(·, 6).
-  *  - the BH p-value is the CANTELLI BOUND p = 1/(1+z²), a
-  *    distribution-free upper bound on P(|Z| ≥ z) that is RATIONAL —
-  *    no erf/exp, whose libm implementations the two engines need
-  *    not share. It is conservative (fewer rejections than the
-  *    normal-tail p), which for a drift gate is the safe direction;
+  *  - the BH p-value is the ONE-SIDED CANTELLI BOUND p = 1/(1+z²)
+  *    (the distribution-free two-sided bound would be 2/(1+z²)) —
+  *    RATIONAL, no erf/exp, whose libm implementations the two
+  *    engines need not share. The relevant comparison is the
+  *    two-sided NORMAL p, and 1/(1+z²) exceeds 2·Φ(−z) for all z,
+  *    so the gate stays conservative (fewer rejections) versus the
+  *    normal-tail p it stands in for — the safe direction;
   *    at a site with a shared math kernel, swap in the asymptotic
   *    normal p — the BH mechanics below are unchanged. p_ppm derives
   *    from the ALREADY-ROUNDED z6 with correctly-rounded ops only,

@@ -323,6 +323,12 @@ object Maintenance {
     * rank-based cuts adapt to the length distribution where q193's
     * FIXED 256-char grid is what produced the singletons.
     *
+    * Sources with fewer than [[KAnonK]] docs in total cannot form ANY
+    * class of size ≥ k, so they are SUPPRESSED (dropped from the
+    * release) — the standard suppression fallback that keeps the
+    * ≥ k contract unconditional instead of silently emitting one
+    * undersized class for tiny sources.
+    *
     * All exact: ranks and bin ids are integer arithmetic
     * ((rank−1)·n_bins div n); the emitted ranges are min/max per
     * class. Utility ships in-band as the range width a consumer must
@@ -340,6 +346,7 @@ object Maintenance {
       .withColumn("rk", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1))
         .over(Window.partitionBy("source")))
+      .filter(col("n") >= KAnonK)
       .select(col("source"), col("n_chars"),
         expr(s"(rk - 1) * greatest(n div $KAnonK, 1) div n").as("bin"))
       .groupBy("source", "bin")
@@ -357,7 +364,7 @@ object Maintenance {
        |  (rk - 1) * greatest(n // $KAnonK, 1) // n AS bin,
        |  CAST(count(*) AS BIGINT) AS n_class,
        |  min(n_chars) AS lo_chars, max(n_chars) AS hi_chars
-       |FROM r GROUP BY 1, 2""".stripMargin.replace("\n", " ")
+       |FROM r WHERE n >= $KAnonK GROUP BY 1, 2""".stripMargin.replace("\n", " ")
 
   /** l-diversity floor: a class is language-homogeneous below this
     * many distinct `lang` values. */

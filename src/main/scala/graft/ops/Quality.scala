@@ -1368,13 +1368,22 @@ object Quality {
         when(col("label") === 1L, lit(10000L) - col("conf_b4"))
           .otherwise(col("conf_b4")).as("alpha"),
         col("doc_id"))
+    // When the ceil-rank k_c = ⌈(1−α)(n_c+1)⌉ exceeds n_c (tiny
+    // calibration class), split-conformal semantics give an INFINITE
+    // threshold — the class is ALWAYS in the prediction set. alpha is
+    // bounded by 10⁴, so thr = 10000 realizes +∞ exactly; coalesce
+    // keeps the class in the output instead of dropping it at the join.
     val thr = cal
       .withColumn("rn", row_number().over(Window.partitionBy("cls")
         .orderBy(col("alpha"), col("doc_id"))).cast("long"))
       .withColumn("n_cal", count(lit(1)).over(Window.partitionBy("cls")))
-      .filter(col("rn") ===
-        expr(s"(${100L - ConformalAlphaPct} * (n_cal + 1) + 90) div 100"))
-      .select(col("cls"), col("n_cal"), col("alpha").as("thr"))
+      .groupBy("cls")
+      .agg(max(col("n_cal")).as("n_cal"),
+        coalesce(
+          max(when(col("rn") ===
+            expr(s"(${100L - ConformalAlphaPct} * (n_cal + 1) + 90) div 100"),
+            col("alpha"))),
+          lit(10000L)).as("thr"))
     val thrRow = thr.groupBy()
       .agg(max(when(col("cls") === 0L, col("thr"))).as("thr0"),
         max(when(col("cls") === 1L, col("thr"))).as("thr1"))
@@ -1435,11 +1444,14 @@ object Quality {
        |cal AS (SELECT label AS cls,
        |  CASE WHEN label = 1 THEN 10000 - conf_b4 ELSE conf_b4 END AS alpha,
        |  doc_id FROM sc WHERE doc_id % 2 = 1),
-       |thr AS (SELECT cls, n_cal, alpha AS thr FROM (
+       |thr AS (SELECT cls, max(n_cal) AS n_cal,
+       |  coalesce(max(CASE WHEN rn =
+       |    (${100L - ConformalAlphaPct} * (n_cal + 1) + 90) // 100
+       |    THEN alpha END), 10000) AS thr FROM (
        |  SELECT cls, alpha,
        |    CAST(row_number() OVER (PARTITION BY cls ORDER BY alpha, doc_id) AS BIGINT) AS rn,
        |    CAST(count(*) OVER (PARTITION BY cls) AS BIGINT) AS n_cal FROM cal)
-       |  WHERE rn = (${100L - ConformalAlphaPct} * (n_cal + 1) + 90) // 100),
+       |  GROUP BY cls),
        |tr AS (SELECT max(CASE WHEN cls = 0 THEN thr END) AS thr0,
        |  max(CASE WHEN cls = 1 THEN thr END) AS thr1 FROM thr),
        |ev AS (SELECT label AS cls,

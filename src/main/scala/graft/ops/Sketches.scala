@@ -645,9 +645,12 @@ object Sketches {
       .select(col("e.r").as("r"), col("e.b").as("b"), col("e.ina"), col("e.inb"))
       .groupBy("r", "b")
       .agg(count(when(col("ina"), 1)).as("ca"), count(when(col("inb"), 1)).as("cb"))
+    // Same empty-intersection guard as q247's dotMin: a row with no
+    // co-occupied bucket estimates 0 and must win the min.
     val est = grid.filter(col("ca") > 0 && col("cb") > 0)
       .groupBy("r").agg(sum(col("ca") * col("cb")).as("dot"))
-      .agg(min("dot").as("est_rows"))
+      .agg(coalesce(when(count(lit(1)) === CmDepth, min(col("dot"))),
+        lit(0L)).as("est_rows"))
     val exact = li.groupBy("k")
       .agg(count(when(col("ina"), 1)).as("ca"), count(when(col("inb"), 1)).as("cb"))
       .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_rows"))
@@ -663,7 +666,8 @@ object Sketches {
        |  count(*) AS ca FROM a, range($CmDepth) t(r) GROUP BY 1, 2),
        |gb AS (SELECT r, md5_number_lower(CAST(r AS VARCHAR) || ':' || CAST(k AS VARCHAR)) & ${JcWidth - 1} AS bk,
        |  count(*) AS cb FROM b, range($CmDepth) t(r) GROUP BY 1, 2),
-       |est AS (SELECT CAST(min(dot) AS BIGINT) AS est_rows FROM
+       |est AS (SELECT CAST(CASE WHEN count(*) = $CmDepth THEN min(dot)
+       |    ELSE 0 END AS BIGINT) AS est_rows FROM
        |  (SELECT ga.r, sum(ca * cb) AS dot FROM ga JOIN gb ON ga.r = gb.r AND ga.bk = gb.bk GROUP BY ga.r)),
        |ex AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS exact_rows FROM
        |  (SELECT k, count(*) AS ca FROM a GROUP BY k) xa
@@ -705,11 +709,17 @@ object Sketches {
         }: _*)).as("e"))
         .groupBy(col("e.r").as("r"), col("e.b").as("b"))
         .agg(count(lit(1)).as(s"c_$side"))
+    // CMS semantics on empty intersections: a row r whose buckets never
+    // co-occur has inner-product estimate 0 — it must WIN the min, not
+    // vanish from it. If any of the CmDepth rows is absent after the
+    // bucket join (count < CmDepth), the estimate is 0; likewise when
+    // ALL rows are empty (count = 0, min would be NULL).
     def dotMin(ga: DataFrame, gb: DataFrame, out: String): DataFrame =
       ga.join(gb, Seq("r", "b"))
         .groupBy("r")
         .agg(sum(expr(s"${ga.columns.last} * ${gb.columns.last}")).as("dot"))
-        .agg(min("dot").as(out))
+        .agg(coalesce(when(count(lit(1)) === CmDepth, min(col("dot"))),
+          lit(0L)).as(out))
     def exactDot(a: DataFrame, ka: String, b: DataFrame, kb: String,
                  out: String): DataFrame =
       a.groupBy(col(ka).as("k")).agg(count(lit(1)).as("ca"))
@@ -751,10 +761,12 @@ object Sketches {
        |go AS (${grid("ord", "o_orderkey")}),
        |gc AS (${grid("ord", "o_custkey")}),
        |gd AS (${grid("cust", "c_custkey")}),
-       |elo AS (SELECT CAST(min(dot) AS BIGINT) AS est_lo FROM
+       |elo AS (SELECT CAST(CASE WHEN count(*) = $CmDepth THEN min(dot)
+       |    ELSE 0 END AS BIGINT) AS est_lo FROM
        |  (SELECT gl.r, sum(gl.c * go.c) AS dot FROM gl
        |   JOIN go ON gl.r = go.r AND gl.b = go.b GROUP BY 1)),
-       |eoc AS (SELECT CAST(min(dot) AS BIGINT) AS est_oc FROM
+       |eoc AS (SELECT CAST(CASE WHEN count(*) = $CmDepth THEN min(dot)
+       |    ELSE 0 END AS BIGINT) AS est_oc FROM
        |  (SELECT gc.r, sum(gc.c * gd.c) AS dot FROM gc
        |   JOIN gd ON gc.r = gd.r AND gc.b = gd.b GROUP BY 1)),
        |xlo AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS exact_lo FROM

@@ -101,13 +101,18 @@ object RankFusion {
     * makes rbo_x1e8 exact on both engines (FLOAT RULE; lcm(1..5)=60
     * clears every /d).
     *
-    * Scale shape: both inputs are |Q|·k-grain searcher outputs; the
-    * diff is one (qid, neighbor_id) left join and a qid aggregate —
-    * candidate-grain, never corpus-grain. */
+    * Scale shape: the eval set is PINNED to the fixed 50-query set
+    * (qid ≤ [[SimilarityQueries.EvalCoverageQMax]] — the q265 rule:
+    * an EVAL does not grow with the corpus; rank-overlap evals are no
+    * exception). The qid filter pushes through both searchers' plans
+    * into their broadcast query sides, so each input is 50·corpus
+    * scoring — Θ(N) with a fixed constant — and the diff is one
+    * (qid, neighbor_id) left join and a qid aggregate over 250 rows. */
   def rboEval(s: SparkSession, d: String): DataFrame = {
-    val a = ScalarQuantization.sqTopK(s, d)
+    val qMax = SimilarityQueries.EvalCoverageQMax
+    val a = ScalarQuantization.sqTopK(s, d).filter(col("qid") <= qMax)
       .select(col("qid"), col("neighbor_id"), col("rank").as("ra"))
-    val b = SimilarityQueries.cosineTopK(s, d)
+    val b = SimilarityQueries.cosineTopK(s, d).filter(col("qid") <= qMax)
       .select(col("qid"), col("neighbor_id"), col("rank").as("rb"))
     a.join(b, Seq("qid", "neighbor_id"), "left")
       .groupBy("qid")
@@ -125,8 +130,10 @@ object RankFusion {
       "ELSE 78732000 END"
 
   val rboEvalSql: String =
-    s"""WITH a AS (${ScalarQuantization.sqTopKSql}),
-       |b AS (${SimilarityQueries.cosineTopKSql}),
+    s"""WITH a0 AS (${ScalarQuantization.sqTopKSql}),
+       |b0 AS (${SimilarityQueries.cosineTopKSql}),
+       |a AS (SELECT * FROM a0 WHERE qid <= ${SimilarityQueries.EvalCoverageQMax}),
+       |b AS (SELECT * FROM b0 WHERE qid <= ${SimilarityQueries.EvalCoverageQMax}),
        |j AS (SELECT a.qid, a.rank AS ra, b.rank AS rb
        |  FROM a LEFT JOIN b
        |    ON a.qid = b.qid AND a.neighbor_id = b.neighbor_id)

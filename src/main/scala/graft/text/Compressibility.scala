@@ -16,14 +16,18 @@ import graft.ops.Tables
   * FAMILIES of degenerate text the per-pattern heuristics (q43
   * repetition, q86 boilerplate) each catch singly.
   *
-  * This is the engine's first registered op with NO DuckDB oracle:
-  * DEFLATE is not SQL-expressible, so the driver records the weaker
-  * rows-only check, and determinism is pinned by spec instead —
-  * fixed level, fixed strategy, one stream per document, so the same
-  * bytes always produce the same length on any JVM shipping zlib's
-  * fixed deflate tables (CompressibilitySpec pins exact values for
-  * crafted inputs, run-to-run and repartition determinism, and the
-  * monotone screen semantics).
+  * DEFLATE is not SQL-expressible, so the oracle is a FIXTURE: for
+  * every distinct text in the test corpora, `fixtures/q223_deflate
+  * .parquet` holds the raw-deflate length precomputed by CPython's
+  * zlib (`tools/gen_q223_fixture.py`) — an implementation path
+  * independent of the JVM Deflater this op uses — keyed by
+  * md5(text) so one fixture serves every SF. [[compressionProbeSql]]
+  * joins documents on md5(text) and derives ratio/flag in SQL, so
+  * q223 gets the full rows+schema+hash contract like every other
+  * query. Determinism is additionally pinned by spec — fixed level,
+  * fixed strategy, one stream per document (CompressibilitySpec pins
+  * exact values for crafted inputs, run-to-run and repartition
+  * determinism, and the monotone screen semantics).
   *
   * Scale shape: mapPartitions (not a per-row UDF) so ONE Deflater is
   * allocated and reset per task, not per document — the q26 decode
@@ -57,6 +61,27 @@ object Compressibility {
     while (!d.finished()) total += d.deflate(buf)
     total
   }
+
+  /** Location of the precomputed deflate-length fixture (see the
+    * object doc). Overridable for deployments whose fixture lives on
+    * shared storage. */
+  def fixturePath: String =
+    sys.env.getOrElse("SPARK_GRAFT_FIXTURES", "/root/repo/fixtures") +
+      "/q223_deflate.parquet"
+
+  /** Fixture-backed DuckDB oracle: md5(text)-join against the
+    * independently precomputed deflate lengths; ratio and flag are
+    * derived in SQL with the op's exact integer arithmetic. */
+  def compressionProbeSql: String =
+    s"""WITH j AS (SELECT d.doc_id, f.n_bytes, f.deflate_len,
+       |  CAST(CASE WHEN f.n_bytes = 0 THEN 1000000
+       |    ELSE f.deflate_len * 1000000 // f.n_bytes END AS BIGINT) AS ratio_ppm
+       |  FROM documents d JOIN read_parquet('$fixturePath') f
+       |    ON md5(d.text) = f.h)
+       |SELECT doc_id, n_bytes, deflate_len, ratio_ppm,
+       |  CAST(CASE WHEN ratio_ppm < $MinRatioPpm OR ratio_ppm > $MaxRatioPpm
+       |    THEN 1 ELSE 0 END AS BIGINT) AS flagged
+       |FROM j""".stripMargin.replace("\n", " ")
 
   /** q223 — per-document compressibility: raw UTF-8 bytes, deflated
     * bytes, ratio in ppm, and the 0/1 screen flag. */

@@ -18,7 +18,8 @@ class SchedulerSpec extends AnyFunSuite {
       .filter(graft.functions.GraftFunctions.md5Lower64(
           concat_ws("|", lit("plan:"), col("doc_id")))
         .bitwiseAND(Long.MaxValue) %
-          graft.dedup.DedupQueries.PlannerSampleMod === 0L)
+          graft.dedup.DedupQueries.plannerSampleMod(
+            Tables.documents(spark, dir).count()) === 0L)
     val hist = graft.dedup.DedupQueries.minHashJaccardPairsFromBands(
         graft.dedup.DedupQueries.minHashBandsOf(sampled), sampled)
       .collect()
