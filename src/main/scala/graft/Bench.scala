@@ -88,7 +88,10 @@ object Bench {
         () => { graft.text.Scrub.spanGramIndex(spark, sfDir); () }),
       "ivf_append" -> timeIndexBuild(
         "ivfapp-" + graft.ops.DurableIndex.snapshotTag(sfDir, "embeddings.parquet"),
-        () => { graft.sim.SimilarityQueries.ivfAppendedIndex(spark, sfDir); () }))
+        () => { graft.sim.SimilarityQueries.ivfAppendedIndex(spark, sfDir); () }),
+      "cluster_labels" -> timeIndexBuild(
+        "clusters-" + graft.ops.DurableIndex.snapshotTag(sfDir, "documents.parquet"),
+        () => { graft.dedup.DedupQueries.clusterAssignmentTable(spark, sfDir); () }))
     // 1-minute loadavg, sampled per query as well as before/after the
     // run: a loaded machine inflates full-run times up to 10x per query
     // (VERDICT r6 — every apparent r6 "regression" was load noise), so

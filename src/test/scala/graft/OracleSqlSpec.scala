@@ -25,11 +25,13 @@ class OracleSqlSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql("q129_split_leakage").contains("< 205"))
   }
 
-  /** q223 (zlib compression probe) is the one deliberate exception:
-    * DEFLATE has no SQL twin, so the driver records the rows-only
-    * check and CompressibilitySpec carries the correctness burden —
-    * any OTHER gap here is a registration mistake. */
-  val OracleFree = Set("q223_compression_probe")
+  /** Empty since round 16: q223 (zlib compression probe) was the one
+    * deliberate exception — DEFLATE has no SQL twin — until its oracle
+    * became the precomputed deflate-length FIXTURE
+    * (`fixtures/q223_deflate.parquet`, see Compressibility), restoring
+    * the full rows+schema+hash contract. Any gap here is a
+    * registration mistake. */
+  val OracleFree = Set.empty[String]
 
   test("every registered query has an oracle, except the documented oracle-free set") {
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === OracleFree)
