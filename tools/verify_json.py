@@ -14,7 +14,7 @@ import hashlib, json, sys, glob, os, time
 import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from verify_local import canon, sparse_q138
+from verify_local import canon, apply_sparse
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -42,8 +42,8 @@ def main(argv):
     epath = f"{out_dir}/errors.json"
     if os.path.exists(epath):
         errors = json.load(open(epath))
-    if sparse and "q138_banding_recall" in oracle:
-        oracle["q138_banding_recall"] = sparse_q138(oracle["q138_banding_recall"])
+    if sparse:
+        oracle = apply_sparse(oracle)
     names = sorted(set(os.path.basename(p) for p in glob.glob(f"{out_dir}/q*"))
                    | set(errors))
     result = {}

@@ -64,6 +64,44 @@ def sparse_q138(sql):
         "CAST(sum(n_caught) * 10000 // sum(n_pairs) AS BIGINT) AS recall_x10k "
         "FROM allbins GROUP BY 1 HAVING sum(n_pairs) > 0")
 
+def sparse_q166(sql):
+    """Sparse-equivalent rewrite of the q166 oracle for big SFs.
+
+    The shipped oracle scores ALL C(N,2) pairs with a per-pair
+    list_intersect — the honest complete-recall check at the driver's
+    sf0.01, hopeless at sf1 (1.25e9 pairs). Every OUTPUT pair has
+    intersection >= 1 (the J >= 0.5 filter requires it), so an
+    exploded equi-join on shingle hashes + size arithmetic computes
+    the identical output. Like sparse_q138 this makes the big-SF run
+    a consistency replay; the independent all-pairs gate stays the
+    shipped form at sf0.01. Same output contract.
+    """
+    pre, _, rest = sql.partition("p AS")
+    final_at = rest.rindex("SELECT doc_a, doc_b,")
+    final = rest[final_at:]
+    return (pre +
+        "ex AS (SELECT doc_id, unnest(ss) AS x FROM shs), "
+        "sizes AS (SELECT doc_id, len(ss) AS sz FROM shs), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(count(*) AS BIGINT) AS i FROM ex a JOIN ex b "
+        "ON a.x = b.x AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "p AS (SELECT it.doc_a, it.doc_b, it.i, "
+        "CAST(sa.sz + sb.sz - it.i AS BIGINT) AS u "
+        "FROM inter it JOIN sizes sa ON sa.doc_id = it.doc_a "
+        "JOIN sizes sb ON sb.doc_id = it.doc_b) "
+        + final)
+
+
+def apply_sparse(oracle):
+    """All registered big-SF sparse-equivalent oracle rewrites."""
+    if "q138_banding_recall" in oracle:
+        oracle["q138_banding_recall"] = sparse_q138(oracle["q138_banding_recall"])
+    if "q166_prefix_filter_pairs" in oracle:
+        oracle["q166_prefix_filter_pairs"] = \
+            sparse_q166(oracle["q166_prefix_filter_pairs"])
+    return oracle
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
