@@ -44,6 +44,22 @@ def main(argv):
         errors = json.load(open(epath))
     if sparse:
         oracle = apply_sparse(oracle)
+    if "--materialize-clusters" in argv and "q45_dedup_clusters" in oracle:
+        # Seven oracles embed the identical recursive dedup-clustering
+        # text (q45's whole oracle). At big SFs that clustering is the
+        # dominant DuckDB cost (~25 min at sf1); compute it ONCE into a
+        # temp table and substitute. Still a consistency replay: DuckDB
+        # computes the clustering itself, exactly once, and every
+        # consumer is hash-checked against that one computation.
+        cl = oracle["q45_dedup_clusters"]
+        print("materializing shared dedup clustering ...", flush=True)
+        t0 = time.time()
+        con.execute(f"CREATE TABLE cl_mat AS {cl}")
+        print(f"  done in {time.time()-t0:.0f}s", flush=True)
+        sub = "SELECT doc_id, cluster FROM cl_mat"
+        for name in list(oracle):
+            if cl in oracle[name]:
+                oracle[name] = oracle[name].replace(cl, sub)
     names = sorted(set(os.path.basename(p) for p in glob.glob(f"{out_dir}/q*"))
                    | set(errors))
     result = {}
