@@ -19,6 +19,8 @@ def canon(rows, cols):
         for i in order:
             v = r[i]
             if isinstance(v, float):
+                if v == 0.0:
+                    v = 0.0  # -0.0 == 0.0 but formats as "-0": normalize
                 v = f"{v:.6g}"
             vals.append(str(v))
         out.append("|".join(vals))
