@@ -593,6 +593,20 @@ object SparkEntry {
     "q271_cluster_sizes"       -> (graft.dedup.DedupQueries.clusterSizeHistogram _),
     // round-16 (driver counter): unigram-LM tokenizer seed statistics
     "q272_unigram_seed"        -> (graft.text.Unigram.seedStats _),
+    // round-16: declarative data-contract suite (one row per expectation)
+    "q273_data_contracts"      -> (graft.ops.Contracts.dataContracts _),
+    // round-16: mergeable histogram quantiles + exact-error audit
+    "q274_hist_quantiles"      -> (graft.ops.Sketches.histogramQuantiles _),
+    // round-16: multi-pass sorted-neighborhood blocking (verified pairs)
+    "q275_sorted_neighborhood" -> (graft.dedup.Linkage.sortedNeighborhood _),
+    // round-16: Fellegi–Sunter agreement-pattern scoring over SN candidates
+    "q276_fellegi_sunter"      -> (graft.dedup.Linkage.fellegiSunter _),
+    // round-16: weighted MinHash (replication) + exact weighted-Jaccard audit
+    "q277_weighted_minhash"    -> (graft.dedup.Linkage.weightedMinhash _),
+    // round-16: Zipf rank-frequency + Heaps vocab-growth law fits (log-log OLS)
+    "q278_corpus_laws"         -> (graft.text.CorpusLaws.corpusLaws _),
+    // round-16: ε-DP count release via the derandomized geometric mechanism
+    "q279_dp_counts"           -> (graft.ops.Privacy.dpCounts _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -874,5 +888,12 @@ object SparkEntry {
     "q270_growth_accounting"   -> RelationalQueries.growthAccountingSql,
     "q271_cluster_sizes"       -> graft.dedup.DedupQueries.clusterSizeHistogramSql,
     "q272_unigram_seed"        -> graft.text.Unigram.seedStatsSql,
+    "q273_data_contracts"      -> graft.ops.Contracts.dataContractsSql,
+    "q274_hist_quantiles"      -> graft.ops.Sketches.histogramQuantilesSql,
+    "q275_sorted_neighborhood" -> graft.dedup.Linkage.sortedNeighborhoodSql,
+    "q276_fellegi_sunter"      -> graft.dedup.Linkage.fellegiSunterSql,
+    "q277_weighted_minhash"    -> graft.dedup.Linkage.weightedMinhashSql,
+    "q278_corpus_laws"         -> graft.text.CorpusLaws.corpusLawsSql,
+    "q279_dp_counts"           -> graft.ops.Privacy.dpCountsSql,
   )
 }

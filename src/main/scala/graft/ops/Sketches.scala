@@ -901,4 +901,89 @@ object Sketches {
        |LEFT JOIN cb ON cb.src_a = p.src_a AND cb.src_b = p.src_b
        |LEFT JOIN ci ON ci.src_a = p.src_a AND ci.src_b = p.src_b""".stripMargin.replace("\n", " ")
   }
+
+  // --------------------------------------- equi-width histogram quantiles
+
+  val HistBins = 256
+
+  /** q274 — HISTOGRAM-SKETCH QUANTILES WITH AN EXACT-ERROR AUDIT: the
+    * mergeable-quantile answer the sketch family lacked. An equi-width
+    * [[HistBins]]-bin histogram is the simplest mergeable quantile
+    * structure there is (bin counts add; fixed size; map-side partial
+    * combine), and at 100 TB it is what you can afford to maintain
+    * continuously — one pass, B counters per task, no value buffering.
+    * The estimate at percentile p linearly interpolates inside the
+    * covering bin (uniform-within-bin assumption). Each emitted row
+    * carries the histogram ESTIMATE next to the EXACT order statistic
+    * (via [[Quantiles.exactPercentiles]], the bracket two-pass that
+    * replaced the single-buffer `percentile` in r5) and their absolute
+    * error — the op ships its own accuracy audit, the same discipline
+    * as the ANN recall evals (q21/q79).
+    *
+    * Scale shape: pass 1 is a 1-row min/max aggregate; pass 2 bins the
+    * column against the broadcast range into a ≤ B-row grid; the
+    * cumulative window runs on that B-row grid (grid-bounded single
+    * partition, the q102/q237 posture). Determinism: bin edges are
+    * pure IEEE arithmetic on (min, max) — the oracle replays the
+    * identical formula, and the result is rounded at 4dp on both
+    * sides (the q51 convention). */
+  def histogramQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ps = Seq(0.50, 0.95, 0.99)
+    val li = Tables.lineitem(s, d)
+    val x  = li.select(col("l_extendedprice").cast("double").as("x"))
+    val exact = Quantiles.exactPercentiles(li, "l_extendedprice", ps)
+    val mm = x.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val grid = x.crossJoin(broadcast(mm))
+      .select(least(floor((col("x") - col("lo")) /
+          ((col("hi") - col("lo")) / HistBins)), lit(HistBins - 1))
+        .cast("long").as("bin"), col("lo"), col("hi"))
+      .groupBy("bin", "lo", "hi").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bin") // ≤ HistBins rows: grid-bounded, not corpus-bounded
+    val cum = grid
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+    val targets = ps.zip(exact).map { case (p, e) => (math.round(p * 100).toInt, p, e) }
+      .toDF("p_x100", "p", "exact_raw")
+    cum.crossJoin(broadcast(targets))
+      .withColumn("r", col("p") * (col("n") - 1) + 1)
+      .filter(col("cum") >= col("r") && (col("cum") - col("cnt")) < col("r"))
+      .select(
+        col("p_x100"),
+        round(col("lo") + ((col("hi") - col("lo")) / HistBins) *
+          (col("bin") + (col("r") - (col("cum") - col("cnt"))) / col("cnt")), 4)
+          .as("est"),
+        round(col("exact_raw"), 4).as("exact"),
+        round(abs(col("lo") + ((col("hi") - col("lo")) / HistBins) *
+          (col("bin") + (col("r") - (col("cum") - col("cnt"))) / col("cnt"))
+          - col("exact_raw")), 4).as("abs_err"))
+  }
+
+  val histogramQuantilesSql: String =
+    s"""WITH mm AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+       |    max(CAST(l_extendedprice AS DOUBLE)) AS hi FROM lineitem),
+       |grid AS (SELECT least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+       |      / ((hi - lo) / $HistBins)) AS BIGINT), ${HistBins - 1}) AS bin,
+       |    lo, hi, count(*) AS cnt
+       |  FROM lineitem, mm GROUP BY 1, 2, 3),
+       |cum AS (SELECT bin, lo, hi, cnt,
+       |    sum(cnt) OVER (ORDER BY bin) AS cum,
+       |    sum(cnt) OVER () AS n FROM grid),
+       |qs AS (SELECT unnest([50, 95, 99]) AS p_x100,
+       |    unnest([0.50, 0.95, 0.99]) AS p),
+       |hit AS (SELECT q.p_x100,
+       |    c.lo + ((c.hi - c.lo) / $HistBins) * (c.bin
+       |      + (q.p * (c.n - 1) + 1 - (c.cum - c.cnt)) / c.cnt) AS est_raw
+       |  FROM cum c JOIN qs q
+       |    ON c.cum >= q.p * (c.n - 1) + 1
+       |   AND (c.cum - c.cnt) < q.p * (c.n - 1) + 1),
+       |ex AS (SELECT unnest([50, 95, 99]) AS p_x100,
+       |    unnest(quantile_cont(CAST(l_extendedprice AS DOUBLE),
+       |      [0.50, 0.95, 0.99])) AS exact_raw FROM lineitem)
+       |SELECT h.p_x100, round(h.est_raw, 4) AS est,
+       |  round(e.exact_raw, 4) AS exact,
+       |  round(abs(h.est_raw - e.exact_raw), 4) AS abs_err
+       |FROM hit h JOIN ex e ON h.p_x100 = e.p_x100""".stripMargin.replace("\n", " ")
 }
