@@ -607,6 +607,10 @@ object SparkEntry {
     "q278_corpus_laws"         -> (graft.text.CorpusLaws.corpusLaws _),
     // round-16: ε-DP count release via the derandomized geometric mechanism
     "q279_dp_counts"           -> (graft.ops.Privacy.dpCounts _),
+    // round-16: depth-2 binary-segmentation changepoints on the daily grid
+    "q280_changepoints"        -> (graft.ops.Changepoint.changepoints _),
+    // round-16: source leave-one-out influence on the corpus token mean
+    "q281_source_influence"    -> ((s: SparkSession, d: String) => graft.text.TextQueries.sourceInfluence(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -895,5 +899,7 @@ object SparkEntry {
     "q277_weighted_minhash"    -> graft.dedup.Linkage.weightedMinhashSql,
     "q278_corpus_laws"         -> graft.text.CorpusLaws.corpusLawsSql,
     "q279_dp_counts"           -> graft.ops.Privacy.dpCountsSql,
+    "q280_changepoints"        -> graft.ops.Changepoint.changepointsSql,
+    "q281_source_influence"    -> graft.text.TextQueries.sourceInfluenceSql,
   )
 }

@@ -29,22 +29,51 @@ object Contracts {
 
   private val Langs = Seq("en", "zh", "fr", "es", "de")
 
+  private val one = lit(1L)
+  private def viol(c: org.apache.spark.sql.Column) =
+    sum(when(c, 1L).otherwise(0L))
+
+  // The documents table's ROW-LOCAL violation predicates — shared by
+  // the batch suite and the streaming gate so both count identically.
+  private def docNullPred = col("doc_id").isNull
+  private def docLenPred  = col("n_chars") =!= length(col("text"))
+  private def docLangPred = !col("lang").isin(Langs: _*)
+
+  /** The streaming-gate subset of q273: per-expectation additive
+    * (checked, violations) counters over a documents frame. Only the
+    * ROW-LOCAL families live here — NOT NULL, cross-column
+    * consistency, enum — because counters add across micro-batches
+    * and retries; the set-level families (UNIQUE, referential) need
+    * distinct/join STATE, not counters, and stay audit-side BY
+    * DESIGN. [[graft.streaming.StreamingFraud.contractsGateStream]]
+    * is this builder over the stream; a full-table replay equals the
+    * registered q273 rows (ContractsSpec pins it). */
+  def docRowLocalCounts(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(one).as("n"),
+      viol(docNullPred).as("v_null"),
+      viol(docLenPred).as("v_len"),
+      viol(docLangPred).as("v_lang"))
+      .selectExpr(
+        """stack(3,
+          |'documents.doc_id NOT NULL',                  n, v_null,
+          |'documents.n_chars = length(text)',           n, v_len,
+          |'documents.lang IN (en,zh,fr,es,de)',         n, v_lang
+          |) AS (expectation, n_checked, n_violations)""".stripMargin)
+
   /** q273 — run the contract suite; one row per expectation. */
   def dataContracts(s: SparkSession, d: String): DataFrame = {
-    val one = lit(1L)
-    def viol(c: org.apache.spark.sql.Column) =
-      sum(when(c, 1L).otherwise(0L))
 
     val docs = Tables.documents(s, d).agg(
       count(one).as("n"),
-      viol(col("doc_id").isNull).as("v_null"),
+      viol(docNullPred).as("v_null"),
       // duplicate mass among NON-NULL keys only (count(col) skips
       // nulls, countDistinct always has): a NULL id is the NOT NULL
       // expectation's violation, not a uniqueness one — counting it
       // twice would double-report a single defect.
       (count(col("doc_id")) - countDistinct(col("doc_id"))).as("v_uniq"),
-      viol(col("n_chars") =!= length(col("text"))).as("v_len"),
-      viol(!col("lang").isin(Langs: _*)).as("v_lang"))
+      viol(docLenPred).as("v_len"),
+      viol(docLangPred).as("v_lang"))
       .selectExpr(
         """stack(4,
           |'documents.doc_id NOT NULL',                  n, v_null,

@@ -737,6 +737,21 @@ object StreamingFraud {
   def goodRateCountsStream(docs: DataFrame): DataFrame =
     graft.ops.Inference.goodRateCounts(docs)
 
+  /** Streaming twin of q273's ROW-LOCAL expectation families — the
+    * LIVE INGEST GATE: per-expectation (checked, violations) counters
+    * over arriving documents (the [[goodRateCountsStream]] posture;
+    * state is 2·|expectations| longs, forever, and counters ADD across
+    * micro-batches and retries). The set-level families (UNIQUE,
+    * referential) stay audit-side BY DESIGN — they need distinct/join
+    * state, not additive counters; this is exactly the production
+    * split: the gate trips on malformed rows as they arrive, the
+    * audit catches cross-row defects nightly. A full-table replay
+    * equals the registered q273 rows for these families
+    * (ContractsSpec pins it). Input schema: (doc_id, text, lang,
+    * n_chars). */
+  def contractsGateStream(docs: DataFrame): DataFrame =
+    graft.ops.Contracts.docRowLocalCounts(docs)
+
   /** Streaming twin of q212's digit grid — the LIVE BENFORD MONITOR:
     * leading-digit counts of arriving amounts as nine additive cells
     * (same floor+string digit extraction as the batch audit, same

@@ -57,11 +57,20 @@ object CorpusLaws {
           .as("intercept"),
         round(((col("n") * col("sxy") - col("sx") * col("sy")) *
           (col("n") * col("sxy") - col("sx") * col("sy"))) /
-          nullif((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy")), lit(0.0)), 6)
+          zeroGuard((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6)
           .as("r2"))
 
-  private def nullif(c: Column, v: Column): Column = when(c === v, lit(null)).otherwise(c)
+  /** The zero-variance guard must be a TOLERANCE, not `nullif(x, 0)`:
+    * for a genuinely constant dependent variable Spark's partial-sum
+    * order sometimes leaves an ~1e-10 residual where DuckDB's single-
+    * threaded fold gets exact 0.0 — an exact-zero test then disagrees
+    * between engines run to run. Any |variance product| below the
+    * threshold is zero AS A FIT (legit fits sit orders of magnitude
+    * above it). */
+  private val VarEps = 1e-9
+  private def zeroGuard(c: Column): Column =
+    when(abs(c) < VarEps, lit(null)).otherwise(c)
 
   /** The two fits over an arbitrary documents-shaped frame (doc_id,
     * text) — the testable core. */
@@ -127,6 +136,7 @@ object CorpusLaws {
        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
        |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept,
        |  round((n*sxy - sx*sy) * (n*sxy - sx*sy) /
-       |    nullif((n*sxx - sx*sx) * (n*syy - sy*sy), 0.0), 6) AS r2
+       |    (CASE WHEN abs((n*sxx - sx*sx) * (n*syy - sy*sy)) < 1e-9
+       |          THEN NULL ELSE (n*sxx - sx*sx) * (n*syy - sy*sy) END), 6) AS r2
        |FROM fits""".stripMargin.replace("\n", " ")
 }

@@ -890,4 +890,52 @@ object TextQueries {
        |  (ORDER BY min_gap, n_occ DESC, doc_id) AS INT) AS rank
        |FROM m ORDER BY min_gap, n_occ DESC, doc_id LIMIT $ProxTopN"""
       .stripMargin.replace("\n", " ")
+
+  // ---------------------------------------- source leave-one-out influence
+
+  /** q281 — SOURCE LEAVE-ONE-OUT INFLUENCE: for every ingest feed, what
+    * the corpus-level mean token count becomes if that feed is removed
+    * — the cheapest member of the data-valuation family (the
+    * Shapley-style "what does this source contribute" question at
+    * coalition size N−1). The trick that makes it a one-pass op: the
+    * LOO mean is ALGEBRA over the per-source sufficient statistics —
+    * (T − T_s) / (D − D_s) — so removal is never materialized; q107
+    * tells you which feed is low-quality by its own rate, this tells
+    * you whether dropping it would actually move the corpus metric
+    * (a tiny terrible feed moves nothing; a huge mediocre one does).
+    *
+    * FLOAT RULE: means are half-up ×100 integer fixed point; delta is
+    * a difference of the quantized means. Scale shape: one conditional
+    * aggregate over the scan into a |sources|-bounded table, then pure
+    * broadcast algebra — the corpus is read once. */
+  def sourceInfluence(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(split(trim(col("text")), "\\s+")).cast("long")
+    val per = Tables.documents(s, d)
+      .select(col("source"), nTok.as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tok_sum"))
+      .localCheckpoint(true)
+    val tot = per.agg(sum("n_docs").as("td"), sum("tok_sum").as("tt"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tok_sum"),
+        expr("(tt * 100 + td div 2) div td").as("corpus_mean_x100"),
+        expr("((tt - tok_sum) * 100 + greatest(td - n_docs, 1) div 2) " +
+          "div greatest(td - n_docs, 1)").as("loo_mean_x100"))
+      .withColumn("delta_x100", col("loo_mean_x100") - col("corpus_mean_x100"))
+  }
+
+  val sourceInfluenceSql: String =
+    """WITH per AS (SELECT source, count(*) AS n_docs,
+      |  sum(len(string_split_regex(trim(text), '\s+'))) AS tok_sum
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT sum(n_docs) AS td, sum(tok_sum) AS tt FROM per)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(tok_sum AS BIGINT) AS tok_sum,
+      |  CAST((tt * 100 + td // 2) // td AS BIGINT) AS corpus_mean_x100,
+      |  CAST(((tt - tok_sum) * 100 + greatest(td - n_docs, 1) // 2)
+      |    // greatest(td - n_docs, 1) AS BIGINT) AS loo_mean_x100,
+      |  CAST(((tt - tok_sum) * 100 + greatest(td - n_docs, 1) // 2)
+      |    // greatest(td - n_docs, 1)
+      |    - (tt * 100 + td // 2) // td AS BIGINT) AS delta_x100
+      |FROM per, tot""".stripMargin.replace("\n", " ")
 }

@@ -80,4 +80,25 @@ class ContractsSpec extends AnyFunSuite {
     assert(out("events.value >= 0") === 1L)
     assert(out("events.ts IN [2024-01-01, 2024-02-01)") === 1L)
   }
+
+  test("streaming-gate twin: full-table replay equals q273's row-local rows and counters add") {
+    val spark = SparkSpec.spark
+    val docs = Tables.documents(spark, sf)
+    val gate = graft.streaming.StreamingFraud.contractsGateStream(docs)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = Contracts.dataContracts(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    gate.foreach { case (e, nv) => assert(batch(e) === nv, s"twin drift on $e") }
+    assert(gate.size === 3)
+
+    // additivity across micro-batches: two disjoint halves sum to the whole
+    val h1 = Contracts.docRowLocalCounts(docs.filter(col("doc_id") % 2 === 0))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val h2 = Contracts.docRowLocalCounts(docs.filter(col("doc_id") % 2 =!= 0))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    gate.foreach { case (e, (n, v)) =>
+      assert(h1(e)._1 + h2(e)._1 === n)
+      assert(h1(e)._2 + h2(e)._2 === v)
+    }
+  }
 }
