@@ -611,6 +611,8 @@ object SparkEntry {
     "q280_changepoints"        -> (graft.ops.Changepoint.changepoints _),
     // round-16: source leave-one-out influence on the corpus token mean
     "q281_source_influence"    -> ((s: SparkSession, d: String) => graft.text.TextQueries.sourceInfluence(s, d)),
+    // round-16: JL sign-projection recall vs full-dim exact (q194's dual)
+    "q282_jl_recall"           -> ((s: SparkSession, d: String) => graft.sim.SimilarityQueries.jlRecall(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -901,5 +903,6 @@ object SparkEntry {
     "q279_dp_counts"           -> graft.ops.Privacy.dpCountsSql,
     "q280_changepoints"        -> graft.ops.Changepoint.changepointsSql,
     "q281_source_influence"    -> graft.text.TextQueries.sourceInfluenceSql,
+    "q282_jl_recall"           -> graft.sim.SimilarityQueries.jlRecallSql,
   )
 }

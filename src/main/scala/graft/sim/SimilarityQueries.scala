@@ -718,6 +718,81 @@ object SimilarityQueries {
 
   val matryoshkaRecallSql: String = recallSqlOver(matryoshkaTopKSql, cosineTopKSql)
 
+  // --------------------------------------- Johnson–Lindenstrauss projection
+
+  /** JL target dimensionality (64 → 16, the matryoshka budget). */
+  val JlDims = 16
+
+  /** Deterministic ±1 projection matrix: the md5 parity of (out-dim,
+    * in-dim) — Achlioptas (2001) showed Rademacher signs satisfy the
+    * JL lemma with the same guarantees as gaussians, and the sign
+    * matrix is free to "store": both engines regenerate it from the
+    * key, the way every derandomized draw here works. */
+  private[graft] val jlSigns: IndexedSeq[IndexedSeq[Int]] =
+    (0 until JlDims).map(j => (0 until 64).map(i =>
+      if ((Hashing.md5Lower64(s"jl:$j:$i") & 1L) == 0L) 1 else -1))
+
+  /** q282's searcher — brute exact top-k in the 16-dim SIGN-PROJECTED
+    * space: y_j = Σ_i ±x_i (cosine is scale-invariant, so the 1/√m JL
+    * normalization cancels). The projection differs from matryoshka
+    * truncation (q194) in kind: truncation keeps 16 coordinates and
+    * discards the rest; JL MIXES all 64 into each output, which is the
+    * move that works when the input dims carry equal information
+    * (exactly this corpus's isotropic case — truncation's worst case
+    * is JL's home turf, making the two recalls a real comparison).
+    * Engine parity: each output coordinate is a SEQUENTIAL left fold
+    * (Spark `aggregate` over `zip_with`; DuckDB `list_dot_product`) of
+    * identical doubles — same IEEE sum both sides; ranking goes
+    * through the shared round-6 + id-tiebreak contract.
+    *
+    * Scale shape: the projection is a pure map (16 folds of 64 per
+    * row — at 100 TB you persist the 4×-smaller projected table, the
+    * q203/q149 compression-family economics); the searcher shape is
+    * q20's brute scan, and the scale path is q44's IVF run IN the
+    * projected space — this registers the exactness-gradeable floor. */
+  def jlTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val proj = array((0 until JlDims).map { j =>
+      expr(s"aggregate(zip_with(e0, array(${jlSigns(j).map(_ + ".0D").mkString(",")}), " +
+        "(x, s) -> x * s), 0.0D, (acc, v) -> acc + v)")
+    }: _*)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e0"))
+      .select(col("vec_id"), proj.as("e"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineExpr("qe", "e"))
+      .groupBy("qid")
+      .agg(graft.ops.TopKAggregator.topKByScore(k)(
+        round(col("cos"), 6), col("vec_id"), col("cos"), lit(0)).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("rk", "e")))
+      .select(col("qid"), col("e._2").as("neighbor_id"),
+        (col("rk") + 1).as("rank"))
+  }
+
+  val jlTopKSql: String = {
+    val dots = (0 until JlDims).map(j =>
+      s"list_dot_product(CAST(embedding AS DOUBLE[]), [${jlSigns(j).map(_ + ".0").mkString(",")}])")
+      .mkString(", ")
+    s"WITH e AS (SELECT vec_id, [$dots] AS emb FROM embeddings), " +
+      "q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id % 100 = 0), " +
+      "scored AS (SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.emb) AS cos FROM e CROSS JOIN q WHERE e.vec_id <> q.qid), " +
+      "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, vec_id) AS rank FROM scored) " +
+      "SELECT qid, vec_id AS neighbor_id, rank FROM ranked WHERE rank <= 5"
+  }
+
+  /** q282 — JL-PROJECTION RECALL against the full-dim exact top-k,
+    * graded through the shared q112/q150 integer recall contract —
+    * the direct head-to-head with q194's truncation at the same
+    * 16-dim budget. */
+  def jlRecall(s: SparkSession, d: String): DataFrame =
+    recallEvalFrom(
+      jlTopK(s, d),
+      cosineTopK(s, d).select(col("qid"), col("neighbor_id")))
+
+  val jlRecallSql: String = recallSqlOver(jlTopKSql, cosineTopKSql)
+
   // --------------------------------------------------- semantic dedup
 
   /** The ε-ball radius for q88. Corpus-calibrated, as SemDeDup's ε
