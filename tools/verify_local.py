@@ -101,6 +101,16 @@ def apply_sparse(oracle):
     if "q166_prefix_filter_pairs" in oracle:
         oracle["q166_prefix_filter_pairs"] = \
             sparse_q166(oracle["q166_prefix_filter_pairs"])
+    if "q143_mmr_rerank" in oracle:
+        # PURE EVALUATION HINT, zero semantic delta: DuckDB re-inlines
+        # a CTE at every reference, and q143's MMR rounds reference the
+        # |Q|x|N| `scored` cross join (transitively) dozens of times —
+        # measured 60+ min at sf1 vs 8.1 s with the CTEs materialized
+        # once. The query TEXT semantics are identical.
+        oracle["q143_mmr_rerank"] = (oracle["q143_mmr_rerank"]
+            .replace("scored AS (", "scored AS MATERIALIZED (")
+            .replace("cand AS (", "cand AS MATERIALIZED (")
+            .replace("sim AS (", "sim AS MATERIALIZED ("))
     return oracle
 
 
