@@ -613,6 +613,8 @@ object SparkEntry {
     "q281_source_influence"    -> ((s: SparkSession, d: String) => graft.text.TextQueries.sourceInfluence(s, d)),
     // round-16: JL sign-projection recall vs full-dim exact (q194's dual)
     "q282_jl_recall"           -> ((s: SparkSession, d: String) => graft.sim.SimilarityQueries.jlRecall(s, d)),
+    // round-16: Mann–Kendall trend significance on the (type, day) grid
+    "q283_mann_kendall"        -> (graft.ops.Changepoint.mannKendall _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -904,5 +906,6 @@ object SparkEntry {
     "q280_changepoints"        -> graft.ops.Changepoint.changepointsSql,
     "q281_source_influence"    -> graft.text.TextQueries.sourceInfluenceSql,
     "q282_jl_recall"           -> graft.sim.SimilarityQueries.jlRecallSql,
+    "q283_mann_kendall"        -> graft.ops.Changepoint.mannKendallSql,
   )
 }

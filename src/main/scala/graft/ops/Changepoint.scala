@@ -93,6 +93,80 @@ object Changepoint {
         expr("(n_events * 100 + n_days div 2) div n_days"))
   }
 
+  // ------------------------------------------------ Mann–Kendall trend
+
+  /** q283 — MANN–KENDALL TREND TEST per event type on the shared
+    * (type, day) count grid ([[Quality.typeDayCounts]], the q240/q251/
+    * q264 builder): the nonparametric SIGNIFICANCE dual of q251's
+    * Theil–Sen SLOPE — Theil–Sen says how steep, Mann–Kendall says
+    * whether the monotone trend is real at all. S = Σ_{i<j}
+    * sign(x_j − x_i) over day pairs; the tie-corrected variance
+    * 18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (tie groups t over the
+    * count VALUES); z = (S ∓ 1)/√Var with the continuity correction,
+    * 0 at S = 0.
+    *
+    * FLOAT RULE: S and 18·Var are exact BIGINTs (grid-pair sums); z is
+    * ONE correctly-rounded IEEE tree (divide, sqrt) over those exact
+    * integers — the q242 discipline — shipped at 6dp. Scale shape: one
+    * corpus contraction to the calendar grid, then |types|·C(|days|,2)
+    * pair algebra (435 pairs per type at a month — constant at ANY
+    * corpus size) and a |values|-bounded tie table. */
+  def mannKendall(s: SparkSession, d: String): DataFrame =
+    mannKendallFrom(Quality.typeDayCounts(Tables.events(s, d)))
+
+  def mannKendallFrom(grid0: DataFrame): DataFrame = {
+    val grid = grid0.localCheckpoint(true) // calendar grid, three consumers
+    val a = grid.select(col("event_type"), col("day").as("da"), col("x").as("xa"))
+    val b = grid.select(col("event_type"), col("day").as("db"), col("x").as("xb"))
+    val sTab = a.join(b, Seq("event_type")).filter(col("da") < col("db"))
+      .groupBy("event_type")
+      .agg(sum(signum(col("xb") - col("xa")).cast("long")).as("s_stat"))
+    val nTab = grid.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val ties = grid.groupBy("event_type", "x").agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+    sTab.join(nTab, "event_type").join(ties, "event_type")
+      .withColumn("var_x18",
+        expr("n * (n - 1) * (2 * n + 5) - tie_term"))
+      .withColumn("z", round(
+        when(col("s_stat") > 0,
+          (col("s_stat") - 1).cast("double") / sqrt(col("var_x18").cast("double") / 18.0))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double") / sqrt(col("var_x18").cast("double") / 18.0))
+          .otherwise(lit(0.0)), 6))
+      .select(col("event_type"), col("n").as("n_days"), col("s_stat"),
+        col("var_x18"), col("z"),
+        when(col("z") >= 1.96, "increasing")
+          .when(col("z") <= -1.96, "decreasing")
+          .otherwise("no_trend").as("trend"))
+  }
+
+  val mannKendallSql: String =
+    """WITH g AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+      |    FROM events GROUP BY 1, 2),
+      |st AS (SELECT a.event_type,
+      |    CAST(sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM g a JOIN g b ON a.event_type = b.event_type AND a.day < b.day
+      |  GROUP BY 1),
+      |nt AS (SELECT event_type, count(*) AS n FROM g GROUP BY 1),
+      |tt AS (SELECT event_type, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      |  FROM (SELECT event_type, x, count(*) AS t FROM g GROUP BY 1, 2) GROUP BY 1),
+      |v AS (SELECT st.event_type, st.s_stat, nt.n,
+      |    CAST(nt.n * (nt.n - 1) * (2 * nt.n + 5) - tt.tie_term AS BIGINT) AS var_x18
+      |  FROM st JOIN nt ON nt.event_type = st.event_type
+      |  JOIN tt ON tt.event_type = st.event_type),
+      |z AS (SELECT event_type, n, s_stat, var_x18,
+      |    round(CASE WHEN s_stat > 0
+      |          THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var_x18 AS DOUBLE) / 18.0)
+      |          WHEN s_stat < 0
+      |          THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(var_x18 AS DOUBLE) / 18.0)
+      |          ELSE 0.0 END, 6) AS z FROM v)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days, s_stat, var_x18, z,
+      |  CASE WHEN z >= 1.96 THEN 'increasing'
+      |       WHEN z <= -1.96 THEN 'decreasing'
+      |       ELSE 'no_trend' END AS trend
+      |FROM z""".stripMargin.replace("\n", " ")
+
   val changepointsSql: String =
     s"""WITH g AS (SELECT CAST(ts AS DATE) AS day, count(*) AS c
        |    FROM events GROUP BY 1),

@@ -81,4 +81,45 @@ class ChangepointSpec extends AnyFunSuite {
     // segments partition the full day range
     assert(got.head._2 === grid.head._1 && got.last._3 === grid.last._1)
   }
+
+  test("q283 Mann-Kendall: planted monotone series flagged, constant series is no_trend, fixture matches replica") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    // rising, falling, flat planted series
+    val grid = ((1 to 30).map(i => ("up", day(i), i.toLong * 3)) ++
+      (1 to 30).map(i => ("down", day(i), 200L - i * 4)) ++
+      (1 to 30).map(i => ("flat", day(i), 7L)))
+      .toDF("event_type", "day", "x")
+    val out = Changepoint.mannKendallFrom(grid).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(4), r.getString(5)))).toMap
+    assert(out("up")._1 === 435L && out("up")._3 === "increasing")
+    assert(out("down")._1 === -435L && out("down")._3 === "decreasing")
+    assert(out("flat")._1 === 0L && out("flat")._2 === 0.0 && out("flat")._3 === "no_trend")
+
+    // fixture replica: S, tie-corrected variance, z per type
+    val fix = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("ts").cast("date").as("day"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getAs[java.sql.Date](1).toString, r.getLong(2)))
+    val want = fix.groupBy(_._1).map { case (t, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      val n = xs.length.toLong
+      val sStat = (for (i <- xs.indices; j <- i + 1 until xs.length)
+        yield java.lang.Long.signum(xs(j) - xs(i)).toLong).sum
+      val tie = xs.groupBy(identity).values
+        .map(g => { val tt = g.length.toLong; tt * (tt - 1) * (2 * tt + 5) }).sum
+      val varX18 = n * (n - 1) * (2 * n + 5) - tie
+      val z = if (sStat == 0) 0.0 else {
+        val raw = (sStat - math.signum(sStat.toDouble)) / math.sqrt(varX18.toDouble / 18.0)
+        BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      t -> ((n, sStat, varX18, z))
+    }
+    val got2 = Changepoint.mannKendall(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got2 === want)
+  }
 }
