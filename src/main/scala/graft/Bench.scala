@@ -91,7 +91,11 @@ object Bench {
         () => { graft.sim.SimilarityQueries.ivfAppendedIndex(spark, sfDir); () }),
       "cluster_labels" -> timeIndexBuild(
         "clusters-" + graft.ops.DurableIndex.snapshotTag(sfDir, "documents.parquet"),
-        () => { graft.dedup.DedupQueries.clusterAssignmentTable(spark, sfDir); () }))
+        () => { graft.dedup.DedupQueries.clusterAssignmentTable(spark, sfDir); () }),
+      "kmeans_centroids" -> timeIndexBuild(
+        s"kmeans${graft.sim.KMeans.Iters}-" +
+          graft.ops.DurableIndex.snapshotTag(sfDir, "embeddings.parquet"),
+        () => { graft.sim.KMeans.centroidsTable(spark, sfDir); () }))
     // 1-minute loadavg, sampled per query as well as before/after the
     // run: a loaded machine inflates full-run times up to 10x per query
     // (VERDICT r6 — every apparent r6 "regression" was load noise), so

@@ -213,11 +213,20 @@ object Linkage {
   def weightedMinhash(s: SparkSession, d: String): DataFrame = {
     val tt = proj(s, d).localCheckpoint()
     val pairs = candidates(tt).select(col("a"), col("b"))
+    // The (doc, token, ctf) contraction feeds FIVE consumers (the
+    // signature replicas, both ptoks legs, both exact-audit joins).
+    // localCheckpoint truncates the lineage so the corpus tokenize +
+    // aggregate runs ONCE instead of relying on silent exchange reuse
+    // (the q116/q260 lesson: shared frontiers get an explicit pin —
+    // LinkagePlanSpec asserts the final plan holds no parquet scan).
+    // At 100 TB this materialization IS the design: the tf table is
+    // the thing you persist, the corpus is read once.
     val tf = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("token"))
       .groupBy("doc_id", "token")
       .agg(least(count(lit(1)), lit(WmhCap.toLong)).as("ctf"))
+      .localCheckpoint()
     val reps = tf.select(col("doc_id"), col("token"),
       explode(expr("sequence(1, ctf)")).as("i"))
     val sigAggs = (0 until WmhK).map { k =>

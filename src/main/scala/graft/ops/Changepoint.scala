@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
   *
   * FLOAT RULE: the score is gq = S_L²·10⁴ div n_L + S_R²·10⁴ div n_R —
   * pure BIGINT (argmax ties broken by smallest split index), identical
-  * in both engines. The ×10⁴ scale bounds the product at S ≤ ~9.6·10⁷
-  * events; past that drop the scale factor (the quantization is only
-  * there to keep sub-unit gain differences ordered) or pre-aggregate
-  * counts to ×10⁻³ units — documented, not silent.
+  * in both engines. The ×10⁴ scale bounds the series total at
+  * [[MaxSeriesTotal]] events (2·S²·10⁴ must stay under 2⁶³); past that
+  * drop the scale factor (the quantization is only there to keep
+  * sub-unit gain differences ordered) or pre-aggregate counts to
+  * ×10⁻³ units. The bound is ENFORCED at runtime — a series past it
+  * fails loudly instead of wrapping silently (both engines would wrap
+  * the same way and produce matching-but-wrong splits).
   *
   * Scale shape: ONE corpus pass contracts events to the (day, count)
   * grid; everything after — cumulative sums, candidate scores, argmax,
@@ -33,12 +36,28 @@ object Changepoint {
 
   val ScoreScale = 10000L
 
+  /** Largest series total the ×10⁴ quantization tolerates: gq sums two
+    * S²·ScoreScale div n terms, so 2·S²·10⁴ ≤ 2⁶³−1 ⟹ S ≤ 2.147·10⁷.
+    * Enforced in [[segmentsFrom]] — exceeding it raises instead of
+    * wrapping. */
+  val MaxSeriesTotal = 21000000L
+
   /** q280 — segments of the daily event-count series after depth-2
     * binary segmentation: (seg_id, day_start, day_end, n_days,
     * n_events, mean_x100). */
   def changepoints(s: SparkSession, d: String): DataFrame =
     segmentsFrom(Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c")))
+
+  /** q280's tail over a (event_type, day, x) grid snapshot — the
+    * streaming-replay face: the shared (type, day) state
+    * ([[Quality.typeDayCounts]], the q240/q251/q264/q283 builder) sums
+    * over types to the daily series, so the retrospective segmentation
+    * runs as a LIVE alarm off the one grid state without re-touching
+    * the events (StreamingFraudSpec pins replay parity with the
+    * registered batch query). */
+  def changepointsFromCounts(grid: DataFrame): DataFrame =
+    segmentsFrom(grid.groupBy("day").agg(sum("x").as("c")))
 
   /** The segmentation over an arbitrary (day, c) grid — the testable core. */
   def segmentsFrom(grid: DataFrame): DataFrame = {
@@ -48,6 +67,17 @@ object Changepoint {
       sum("c").over(byDay).as("cum"))
       .localCheckpoint(true) // tiny grid, five consumers
     val t = i.agg(max("i").as("n"), max("cum").as("s"))
+      // OVERFLOW GUARD, explicit at runtime: past MaxSeriesTotal the
+      // S²·ScoreScale products wrap BIGINT silently in BOTH engines
+      // (matching-but-wrong splits). assert_true returns null when the
+      // bound holds, so `s` is numerically unchanged on valid input.
+      .select(col("n"),
+        (col("s") + coalesce(
+          assert_true(col("s") <= lit(MaxSeriesTotal),
+            lit(s"q280: series total exceeds $MaxSeriesTotal events — " +
+              "the S^2 x 10^4 quantization would overflow BIGINT; " +
+              "drop ScoreScale or pre-aggregate counts")).cast("long"),
+          lit(0L))).as("s"))
     // STRICT-GAIN GUARD at every level: a split is accepted only if its
     // score strictly exceeds the unsplit segment's S²·scale div n — a
     // constant sub-series must stay whole (without the guard its ties

@@ -5,32 +5,39 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
 
-/** Differentially-private count release via the GEOMETRIC MECHANISM
-  * (the discrete Laplace of Ghosh–Roughgarden–Sundararajan: noise
-  * k ∈ ℤ with P(k) ∝ p^|k|, p = e^−ε) — the privacy layer's missing
-  * RELEASE op next to the k-anon/l-div/t-closeness AUDIT ops. Counting
-  * queries have sensitivity 1, so adding two-sided-geometric noise at
-  * parameter ε makes the released per-source histogram ε-DP, and the
-  * discrete mechanism is exactly what integer engine parity wants: no
-  * continuous Laplace floats to drift between engines.
+/** Count release via the GEOMETRIC MECHANISM (the discrete Laplace of
+  * Ghosh–Roughgarden–Sundararajan: noise k ∈ ℤ with P(k) ∝ p^|k|,
+  * p = e^−ε) — the privacy layer's RELEASE-mechanism op next to the
+  * k-anon/l-div/t-closeness AUDIT ops. Counting queries have
+  * sensitivity 1, and the discrete mechanism is exactly what integer
+  * engine parity wants: no continuous Laplace floats to drift between
+  * engines.
   *
-  * DERANDOMIZED SAMPLING, the dedup-family discipline: the uniform is
-  * the 53-bit md5 of the release key ('dp:' + source), and the noise
-  * is read off a precomputed inverse-CDF THRESHOLD LADDER — T_k =
-  * floor(CDF(k)·2⁵³) for k ∈ [−[[DpTailBound]], +DpTailBound],
+  * WHAT THIS OP IS AND IS NOT: it demonstrates the geometric
+  * mechanism's ALGEBRA (inverse-CDF ladder, clamping, post-processing)
+  * under engine-parity DERANDOMIZATION — the "uniform" is the 53-bit
+  * md5 of the PUBLIC release key ('dp:' + source), so anyone who knows
+  * the mechanism can recompute the draw and recover the exact count.
+  * As registered it is therefore an AUDIT VIEW of the mechanism (it
+  * even ships n_docs beside the release, deliberately), NOT a private
+  * release. A deployment gets actual ε-DP by keying the draw with a
+  * SECRET, per-epoch component — e.g. md5(secret_release_id || source)
+  * — which leaves every threshold below unchanged; the privacy
+  * analysis is then per-release, and the publishable projection is
+  * (source, n_released, eps_x100) only.
+  *
+  * The noise is read off a precomputed inverse-CDF THRESHOLD LADDER —
+  * T_k = floor(CDF(k)·2⁵³) for k ∈ [−[[DpTailBound]], +DpTailBound],
   * computed ONCE in Scala (pure integer thresholds; the ladder is in
   * both engines' query text, so the oracle replays the identical
   * draw). The ±[[DpTailBound]] truncation discards ≈ 2·e^(−ε·bound)
   * of mass — at ε=0.5, bound=100 that is ~10⁻²², far below the 53-bit
   * uniform's own 2⁻⁵³ resolution, so the clamp is unreachable by any
-  * actual draw. A production
-  * deployment keys the seed by (source, release_id) so each release
-  * epoch redraws; the privacy analysis is per-release.
+  * actual draw.
   *
-  * The output is the AUDIT view (true count next to noise next to
-  * release) for the correctness gate; the publishable projection is
-  * (source, n_released, eps_x100). Releases are clamped at 0 (counts
-  * are non-negative; post-processing preserves DP).
+  * The output is the audit view (true count next to noise next to
+  * release) for the correctness gate. Releases are clamped at 0
+  * (counts are non-negative; post-processing preserves DP).
   *
   * Scale shape: one |sources|-bounded count aggregate, then pure map
   * math on the grid — the noise ladder is a constant-folded CASE

@@ -934,10 +934,16 @@ object Sketches {
     val x  = li.select(col("l_extendedprice").cast("double").as("x"))
     val exact = Quantiles.exactPercentiles(li, "l_extendedprice", ps)
     val mm = x.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    // DEGENERATE-COLUMN GUARD: when every value is identical the bin
+    // width (hi−lo)/B is 0 and the unguarded bin expression divides by
+    // zero (NaN here, inf-floor in DuckDB — divergent instead of
+    // failing). Short-circuit: all mass in bin 0, and the est formula
+    // below then yields lo EXACTLY (0-width · anything = 0).
     val grid = x.crossJoin(broadcast(mm))
-      .select(least(floor((col("x") - col("lo")) /
-          ((col("hi") - col("lo")) / HistBins)), lit(HistBins - 1))
-        .cast("long").as("bin"), col("lo"), col("hi"))
+      .select(when(col("hi") === col("lo"), lit(0L))
+        .otherwise(least(floor((col("x") - col("lo")) /
+            ((col("hi") - col("lo")) / HistBins)), lit(HistBins - 1))
+          .cast("long")).as("bin"), col("lo"), col("hi"))
       .groupBy("bin", "lo", "hi").agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("bin") // ≤ HistBins rows: grid-bounded, not corpus-bounded
@@ -964,8 +970,9 @@ object Sketches {
   val histogramQuantilesSql: String =
     s"""WITH mm AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
        |    max(CAST(l_extendedprice AS DOUBLE)) AS hi FROM lineitem),
-       |grid AS (SELECT least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - lo)
-       |      / ((hi - lo) / $HistBins)) AS BIGINT), ${HistBins - 1}) AS bin,
+       |grid AS (SELECT CASE WHEN hi = lo THEN 0
+       |      ELSE least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+       |      / ((hi - lo) / $HistBins)) AS BIGINT), ${HistBins - 1}) END AS bin,
        |    lo, hi, count(*) AS cnt
        |  FROM lineitem, mm GROUP BY 1, 2, 3),
        |cum AS (SELECT bin, lo, hi, cnt,

@@ -73,6 +73,51 @@ object KMeans {
   def codebook(s: SparkSession, d: String, iters: Int = Iters): DataFrame =
     codebookFrom(embFrame(s, d), iters)
 
+  /** Durable TRAINED-CODEBOOK table: the Lloyd centroids persisted
+    * once per corpus snapshot under the [[graft.ops.DurableIndex]]
+    * lifecycle (snapshot tag from the embeddings files, build-once
+    * lock, completion marker, per-session catalog re-registration) —
+    * the q271 persist-and-probe precedent applied to training. The
+    * registered q110 was the registry's most expensive sf1 query
+    * (69.8 s isolated) because it re-ran Lloyd training inside every
+    * pull; training now runs ONCE per snapshot into this table
+    * (carried in Bench's `index_build` split like the other durable
+    * artifacts) and every assignment pull broadcasts the stored
+    * codebook. The table IS [[codebook]]'s result written down —
+    * round-9 centroid components survive the parquet round-trip
+    * bit-exactly, so assignment from the stored codebook equals
+    * assignment from a fresh train (KMeansSpec pins it) and the
+    * oracle is unchanged. A data refresh changes the tag and versions
+    * the table; stale reuse is impossible. */
+  def centroidsTable(s: SparkSession, d: String, iters: Int = Iters): String = {
+    val tag = graft.ops.DurableIndex.snapshotTag(d, "embeddings.parquet")
+    val tbl = s"kmeans_centroids_${iters}_$tag"
+    graft.ops.DurableIndex.locked(s"kmeans$iters-$tag") {
+      if (!s.catalog.tableExists(tbl)) {
+        val loc = graft.ops.DurableIndex.root.resolve(s"kmeans$iters-$tag")
+        if (graft.ops.DurableIndex.complete(loc)) {
+          s.sql(s"CREATE TABLE IF NOT EXISTS $tbl " +
+            "(cent_id BIGINT, ce ARRAY<DOUBLE>) USING PARQUET " +
+            s"LOCATION '${loc.resolve("centroids")}'")
+        } else {
+          java.nio.file.Files.createDirectories(loc)
+          codebook(s, d, iters)
+            .select(col("cent_id").cast("long").as("cent_id"), col("ce"))
+            .write.mode("overwrite")
+            .option("path", loc.resolve("centroids").toString)
+            .saveAsTable(tbl)
+          graft.ops.DurableIndex.markComplete(loc)
+        }
+      }
+    }
+    tbl
+  }
+
+  /** The persisted codebook as a frame — the probe side of every
+    * trained-centroid consumer (q110 assignment, q113 search). */
+  def storedCodebook(s: SparkSession, d: String, iters: Int = Iters): DataFrame =
+    s.table(centroidsTable(s, d, iters)).select(col("cent_id"), col("ce"))
+
   /** [[kmeansAssign]] over an explicit (vec_id, e) frame. */
   def kmeansAssignFrom(emb: DataFrame, iters: Int = Iters): DataFrame = {
     val assigned = SimilarityQueries
@@ -85,9 +130,22 @@ object KMeans {
 
   /** q110 — final assignment of every vector against the trained
     * codebook, plus each cluster's member count (one more bounded
-    * aggregate on the same exchange). Integer-only output. */
-  def kmeansAssign(s: SparkSession, d: String, iters: Int = Iters): DataFrame =
-    kmeansAssignFrom(embFrame(s, d), iters)
+    * aggregate on the same exchange). Integer-only output.
+    *
+    * PERSIST-AND-PROBE: the codebook comes from the durable
+    * [[centroidsTable]] (trained once per snapshot), so the registered
+    * query is ONE broadcast-assign corpus pass + the nlist-bounded
+    * size aggregate — no Lloyd iterations inside the pull. The
+    * training-inclusive form lives on as [[kmeansAssignFrom]] (the
+    * spec's blob-test unit and the build path itself). */
+  def kmeansAssign(s: SparkSession, d: String, iters: Int = Iters): DataFrame = {
+    val assigned = SimilarityQueries
+      .ivfAssign(embFrame(s, d), storedCodebook(s, d, iters))
+      .select("vec_id", "cent_id")
+    val sizes = assigned.groupBy("cent_id").agg(count(lit(1)).as("cluster_size"))
+    assigned.join(broadcast(sizes), "cent_id")
+      .select(col("vec_id"), col("cent_id"), col("cluster_size"))
+  }
 
   /** q113 — IVF top-k SEARCHING OVER THE TRAINED CODEBOOK: q110's
     * Lloyd centroids plugged into the exact [[SimilarityQueries
@@ -107,7 +165,7 @@ object KMeans {
   def ivfTopKTrained(s: SparkSession, d: String, k: Int = 5,
                      nProbe: Int = Int.MaxValue): DataFrame = {
     val emb = embFrame(s, d)
-    val cents = codebook(s, d)
+    val cents = storedCodebook(s, d) // the durable train artifact (q110's)
     SimilarityQueries.ivfSearch(SimilarityQueries.ivfQueries(emb),
       SimilarityQueries.ivfAssign(emb, cents), cents, k, nProbe)
   }

@@ -524,8 +524,11 @@ object SimilarityQueries {
         (col("rk") + 1).as("rank"), round(col("e._3"), 4).as("cos"))
   }
 
-  val ivfTopKSql: String =
-    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+  /** The IVF search twin over ANY (vec_id, e DOUBLE[]) vector CTE body
+    * — the SQL face of [[ivfTopKFrom]]'s pluggable input: the raw
+    * embedding table (q44), or the JL-projected space (q284). */
+  def ivfTopKSqlFrom(vBody: String): String =
+    s"WITH v AS ($vBody), " +
       s"c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id % $CentStride = $CentOffset), " +
       "ac AS (SELECT v.vec_id, c.cent_id, list_cosine_similarity(v.e, c.ce) AS ccos FROM v CROSS JOIN c), " +
       "ar AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY round(ccos, 6) DESC, cent_id) AS r FROM ac), " +
@@ -538,6 +541,9 @@ object SimilarityQueries {
       "FROM probes p JOIN assigned a ON a.cent_id = p.cent_id JOIN q ON q.qid = p.qid WHERE a.vec_id <> p.qid), " +
       "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, vec_id) AS rank FROM scored) " +
       "SELECT qid, vec_id AS neighbor_id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5"
+
+  val ivfTopKSql: String =
+    ivfTopKSqlFrom("SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings")
 
   /** q112 — ANN QUALITY EVAL as a registered operator: per-anchor
     * overlap of the nProbe-restricted IVF search (q44 at the
@@ -575,6 +581,21 @@ object SimilarityQueries {
   /** DuckDB twin of [[recallEvalFrom]] over two CTE bodies. */
   def recallSqlOver(approxSql: String, exactSql: String): String =
     s"""WITH ex AS ($exactSql), ap AS ($approxSql)
+       |SELECT ap.qid,
+       |  CAST(sum(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(min(CASE WHEN ex.neighbor_id IS NOT NULL THEN ap.rank END) AS INT) AS first_hit_rank
+       |FROM ap LEFT JOIN ex ON ex.qid = ap.qid AND ex.neighbor_id = ap.neighbor_id
+       |GROUP BY ap.qid""".stripMargin.replace("\n", " ")
+
+  /** [[recallSqlOver]] with both legs PINNED to the fixed
+    * [[EvalCoverageQMax]] eval set — the q265/q245 rule's SQL face: an
+    * eval does not grow with the corpus, so both searches run over the
+    * constant 50-query set (DuckDB inlines the CTEs, so the qid
+    * predicate prunes each searcher's query side before any scoring). */
+  def recallSqlOverPinned(approxSql: String, exactSql: String): String =
+    s"""WITH ex0 AS ($exactSql), ap0 AS ($approxSql),
+       |ex AS (SELECT * FROM ex0 WHERE qid <= $EvalCoverageQMax),
+       |ap AS (SELECT * FROM ap0 WHERE qid <= $EvalCoverageQMax)
        |SELECT ap.qid,
        |  CAST(sum(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
        |  CAST(min(CASE WHEN ex.neighbor_id IS NOT NULL THEN ap.rank END) AS INT) AS first_hit_rank
@@ -732,9 +753,10 @@ object SimilarityQueries {
     (0 until JlDims).map(j => (0 until 64).map(i =>
       if ((Hashing.md5Lower64(s"jl:$j:$i") & 1L) == 0L) 1 else -1))
 
-  /** q282's searcher — brute exact top-k in the 16-dim SIGN-PROJECTED
-    * space: y_j = Σ_i ±x_i (cosine is scale-invariant, so the 1/√m JL
-    * normalization cancels). The projection differs from matryoshka
+  /** The 16-dim SIGN-PROJECTED space behind the JL family (q282's
+    * brute grader [[jlTopK]], q284's production searcher
+    * [[jlTopKIvf]]): y_j = Σ_i ±x_i (cosine is scale-invariant, so
+    * the 1/√m JL normalization cancels). The projection differs from matryoshka
     * truncation (q194) in kind: truncation keeps 16 coordinates and
     * discards the rest; JL MIXES all 64 into each output, which is the
     * move that works when the input dims carry equal information
@@ -748,16 +770,25 @@ object SimilarityQueries {
     * Scale shape: the projection is a pure map (16 folds of 64 per
     * row — at 100 TB you persist the 4×-smaller projected table, the
     * q203/q149 compression-family economics); the searcher shape is
-    * q20's brute scan, and the scale path is q44's IVF run IN the
-    * projected space — this registers the exactness-gradeable floor. */
-  def jlTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    * q20's brute scan — the exactness-gradeable FLOOR the pinned eval
+    * (q282) grades against; the production leg is [[jlTopKIvf]], q44's
+    * IVF run IN the projected space (q284).
+    *
+    * The corpus in JL-projected 16-dim space: (vec_id, e) — the
+    * shared input of the brute grader ([[jlTopK]]) and the production
+    * searcher ([[jlTopKIvf]]). */
+  def jlProjected(s: SparkSession, d: String): DataFrame = {
     val proj = array((0 until JlDims).map { j =>
       expr(s"aggregate(zip_with(e0, array(${jlSigns(j).map(_ + ".0D").mkString(",")}), " +
         "(x, s) -> x * s), 0.0D, (acc, v) -> acc + v)")
     }: _*)
-    val emb = Tables.embeddings(s, d)
+    Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e0"))
       .select(col("vec_id"), proj.as("e"))
+  }
+
+  def jlTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val emb = jlProjected(s, d)
     val queries = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("e").as("qe"))
     emb.crossJoin(broadcast(queries))
@@ -785,13 +816,67 @@ object SimilarityQueries {
   /** q282 — JL-PROJECTION RECALL against the full-dim exact top-k,
     * graded through the shared q112/q150 integer recall contract —
     * the direct head-to-head with q194's truncation at the same
-    * 16-dim budget. */
+    * 16-dim budget.
+    *
+    * Both legs are PINNED to the fixed [[EvalCoverageQMax]] 50-query
+    * eval set (the q265/q245 rule: an eval does not grow with the
+    * corpus). The r16 form scaled |Q| ∝ N and went 12× at sf3 for 3×
+    * data — brute-vs-brute quadratic BY DEFINITION; with |Q| constant
+    * each leg is Θ(N) (the qid filter pushes through the aggregates
+    * into both searchers' broadcast query sides — PlanSpec-pinned).
+    * The production searcher at this budget is [[jlTopKIvf]] (q284). */
   def jlRecall(s: SparkSession, d: String): DataFrame =
     recallEvalFrom(
-      jlTopK(s, d),
-      cosineTopK(s, d).select(col("qid"), col("neighbor_id")))
+      jlTopK(s, d).filter(col("qid") <= EvalCoverageQMax),
+      cosineTopK(s, d).filter(col("qid") <= EvalCoverageQMax)
+        .select(col("qid"), col("neighbor_id")))
 
-  val jlRecallSql: String = recallSqlOver(jlTopKSql, cosineTopKSql)
+  val jlRecallSql: String = recallSqlOverPinned(jlTopKSql, cosineTopKSql)
+
+  /** q284 — the JL family's PRODUCTION SEARCHER: q44's IVF machinery
+    * run IN the 16-dim projected space — [[jlProjected]] plugged into
+    * [[ivfTopKFrom]] verbatim (stride codebook, broadcast
+    * probe-selection, [[graft.ops.TopKAggregator]] bounded top-k), so
+    * every plan property q44 carries transfers unchanged. This is the
+    * deploy path q282's own design notes name: per query the scan is
+    * ~nProbe/nlist of the corpus instead of all of it, AND each
+    * distance is 16-dim instead of 64 — the two savings compose
+    * (measured vs q44 at sf0.1: the same search shape at a quarter
+    * the arithmetic). Oracle: the full DuckDB twin of the production
+    * setting (the q44 discipline — oracle what you deploy, not a
+    * softened stand-in); probe-ALL equivalence to the brute
+    * [[jlTopK]] is additionally spec-pinned (the q113 discipline).
+    * Recall vs the full-dim exact truth is graded by q285 on the
+    * pinned eval set. */
+  def jlTopKIvf(s: SparkSession, d: String, k: Int = 5,
+                nProbe: Int = NProbe): DataFrame =
+    ivfTopKFrom(jlProjected(s, d), k, nProbe)
+
+  /** The projected corpus as a DuckDB CTE body (the [[jlTopKSql]]
+    * projection, shared by q284's oracle). */
+  private def jlProjectedSqlBody: String = {
+    val dots = (0 until JlDims).map(j =>
+      s"list_dot_product(CAST(embedding AS DOUBLE[]), [${jlSigns(j).map(_ + ".0").mkString(",")}])")
+      .mkString(", ")
+    s"SELECT vec_id, [$dots] AS e FROM embeddings"
+  }
+
+  val jlTopKIvfSql: String = ivfTopKSqlFrom(jlProjectedSqlBody)
+
+  /** q285 — the production JL searcher's recall against the FULL-DIM
+    * exact top-k, both legs pinned to the fixed eval set: the number
+    * that decides whether the 4× cheaper index is deployable. Note
+    * what is being graded: q282 isolates the PROJECTION's cost
+    * (brute-vs-brute); this adds the IVF probe restriction on top —
+    * the honest end-to-end number for the deployed configuration. */
+  def jlIvfRecall(s: SparkSession, d: String): DataFrame =
+    recallEvalFrom(
+      jlTopKIvf(s, d).filter(col("qid") <= EvalCoverageQMax)
+        .select(col("qid"), col("neighbor_id"), col("rank")),
+      cosineTopK(s, d).filter(col("qid") <= EvalCoverageQMax)
+        .select(col("qid"), col("neighbor_id")))
+
+  val jlIvfRecallSql: String = recallSqlOverPinned(jlTopKIvfSql, cosineTopKSql)
 
   // --------------------------------------------------- semantic dedup
 

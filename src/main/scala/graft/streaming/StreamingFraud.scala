@@ -700,14 +700,18 @@ object StreamingFraud {
     graft.ops.Quality.ksCounts(docs)
 
   /** Streaming twin of the (event_type, day) count grid — ONE state
-    * that replays THREE registered tables: q240's seasonal-vs-naive
-    * backtest, q251's Theil–Sen robust trend, and q264's
-    * weekday-seasonal outlier gate, each via its `FromCounts` tail
-    * over a snapshot (`Quality.typeDayCounts` is the shared grid
-    * builder, so every consumer counts identically). State is
-    * |types|·|days| additive cells, calendar-bounded forever — the
-    * [[cusumCountsStream]] posture with the type key carried along.
-    * Input schema: (ts, event_type). */
+    * that replays FIVE registered tables: q240's seasonal-vs-naive
+    * backtest, q251's Theil–Sen robust trend, q264's weekday-seasonal
+    * outlier gate, q283's Mann–Kendall trend test, and (summed over
+    * types) q280's changepoint segmentation — each via its
+    * `FromCounts` tail over a snapshot (`Quality.typeDayCounts` is
+    * the shared grid builder, so every consumer counts identically;
+    * `Changepoint.mannKendallFrom` / `changepointsFromCounts` are the
+    * trend/segmentation tails). The trend tests are thereby LIVE
+    * alarms, not just batch audits. State is |types|·|days| additive
+    * cells, calendar-bounded forever — the [[cusumCountsStream]]
+    * posture with the type key carried along. Input schema:
+    * (ts, event_type). */
   def typeDayCountsStream(events: DataFrame): DataFrame =
     graft.ops.Quality.typeDayCounts(events)
 

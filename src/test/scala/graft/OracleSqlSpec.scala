@@ -37,4 +37,17 @@ class OracleSqlSpec extends AnyFunSuite {
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === OracleFree)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("packs partition the registry: disjoint names, union exact, every entry fully paired") {
+    val names = SparkEntry.packs.flatMap(_.entries.map(_._1))
+    // a name registered in two packs would silently shadow in the
+    // union maps — fail loudly instead
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"names registered in more than one pack: $dups")
+    assert(names.toSet === SparkEntry.queries.keySet)
+    assert(names.toSet === SparkEntry.oracleSql.keySet)
+    // the registry size is pinned so a dropped pack (or a pack whose
+    // entries Seq silently emptied) cannot ship as a smaller registry
+    assert(names.length === 286, s"registry size changed: ${names.length}")
+  }
 }

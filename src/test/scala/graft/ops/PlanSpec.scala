@@ -666,4 +666,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("FileScan parquet"), p)
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0, p)
   }
+
+  test("q282 pinned eval: the qid ceiling reaches the parquet query scans") {
+    val p = plan("q282_jl_recall")
+    // both legs filter qid <= EvalCoverageQMax; the predicate must
+    // push through the top-k aggregates into the query-side embeddings
+    // scans (the corpus sides scan everything, as they must)
+    assert(p.contains("LessThanOrEqual(vec_id,4900)"), p)
+  }
+
+  test("q277 weighted minhash: shared tf contraction checkpointed — zero parquet re-scans") {
+    val p = plan("q277_weighted_minhash")
+    // tt and tf are localCheckpoint'ed shared frontiers (tf feeds the
+    // signature replicas, both ptoks legs and both exact-audit joins):
+    // the final plan must read only the checkpointed blocks, so the
+    // corpus tokenize+aggregate cannot silently re-run per consumer
+    assert(!p.contains("FileScan parquet"), p)
+  }
 }

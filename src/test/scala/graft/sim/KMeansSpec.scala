@@ -38,6 +38,27 @@ class KMeansSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).toSet.subsetOf(seedIds))
   }
 
+  test("q110 persist-and-probe: stored codebook reproduces the fresh-train assignment exactly") {
+    val spark = SparkSpec.spark
+    val dir = "/root/testdata/sf0.001"
+    // the registered query reads the durable centroid table; training
+    // inline from the same snapshot must yield the identical partition
+    // (round-9 components survive the parquet round-trip bit-exactly)
+    val probe = KMeans.kmeansAssign(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fresh = KMeans.kmeansAssignFrom(
+      graft.ops.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe === fresh)
+    // and the registered plan holds NO Lloyd loop: the only parquet
+    // scans are the corpus + the stored centroids — the per-iteration
+    // posexplode update aggregate must be absent
+    val p = KMeans.kmeansAssign(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("posexplode"), p)
+  }
+
   test("Lloyd iterations do not degrade mean cosine to the own centroid") {
     val spark = SparkSpec.spark
     val emb = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")

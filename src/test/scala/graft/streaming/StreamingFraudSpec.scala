@@ -970,7 +970,7 @@ class StreamingFraudSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
-  test("streaming (type, day) grid replays q240, q251 and q264 from one snapshot") {
+  test("streaming (type, day) grid replays q240, q251, q264, q280 and q283 from one snapshot") {
     import org.apache.spark.sql.functions.{col, expr}
     val spark = SparkSpec.spark
     import spark.implicits._
@@ -1012,6 +1012,13 @@ class StreamingFraudSpec extends AnyFunSuite {
       val q264 = graft.ops.Quality.seasonalOutliers(spark, sfDir)
         .collect().map(r => (r.getString(0), r.getDate(1).toString)).toSet
       assert(outFromState === q264)
+      // ... and the r17 trend family reads the SAME state: q283's
+      // Mann–Kendall test per type, and (summed over types) q280's
+      // changepoint segmentation — live alarms, not just batch audits
+      assert(m(graft.ops.Changepoint.mannKendallFrom(snap)) ===
+        m(graft.ops.Changepoint.mannKendall(spark, sfDir)))
+      assert(m(graft.ops.Changepoint.changepointsFromCounts(snap)) ===
+        m(graft.ops.Changepoint.changepoints(spark, sfDir)))
     } finally query.stop()
   }
 

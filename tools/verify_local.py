@@ -7,7 +7,7 @@ matching oracle SQL from <outDir>/oracle_sql.json in DuckDB over the same
 source tables, and compares (columns sorted by name, rows sorted, values
 stringified with float rounding).
 """
-import json, sys, glob, os
+import json, sys, glob, os, re
 import duckdb
 
 def canon(rows, cols):
@@ -107,10 +107,12 @@ def apply_sparse(oracle):
         # |Q|x|N| `scored` cross join (transitively) dozens of times —
         # measured 60+ min at sf1 vs 8.1 s with the CTEs materialized
         # once. The query TEXT semantics are identical.
-        oracle["q143_mmr_rerank"] = (oracle["q143_mmr_rerank"]
-            .replace("scored AS (", "scored AS MATERIALIZED (")
-            .replace("cand AS (", "cand AS MATERIALIZED (")
-            .replace("sim AS (", "sim AS MATERIALIZED ("))
+        # word-boundary anchors so only the intended CTE names match
+        # (a future 'rescored AS (' must not be rewritten)
+        q = oracle["q143_mmr_rerank"]
+        for cte in ("scored", "cand", "sim"):
+            q = re.sub(r"\b" + cte + r" AS \(", cte + " AS MATERIALIZED (", q)
+        oracle["q143_mmr_rerank"] = q
     return oracle
 
 
