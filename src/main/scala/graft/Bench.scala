@@ -95,7 +95,16 @@ object Bench {
       "kmeans_centroids" -> timeIndexBuild(
         s"kmeans${graft.sim.KMeans.Iters}-" +
           graft.ops.DurableIndex.snapshotTag(sfDir, "embeddings.parquet"),
-        () => { graft.sim.KMeans.centroidsTable(spark, sfDir); () }))
+        () => { graft.sim.KMeans.centroidsTable(spark, sfDir); () }),
+      "dedup_pairs" -> timeIndexBuild(
+        "pairs-" + graft.ops.DurableIndex.snapshotTag(sfDir, "documents.parquet"),
+        () => { graft.dedup.DedupQueries.verifiedPairsTable(spark, sfDir); () }),
+      "semantic_drops" -> timeIndexBuild(
+        "semdrops-" + graft.ops.DurableIndex.snapshotTag(sfDir, "embeddings.parquet"),
+        () => { graft.sim.SimilarityQueries.semanticDropsTable(spark, sfDir); () }),
+      "jl_ivf" -> timeIndexBuild(
+        "jlivf-" + graft.ops.DurableIndex.snapshotTag(sfDir, "embeddings.parquet"),
+        () => { graft.sim.JlIvf.jlIvfIndex(spark, sfDir); () }))
     // 1-minute loadavg, sampled per query as well as before/after the
     // run: a loaded machine inflates full-run times up to 10x per query
     // (VERDICT r6 — every apparent r6 "regression" was load noise), so

@@ -699,6 +699,44 @@ object DedupQueries {
     tbl
   }
 
+  /** Durable VERIFIED-PAIRS table: the banded-MinHash + exact-Jaccard
+    * near-dup pairs ([[minHashJaccardPairs]]) written down once per
+    * corpus snapshot under [[indexRoot]]/pairs-<tag> with the
+    * [[corpusIndex]] lifecycle (snapshot tag, build-once lock,
+    * completion marker, per-session catalog re-registration). The
+    * pair set is THE shared intermediate of the dedup family — q45's
+    * clustering, q116/q187's graphs and q115's audit all start from
+    * it — and it changes only when the corpus snapshot does, so
+    * consumers that need the raw pairs probe this table instead of
+    * re-running the band join + verify UDF per pull (the q271
+    * persist-and-probe posture; r17 measured q115's recompute
+    * composition at 253 s in-run at sf1 when its exchange reuse
+    * failed to fire — a probe is immune to that by construction). */
+  def verifiedPairsTable(s: SparkSession, d: String): String = {
+    val tag = graft.ops.DurableIndex.snapshotTag(d, "documents.parquet")
+    val tbl = s"dedup_verified_pairs_$tag"
+    graft.ops.DurableIndex.locked(s"pairs-$tag") {
+      if (!s.catalog.tableExists(tbl)) {
+        val loc = indexRoot.resolve(s"pairs-$tag")
+        if (graft.ops.DurableIndex.complete(loc)) {
+          s.sql(s"CREATE TABLE IF NOT EXISTS $tbl " +
+            "(doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE) " +
+            s"USING PARQUET LOCATION '${loc.resolve("pairs")}'")
+        } else {
+          java.nio.file.Files.createDirectories(loc)
+          minHashJaccardPairs(s, d)
+            .select(col("doc_a").cast("long").as("doc_a"),
+              col("doc_b").cast("long").as("doc_b"), col("jaccard"))
+            .write.mode("overwrite")
+            .option("path", loc.resolve("pairs").toString)
+            .saveAsTable(tbl)
+          graft.ops.DurableIndex.markComplete(loc)
+        }
+      }
+    }
+    tbl
+  }
+
   /** q105 — cluster REPRESENTATIVE selection: after near-dup
     * clustering (q45), each cluster keeps its best member — longest
     * text, id tiebreak, the q103 policy applied at the CLUSTER grain
@@ -1132,23 +1170,24 @@ object DedupQueries {
     * shingle/banding layer cannot see or an over-aggressive ε; the
     * audit is where those thresholds get tuned from.
     *
-    * Scale: both inputs are the already-bounded pair/drop outputs
-    * (band-bucket joins and IVF-cell pairs — never all-pairs); the
-    * audit itself is two id-keyed semi-join-shaped left joins off the
-    * document scan. Output is integer/boolean-only. */
+    * Scale: PERSIST-AND-PROBE (r18). Both inputs are the durable
+    * snapshot artifacts — [[verifiedPairsTable]] and
+    * [[graft.sim.SimilarityQueries.semanticDropsTable]] — not fresh
+    * recomputes: the r13–r17 recompute composition fed each pipeline
+    * into two union branches and relied on exchange reuse that fired
+    * in isolation but NOT under a full bench run (r17 measured 253 s
+    * in-run vs 58 s isolated at sf1 — a 4.3× gap from recomputing two
+    * dedup pipelines twice each). Probing the written-down pair/drop
+    * tables makes the audit two id-keyed left joins off the document
+    * scan, cost ∝ corpus scan, immune to reuse heuristics; the build
+    * cost is carried once per snapshot in `index_build` like every
+    * other durable artifact. Output is integer/boolean-only. */
   def dedupCrossCheck(s: SparkSession, d: String): DataFrame = {
-    // each pipeline feeds two union branches — the q116/q62 fan-out
-    // recompute shape — but pinning them with eager localCheckpoints
-    // was MEASURED SLOWER here (sf3: 357 → 420 s; sf1: 66 → 81 s):
-    // unlike q116's post-AQE miss, these branches' exchanges DO get
-    // reused, so the checkpoint only bought serialization + lost
-    // stage overlap. The discipline is measurement-gated, not a
-    // blanket rule (PERF_NOTES r13).
-    val pairs = minHashJaccardPairs(s, d)
+    val pairs = s.table(verifiedPairsTable(s, d))
     val surfIds = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       .distinct().withColumn("surface_dup", lit(true))
-    val sem = graft.sim.SimilarityQueries.semanticDedup(s, d)
+    val sem = s.table(graft.sim.SimilarityQueries.semanticDropsTable(s, d))
     val semIds = sem.select(col("vec_id").as("doc_id"))
       .union(sem.select(col("dup_of").as("doc_id")))
       .distinct().withColumn("semantic_dup", lit(true))

@@ -179,5 +179,10 @@ object SimPack extends QueryPack {
     ("q285_jl_ivf_recall",
       ((s: SparkSession, d: String) => graft.sim.SimilarityQueries.jlIvfRecall(s, d)),
       graft.sim.SimilarityQueries.jlIvfRecallSql),
+    // round-18: the DEPLOYED JL configuration — trained √N-list Lloyd
+    // codebook in projected space, persisted index, probe-only pull
+    ("q287_jl_trained_topk",
+      ((s: SparkSession, d: String) => graft.sim.JlIvf.jlTrainedTopK(s, d)),
+      graft.sim.JlIvf.jlTrainedTopKSql),
   )
 }

@@ -857,7 +857,7 @@ object SimilarityQueries {
 
   /** The projected corpus as a DuckDB CTE body (the [[jlTopKSql]]
     * projection, shared by q284's oracle). */
-  private def jlProjectedSqlBody: String = {
+  private[sim] def jlProjectedSqlBody: String = {
     val dots = (0 until JlDims).map(j =>
       s"list_dot_product(CAST(embedding AS DOUBLE[]), [${jlSigns(j).map(_ + ".0").mkString(",")}])")
       .mkString(", ")
@@ -925,6 +925,40 @@ object SimilarityQueries {
         min("mate").as("dup_of"),
         count(lit(1)).as("n_mates"),
         round(max(col("cos")), 4).as("max_cos"))
+  }
+
+  /** Durable SEMANTIC-DROPS table: [[semanticDedup]]'s drop list
+    * written down once per embeddings snapshot under
+    * root/semdrops-<tag> with the shared DurableIndex lifecycle.
+    * Like the dedup verified-pairs table, the drop list is a
+    * snapshot-stable intermediate read by several consumers (q88
+    * itself, q115's cross-signal audit, split auditors); persisting
+    * it converts every later read into a scan-sized probe instead of
+    * a fresh Σ|cell|² pair pass. */
+  def semanticDropsTable(s: SparkSession, d: String): String = {
+    val tag = graft.ops.DurableIndex.snapshotTag(d, "embeddings.parquet")
+    val tbl = s"semantic_drops_$tag"
+    graft.ops.DurableIndex.locked(s"semdrops-$tag") {
+      if (!s.catalog.tableExists(tbl)) {
+        val loc = graft.ops.DurableIndex.root.resolve(s"semdrops-$tag")
+        if (graft.ops.DurableIndex.complete(loc)) {
+          s.sql(s"CREATE TABLE IF NOT EXISTS $tbl " +
+            "(vec_id BIGINT, dup_of BIGINT, n_mates BIGINT, max_cos DOUBLE) " +
+            s"USING PARQUET LOCATION '${loc.resolve("drops")}'")
+        } else {
+          java.nio.file.Files.createDirectories(loc)
+          semanticDedup(s, d)
+            .select(col("vec_id").cast("long").as("vec_id"),
+              col("dup_of").cast("long").as("dup_of"),
+              col("n_mates").cast("long").as("n_mates"), col("max_cos"))
+            .write.mode("overwrite")
+            .option("path", loc.resolve("drops").toString)
+            .saveAsTable(tbl)
+          graft.ops.DurableIndex.markComplete(loc)
+        }
+      }
+    }
+    tbl
   }
 
   /** The ε-ball radius for q189's audit — slightly inside

@@ -25,11 +25,13 @@ import graft.ops.Tables
   * grid; the cumulative windows run on that grid. So the whole fit is
   * two corpus passes + grid math, at any corpus size.
   *
-  * FLOAT NOTE: the log–log sums run over vocab-/grid-bounded point
-  * sets and the outputs are rounded at 6dp (the established
-  * cross-engine grain); r² is NULL-guarded when the dependent variable
-  * has zero variance (a saturated vocabulary makes Heaps' V constant —
-  * slope 0 is the honest answer, r² undefined). */
+  * FLOAT RULE (r18, fixes the r17 hash flake): the ln-space points
+  * quantize to ×[[OlsQ]] BIGINT fixed point BEFORE the moment sums,
+  * so the sums are exact order-free integers in both engines and the
+  * final 6dp cells descend from one identical double division tree;
+  * r² (and slope, for a degenerate x grid) is NULL-guarded by EXACT
+  * integer zero-variance tests (a saturated vocabulary makes Heaps'
+  * V constant — slope 0 is the honest answer, r² undefined). */
 object CorpusLaws {
 
   val HeapsPoints = 16
@@ -38,39 +40,71 @@ object CorpusLaws {
     docs.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("token"))
 
-  /** OLS (slope, intercept, r²) over (x, y) point columns, with the
-    * zero-variance guard. Returns a 1-row DataFrame. */
-  private def olsFit(points: DataFrame, law: String): DataFrame =
-    points.agg(
-      count(lit(1)).cast("double").as("n"),
-      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("y") * col("y")).as("syy"))
+  /** ×2²⁰ fixed-point scale for the ln-space points. A power of two,
+    * so q = round(ln·2²⁰) is the same integer in every engine (the
+    * q261/q169 rule), and from there EVERY compared cell descends
+    * from exact, order-free integer algebra: the five OLS moment sums
+    * run over BIGINT points (DECIMAL(38,0)/HUGEINT accumulators), so
+    * Spark's partial-sum order and DuckDB's sequential fold produce
+    * the SAME integers — the r17 flake (float moment sums whose
+    * engine-dependent accumulation order flipped a round(…,6) cell
+    * near a 5e-7 boundary) is structurally gone. The final
+    * slope/intercept/r² divisions are one identical double tree over
+    * those identical integers, so the rounded outputs are
+    * bit-deterministic too. Quantization headroom: ln points ≤ ~40
+    * (e⁴⁰ ≈ 2·10¹⁷ tokens) keep q ≤ 2²⁶, q² ≤ 2⁵², and the moment
+    * sums inside DECIMAL(38,0) to ~10¹² vocabulary points. */
+  val OlsQ = 1L << 20
+
+  /** OLS (slope, intercept, r²) over (x, y) point columns via the
+    * fixed-point moment algebra above. Returns a 1-row DataFrame.
+    * Zero-variance guards are EXACT integer tests (B = 0, C = 0) —
+    * no epsilon needed once the moments are integers. */
+  private def olsFit(points: DataFrame, law: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val moments = points
+      .select(
+        expr(s"CAST(round(x * $OlsQ) AS BIGINT)").as("qx"),
+        expr(s"CAST(round(y * $OlsQ) AS BIGINT)").as("qy"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("qx").cast(dec)).as("sx"),
+        sum(col("qy").cast(dec)).as("sy"),
+        sum((col("qx") * col("qx")).cast(dec)).as("sxx"),
+        sum((col("qx") * col("qy")).cast(dec)).as("sxy"),
+        sum((col("qy") * col("qy")).cast(dec)).as("syy"))
+    val a = (col("n") * col("sxy") - col("sx") * col("sy")).cast(dec)
+    val b = (col("n") * col("sxx") - col("sx") * col("sx")).cast(dec)
+    val c = (col("n") * col("syy") - col("sy") * col("sy")).cast(dec)
+    moments
+      .select(col("n"), col("sx"), col("sy"),
+        a.as("ia"), b.as("ib"), c.as("ic"))
       .select(
         lit(law).as("law"),
-        col("n").cast("long").as("n_points"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
-        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 6)
-          .as("intercept"),
-        round(((col("n") * col("sxy") - col("sx") * col("sy")) *
-          (col("n") * col("sxy") - col("sx") * col("sy"))) /
-          zeroGuard((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+        col("n").as("n_points"),
+        col("ia").cast("double").as("ad"),
+        col("ib").cast("double").as("bd"),
+        col("ic").cast("double").as("cd"),
+        (col("ib") === lit(0)).as("bz"),
+        (col("ic") === lit(0)).as("cz"),
+        col("sx").cast("double").as("sxd"),
+        col("sy").cast("double").as("syd"),
+        col("n").cast("double").as("nd"))
+      .select(
+        col("law"), col("n_points"),
+        round(slopeD, 6).as("slope"),
+        round((col("syd") - slopeD * col("sxd")) /
+          (col("nd") * lit(OlsQ.toDouble)), 6).as("intercept"),
+        round(when(col("bz") || col("cz"), lit(null))
+          .otherwise((col("ad") * col("ad")) / (col("bd") * col("cd"))), 6)
           .as("r2"))
+  }
 
-  /** The zero-variance guard must be a TOLERANCE, not `nullif(x, 0)`:
-    * for a genuinely constant dependent variable Spark's partial-sum
-    * order sometimes leaves an ~1e-10 residual where DuckDB's single-
-    * threaded fold gets exact 0.0 — an exact-zero test then disagrees
-    * between engines run to run. Any |variance product| below the
-    * threshold is zero AS A FIT (legit fits sit orders of magnitude
-    * above it). */
-  private val VarEps = 1e-9
-  private def zeroGuard(c: Column): Column =
-    when(abs(c) < VarEps, lit(null)).otherwise(c)
+  /** Unrounded slope A/B with the exact-zero x-variance guard; shared
+    * by the slope and intercept trees so both engines evaluate ONE
+    * identical division. */
+  private def slopeD: Column =
+    when(col("bz"), lit(null)).otherwise(col("ad") / col("bd"))
 
   /** The two fits over an arbitrary documents-shaped frame (doc_id,
     * text) — the testable core. */
@@ -114,10 +148,10 @@ object CorpusLaws {
     s"""WITH toks AS (SELECT doc_id,
        |    unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents),
        |freq AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1),
-       |zp AS (SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, token) AS DOUBLE)) AS x,
-       |    ln(CAST(freq AS DOUBLE)) AS y FROM freq),
-       |zagg AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
-       |    sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy FROM zp),
+       |zp AS (SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY freq DESC, token) AS DOUBLE)) * $OlsQ) AS BIGINT) AS qx,
+       |    CAST(round(ln(CAST(freq AS DOUBLE)) * $OlsQ) AS BIGINT) AS qy FROM freq),
+       |zagg AS (SELECT count(*) AS n, sum(qx) AS sx, sum(qy) AS sy,
+       |    sum(qx*qx) AS sxx, sum(qx*qy) AS sxy, sum(qy*qy) AS syy FROM zp),
        |mx AS (SELECT max(doc_id) AS mx FROM documents),
        |mb AS (SELECT least($HeapsPoints, (doc_id * $HeapsPoints) // (mx + 1) + 1) AS b,
        |    count(*) AS m FROM toks, mx GROUP BY 1),
@@ -127,16 +161,23 @@ object CorpusLaws {
        |hg AS (SELECT mb.b, sum(mb.m) OVER (ORDER BY mb.b) AS t_cum,
        |    sum(coalesce(vb.v, 0)) OVER (ORDER BY mb.b) AS v_cum
        |  FROM mb LEFT JOIN vb ON vb.b = mb.b),
-       |hp AS (SELECT ln(CAST(t_cum AS DOUBLE)) AS x, ln(CAST(v_cum AS DOUBLE)) AS y FROM hg),
-       |hagg AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
-       |    sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy FROM hp),
+       |hp AS (SELECT CAST(round(ln(CAST(t_cum AS DOUBLE)) * $OlsQ) AS BIGINT) AS qx,
+       |    CAST(round(ln(CAST(v_cum AS DOUBLE)) * $OlsQ) AS BIGINT) AS qy FROM hg),
+       |hagg AS (SELECT count(*) AS n, sum(qx) AS sx, sum(qy) AS sy,
+       |    sum(qx*qx) AS sxx, sum(qx*qy) AS sxy, sum(qy*qy) AS syy FROM hp),
        |fits AS (SELECT 'zipf' AS law, n, sx, sy, sxx, sxy, syy FROM zagg
-       |  UNION ALL SELECT 'heaps', n, sx, sy, sxx, sxy, syy FROM hagg)
+       |  UNION ALL SELECT 'heaps', n, sx, sy, sxx, sxy, syy FROM hagg),
+       |calc AS (SELECT law, n,
+       |    CAST(n*sxy - sx*sy AS DOUBLE) AS ad,
+       |    CAST(n*sxx - sx*sx AS DOUBLE) AS bd,
+       |    CAST(n*syy - sy*sy AS DOUBLE) AS cd,
+       |    (n*sxx - sx*sx = 0) AS bz, (n*syy - sy*sy = 0) AS cz,
+       |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+       |    CAST(n AS DOUBLE) AS nd FROM fits)
        |SELECT law, CAST(n AS BIGINT) AS n_points,
-       |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
-       |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept,
-       |  round((n*sxy - sx*sy) * (n*sxy - sx*sy) /
-       |    (CASE WHEN abs((n*sxx - sx*sx) * (n*syy - sy*sy)) < 1e-9
-       |          THEN NULL ELSE (n*sxx - sx*sx) * (n*syy - sy*sy) END), 6) AS r2
-       |FROM fits""".stripMargin.replace("\n", " ")
+       |  round(CASE WHEN bz THEN NULL ELSE ad / bd END, 6) AS slope,
+       |  round((syd - (CASE WHEN bz THEN NULL ELSE ad / bd END) * sxd) /
+       |    (nd * ${OlsQ.toDouble}), 6) AS intercept,
+       |  round(CASE WHEN bz OR cz THEN NULL ELSE (ad * ad) / (bd * cd) END, 6) AS r2
+       |FROM calc""".stripMargin.replace("\n", " ")
 }

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Round-18 contract fixes:
+  *  - q115 dedupCrossCheck is PERSIST-AND-PROBE: the warm audit reads
+  *    the durable verified-pairs and semantic-drops tables (no shingle
+  *    or cell-pair recompute in its plan) and its verdicts are exactly
+  *    what the live pair/drop pipelines imply.
+  *  - q287 jlTrainedTopK: probe-ALL over the trained projected-space
+  *    codebook is IDENTICAL to the brute JL search (the q113
+  *    discipline — whatever the codebook, scanning every list is
+  *    exact), the codebook is √N-sized, and the warm pull reads only
+  *    index tables.
+  */
+class R18FixesSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.01"
+
+  test("q287: probe-all over the trained JL index equals the brute JL search") {
+    val spark = SparkSpec.spark
+    val all = graft.sim.JlIvf.jlTrainedTopK(spark, dir, 5, Int.MaxValue)
+      .select("qid", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = graft.sim.SimilarityQueries.jlTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(all === brute, "probe-all trained-codebook search must be exact")
+  }
+
+  test("q287: codebook is sqrt(N)-sized and the warm pull touches only index tables") {
+    val spark = SparkSpec.spark
+    val (centTbl, listTbl) = graft.sim.JlIvf.jlIvfIndex(spark, dir)
+    val n = spark.table(listTbl).count()
+    val nlist = spark.table(centTbl).count()
+    // trained from a sqrt(N)-stride seed; Lloyd may only SHRINK it
+    // (empty lists drop out), never grow it
+    val seedLists = n / graft.sim.JlIvf.seedStride(n)
+    assert(nlist <= seedLists + 1 && nlist >= seedLists / 2,
+      s"nlist $nlist not ~sqrt(N) (seed $seedLists of $n vectors)")
+    // the top-k explode is part of the searcher's output shaping; what
+    // must NOT appear is the JL projection fold (zip_with/aggregate
+    // over the raw 64-dim table) or any scan of embeddings.parquet —
+    // the warm pull reads index files only
+    val plan = graft.sim.JlIvf.jlTrainedTopK(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("zip_with"),
+      s"warm pull must not re-project:\n$plan")
+    assert(!plan.contains("embeddings.parquet"),
+      s"warm pull must not scan the raw corpus:\n$plan")
+    assert(plan.contains("jlivf"), s"warm pull must scan the index:\n$plan")
+  }
+
+  test("q115: warm audit probes durable artifacts - no generate, verdicts match live pipelines") {
+    val spark = SparkSpec.spark
+    val audit = graft.dedup.DedupQueries.dedupCrossCheck(spark, dir)
+    audit.collect() // ensures both durable tables exist (build or reuse)
+    val warm = graft.dedup.DedupQueries.dedupCrossCheck(spark, dir)
+    val plan = warm.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("generate"),
+      s"audit plan must not re-run the shingle/banding or cell-pair pipelines:\n$plan")
+    val got = warm.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    // expected verdicts straight from the LIVE pair/drop pipelines
+    val pairs = graft.dedup.DedupQueries.minHashJaccardPairs(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val drops = graft.sim.SimilarityQueries.semanticDedup(spark, dir)
+      .select("vec_id", "dup_of").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    got.foreach { case (id, verdict) =>
+      val want =
+        if (pairs(id) && drops(id)) "both"
+        else if (pairs(id)) "surface_only"
+        else if (drops(id)) "semantic_only"
+        else "neither"
+      assert(verdict === want, s"doc $id: got $verdict, want $want")
+    }
+  }
+}

@@ -44,6 +44,25 @@ class CorpusLawsSpec extends AnyFunSuite {
     assert(fit._3.exists(_ > 0.98), s"heaps r2 ${fit._3} too low")
   }
 
+  test("fit is order-free: forced repartition leaves every cell identical") {
+    // r17 flake regression pin: the OLS moments are fixed-point BIGINT
+    // sums, so ANY partial-aggregation order — here forced by skewed
+    // repartitions of the input — must yield bit-identical output.
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val toks = (1 to 300).flatMap(r => Seq.fill(3000 / r)(s"t$r"))
+    val docs = toks.grouped(37).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("law").collect().map(_.toSeq).toSeq
+    val base = cells(CorpusLaws.lawsFrom(docs.coalesce(1)))
+    for (p <- Seq(3, 7, 32)) {
+      val perturbed = cells(CorpusLaws.lawsFrom(docs.repartition(p, docs("doc_id"))))
+      assert(perturbed === base, s"fit drifted under repartition($p)")
+    }
+  }
+
   test("honest on the saturated-vocabulary fixture corpus") {
     val spark = SparkSpec.spark
     val fits = rowsOf(CorpusLaws.corpusLaws(spark, "/root/testdata/sf0.001"))
