@@ -71,10 +71,12 @@ object Linkage {
   val WaJac: Long = bitLen(MJac * 1024L / UJacPrior).toLong
   val WdJac: Long = bitLen((1000000L - MJac) * 1024L / (1000000L - UJacPrior)).toLong - 11L
 
-  /** Shared projection: ids, block-key fields, distinct token set. */
+  /** Shared projection: ids, block-key fields, distinct token set.
+    * spreadScan: the single-row-group test parquet pins the scan (and
+    * this pipelined tokenize) to ONE task — redistribute first. */
   private[graft] def proj(s: SparkSession, d: String): DataFrame = {
     val raw = split(trim(col("text")), "\\s+")
-    Tables.documents(s, d).select(
+    graft.dedup.DedupQueries.spreadScan(s, Tables.documents(s, d)).select(
       col("doc_id"), col("lang"), col("source"), col("n_chars"),
       array_distinct(raw).as("toks"),
       substring(element_at(raw, 1), 1, 3).as("k1"),
@@ -187,6 +189,34 @@ object Linkage {
   /** Signature length. */
   val WmhK = 32
 
+  /** The K rehash planes: ONE md5 per replica element, reduced once to
+    * the Mersenne-31 field (h' = h mod P, P = 2³¹−1), then K classic
+    * universal maps g_k(h') = (a_k·h' + b_k) mod P — the r18
+    * replacement for K SALTED md5s per replica, which were the query's
+    * measured hot loop (32 digests of ~20-char strings per replicated
+    * token dominated the signature stage). The multipliers wrap the
+    * field ~2³⁰ times, so per-plane minima are effectively independent
+    * orderings (the textbook Carter–Wegman MinHash family; the first
+    * attempt used a non-wrapping wide-field affine map whose planes
+    * all agreed on globally-small hashes — mean estimator error went
+    * 3181 vs the spec's 1500 bound — and was discarded).
+    *
+    * Engine parity is pure integer algebra: operands positive,
+    * a_k < 2³⁰ and h' < 2³¹ keep every product < 2⁶¹, so BIGINT never
+    * overflows in either engine and % agrees. The (a, b) planes derive
+    * from md5 of fixed labels — both engines inline identical
+    * literals. */
+  val WmhP: Long = (1L << 31) - 1
+  val wmhA: IndexedSeq[Long] = (0 until WmhK)
+    .map(k => (Hashing.md5Lower64(s"wmh-a:$k") & ((1L << 30) - 1)) | 1L)
+  val wmhB: IndexedSeq[Long] = (0 until WmhK)
+    .map(k => Hashing.md5Lower64(s"wmh-b:$k") >>> 34) // 30 bits, < P
+
+  /** g_k as SQL text over the field-reduced column `h` — identical
+    * characters in the Spark expression and the DuckDB oracle. */
+  def wmhPlaneSql(k: Int): String =
+    s"(${wmhA(k)} * h + ${wmhB(k)}) % $WmhP"
+
   /** q277 — WEIGHTED MINHASH with an exact audit: multiset (tf-
     * weighted) Jaccard for the SN candidate pairs, estimated by the
     * replication construction — replicate token t into min(tf, cap)
@@ -200,8 +230,13 @@ object Linkage {
     *
     * Each output row carries est_x10k (fraction of the [[WmhK]]
     * signature slots that agree) NEXT TO exact_x10k — the op ships its
-    * own accuracy audit (the q274/q21 discipline). All hash math is
-    * 53-bit md5 (mask-free min parity with DuckDB's unsigned values).
+    * own accuracy audit (the q274/q21 discipline). Hash math: ONE
+    * 53-bit md5 per replica element, then the [[wmhA]] affine rehash
+    * planes give the K per-slot orderings (r18: the K-salted-md5 form
+    * spent its whole signature stage inside md5 — 32 digests per
+    * replicated token; one digest + K integer maps is the standard
+    * universal-hashing MinHash construction and both engines compute
+    * it exactly).
     *
     * Scale shape: signatures are ONE pass over the (doc, token, tf)
     * contraction — explode to ≤ cap replicas, then K min-aggregates
@@ -221,17 +256,19 @@ object Linkage {
     // LinkagePlanSpec asserts the final plan holds no parquet scan).
     // At 100 TB this materialization IS the design: the tf table is
     // the thing you persist, the corpus is read once.
-    val tf = Tables.documents(s, d)
+    val tf = graft.dedup.DedupQueries.spreadScan(s, Tables.documents(s, d))
       .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("token"))
       .groupBy("doc_id", "token")
       .agg(least(count(lit(1)), lit(WmhCap.toLong)).as("ctf"))
       .localCheckpoint()
     val reps = tf.select(col("doc_id"), col("token"),
-      explode(expr("sequence(1, ctf)")).as("i"))
+        explode(expr("sequence(1, ctf)")).as("i"))
+      .select(col("doc_id"),
+        (GraftFunctions.md5Lower53(concat(lit("wmh:"), col("token"),
+          lit("#"), col("i").cast("string"))) % WmhP).as("h"))
     val sigAggs = (0 until WmhK).map { k =>
-      min(GraftFunctions.md5Lower53(concat(lit(s"wmh:$k:"), col("token"),
-        lit("#"), col("i").cast("string")))).as(s"s$k")
+      min(expr(wmhPlaneSql(k))).as(s"s$k")
     }
     val sig = reps.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val sa = sig.toDF(("doc_id" +: (0 until WmhK).map(k => s"a$k")): _*)
@@ -264,15 +301,16 @@ object Linkage {
 
   val weightedMinhashSql: String = {
     val sigCols = (0 until WmhK).map(k =>
-      s"min(md5_number_lower('wmh:$k:' || token || '#' || CAST(i AS VARCHAR)) >> 11) AS s$k")
-      .mkString(", ")
+      s"min(${wmhPlaneSql(k)}) AS s$k").mkString(", ")
     val matchSum = (0 until WmhK).map(k =>
       s"CASE WHEN sa.s$k = sb.s$k THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH $candSql,
        |tf AS (SELECT doc_id, token, least(count(*), $WmhCap) AS ctf FROM
        |    (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
        |     FROM documents) GROUP BY 1, 2),
-       |reps AS (SELECT doc_id, token, unnest(range(1, ctf + 1)) AS i FROM tf),
+       |reps AS (SELECT doc_id,
+       |    CAST(md5_number_lower('wmh:' || token || '#' || CAST(i AS VARCHAR)) >> 11 AS BIGINT) % $WmhP AS h
+       |  FROM (SELECT doc_id, token, unnest(range(1, ctf + 1)) AS i FROM tf)),
        |sig AS (SELECT doc_id, $sigCols FROM reps GROUP BY doc_id),
        |est AS (SELECT g.a, g.b, ($matchSum) * 10000 // $WmhK AS est_x10k
        |  FROM grp g JOIN sig sa ON sa.doc_id = g.a JOIN sig sb ON sb.doc_id = g.b),

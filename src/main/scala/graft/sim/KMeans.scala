@@ -44,8 +44,12 @@ object KMeans {
     * oracle SQL — keep them in lockstep). */
   val Iters = 2
 
+  // spreadScan: the single-row-group test parquet pins the scan — and
+  // with it the whole pipelined cross-product cosine pass — to ONE
+  // task (r18 profile: q110's 20 s was one core computing N·nlist
+  // cosines); redistribute before the broadcast join
   private def embFrame(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+    graft.dedup.DedupQueries.spreadScan(s, Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
 
   /** One UPDATE step: assigned (cent_id, vec_id, e) → refreshed
@@ -121,8 +125,7 @@ object KMeans {
   /** [[kmeansAssign]] over an explicit (vec_id, e) frame. */
   def kmeansAssignFrom(emb: DataFrame, iters: Int = Iters): DataFrame = {
     val assigned = SimilarityQueries
-      .ivfAssign(emb, codebookFrom(emb, iters))
-      .select("vec_id", "cent_id")
+      .ivfAssignSlim(emb, codebookFrom(emb, iters))
     val sizes = assigned.groupBy("cent_id").agg(count(lit(1)).as("cluster_size"))
     assigned.join(broadcast(sizes), "cent_id")
       .select(col("vec_id"), col("cent_id"), col("cluster_size"))
@@ -135,13 +138,16 @@ object KMeans {
     * PERSIST-AND-PROBE: the codebook comes from the durable
     * [[centroidsTable]] (trained once per snapshot), so the registered
     * query is ONE broadcast-assign corpus pass + the nlist-bounded
-    * size aggregate — no Lloyd iterations inside the pull. The
+    * size aggregate — no Lloyd iterations inside the pull; the assign
+    * is the SLIM struct-max form ([[SimilarityQueries.ivfAssignSlim]])
+    * since only labels leave this query — r18 measured the rank-1
+    * window form sorting the whole N·nlist cross product (22.4 s vs
+    * 1.5 s at sf1), which was the entire r16/r17 "q110 residual". The
     * training-inclusive form lives on as [[kmeansAssignFrom]] (the
     * spec's blob-test unit and the build path itself). */
   def kmeansAssign(s: SparkSession, d: String, iters: Int = Iters): DataFrame = {
     val assigned = SimilarityQueries
-      .ivfAssign(embFrame(s, d), storedCodebook(s, d, iters))
-      .select("vec_id", "cent_id")
+      .ivfAssignSlim(embFrame(s, d), storedCodebook(s, d, iters))
     val sizes = assigned.groupBy("cent_id").agg(count(lit(1)).as("cluster_size"))
     assigned.join(broadcast(sizes), "cent_id")
       .select(col("vec_id"), col("cent_id"), col("cluster_size"))

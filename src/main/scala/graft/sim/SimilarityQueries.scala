@@ -487,6 +487,39 @@ object SimilarityQueries {
       .select((Seq("cent_id", "vec_id") ++ extras :+ "e").map(col): _*)
   }
 
+  /** Nearest-centroid assignment WITHOUT the vector payload:
+    * (vec_id, cent_id) only, as ONE codegen'd long-max HashAggregate
+    * over the broadcast cross product — the label-only twin of
+    * [[ivfAssign]] (which must carry `e` for the search paths and
+    * keeps its measured-best rank-1 window, r4).
+    *
+    * Why not the window here: WindowGroupLimit still SORTS the whole
+    * N·nlist cross product before its exchange — 22 s of q110's sf1
+    * pull (r18 profile). Why not max(struct(...)): struct-max plans as
+    * SortAggregate — the same full-cross-product sort, 12 s (the r18
+    * profile's second lesson: its first reading looked 1.5 s because
+    * count() pruned the max away). The argmax pair is instead ENCODED
+    * into one BIGINT, enc = c6·2³² + (2³²−1−cent_id) with c6 the
+    * EXACT ×10⁶ integer of round(ccos, 6) (round-to-nearest of
+    * round6·10⁶ — the product sits within 1e-9 of the integer, so the
+    * encoding preserves exactly the round-6-then-lowest-id contract
+    * every assignment in the file uses), and max(enc) runs map-side
+    * in a primitive-buffer HashAggregate: the cross product collapses
+    * to one long per vector per task, nothing sorts, nothing wide
+    * shuffles. Measured at sf1: 0.9 s vs 12 s (struct-max) vs 22 s
+    * (window). Bound: cent_id < 2³² (codebook ids; a deployment whose
+    * raw ids exceed it densifies them — the codebook is nlist-grain). */
+  def ivfAssignSlim(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        cosineExpr("e", "ce").as("ccos"))
+      .select(col("vec_id"), expr(
+        "CAST(round(round(ccos, 6) * 1000000) AS BIGINT) * 4294967296" +
+          " + (4294967295 - cent_id)").as("enc"))
+      .groupBy("vec_id").agg(max(col("enc")).as("m"))
+      .select(col("vec_id"),
+        expr("4294967295 - pmod(m, 4294967296)").as("cent_id"))
+
   /** The registered queries' deterministic query subset. */
   def ivfQueries(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") % 100 === 0)

@@ -45,6 +45,39 @@ object WordPiece {
   val DefaultVocabSize = 8192
   val Unk             = "[UNK]"
 
+  /** Word positions contributing pieces are capped at this bound IN
+    * BOTH ENGINES: the oracle enumerates positions via
+    * `range(1, MaxWordPositions + 1)` and the Spark side caps its
+    * `sequence` at `least(length, MaxWordPositions)` — one shared
+    * constant, so a pathological 64+-char lowercase run cannot make
+    * the engines diverge (r17 advice: the bound used to live only in
+    * the SQL). BERT's own tokenizer skips words past a length cap for
+    * the same reason; 63 covers every natural-language word. */
+  val MaxWordPositions = 63
+
+  /** The shared corpus-grain evidence pipeline: word-frequency
+    * contraction, then position-marked substring explode over DISTINCT
+    * words, summed per marked piece — ONE definition read by both
+    * [[seedStats]] (top-[[SeedTopN]], the q286 face) and
+    * [[trainFromCorpus]] (top-[[MaxTrainVocab]] collect), so the
+    * trained vocabulary can never silently drift from the
+    * oracle-checked evidence table (r17 advice: the expression used
+    * to be duplicated verbatim). */
+  private def markedPieceFreqs(s: SparkSession, d: String): DataFrame = {
+    val wf = Tables.documents(s, d)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    wf.select(explode(expr(
+        s"""flatten(transform(sequence(1, least(length(word), $MaxWordPositions)), i ->
+           |  filter(transform(sequence(1, $SeedMaxLen), l ->
+           |    CASE WHEN i + l - 1 <= length(word)
+           |         THEN CASE WHEN i = 1 THEN substring(word, i, l)
+           |              ELSE concat('##', substring(word, i, l)) END END),
+           |  x -> x IS NOT NULL)))""".stripMargin.replace("\n", " ")))
+        .as("piece"), col("freq"))
+      .groupBy("piece").agg(sum("freq").as("freq"))
+  }
+
   // ------------------------------------ q286: marked piece statistics
 
   /** q286 — corpus-wide POSITION-MARKED substring statistics: every
@@ -62,29 +95,17 @@ object WordPiece {
     * pieces per DISTINCT word; two hash aggregates with map-side
     * partials, no window, no global sort — the q272 plan with one
     * extra CASE in the projected piece. */
-  def seedStats(s: SparkSession, d: String): DataFrame = {
-    val wf = Tables.documents(s, d)
-      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-    wf.select(explode(expr(
-        s"""flatten(transform(sequence(1, length(word)), i ->
-           |  filter(transform(sequence(1, $SeedMaxLen), l ->
-           |    CASE WHEN i + l - 1 <= length(word)
-           |         THEN CASE WHEN i = 1 THEN substring(word, i, l)
-           |              ELSE concat('##', substring(word, i, l)) END END),
-           |  x -> x IS NOT NULL)))""".stripMargin.replace("\n", " ")))
-        .as("piece"), col("freq"))
-      .groupBy("piece").agg(sum("freq").as("freq"))
+  def seedStats(s: SparkSession, d: String): DataFrame =
+    markedPieceFreqs(s, d)
       .orderBy(col("freq").desc, col("piece"))
       .limit(SeedTopN)
-  }
 
   val seedStatsSql: String =
     s"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
        |wf AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
        |p AS (SELECT CASE WHEN i = 1 THEN substring(word, CAST(i AS INT), CAST(l AS INT))
        |    ELSE '##' || substring(word, CAST(i AS INT), CAST(l AS INT)) END AS piece, freq
-       |  FROM wf, range(1, ${SeedMaxLen + 1}) tl(l), range(1, 64) ti(i)
+       |  FROM wf, range(1, ${SeedMaxLen + 1}) tl(l), range(1, ${MaxWordPositions + 1}) ti(i)
        |  WHERE i + l - 1 <= len(word))
        |SELECT piece, CAST(sum(freq) AS BIGINT) AS freq FROM p GROUP BY piece
        |ORDER BY freq DESC, piece LIMIT $SeedTopN""".stripMargin.replace("\n", " ")
@@ -114,18 +135,7 @@ object WordPiece {
     * contract). */
   def trainFromCorpus(s: SparkSession, d: String,
                       vocabSize: Int = DefaultVocabSize): Set[String] = {
-    val wf = Tables.documents(s, d)
-      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-    val pieces = wf.select(explode(expr(
-        s"""flatten(transform(sequence(1, length(word)), i ->
-           |  filter(transform(sequence(1, $SeedMaxLen), l ->
-           |    CASE WHEN i + l - 1 <= length(word)
-           |         THEN CASE WHEN i = 1 THEN substring(word, i, l)
-           |              ELSE concat('##', substring(word, i, l)) END END),
-           |  x -> x IS NOT NULL)))""".stripMargin.replace("\n", " ")))
-        .as("piece"), col("freq"))
-      .groupBy("piece").agg(sum("freq").as("freq"))
+    val pieces = markedPieceFreqs(s, d)
       .orderBy(col("freq").desc, col("piece"))
       .limit(MaxTrainVocab)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq

@@ -48,6 +48,6 @@ class OracleSqlSpec extends AnyFunSuite {
     assert(names.toSet === SparkEntry.oracleSql.keySet)
     // the registry size is pinned so a dropped pack (or a pack whose
     // entries Seq silently emptied) cannot ship as a smaller registry
-    assert(names.length === 286, s"registry size changed: ${names.length}")
+    assert(names.length === 287, s"registry size changed: ${names.length}")
   }
 }

@@ -23,12 +23,14 @@ class WeightedMinhashSpec extends AnyFunSuite {
         t -> math.min(xs.size, Linkage.WmhCap)
       }
     }
-    def sig(id: Long): Seq[Long] =
-      (0 until Linkage.WmhK).map { k =>
-        tf(id).flatMap { case (t, c) =>
-          (1 to c).map(i => Hashing.md5Lower64(s"wmh:$k:$t#$i") >>> 11)
-        }.min
+    def sig(id: Long): Seq[Long] = {
+      val hs = tf(id).toSeq.flatMap { case (t, c) =>
+        (1 to c).map(i => (Hashing.md5Lower64(s"wmh:$t#$i") >>> 11) % Linkage.WmhP)
       }
+      (0 until Linkage.WmhK).map { k =>
+        hs.map(h => (Linkage.wmhA(k) * h + Linkage.wmhB(k)) % Linkage.WmhP).min
+      }
+    }
     def exact(a: Long, b: Long): Long = {
       val (ta, tb) = (tf(a), tf(b))
       val keys = ta.keySet ++ tb.keySet

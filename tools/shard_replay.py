@@ -14,11 +14,15 @@ Merge with tools/merge_artifacts.py afterwards.
 """
 import json, sys
 
-# measured sf1 DuckDB costs (r16 PERF_NOTES) — seconds; default 5
+# measured sf1 DuckDB costs (r16 PERF_NOTES) — seconds; default 5.
+# Keys MUST be registered query names (oracle_sql.json); main() warns
+# on any key that doesn't resolve, so a rename can't silently demote a
+# known-slow oracle back to the 5 s default (r17 advice: four stale
+# keys skewed shard balance for a round).
 SLOW = {"q181_nfd_pack": 1020, "q116_pagerank": 793,
-        "q115_dedup_crosscheck": 429, "q67_char_ngram_neardup": 480,
-        "q64_dedup_cc": 300, "q199_lpa_communities": 300,
-        "q179_bfs_layers": 200, "q180_kcore": 200, "q187_hits": 200,
+        "q115_dedup_crosscheck": 429, "q67_ngram_jaccard": 480,
+        "q64_cc_largestar": 300, "q199_lpa_communities": 300,
+        "q179_bfs_depth": 200, "q180_kcore": 200, "q187_hits_scores": 200,
         "q121_triangles": 120, "q166_prefix_filter_pairs": 120,
         "q138_banding_recall": 90, "q143_mmr_rerank": 60}
 
@@ -27,6 +31,10 @@ def main(argv):
     sf_dir, out_dir, prefix = argv[1], argv[2], argv[3]
     n = int(argv[4]) if len(argv) > 4 else 6
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    unknown = sorted(set(SLOW) - set(oracle))
+    if unknown:
+        print(f"# WARNING: SLOW keys not in oracle_sql.json: {unknown}",
+              file=sys.stderr)
     cl = oracle.get("q45_dedup_clusters")
     cluster_consumers = sorted(
         name for name, sql in oracle.items() if cl and cl in sql)
