@@ -34,7 +34,14 @@ def main(argv):
     only = None
     if "--only" in argv:
         only = set(argv[argv.index("--only") + 1].split(","))
-    con = duckdb.connect()
+    # Parallel shard replays MUST cap per-process threads: six DuckDB
+    # processes each defaulting to all 32 cores put ~190 runnable
+    # threads on the box (loadavg 111 measured, r18) and the heavy
+    # oracles stopped making progress. 5 threads x 6 shards ~= the
+    # machine, no thrash.
+    threads = os.environ.get("GRAFT_DUCKDB_THREADS")
+    con = duckdb.connect(
+        config={"threads": int(threads)} if threads else {})
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
