@@ -104,7 +104,10 @@ object Bench {
         () => { graft.sim.SimilarityQueries.semanticDropsTable(spark, sfDir); () }),
       "jl_ivf" -> timeIndexBuild(
         "jlivf-" + graft.ops.DurableIndex.snapshotTag(sfDir, "embeddings.parquet"),
-        () => { graft.sim.JlIvf.jlIvfIndex(spark, sfDir); () }))
+        () => { graft.sim.JlIvf.jlIvfIndex(spark, sfDir); () }),
+      "rrf_candidates" -> timeIndexBuild(
+        "rrfcand-" + graft.ops.DurableIndex.snapshotTag(sfDir, "embeddings.parquet"),
+        () => { graft.sim.RankFusion.rrfCandidatesTable(spark, sfDir); () }))
     // 1-minute loadavg, sampled per query as well as before/after the
     // run: a loaded machine inflates full-run times up to 10x per query
     // (VERDICT r6 — every apparent r6 "regression" was load noise), so

@@ -140,15 +140,23 @@ object DedupQueries {
     * instead of plan quality (r14→r17 "creep", VERDICT r17 item 3:
     * q166 26→86 s with code, data and output bit-identical).
     *
-    * Fix: when the scan yields fewer partitions than the session's
-    * shuffle width, redistribute the (doc_id, text) rows round-robin
-    * BEFORE the projection. Gated on the actual scan parallelism, so
-    * on a realistically-laid-out corpus (100 TB = thousands of row
-    * groups) this is a no-op passthrough — the shuffle only exists
-    * where the pathological layout does. */
+    * Fix: when the scan yields under HALF the session's shuffle width,
+    * redistribute the (doc_id, text) rows round-robin BEFORE the
+    * projection. Gated on the actual scan parallelism, so on a
+    * realistically-laid-out corpus (100 TB = thousands of row groups)
+    * this is a no-op passthrough — the shuffle only exists where a
+    * degenerate layout does. The half-width gate (r18 advice) is
+    * deliberate: a mid-size layout at, say, 20 of 32 partitions is
+    * NOT the pathology this guards against (one row group serializing
+    * a CPU stage), and a full-corpus text shuffle to close a ≤2× gap
+    * costs more than it buys; below half-width the worst-case CPU
+    * serialization exceeds 2× and the shuffle pays for itself. The
+    * `df.rdd.getNumPartitions` probe does force physical planning of
+    * the scan subplan per call — milliseconds, amortized against the
+    * CPU-heavy hashing stages every caller feeds. */
   private[graft] def spreadScan(s: SparkSession, df: DataFrame): DataFrame = {
     val width = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+    if (df.rdd.getNumPartitions * 2 <= width) df.repartition(width) else df
   }
 
   /** MinHash+LSH near-dup pairs: candidates share ≥ 1 band bucket

@@ -243,8 +243,10 @@ object Linkage {
     * with map-side partials → one K-column row per doc (a few hundred
     * bytes; at 100 TB the signature table is the thing you persist,
     * the corpus is read once). The estimate join is candidate-grain;
-    * the exact audit joins per-pair token unions — candidate·tokens
-    * grain, exactly the mass q275 already verified against. */
+    * the exact audit joins per-pair token INTERSECTIONS (r19: one
+    * inner join + a doc-grain size table via Σmax = Σa + Σb − Σmin —
+    * the r18 form materialized the per-pair token UNION with a
+    * distinct and two extra left joins at strictly larger grain). */
   def weightedMinhash(s: SparkSession, d: String): DataFrame = {
     val tt = proj(s, d).localCheckpoint()
     val pairs = candidates(tt).select(col("a"), col("b"))
@@ -279,21 +281,29 @@ object Linkage {
       .select(col("a"), col("b"),
         expr(s"CAST((${(0 until WmhK).map(k => s"IF(a$k = b$k, 1, 0)").mkString(" + ")}) * 10000 div $WmhK AS BIGINT)")
           .as("est_x10k"))
-    val ptoks = pairs.join(tf.select(col("doc_id").as("a"), col("token")), "a")
-      .select(col("a"), col("b"), col("token"))
-      .union(pairs.join(tf.select(col("doc_id").as("b"), col("token")), "b")
-        .select(col("a"), col("b"), col("token")))
-      .distinct()
-    val exact = ptoks
-      .join(tf.select(col("doc_id").as("a"), col("token"), col("ctf").as("ctf_a")),
-        Seq("a", "token"), "left")
+    // Exact audit via the min/max identity (r19 — the r18 form built a
+    // per-pair token UNION: two pair⋈tf joins + a distinct + two more
+    // left joins, all at candidate·union-tokens grain. Pointwise on the
+    // union, min(a,b) + max(a,b) = a + b with absent = 0, so
+    //   Σ max = Σ ctf_a + Σ ctf_b − Σ_∩ min
+    // and the audit needs only the INTERSECTION join (pair ⋈ tf_a
+    // ⋈ tf_b on token — inner, no distinct, strictly smaller grain)
+    // plus one doc-grain size table. Same integers out, three fewer
+    // candidate-grain passes.)
+    val sz = tf.groupBy("doc_id").agg(sum(col("ctf")).as("sz"))
+    val inter = pairs
+      .join(tf.select(col("doc_id").as("a"), col("token"), col("ctf").as("ctf_a")), "a")
       .join(tf.select(col("doc_id").as("b"), col("token"), col("ctf").as("ctf_b")),
-        Seq("b", "token"), "left")
+        Seq("b", "token"))
       .groupBy("a", "b")
-      .agg(sum(least(coalesce(col("ctf_a"), lit(0L)), coalesce(col("ctf_b"), lit(0L)))).as("smin"),
-        sum(greatest(coalesce(col("ctf_a"), lit(0L)), coalesce(col("ctf_b"), lit(0L)))).as("smax"))
+      .agg(sum(least(col("ctf_a"), col("ctf_b"))).as("smin"))
+    val exact = pairs
+      .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      .join(inter, Seq("a", "b"), "left")
       .select(col("a"), col("b"),
-        expr("smin * 10000 div greatest(smax, 1)").as("exact_x10k"))
+        expr("coalesce(smin, 0) * 10000 div greatest(sza + szb - coalesce(smin, 0), 1)")
+          .as("exact_x10k"))
     est.join(exact, Seq("a", "b"))
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         col("est_x10k"), col("exact_x10k"))
@@ -314,17 +324,18 @@ object Linkage {
        |sig AS (SELECT doc_id, $sigCols FROM reps GROUP BY doc_id),
        |est AS (SELECT g.a, g.b, ($matchSum) * 10000 // $WmhK AS est_x10k
        |  FROM grp g JOIN sig sa ON sa.doc_id = g.a JOIN sig sb ON sb.doc_id = g.b),
-       |ptoks AS (SELECT DISTINCT a, b, token FROM (
-       |    SELECT g.a, g.b, t.token FROM grp g JOIN tf t ON t.doc_id = g.a
-       |    UNION ALL
-       |    SELECT g.a, g.b, t.token FROM grp g JOIN tf t ON t.doc_id = g.b)),
-       |ex AS (SELECT p.a, p.b,
-       |    sum(least(coalesce(ta.ctf, 0), coalesce(tb.ctf, 0))) AS smin,
-       |    sum(greatest(coalesce(ta.ctf, 0), coalesce(tb.ctf, 0))) AS smax
-       |  FROM ptoks p
-       |  LEFT JOIN tf ta ON ta.doc_id = p.a AND ta.token = p.token
-       |  LEFT JOIN tf tb ON tb.doc_id = p.b AND tb.token = p.token
-       |  GROUP BY 1, 2)
+       |sz AS (SELECT doc_id, sum(ctf) AS sz FROM tf GROUP BY doc_id),
+       |ix AS (SELECT g.a, g.b, sum(least(ta.ctf, tb.ctf)) AS smin
+       |  FROM grp g
+       |  JOIN tf ta ON ta.doc_id = g.a
+       |  JOIN tf tb ON tb.doc_id = g.b AND tb.token = ta.token
+       |  GROUP BY 1, 2),
+       |ex AS (SELECT g.a, g.b, coalesce(ix.smin, 0) AS smin,
+       |    za.sz + zb.sz - coalesce(ix.smin, 0) AS smax
+       |  FROM grp g
+       |  JOIN sz za ON za.doc_id = g.a
+       |  JOIN sz zb ON zb.doc_id = g.b
+       |  LEFT JOIN ix ON ix.a = g.a AND ix.b = g.b)
        |SELECT e.a AS doc_a, e.b AS doc_b,
        |  CAST(e.est_x10k AS BIGINT) AS est_x10k,
        |  CAST(x.smin * 10000 // greatest(x.smax, 1) AS BIGINT) AS exact_x10k

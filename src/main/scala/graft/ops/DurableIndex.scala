@@ -56,14 +56,43 @@ object DurableIndex {
 
   /** One lock object per key: `computeIfAbsent` + synchronized
     * serializes concurrent builders in this JVM (a streaming twin's
-    * first micro-batch racing the batch query), so exactly one writes
-    * and the loser reuses. Cross-JVM racers are idempotent: both write
-    * the same content to the same location, last marker wins. */
+    * first micro-batch racing the batch query); an OS-level advisory
+    * file lock under [[root]] then serializes builders ACROSS
+    * processes (r18 advice: a parallel shard replay and a bench on the
+    * same snapshot could both take the build branch and interleave
+    * overwrite writes, then `markComplete` landed on a torn index that
+    * was reused forever). `FileChannel.lock` blocks until the peer
+    * releases — or dies: the kernel drops the lock with the process,
+    * so a crashed builder never wedges the key — and the loser then
+    * re-checks [[complete]] inside its critical section and reuses.
+    * The JVM monitor stays: POSIX file locks are per-process, so two
+    * THREADS of one JVM must not both reach `FileChannel.lock` (the
+    * second raises OverlappingFileLockException instead of waiting).
+    * `held` makes re-entrant same-key nesting a no-op for the same
+    * reason. */
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val held = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue() = scala.collection.mutable.Set.empty[String]
+  }
 
   def locked[T](key: String)(body: => T): T =
-    locks.computeIfAbsent(key, _ => new Object).synchronized(body)
+    locks.computeIfAbsent(key, _ => new Object).synchronized {
+      if (held.get()(key)) body
+      else {
+        Files.createDirectories(root)
+        val ch = java.nio.channels.FileChannel.open(
+          root.resolve(s".lock-$key"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lk = ch.lock()
+          held.get() += key
+          try body
+          finally { held.get() -= key; lk.release() }
+        } finally ch.close()
+      }
+    }
 
   def complete(loc: Path): Boolean = Files.exists(loc.resolve(DoneMarker))
 

@@ -440,7 +440,18 @@ object SimilarityQueries {
     * (broadcast codebook + per-vector argmax), probe the NProbe nearest
     * lists per query, exact cosine top-k within the probed lists only.
     * Output schema matches [[cosineTopK]] so recall@k is measurable by
-    * direct comparison (see SimilaritySpec). */
+    * direct comparison (see SimilaritySpec).
+    *
+    * DEPLOYMENT POSTURE (SURVEY §8 "ANN deployment routing"): this is
+    * the family's ORACLE-REPRODUCIBLE BASELINE, not the deploy path.
+    * The stride codebook keeps nlist ∝ N, so the inline assignment
+    * stage is N·nlist — quadratic at 100× by construction; it exists
+    * because a fixed-stride codebook is exactly twin-able in DuckDB
+    * (no training loop in the oracle) and anchors the recall grades.
+    * Deployments run the same search spine over [[ivfIndex]] (q78,
+    * persisted lists, probe-only) or the trained √N codebook
+    * ([[graft.sim.KMeans.ivfTopKTrained]] q113 /
+    * [[graft.sim.JlIvf.jlTrainedTopK]] q287). */
   def ivfTopK(s: SparkSession, d: String, k: Int = 5, nProbe: Int = NProbe): DataFrame =
     ivfTopKFrom(
       Tables.embeddings(s, d)
@@ -508,14 +519,24 @@ object SimilarityQueries {
     * to one long per vector per task, nothing sorts, nothing wide
     * shuffles. Measured at sf1: 0.9 s vs 12 s (struct-max) vs 22 s
     * (window). Bound: cent_id < 2³² (codebook ids; a deployment whose
-    * raw ids exceed it densifies them — the codebook is nlist-grain). */
+    * raw ids exceed it densifies them — the codebook is nlist-grain).
+    * The bound is ENFORCED, not just documented (r18 advice): an
+    * out-of-range cent_id or a NaN/null cosine (a zero-norm vector)
+    * would silently corrupt the encoding — CAST(NaN) demotes to 0, a
+    * null enc drops the vector from the max — so the encode raises
+    * instead of returning wrong labels. One codegen'd branch per row;
+    * measured no-cost next to the cosine itself. */
   def ivfAssignSlim(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
         cosineExpr("e", "ce").as("ccos"))
       .select(col("vec_id"), expr(
-        "CAST(round(round(ccos, 6) * 1000000) AS BIGINT) * 4294967296" +
-          " + (4294967295 - cent_id)").as("enc"))
+        "IF(cent_id >= 0 AND cent_id < 4294967296 AND ccos IS NOT NULL AND NOT isnan(ccos), " +
+          "CAST(round(round(ccos, 6) * 1000000) AS BIGINT) * 4294967296" +
+          " + (4294967295 - cent_id), " +
+          "raise_error('ivfAssignSlim: cent_id must be in [0, 2^32) and " +
+          "cosine non-null/non-NaN - densify codebook ids / filter zero-norm " +
+          "vectors before assignment'))").as("enc"))
       .groupBy("vec_id").agg(max(col("enc")).as("m"))
       .select(col("vec_id"),
         expr("4294967295 - pmod(m, 4294967296)").as("cent_id"))
@@ -883,7 +904,14 @@ object SimilarityQueries {
     * softened stand-in); probe-ALL equivalence to the brute
     * [[jlTopK]] is additionally spec-pinned (the q113 discipline).
     * Recall vs the full-dim exact truth is graded by q285 on the
-    * pinned eval set. */
+    * pinned eval set.
+    *
+    * DEPLOYMENT POSTURE (SURVEY §8 "ANN deployment routing"): like
+    * q44, this is the ORACLE-REPRODUCIBLE BASELINE of its tier — the
+    * stride codebook's inline nlist ∝ N assignment is quadratic at
+    * 100×. The deployed JL configuration is [[graft.sim.JlIvf
+    * .jlTrainedTopK]] (q287): trained √N codebook, persisted lists,
+    * probe-only pulls — 0.6 s vs this query's 14.9 s at sf1. */
   def jlTopKIvf(s: SparkSession, d: String, k: Int = 5,
                 nProbe: Int = NProbe): DataFrame =
     ivfTopKFrom(jlProjected(s, d), k, nProbe)

@@ -56,9 +56,16 @@ class R18FixesSpec extends AnyFunSuite {
     val audit = graft.dedup.DedupQueries.dedupCrossCheck(spark, dir)
     audit.collect() // ensures both durable tables exist (build or reuse)
     val warm = graft.dedup.DedupQueries.dedupCrossCheck(spark, dir)
-    val plan = warm.queryExecution.executedPlan.toString
-    assert(!plan.toLowerCase.contains("generate"),
-      s"audit plan must not re-run the shingle/banding or cell-pair pipelines:\n$plan")
+    // match the Generate NODE in the optimized logical plan (explode /
+    // posexplode — the shingle/banding and cell-pair pipelines' shape),
+    // not a case-insensitive substring of the physical plan text, which
+    // any future "generated"/codegen rendering would flip (r18 advice)
+    val gens = warm.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.isEmpty,
+      s"audit plan must not re-run the shingle/banding or cell-pair pipelines:\n" +
+        warm.queryExecution.optimizedPlan)
     val got = warm.collect().map(r =>
       r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
     // expected verdicts straight from the LIVE pair/drop pipelines

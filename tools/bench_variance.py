@@ -18,13 +18,17 @@ def main(argv):
     ratios = {q: round(qb[q] / qa[q], 3) for q in shared if qa[q] > 0.05}
     rs = sorted(ratios.values())
     n = len(rs)
-    pct = lambda p: rs[min(n - 1, int(p * n))]
+    # n == 0 (no query clears the 50 ms floor) would make pct() index
+    # rs[-1] of an empty list; emit nulls rather than crash (r18 advice)
+    pct = (lambda p: rs[min(n - 1, int(p * n))]) if n else (lambda p: None)
+    total_ratio = (round(b["value"] / a["value"], 3)
+                   if a["value"] else None)
     out = {
         "metric": "bench_variance",
         "n_queries_shared": len(shared),
         "n_ratio_eligible": n,  # queries >= 50ms in run A
         "total_a": a["value"], "total_b": b["value"],
-        "total_ratio": round(b["value"] / a["value"], 3),
+        "total_ratio": total_ratio,
         "ratio_p10": pct(0.10), "ratio_p25": pct(0.25),
         "ratio_median": pct(0.50), "ratio_p75": pct(0.75),
         "ratio_p90": pct(0.90),
