@@ -35,6 +35,24 @@ object Sessions {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // registers graft's custom planner strategies (native as-of join)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // ObjectHashAggregate (typed Aggregators like TopKAggregator,
+      // collect_list/collect_set) falls back to SORT-BASED aggregation
+      // once a task sees more than this many distinct keys — default
+      // 128. The r19 sf3 ANN record caught the cliff this causes for
+      // the bounded top-k family: cosineTopK's per-qid TopKByScore
+      // holds ≤ k rows per key, but with |Q| > 128 qids per task the
+      // fallback sorts the ENTIRE |Q|·N scored stream (evaluating the
+      // BigDecimal-backed round(cos,6) into the sorter) and spills —
+      // one task was observed merging spill files for minutes at sf3
+      // while 31 cores idled. 8192 keeps every eval-family aggregate
+      // on the hash path at any replayed SF (|Q| = 1500 at sf3, 5000
+      // at sf10) while bounding the worst unbounded-buffer case (doc-
+      // grain collect_list at ~5 KB/key) to ~40 MB per task. At 100 TB
+      // the eval set is pinned (q265's argument) so |Q| stays well
+      // under this; a deployment that exceeds it degrades to exactly
+      // today's sort-based behavior, never OOM.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "8192")
     val s = extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
