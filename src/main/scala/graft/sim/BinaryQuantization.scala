@@ -106,7 +106,10 @@ object BinaryQuantization {
     * outcome; SQ8 at the same corpus is near-lossless, q150). */
   def bqRecall(s: SparkSession, d: String, k: Int = K): DataFrame =
     SimilarityQueries.recallEvalFrom(
-      bqTopK(s, d, k).select(col("qid"), col("neighbor_id"), col("rank")),
+      // default k probes the durable candidate table (row-identical to
+      // bqTopK's default output — RankFusion.searcherCandidates)
+      if (k == K) RankFusion.searcherCandidates(s, d, "bq")
+      else bqTopK(s, d, k).select(col("qid"), col("neighbor_id"), col("rank")),
       SimilarityQueries.cosineTopK(s, d, k).select(col("qid"), col("neighbor_id")))
 
   private def packSql(off: Int): String =

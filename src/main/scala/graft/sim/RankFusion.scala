@@ -75,6 +75,21 @@ object RankFusion {
     tbl
   }
 
+  /** One searcher's (qid, neighbor_id, rank) candidate list, read from
+    * the durable [[rrfCandidatesTable]] — row-for-row the named
+    * searcher's default-parameter output (the build writes exactly
+    * ivfTopK/sqTopK/bqTopK with registry defaults). r19: the recall/
+    * nDCG/RBO evals (q112/q150/q204/q220/q245) route their approximate
+    * legs here, so a full bench run computes each searcher once at
+    * index build instead of once per eval that grades it — the same
+    * persist-and-probe move q213/q214 made, applied to the rest of the
+    * eval family. Only the exact ground-truth leg stays inline in
+    * those queries (it is the eval's definition). */
+  def searcherCandidates(s: SparkSession, d: String, searcher: String): DataFrame =
+    s.table(rrfCandidatesTable(s, d))
+      .filter(col("searcher") === searcher)
+      .select(col("qid"), col("neighbor_id"), col("rank"))
+
   /** q213 — fused top-[[FuseK]] per query with the integer RRF score
     * and how many of the three lists surfaced each neighbor. PROBES
     * the durable [[rrfCandidatesTable]] — the fuse itself is one
@@ -164,7 +179,9 @@ object RankFusion {
     * (qid, neighbor_id) left join and a qid aggregate over 250 rows. */
   def rboEval(s: SparkSession, d: String): DataFrame = {
     val qMax = SimilarityQueries.EvalCoverageQMax
-    val a = ScalarQuantization.sqTopK(s, d).filter(col("qid") <= qMax)
+    // SQ8 leg probes the durable candidate lists (r19, same routing as
+    // q150); the exact leg is the eval's definition and stays inline
+    val a = searcherCandidates(s, d, "sq8").filter(col("qid") <= qMax)
       .select(col("qid"), col("neighbor_id"), col("rank").as("ra"))
     val b = SimilarityQueries.cosineTopK(s, d).filter(col("qid") <= qMax)
       .select(col("qid"), col("neighbor_id"), col("rank").as("rb"))

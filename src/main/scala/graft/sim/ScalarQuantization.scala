@@ -107,7 +107,10 @@ object ScalarQuantization {
     * deployment runs before switching its scan to int8. */
   def sqRecall(s: SparkSession, d: String, k: Int = 5): DataFrame =
     SimilarityQueries.recallEvalFrom(
-      sqTopK(s, d, k).select(col("qid"), col("neighbor_id"), col("rank")),
+      // default k probes the durable candidate table (row-identical to
+      // sqTopK's default output — RankFusion.searcherCandidates)
+      if (k == 5) RankFusion.searcherCandidates(s, d, "sq8")
+      else sqTopK(s, d, k).select(col("qid"), col("neighbor_id"), col("rank")),
       SimilarityQueries.cosineTopK(s, d, k).select(col("qid"), col("neighbor_id")))
 
   val sqTopKSql: String =

@@ -617,7 +617,13 @@ object SimilarityQueries {
   def annRecall(s: SparkSession, d: String, k: Int = 5,
                 nProbe: Int = NProbe): DataFrame =
     recallEvalFrom(
-      ivfTopK(s, d, k, nProbe).select(col("qid"), col("neighbor_id"), col("rank")),
+      // registry defaults probe the durable per-searcher candidate
+      // table (row-identical to ivfTopK's default output — see
+      // RankFusion.searcherCandidates); non-default parameters keep
+      // the inline search, which is the only thing that can produce
+      // those rows
+      if (k == 5 && nProbe == NProbe) RankFusion.searcherCandidates(s, d, "ivf")
+      else ivfTopK(s, d, k, nProbe).select(col("qid"), col("neighbor_id"), col("rank")),
       cosineTopK(s, d, k).select(col("qid"), col("neighbor_id")))
 
   /** The recall join over ANY (qid, neighbor_id, rank) approximate
@@ -696,7 +702,11 @@ object SimilarityQueries {
   def ndcgEval(s: SparkSession, d: String, k: Int = 5,
                nProbe: Int = NProbe): DataFrame =
     ndcgEvalFrom(
-      ivfTopK(s, d, k, nProbe).select(col("qid"), col("neighbor_id"), col("rank")),
+      // same probe-vs-inline routing as annRecall: defaults read the
+      // durable candidate lists, the exact side stays inline (it is
+      // the eval's ground-truth definition)
+      if (k == 5 && nProbe == NProbe) RankFusion.searcherCandidates(s, d, "ivf")
+      else ivfTopK(s, d, k, nProbe).select(col("qid"), col("neighbor_id"), col("rank")),
       cosineTopK(s, d, k).select(col("qid"), col("neighbor_id"), col("rank")),
       k)
 

@@ -252,16 +252,31 @@ class PlanSpec extends AnyFunSuite {
   test("q110 k-means launches O(iterations) jobs (checkpointed codebook rounds)") {
     val spark = SparkSpec.spark
     // 2 Lloyd rounds + final assign: each round is one assignment scan
-    // into a bounded centroid aggregate materialized by localCheckpoint —
-    // measured 16 jobs total (~6-7 AQE stage-jobs per round), FIXED in
-    // nlist. A per-cluster driver loop would cost ≥ 3·nlist ≈ 42 jobs
-    // even at sf0.001's 14 centroids; 20 is the tripwire between the
-    // two shapes.
+    // into a bounded centroid aggregate materialized by localCheckpoint.
+    // The count is only deterministic relative to the durable
+    // kmeans_centroids table's state (warm probe ≈ 7 jobs; cold build
+    // measured 22 on a fresh 32-core box — the r18 "16" was taken with
+    // partially-warm session state, which is why this test flaked green
+    // or red depending on what ran before it). Force the COLD path —
+    // drop the catalog entry and the on-disk index — so the asserted
+    // number covers the full build+assign and never depends on suite
+    // order or leftover /tmp state. A per-cluster driver loop would
+    // cost ≥ 3·nlist ≈ 42 jobs even at sf0.001's 14 centroids; 30 is
+    // the tripwire between the two shapes.
+    val tag = graft.ops.DurableIndex.snapshotTag(sfDir, "embeddings.parquet")
+    spark.sql(
+      s"DROP TABLE IF EXISTS kmeans_centroids_${graft.sim.KMeans.Iters}_$tag")
+    val loc = graft.ops.DurableIndex.root
+      .resolve(s"kmeans${graft.sim.KMeans.Iters}-$tag")
+    if (java.nio.file.Files.exists(loc))
+      java.nio.file.Files.walk(loc)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
     val jobs = countJobs {
       graft.SparkEntry.queries("q110_kmeans_assign")(spark, sfDir).collect()
     }
     info(s"q110 jobs: $jobs")
-    assert(jobs <= 20, s"q110 launched $jobs jobs — per-cluster loop regression?")
+    assert(jobs <= 30, s"q110 launched $jobs jobs — per-cluster loop regression?")
   }
 
   test("iterative CC job counts stay O(rounds), not O(rounds^2)") {

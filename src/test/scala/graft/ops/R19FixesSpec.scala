@@ -85,4 +85,46 @@ class R19FixesSpec extends AnyFunSuite {
     assert(plan.contains("rrfcand"),
       s"warm fuse must scan the durable candidate table:\n$plan")
   }
+
+  test("eval family: approximate legs probe the candidate table; probe rows == inline searcher rows") {
+    val spark = SparkSpec.spark
+    val dir = "/root/testdata/sf0.01"
+    import org.apache.spark.sql.functions.col
+    graft.sim.RankFusion.rrfCandidatesTable(spark, dir) // build or reuse
+    // 1. row-identity: the durable lists ARE the searchers' default
+    //    outputs (the equivalence the probe routing rests on)
+    val inline = Map(
+      "ivf" -> graft.sim.SimilarityQueries.ivfTopK(spark, dir),
+      "sq8" -> graft.sim.ScalarQuantization.sqTopK(spark, dir),
+      "bq"  -> graft.sim.BinaryQuantization.bqTopK(spark, dir))
+    for ((name, df) <- inline) {
+      val want = df.select(col("qid").cast("long"), col("neighbor_id").cast("long"),
+        col("rank").cast("int")).collect().map(_.toString).sorted
+      val got = graft.sim.RankFusion.searcherCandidates(spark, dir, name)
+        .collect().map(_.toString).sorted
+      assert(got === want, s"$name candidates diverge from the inline searcher")
+    }
+    // 2. plan shape: each eval's approximate leg reads the durable
+    //    table; exactly ONE corpus scan remains (the exact leg)
+    val evals = Map(
+      "q112" -> graft.sim.SimilarityQueries.annRecall(spark, dir),
+      "q150" -> graft.sim.ScalarQuantization.sqRecall(spark, dir),
+      "q204" -> graft.sim.BinaryQuantization.bqRecall(spark, dir),
+      "q220" -> graft.sim.SimilarityQueries.ndcgEval(spark, dir),
+      "q245" -> graft.sim.RankFusion.rboEval(spark, dir))
+    for ((name, df) <- evals) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("rrfcand"),
+        s"$name approximate leg must probe the candidate table:\n$plan")
+      val corpusScans = plan.linesIterator
+        .count(l => l.contains("embeddings.parquet") && l.contains("Scan"))
+      assert(corpusScans <= 2, // exact leg: corpus side + query side
+        s"$name must keep only the exact leg's corpus scans, saw $corpusScans:\n$plan")
+    }
+    // 3. non-default parameters must NOT probe (only the default
+    //    output is materialized)
+    val nonDefault = graft.sim.SimilarityQueries.annRecall(spark, dir, k = 3)
+    assert(!nonDefault.queryExecution.executedPlan.toString.contains("rrfcand"),
+      "k=3 recall must compute its searcher inline")
+  }
 }
