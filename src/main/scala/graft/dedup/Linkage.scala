@@ -309,6 +309,13 @@ object Linkage {
         col("est_x10k"), col("exact_x10k"))
   }
 
+  // `pa` is MATERIALIZED to pin the audit's join ASSOCIATION-FIRST:
+  // inlined, DuckDB's cardinality estimate (EC 12 500 vs the real
+  // ~1.4M tf rows at sf1) reorders the intersection to ta ⋈ tb ON
+  // token alone — a ~31-word vocabulary makes that ~10¹⁰ intermediate
+  // rows (one replay shard was OOM-killed at 70 GB this round).
+  // Materializing the pair⋈tf_a side (candidate·token grain, ~100 K
+  // rows) forces the (doc_id, token)-keyed probe. Same integers out.
   val weightedMinhashSql: String = {
     val sigCols = (0 until WmhK).map(k =>
       s"min(${wmhPlaneSql(k)}) AS s$k").mkString(", ")
@@ -325,10 +332,11 @@ object Linkage {
        |est AS (SELECT g.a, g.b, ($matchSum) * 10000 // $WmhK AS est_x10k
        |  FROM grp g JOIN sig sa ON sa.doc_id = g.a JOIN sig sb ON sb.doc_id = g.b),
        |sz AS (SELECT doc_id, sum(ctf) AS sz FROM tf GROUP BY doc_id),
-       |ix AS (SELECT g.a, g.b, sum(least(ta.ctf, tb.ctf)) AS smin
-       |  FROM grp g
-       |  JOIN tf ta ON ta.doc_id = g.a
-       |  JOIN tf tb ON tb.doc_id = g.b AND tb.token = ta.token
+       |pa AS MATERIALIZED (SELECT g.a, g.b, ta.token, ta.ctf AS ctf_a
+       |  FROM grp g JOIN tf ta ON ta.doc_id = g.a),
+       |ix AS (SELECT pa.a, pa.b, sum(least(pa.ctf_a, tb.ctf)) AS smin
+       |  FROM pa
+       |  JOIN tf tb ON tb.doc_id = pa.b AND tb.token = pa.token
        |  GROUP BY 1, 2),
        |ex AS (SELECT g.a, g.b, coalesce(ix.smin, 0) AS smin,
        |    za.sz + zb.sz - coalesce(ix.smin, 0) AS smax
