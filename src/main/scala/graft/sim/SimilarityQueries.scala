@@ -486,15 +486,25 @@ object SimilarityQueries {
   /** Nearest-centroid list assignment: (cent_id, vec_id, …extras, e).
     * Any column of `emb` beyond (vec_id, e) — e.g. the label column the
     * filtered-ANN index stores — rides along unchanged, so metadata
-    * lands in the lists without a second corpus join. */
+    * lands in the lists without a second corpus join.
+    *
+    * r20: the rank-1 window this carried since r4 SORTED the whole
+    * N·nlist cross product WITH the vector payload before its exchange
+    * (the r18 q110 profile measured that sort at 22 s/sf1; the r4
+    * window-vs-struct-max measurement predates [[ivfAssignSlim]]'s
+    * long-encoded argmax, which beats both). The argmax now comes from
+    * [[ivfAssignSlim]] — one codegen'd long-max HashAggregate that
+    * collapses the cross product MAP-SIDE — and the payload (+extras)
+    * is re-attached by a vec_id join that moves each vector ONCE
+    * (N rows) instead of sorting N·nlist payload-carrying rows. Same
+    * round-6-then-lowest-id contract (the slim encode preserves it
+    * exactly — its doc has the algebra; IvfFamilySpec pins
+    * row-identity against the window form), so every consumer's
+    * output is unchanged. */
   def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(round(col("ccos"), 6).desc, col("cent_id"))
     val extras = emb.columns.filterNot(Set("vec_id", "e"))
-    emb.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosineExpr("e", "ce"))
-      .withColumn("arank", row_number().over(wAssign))
-      .filter(col("arank") === 1)
+    ivfAssignSlim(emb, cents)
+      .join(emb, "vec_id")
       .select((Seq("cent_id", "vec_id") ++ extras :+ "e").map(col): _*)
   }
 
@@ -557,17 +567,43 @@ object SimilarityQueries {
     * anchor grow ~nProbe·N/nlist with the corpus even at production
     * settings, so the rank stage must never sort a per-anchor
     * partition. Output unchanged (rank = buffer position, same
-    * round-6/id ordering). */
+    * round-6/id ordering).
+    *
+    * r20, two result-identical shape fixes (guide §2.3/§2.4):
+    *  - the probe-selection window runs on SLIM (qid, cent_id, qcos)
+    *    rows; `qe` (the 64-double query payload) no longer rides the
+    *    |Q|·nlist probe exchange+sort and the cent_id join exchange —
+    *    it re-attaches by ONE broadcast join on qid just before
+    *    scoring (queries are broadcast-sized by contract: the eval
+    *    subset, or a streaming micro-batch);
+    *  - PROBE-ALL (nProbe = Int.MaxValue — the oracle-equivalence
+    *    setting q76/q109/q113/q174 run): every (query, list) pair
+    *    survives the probe restriction and every assigned row's
+    *    cent_id ∈ cents by construction (inline [[ivfAssign]] output,
+    *    or lists persisted from it), so probe selection and the
+    *    cent_id routing join are the IDENTITY on the output — skip
+    *    them and score every list row against the broadcast query set
+    *    map-side, exactly [[cosineTopK]]'s exchange-free shape. The
+    *    before/after row-identity of both branches is pinned by
+    *    IvfFamilySpec. */
   def ivfSearch(queries: DataFrame, assigned: DataFrame, cents: DataFrame,
                 k: Int, nProbe: Int): DataFrame = {
-    val wProbe = Window.partitionBy("qid")
-      .orderBy(round(col("qcos"), 6).desc, col("cent_id"))
-    val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("qcos", cosineExpr("qe", "ce"))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= nProbe)
-      .select(col("qid"), col("qe"), col("cent_id"))
-    probes.join(assigned, "cent_id")
+    val scored =
+      if (nProbe == Int.MaxValue)
+        assigned.crossJoin(broadcast(queries))
+      else {
+        val wProbe = Window.partitionBy("qid")
+          .orderBy(round(col("qcos"), 6).desc, col("cent_id"))
+        val probes = queries.crossJoin(broadcast(cents))
+          .select(col("qid"), col("cent_id"),
+            cosineExpr("qe", "ce").as("qcos"))
+          .withColumn("prank", row_number().over(wProbe))
+          .filter(col("prank") <= nProbe)
+          .select(col("qid"), col("cent_id"))
+        probes.join(assigned, "cent_id")
+          .join(broadcast(queries), "qid")
+      }
+    scored
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", cosineExpr("qe", "e"))
       .groupBy("qid")
@@ -1518,17 +1554,32 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("e").as("qe"))
     val cents = s.table(centTbl)
-    val wProbe = Window.partitionBy("qid")
-      .orderBy(round(col("qcos"), 6).desc, col("cent_id"))
-    val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("qcos", cosineExpr("qe", "ce"))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= nProbe)
-      .select(col("qid"), col("qlabel"), col("qe"), col("cent_id"))
+    // r20: [[ivfSearch]]'s shape fixes applied to the inline probe —
+    // probe-all (the registered setting) skips probe selection + the
+    // cent_id routing join outright (identity: every list row's
+    // cent_id ∈ cents by build construction), and the finite-nProbe
+    // probe window runs on slim (qid, cent_id, qcos) rows with the
+    // (qe, qlabel) payload re-attached by one broadcast qid join.
+    // Row-identity pinned in IvfFamilySpec alongside ivfSearch's.
+    val candidates =
+      if (nProbe == Int.MaxValue)
+        s.table(listTbl).crossJoin(broadcast(queries))
+      else {
+        val wProbe = Window.partitionBy("qid")
+          .orderBy(round(col("qcos"), 6).desc, col("cent_id"))
+        val probes = queries.crossJoin(broadcast(cents))
+          .select(col("qid"), col("cent_id"),
+            cosineExpr("qe", "ce").as("qcos"))
+          .withColumn("prank", row_number().over(wProbe))
+          .filter(col("prank") <= nProbe)
+          .select(col("qid"), col("cent_id"))
+        probes.join(s.table(listTbl), "cent_id")
+          .join(broadcast(queries), "qid")
+      }
     // bounded per-anchor top-k over the probed, pre-filtered list rows
     // (see cosineTopK) — every-anchor mining never sorts a per-anchor
     // partition even under probe-all
-    probes.join(s.table(listTbl), "cent_id")
+    candidates
       .filter(col("label") =!= col("qlabel"))
       .withColumn("cos", cosineExpr("qe", "e"))
       .groupBy("qid", "qlabel")
