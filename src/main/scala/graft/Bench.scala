@@ -106,7 +106,7 @@ object Bench {
         "jlivf-" + graft.ops.DurableIndex.snapshotTag(sfDir, "embeddings.parquet"),
         () => { graft.sim.JlIvf.jlIvfIndex(spark, sfDir); () }),
       "rrf_candidates" -> timeIndexBuild(
-        "rrfcand-" + graft.ops.DurableIndex.snapshotTag(sfDir, "embeddings.parquet"),
+        "rrfcand2-" + graft.ops.DurableIndex.snapshotTag(sfDir, "embeddings.parquet"),
         () => { graft.sim.RankFusion.rrfCandidatesTable(spark, sfDir); () }))
     // 1-minute loadavg, sampled per query as well as before/after the
     // run: a loaded machine inflates full-run times up to 10x per query

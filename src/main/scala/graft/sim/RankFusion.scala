@@ -41,13 +41,23 @@ object RankFusion {
     * which is precisely the durable-artifact contract: a deployment
     * materializes each searcher's candidates once per snapshot and
     * every fusion/eval consumer probes them. Build cost is carried
-    * honestly in BENCH's `index_build` ("rrf_candidates"). */
+    * honestly in BENCH's `index_build` ("rrf_candidates").
+    *
+    * r20 adds the FOURTH tagged list, "jl" — q284's default
+    * stride-JL searcher output — so q285's approximate leg probes
+    * instead of recomputing the projected-space searcher inline (the
+    * last eval that still did; 14.9 s at sf1). The `2` in the
+    * location/table name versions the LAYOUT, exactly like
+    * `ivf_lists3`: a warm r19 directory holds only three lists and
+    * must not serve a four-list consumer — its dirs are simply
+    * ignored. [[rrfFusion]] pins itself to the original three lists,
+    * so q213/q214 results are untouched by the extra rows. */
   def rrfCandidatesTable(s: SparkSession, d: String): String = {
     val tag = graft.ops.DurableIndex.snapshotTag(d, "embeddings.parquet")
-    val tbl = s"rrf_candidates_$tag"
-    graft.ops.DurableIndex.locked(s"rrfcand-$tag") {
+    val tbl = s"rrf_candidates2_$tag"
+    graft.ops.DurableIndex.locked(s"rrfcand2-$tag") {
       if (!s.catalog.tableExists(tbl)) {
-        val loc = graft.ops.DurableIndex.root.resolve(s"rrfcand-$tag")
+        val loc = graft.ops.DurableIndex.root.resolve(s"rrfcand2-$tag")
         if (graft.ops.DurableIndex.complete(loc)) {
           s.sql(s"CREATE TABLE IF NOT EXISTS $tbl " +
             "(searcher STRING, qid BIGINT, neighbor_id BIGINT, rank INT) " +
@@ -57,7 +67,8 @@ object RankFusion {
           Seq(
             "ivf" -> SimilarityQueries.ivfTopK(s, d),
             "sq8" -> ScalarQuantization.sqTopK(s, d),
-            "bq" -> BinaryQuantization.bqTopK(s, d))
+            "bq" -> BinaryQuantization.bqTopK(s, d),
+            "jl" -> SimilarityQueries.jlTopKIvf(s, d))
             .map { case (name, df) =>
               df.select(lit(name).as("searcher"),
                 col("qid").cast("long").as("qid"),
@@ -78,7 +89,7 @@ object RankFusion {
   /** One searcher's (qid, neighbor_id, rank) candidate list, read from
     * the durable [[rrfCandidatesTable]] — row-for-row the named
     * searcher's default-parameter output (the build writes exactly
-    * ivfTopK/sqTopK/bqTopK with registry defaults). r19: the recall/
+    * ivfTopK/sqTopK/bqTopK/jlTopKIvf with registry defaults). r19: the recall/
     * nDCG/RBO evals (q112/q150/q204/q220/q245) route their approximate
     * legs here, so a full bench run computes each searcher once at
     * index build instead of once per eval that grades it — the same
@@ -98,6 +109,10 @@ object RankFusion {
   def rrfFusion(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     s.table(rrfCandidatesTable(s, d))
+      // the fuse is DEFINED over the three quantization searchers;
+      // pinned explicitly now that the table also carries q285's "jl"
+      // list (r20) — same rows as the r19 three-list table
+      .filter(col("searcher").isin("ivf", "sq8", "bq"))
       .select(col("qid"), col("neighbor_id"), col("rank"))
       .groupBy("qid", "neighbor_id")
       .agg(

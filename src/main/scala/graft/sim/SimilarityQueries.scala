@@ -978,11 +978,21 @@ object SimilarityQueries {
     * that decides whether the 4× cheaper index is deployable. Note
     * what is being graded: q282 isolates the PROJECTION's cost
     * (brute-vs-brute); this adds the IVF probe restriction on top —
-    * the honest end-to-end number for the deployed configuration. */
+    * the honest end-to-end number for the deployed configuration.
+    *
+    * r20: the approximate leg probes the durable "jl" candidate list
+    * ([[graft.sim.RankFusion.searcherCandidates]] — row-for-row
+    * q284's default output, pinned by R20FixesSpec) instead of
+    * re-running the projected-space searcher inline — the same
+    * persist-and-probe routing every other eval got in r19; q285 was
+    * the last one still recomputing its searcher (14.9 s at sf1).
+    * The exact full-dim ground-truth leg stays inline — the eval's
+    * definition (a graded searcher may be served from its index; the
+    * truth it is graded against may not). */
   def jlIvfRecall(s: SparkSession, d: String): DataFrame =
     recallEvalFrom(
-      jlTopKIvf(s, d).filter(col("qid") <= EvalCoverageQMax)
-        .select(col("qid"), col("neighbor_id"), col("rank")),
+      RankFusion.searcherCandidates(s, d, "jl")
+        .filter(col("qid") <= EvalCoverageQMax),
       cosineTopK(s, d).filter(col("qid") <= EvalCoverageQMax)
         .select(col("qid"), col("neighbor_id")))
 
