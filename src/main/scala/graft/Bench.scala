@@ -126,8 +126,25 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok, loadavg())
     }
+    // Between-queries hygiene (r20, guide §5), OUTSIDE every timed
+    // region: a long sequential run accumulates BlockManager residue —
+    // eager localCheckpoint blocks and per-query broadcasts are only
+    // reaped when a DRIVER GC lets ContextCleaner process their weak
+    // references, and local-mode executors share that heap. The
+    // isolated re-timings below always ran from a forced-GC clean
+    // state; without the same hygiene between timed queries, queries
+    // late in the run measured 3–5× their isolated times purely from
+    // predecessors' garbage (r19: q280 5.9 s in-run vs 1.2 s isolated,
+    // q281 2.7 vs 0.5, q282 4.2 vs 1.4 — the r19 verdict's "in-run
+    // inflation" item). Uniform for every query — no per-query
+    // special-casing; each query's own timed work is unchanged.
+    System.gc() // once after warmup + index builds, so q01 starts clean
     val loadStart = loadavg()
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) => time(name, fn) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val r = time(name, fn)
+      System.gc()
+      r
+    }
     val loadEnd = loadavg()
     // Isolated re-timing: the full sequential run accumulates heap/GC
     // pressure (PERF_NOTES: 1-2 s/query) and is exposed to machine load,

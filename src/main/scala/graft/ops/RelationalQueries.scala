@@ -1486,31 +1486,58 @@ object RelationalQueries {
     * allocation (q211).
     *
     * Scale shape: ONE (user) aggregate over the events scan, then
-    * three ntile windows on the USER-grain table (|users| rows — the
-    * q170 two-phase-rank candidate at extreme scale, documented);
-    * the max-day scalar broadcasts. */
+    * three quintile assignments on the USER-grain table; the
+    * max-day/count scalar pair broadcasts.
+    *
+    * r20 (guide §2.4, r19 verdict item 4): the three quintiles were
+    * `ntile(5)` over `Window.orderBy(...)` with NO partition key —
+    * three single-partition total sorts of the user-grain table (the
+    * "WindowExec: No Partition Defined" trap; |users| grows with the
+    * corpus, so at 100 TB one task sorts everything, three times).
+    * Each is now the exact same integers computed scale-safe: the
+    * 1-based global rank under the identical total order via
+    * [[graft.ops.Distributed.globalRowNumber]] (range-partitioned
+    * two-phase rank — the q167/q170 primitive, parallel end-to-end),
+    * folded through NTile's own bucket arithmetic (n rows, k=5:
+    * the first n%5 buckets hold n div 5 + 1 rows, the rest n div 5;
+    * rank t's bucket follows by integer division — R20FixesSpec pins
+    * rewritten ≡ naive-ntile-window row-for-row). DESC order becomes
+    * ASC rank of the negated key (recency_days is a non-null
+    * datediff, so no null-ordering divergence). */
   def rfmSegments(s: SparkSession, d: String): DataFrame = {
     val perUser = events(s, d)
       .groupBy("user_id")
       .agg(max(col("ts").cast("date")).as("last_day"),
         count(lit(1)).as("frequency"),
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("monetary_cents"))
-    val maxDay = perUser.agg(max("last_day").as("max_day"))
+    val maxDay = perUser.agg(max("last_day").as("max_day"),
+      count(lit(1)).as("n_users"))
     val g = perUser.crossJoin(broadcast(maxDay))
       .select(col("user_id"),
         datediff(col("max_day"), col("last_day")).cast("long")
           .as("recency_days"),
-        col("frequency"), col("monetary_cents"))
+        col("frequency"), col("monetary_cents"), col("n_users"))
     // 5 = best on every axis: recent (small recency), frequent, heavy
-    val rQ = ntile(5).over(Window.orderBy(col("recency_days").desc,
-      col("user_id")))
-    val fQ = ntile(5).over(Window.orderBy(col("frequency"), col("user_id")))
-    val mQ = ntile(5).over(Window.orderBy(col("monetary_cents"),
-      col("user_id")))
-    g.select(col("user_id"), col("recency_days"), col("frequency"),
+    val ranked = Seq(
+      ("__rt", Seq("__rneg", "user_id")),
+      ("__ft", Seq("frequency", "user_id")),
+      ("__mt", Seq("monetary_cents", "user_id")))
+      .foldLeft(g.withColumn("__rneg", -col("recency_days"))) {
+        case (df, (out, cols)) => Distributed.globalRowNumber(df, cols, out)
+      }
+    // rank t (1-based) -> NTile(5) bucket, exactly Spark's arithmetic;
+    // the ELSE divisor n div 5 is 0 only when n < 5, where t <= thr
+    // always holds and CASE never evaluates the ELSE branch
+    def quintile(t: String) = expr(
+      s"CAST(CASE WHEN $t <= (n_users % 5) * (n_users div 5 + 1) " +
+        s"THEN ($t - 1) div (n_users div 5 + 1) + 1 " +
+        s"ELSE (n_users % 5) + " +
+        s"($t - 1 - (n_users % 5) * (n_users div 5 + 1)) div (n_users div 5) + 1 " +
+        "END AS BIGINT)")
+    ranked.select(col("user_id"), col("recency_days"), col("frequency"),
         col("monetary_cents"),
-        rQ.cast("long").as("r_q"), fQ.cast("long").as("f_q"),
-        mQ.cast("long").as("m_q"))
+        quintile("__rt").as("r_q"), quintile("__ft").as("f_q"),
+        quintile("__mt").as("m_q"))
       .withColumn("segment", expr("r_q * 100 + f_q * 10 + m_q"))
   }
 

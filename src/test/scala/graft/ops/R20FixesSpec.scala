@@ -44,6 +44,40 @@ class R20FixesSpec extends AnyFunSuite {
       s"q285 must not recompute the JL projection inline:\n$plan")
   }
 
+  test("q259: two-phase quintiles are row-identical to the naive global ntile windows") {
+    val spark = SparkSpec.spark
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val now = graft.ops.RelationalQueries.rfmSegments(spark, dir)
+    // the pre-r20 form: three unpartitioned ntile(5) windows
+    val perUser = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("user_id")
+      .agg(max(col("ts").cast("date")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("monetary_cents"))
+    val maxDay = perUser.agg(max("last_day").as("max_day"))
+    val g = perUser.crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        datediff(col("max_day"), col("last_day")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    val old = g.select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        ntile(5).over(Window.orderBy(col("recency_days").desc, col("user_id")))
+          .cast("long").as("r_q"),
+        ntile(5).over(Window.orderBy(col("frequency"), col("user_id")))
+          .cast("long").as("f_q"),
+        ntile(5).over(Window.orderBy(col("monetary_cents"), col("user_id")))
+          .cast("long").as("m_q"))
+      .withColumn("segment", expr("r_q * 100 + f_q * 10 + m_q"))
+    val canon = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(canon(now) === canon(old))
+    // and the plan carries no single-partition window
+    val plan = now.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"q259 must not plan a single-partition exchange:\n$plan")
+  }
+
   test("q213: fuse reads only the three quantization lists (jl rows excluded)") {
     val spark = SparkSpec.spark
     val fused = graft.sim.RankFusion.rrfFusion(spark, dir)
