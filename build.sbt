@@ -33,4 +33,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g default: 47 bench queries in one JVM at local[32] showed 1-2s/query
   // GC interference at 8g (q28/q36 isolated-vs-full-run deltas)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // pin the initial heap to the max: G1 uncommits pages after a full
+  // GC and the next query re-commits them INSIDE its timed region —
+  // with the r20 between-queries GC cadence that churn showed up as a
+  // broad +0.5-2 s/query tax (r20 gcA run); a pinned heap never
+  // uncommits
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

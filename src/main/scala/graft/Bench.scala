@@ -126,23 +126,30 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok, loadavg())
     }
-    // Between-queries hygiene (r20, guide §5), OUTSIDE every timed
-    // region: a long sequential run accumulates BlockManager residue —
+    // Between-queries GC cadence (r20, guide §5) — BUILT, A/B'D, AND
+    // LEFT DEFAULT-OFF. Motivation (r19 verdict "in-run inflation"):
     // eager localCheckpoint blocks and per-query broadcasts are only
     // reaped when a DRIVER GC lets ContextCleaner process their weak
-    // references, and local-mode executors share that heap. The
-    // isolated re-timings below always ran from a forced-GC clean
-    // state; without the same hygiene between timed queries, queries
-    // late in the run measured 3–5× their isolated times purely from
-    // predecessors' garbage (r19: q280 5.9 s in-run vs 1.2 s isolated,
-    // q281 2.7 vs 0.5, q282 4.2 vs 1.4 — the r19 verdict's "in-run
-    // inflation" item). Uniform for every query — no per-query
-    // special-casing; each query's own timed work is unchanged.
-    System.gc() // once after warmup + index builds, so q01 starts clean
+    // references, so r19 saw queries late in the run at 3–5× their
+    // isolated times (q280 5.9 s in-run vs 1.2 isolated). Measured
+    // this round (OPTIMIZATION_r20.md §2.5): (a) at HEAD the
+    // inflation no longer reproduces — q280/q281/q282 time at
+    // isolated level in-run across five full sf0.1 runs WITHOUT the
+    // cadence (the r19 inflation rode on the since-removed IVF
+    // sort+spill shapes' heap churn); (b) WITH the cadence, full GCs
+    // between queries made broad shallow regressions (+0.5–2 s/query,
+    // q02 0.4→5.7 s) — post-GC heap uncommit/recommit and cleaner
+    // work landing inside the next timed region. Net: harmful on this
+    // engine today. SPARK_GRAFT_BENCH_GC=1 re-enables it for
+    // diagnosis; the 100 ms pause lets ContextCleaner drain outside
+    // the timed regions. Timed work is identical either way.
+    val gcBetween = sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")
+    def gcDrain(): Unit = if (gcBetween) { System.gc(); Thread.sleep(100) }
+    gcDrain() // once after warmup + index builds, so q01 starts clean
     val loadStart = loadavg()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val r = time(name, fn)
-      System.gc()
+      gcDrain()
       r
     }
     val loadEnd = loadavg()

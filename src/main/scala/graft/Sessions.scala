@@ -53,6 +53,13 @@ object Sessions {
       // today's sort-based behavior, never OOM.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "8192")
+      // Shuffle/spill block codec (guide §2.3). Parameterised for the
+      // A/B the r19 verdict queued: lz4 stays the default — the r20
+      // sf1 A/B measured zstd at no net win on this engine's shuffle
+      // volumes (see OPTIMIZATION_r20.md §codec) — and a deployment
+      // with 100 TB shuffles re-measures with its own data via the env.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
     val s = extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

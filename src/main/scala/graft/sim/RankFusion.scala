@@ -155,7 +155,14 @@ object RankFusion {
     * The approximate leg probes [[rrfCandidatesTable]] (via
     * [[rrfFusion]]); only the exact ground-truth leg — the eval's
     * definition — is computed inline, so the query's floor is one
-    * brute |Q|·N scan, not four searches. */
+    * brute |Q|·N scan, not four searches.
+    *
+    * RULING (r19 verdict item 7, closed): the exact ground truth is
+    * deliberately NOT persisted. The exact leg is what grades the
+    * searchers; a durable truth table would make every eval grade its
+    * own cache, and a stale or corrupted artifact would silently
+    * grade wrong. The ~one-brute-scan floor per eval is the cost of
+    * the definition — accepted, not carried as an open item. */
   def rrfRecall(s: SparkSession, d: String): DataFrame =
     SimilarityQueries.recallEvalFrom(
       rrfFusion(s, d).select(col("qid"), col("neighbor_id"), col("rank")),
