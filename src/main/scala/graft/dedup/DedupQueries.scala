@@ -1372,10 +1372,14 @@ object DedupQueries {
          |  ((${PrScale} * ${PrDampDen - PrDampNum}) // $PrDampDen) // nn.n + coalesce(c$i.m, 0) AS pr
          |  FROM documents d CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = d.doc_id)""".stripMargin
     }
-    (s"""WITH prs AS ($minHashJaccardPairsSql),
-        |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+    // prs/e/dg are MATERIALIZED (r20): each PageRank round references
+    // e and dg again, and DuckDB re-inlined the whole band+verify
+    // pipeline per reference — the sf1 replay wall (793 s; 38 s
+    // materialized at sf0.1 vs 126, row-identical)
+    (s"""WITH prs AS MATERIALIZED ($minHashJaccardPairsSql),
+        |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM prs
         |  UNION ALL SELECT doc_b, doc_a FROM prs),
-        |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |dg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
         |nn AS (SELECT count(*) AS n FROM documents),
         |p0 AS (SELECT doc_id, $PrScale // nn.n AS pr FROM documents, nn),
         |${(1 to PrIters).map(iter).mkString(", ")}

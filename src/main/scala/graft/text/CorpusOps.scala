@@ -1538,8 +1538,12 @@ object CorpusOps {
       .toDF("doc_id", "grp", "n_tok", "bin")
   }
 
+  // t is MATERIALIZED (r20): the recursive walk joins t once per rank
+  // step, and DuckDB re-evaluated the tokenizing CTE on every
+  // iteration — the sf1 replay wall (1020 s; 0.9 s materialized at
+  // sf0.1 vs 33.5, row-identical — the q277 join-order-pin precedent)
   val nfdPackSql: String =
-    s"""WITH RECURSIVE t AS (SELECT doc_id, doc_id % $NfdGroups AS grp,
+    s"""WITH RECURSIVE t AS MATERIALIZED (SELECT doc_id, doc_id % $NfdGroups AS grp,
        |  CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS BIGINT) AS n_tok,
        |  row_number() OVER (PARTITION BY doc_id % $NfdGroups ORDER BY
        |    CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS BIGINT) DESC, doc_id) AS rn
