@@ -136,24 +136,37 @@ object ProductQuantization {
                 nProbe: Int = Int.MaxValue): DataFrame =
     ivfPqFrom(embD(s, d), k, nProbe)
 
-  /** DataFrame-level core of [[ivfPqTopK]]: input (vec_id, e). */
+  /** DataFrame-level core of [[ivfPqTopK]]: input (vec_id, e).
+    *
+    * r20 probe-all fast path (the [[SimilarityQueries.ivfSearch]]
+    * move): at nProbe = Int.MaxValue the probe window, the cent_id
+    * routing join AND the (qid, vec_id) distinct are the identity —
+    * every list is probed, every vector sits in exactly one list, so
+    * the candidate set is all (query, code) pairs, which is exactly
+    * [[adcSearchAll]] (≡ flat PQ, the equality SimilaritySpec has
+    * always asserted). The old path shuffled the |Q|·N candidate
+    * cross product through a distinct for nothing. */
   def ivfPqFrom(emb: DataFrame, k: Int = 5,
                 nProbe: Int = Int.MaxValue): DataFrame = {
-    val coarse = SimilarityQueries.ivfCentroids(emb)
-    val assigned = SimilarityQueries.ivfAssign(emb, coarse)
-      .select("cent_id", "vec_id")
     val queries = SimilarityQueries.ivfQueries(emb)
-    val wProbe = Window.partitionBy("qid")
-      .orderBy(round(col("qcos"), 6).desc, col("cent_id"))
-    val probes = queries.crossJoin(broadcast(coarse))
-      .withColumn("qcos", SimilarityQueries.cosineExpr("qe", "ce"))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= nProbe)
-      .select(col("qid"), col("cent_id"))
-    val cand = probes.join(assigned, "cent_id")
-      .select(col("qid"), col("vec_id")).distinct()
-      .join(pqCodes(emb), "vec_id")
-    adcTopK(cand, distTable(queries, pqCodebook(emb)), k)
+    if (nProbe == Int.MaxValue) adcSearchAll(queries, emb, k)
+    else {
+      val coarse = SimilarityQueries.ivfCentroids(emb)
+      val assigned = SimilarityQueries.ivfAssign(emb, coarse)
+        .select("cent_id", "vec_id")
+      val wProbe = Window.partitionBy("qid")
+        .orderBy(round(col("qcos"), 6).desc, col("cent_id"))
+      val probes = queries.crossJoin(broadcast(coarse))
+        .select(col("qid"), col("cent_id"),
+          SimilarityQueries.cosineExpr("qe", "ce").as("qcos"))
+        .withColumn("prank", row_number().over(wProbe))
+        .filter(col("prank") <= nProbe)
+        .select(col("qid"), col("cent_id"))
+      val cand = probes.join(assigned, "cent_id")
+        .select(col("qid"), col("vec_id")).distinct()
+        .join(pqCodes(emb), "vec_id")
+      adcTopK(cand, distTable(queries, pqCodebook(emb)), k)
+    }
   }
 
   /** q81 — IVF-PQ against the PERSISTED index: the coarse probe runs
@@ -167,17 +180,30 @@ object ProductQuantization {
                        nProbe: Int = Int.MaxValue): DataFrame = {
     val (centTbl, _) = SimilarityQueries.ivfIndex(s, d)
     val queries = SimilarityQueries.ivfQueries(embD(s, d))
-    val coarse = s.table(centTbl)
-    val wProbe = Window.partitionBy("qid")
-      .orderBy(round(col("qcos"), 6).desc, col("cent_id"))
-    val probes = queries.crossJoin(broadcast(coarse))
-      .withColumn("qcos", SimilarityQueries.cosineExpr("qe", "ce"))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= nProbe)
-      .select(col("qid"), col("cent_id"))
-    val cand = probes
-      .join(s.table(SimilarityQueries.ivfCodesTable(s, d)), "cent_id")
-      .select(col("qid"), col("vec_id"), col("codes"))
+    // r20 probe-all fast path ([[ivfPqFrom]]'s argument, on the
+    // PERSISTED codes): every code row's cent_id ∈ the durable
+    // codebook by build construction, so probe selection and the
+    // routing join are the identity — scan the bucketed codes table
+    // once against the broadcast query set
+    val cand =
+      if (nProbe == Int.MaxValue)
+        s.table(SimilarityQueries.ivfCodesTable(s, d))
+          .select(col("vec_id"), col("codes"))
+          .crossJoin(broadcast(queries.select("qid")))
+      else {
+        val coarse = s.table(centTbl)
+        val wProbe = Window.partitionBy("qid")
+          .orderBy(round(col("qcos"), 6).desc, col("cent_id"))
+        val probes = queries.crossJoin(broadcast(coarse))
+          .select(col("qid"), col("cent_id"),
+            SimilarityQueries.cosineExpr("qe", "ce").as("qcos"))
+          .withColumn("prank", row_number().over(wProbe))
+          .filter(col("prank") <= nProbe)
+          .select(col("qid"), col("cent_id"))
+        probes
+          .join(s.table(SimilarityQueries.ivfCodesTable(s, d)), "cent_id")
+          .select(col("qid"), col("vec_id"), col("codes"))
+      }
     adcTopK(cand, distTable(queries, pqCodebook(embD(s, d))), k)
   }
 
